@@ -1,0 +1,224 @@
+"""GROMACS XTC trajectory reader (pure Python/numpy).
+
+Implements the public XDR "xdr3dfcoord" compressed-coordinate format
+(magic 1995) so trajectory inputs used by the reference test systems
+(tests/data/waterbox/output.xtc etc., read via moleculekit in
+tests/test_torchmd.py:350-351) can be loaded without external deps.
+
+Returns coordinates in Angstrom (XTC stores nm) and the per-frame box
+diagonal in Angstrom.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAGICINTS = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 8, 10, 12, 16, 20, 25, 32, 40, 50, 64,
+    80, 101, 128, 161, 203, 256, 322, 406, 512, 645, 812, 1024, 1290,
+    1625, 2048, 2580, 3250, 4096, 5060, 6501, 8192, 10321, 13003, 16384,
+    20642, 26007, 32768, 41285, 52015, 65536, 82570, 104031, 131072,
+    165140, 208063, 262144, 330280, 416127, 524287, 660561, 832255,
+    1048576, 1321122, 1664510, 2097152, 2642245, 3329021, 4194304,
+    5284491, 6658042, 8388607, 10568983, 13316085, 16777216,
+]
+_FIRSTIDX = 9
+
+
+def _sizeofint(size: int) -> int:
+    num = 1
+    nbits = 0
+    while size >= num and nbits < 32:
+        nbits += 1
+        num <<= 1
+    return nbits
+
+
+def _sizeofints(sizes: list[int]) -> int:
+    num_of_bytes = 1
+    bytes_ = [1] + [0] * 31
+    for size in sizes:
+        tmp = 0
+        for bytecnt in range(num_of_bytes):
+            tmp = bytes_[bytecnt] * size + tmp
+            bytes_[bytecnt] = tmp & 0xFF
+            tmp >>= 8
+        while tmp != 0:
+            bytes_[num_of_bytes] = tmp & 0xFF
+            num_of_bytes += 1
+            tmp >>= 8
+    num = 1
+    num_of_bytes -= 1
+    num_of_bits = 0
+    while bytes_[num_of_bytes] >= num:
+        num_of_bits += 1
+        num *= 2
+    return num_of_bits + num_of_bytes * 8
+
+
+class _BitReader:
+    __slots__ = ("buf", "cnt", "lastbits", "lastbyte")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.cnt = 0
+        self.lastbits = 0
+        self.lastbyte = 0
+
+    def bits(self, nbits: int) -> int:
+        mask = (1 << nbits) - 1
+        num = 0
+        lastbits, lastbyte, cnt = self.lastbits, self.lastbyte, self.cnt
+        while nbits >= 8:
+            lastbyte = ((lastbyte << 8) | self.buf[cnt]) & 0xFFFFFFFF
+            cnt += 1
+            num |= (lastbyte >> lastbits) << (nbits - 8)
+            nbits -= 8
+        if nbits > 0:
+            if lastbits < nbits:
+                lastbits += 8
+                lastbyte = ((lastbyte << 8) | self.buf[cnt]) & 0xFFFFFFFF
+                cnt += 1
+            lastbits -= nbits
+            num |= (lastbyte >> lastbits) & ((1 << nbits) - 1)
+        self.lastbits, self.lastbyte, self.cnt = lastbits, lastbyte, cnt
+        return num & mask
+
+    def ints(self, num_of_bits: int, sizes: list[int]) -> list[int]:
+        bytes_ = []
+        while num_of_bits > 8:
+            bytes_.append(self.bits(8))
+            num_of_bits -= 8
+        if num_of_bits > 0:
+            bytes_.append(self.bits(num_of_bits))
+        nums = [0, 0, 0]
+        for i in (2, 1):
+            num = 0
+            for j in range(len(bytes_) - 1, -1, -1):
+                num = (num << 8) | bytes_[j]
+                p = num // sizes[i]
+                bytes_[j] = p
+                num -= p * sizes[i]
+            nums[i] = num
+        nums[0] = 0
+        for j in range(min(4, len(bytes_)) - 1, -1, -1):
+            nums[0] = (nums[0] << 8) | bytes_[j]
+        return nums
+
+
+def _decompress_frame(f) -> tuple[np.ndarray, int] | None:
+    """Decode one coordinate block positioned right after the frame header."""
+    (lsize,) = struct.unpack(">i", f.read(4))
+    if lsize <= 9:
+        data = f.read(12 * lsize)
+        coords = np.frombuffer(data, dtype=">f4").reshape(lsize, 3)
+        return coords.astype(np.float64), lsize
+
+    (precision,) = struct.unpack(">f", f.read(4))
+    minint = list(struct.unpack(">3i", f.read(12)))
+    maxint = list(struct.unpack(">3i", f.read(12)))
+    (smallidx,) = struct.unpack(">i", f.read(4))
+
+    smaller = _MAGICINTS[max(_FIRSTIDX, smallidx - 1)] // 2
+    smallnum = _MAGICINTS[smallidx] // 2
+    sizesmall = [_MAGICINTS[smallidx]] * 3
+
+    sizeint = [maxint[i] - minint[i] + 1 for i in range(3)]
+    if any(s > 0xFFFFFF for s in sizeint):
+        bitsizeint = [_sizeofint(s) for s in sizeint]
+        bitsize = 0
+    else:
+        bitsizeint = [0, 0, 0]
+        bitsize = _sizeofints(sizeint)
+
+    (nbytes,) = struct.unpack(">i", f.read(4))
+    padded = (nbytes + 3) // 4 * 4
+    buf = f.read(padded)[:nbytes] + b"\x00" * 16
+    rd = _BitReader(buf)
+
+    inv_precision = 1.0 / precision
+    out = np.empty((lsize, 3), dtype=np.float64)
+    widx = 0
+    i = 0
+    run = 0
+    prev = [0, 0, 0]
+    while i < lsize:
+        if bitsize == 0:
+            this = [rd.bits(bitsizeint[k]) for k in range(3)]
+        else:
+            this = rd.ints(bitsize, sizeint)
+        i += 1
+        this = [this[k] + minint[k] for k in range(3)]
+        prev = list(this)
+
+        flag = rd.bits(1)
+        is_smaller = 0
+        if flag == 1:
+            run = rd.bits(5)
+            is_smaller = run % 3
+            run -= is_smaller
+            is_smaller -= 1
+        if run > 0:
+            for k in range(0, run, 3):
+                small = rd.ints(smallidx, sizesmall)
+                i += 1
+                small = [small[m] + prev[m] - smallnum for m in range(3)]
+                if k == 0:
+                    small, prev = prev, small
+                    out[widx] = [prev[m] * inv_precision for m in range(3)]
+                    widx += 1
+                else:
+                    prev = list(small)
+                out[widx] = [small[m] * inv_precision for m in range(3)]
+                widx += 1
+        else:
+            out[widx] = [this[m] * inv_precision for m in range(3)]
+            widx += 1
+        smallidx += is_smaller
+        if is_smaller < 0:
+            smallnum = smaller
+            smaller = _MAGICINTS[smallidx - 1] // 2 if smallidx > _FIRSTIDX else 0
+        elif is_smaller > 0:
+            smaller = smallnum
+            smallnum = _MAGICINTS[smallidx] // 2
+        sizesmall = [_MAGICINTS[smallidx]] * 3
+
+    return out, lsize
+
+
+def read_xtc(path: str) -> dict:
+    """Read all frames. Returns dict with coords (natoms, 3, nframes) in
+    Angstrom, box (3, nframes) diagonal in Angstrom, step, time arrays."""
+    frames = []
+    boxes = []
+    steps = []
+    times = []
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(4)
+            if len(header) < 4:
+                break
+            (magic,) = struct.unpack(">i", header)
+            if magic != 1995:
+                raise ValueError(f"{path}: bad XTC magic {magic}")
+            natoms, step = struct.unpack(">2i", f.read(8))
+            (time,) = struct.unpack(">f", f.read(4))
+            box = np.array(struct.unpack(">9f", f.read(36))).reshape(3, 3)
+            coords, lsize = _decompress_frame(f)
+            if lsize != natoms:
+                raise ValueError(f"{path}: natoms mismatch {lsize} != {natoms}")
+            frames.append(coords * 10.0)  # nm -> Angstrom
+            boxes.append(np.diag(box) * 10.0)
+            steps.append(step)
+            times.append(time)
+
+    coords = np.stack(frames, axis=2) if frames else np.zeros((0, 3, 0))
+    box = np.stack(boxes, axis=1) if boxes else np.zeros((3, 0))
+    return {
+        "coords": coords,
+        "box": box,
+        "step": np.array(steps),
+        "time": np.array(times),
+    }
