@@ -1,0 +1,161 @@
+"""AMBER force field from PRMTOP (and FRCMOD) files.
+
+Self-contained replacement for the reference's
+`parmed.amber.AmberParameterSet.from_structure` route
+(torchmd/forcefields/ff_parmed.py:33-42): per-instance parameter tables in
+the prmtop are lifted into type-name-keyed tables, so parameter assembly by
+unique atom-type tuples reproduces the reference numerics exactly.
+
+Notes:
+  - sigma/epsilon come from the LENNARD_JONES_ACOEF/BCOEF diagonal
+    (sigma = (A/B)^(1/6), eps = B^2/(4A)); zero rows give eps = 0.
+  - AMBER angle equilibria and dihedral phases are already radians.
+  - Improper (periodic) keys are canonicalized with the central (third)
+    atom fixed at position 2 and the remaining three sorted, which the
+    center-fixed permutation lookup recovers.
+  - scee/scnb per dihedral type from SCEE/SCNB_SCALE_FACTOR (defaults
+    1.2 / 2.0).
+"""
+
+from __future__ import annotations
+
+from itertools import permutations
+
+import numpy as np
+
+from .forcefield import _ForceFieldBase
+
+_SIGMA_PER_RMIN2 = 2.0 ** (5.0 / 6.0)
+
+
+def _improper_key(t1, t2, t3, t4):
+    rest = sorted([t1, t2, t4])
+    return (rest[0], rest[1], t3, rest[2])
+
+
+class AmberParameterSet:
+    """Type-name-keyed parameter tables built from a parsed Prmtop."""
+
+    def __init__(self, top):
+        self.top = top
+        at = top.atomtype
+
+        self.atom_types: dict[str, tuple] = {}  # name -> (sigma, eps)
+        for i in range(top.natoms):
+            name = at[i]
+            if name not in self.atom_types:
+                rmin2, eps = top.lj_diag(int(top.atom_type_index[i]))
+                self.atom_types[name] = (rmin2 * _SIGMA_PER_RMIN2, eps)
+
+        self.bond_types: dict[tuple, tuple] = {}
+        for (i, j), t in zip(top.bonds, top.bond_type):
+            key = (at[i], at[j])
+            val = (float(top.bond_k[t]), float(top.bond_req[t]))
+            self.bond_types[key] = val
+            self.bond_types[key[::-1]] = val
+
+        self.angle_types: dict[tuple, tuple] = {}
+        for (i, j, k), t in zip(top.angles, top.angle_type):
+            key = (at[i], at[j], at[k])
+            val = (float(top.angle_k[t]), float(top.angle_teq[t]))
+            self.angle_types[key] = val
+            self.angle_types[key[::-1]] = val
+
+        # Proper dihedrals: multi-term lists per type quad, deduplicated the
+        # way parmed's from_structure does (append term if not present).
+        self.dihedral_types: dict[tuple, list] = {}
+        for row, t in zip(top.dihedrals, top.dihedral_types_per_row):
+            key = tuple(at[x] for x in row)
+            if key not in self.dihedral_types and key[::-1] in self.dihedral_types:
+                key = key[::-1]
+            lst = self.dihedral_types.setdefault(key, [])
+            term = (
+                float(top.dihedral_k[t]),
+                float(top.dihedral_per[t]),
+                float(top.dihedral_phase[t]),  # radians
+                float(top.scee[t]) if t < len(top.scee) else 1.2,
+                float(top.scnb[t]) if t < len(top.scnb) else 2.0,
+            )
+            if term not in lst:
+                lst.append(term)
+
+        self.improper_periodic_types: dict[tuple, tuple] = {}
+        for row, t in zip(top.impropers, top.improper_types_per_row):
+            key = _improper_key(*(at[x] for x in row))
+            self.improper_periodic_types[key] = (
+                float(top.dihedral_k[t]),
+                float(top.dihedral_per[t]),
+                float(top.dihedral_phase[t]),  # radians
+            )
+        self.improper_types: dict[tuple, tuple] = {}  # no harmonic impropers in AMBER
+
+
+class AmberForcefield(_ForceFieldBase):
+    def __init__(self, mol, prm):
+        from ..io.prmtop import Prmtop
+
+        self.mol = mol
+        if isinstance(prm, AmberParameterSet):
+            self.prm = prm
+        elif isinstance(prm, str) and prm.endswith(".prmtop"):
+            top = getattr(mol, "prmtop", None)
+            if top is None:
+                top = Prmtop(prm)
+            self.prm = AmberParameterSet(top)
+        else:
+            raise ValueError(f"Unsupported AMBER parameter source: {prm}")
+
+    def get_atom_types(self):
+        return np.unique(self.mol.atomtype)
+
+    def get_charge(self, at):
+        idx = np.where(self.mol.atomtype == at)[0][0]
+        return self.mol.charge[idx]
+
+    def get_mass(self, at):
+        idx = np.where(self.mol.atomtype == at)[0][0]
+        return self.mol.masses[idx]
+
+    def get_LJ(self, at):
+        return self.prm.atom_types[at]
+
+    def get_bond(self, at1, at2):
+        return self.prm.bond_types[(at1, at2)]
+
+    def get_angle(self, at1, at2, at3):
+        return self.prm.angle_types[(at1, at2, at3)]
+
+    def _dihedral_terms(self, at1, at2, at3, at4):
+        for key in ((at1, at2, at3, at4), (at4, at3, at2, at1)):
+            if key in self.prm.dihedral_types:
+                return self.prm.dihedral_types[key]
+        raise RuntimeError(
+            f"Could not find dihedral parameters for ({at1}, {at2}, {at3}, {at4})"
+        )
+
+    def get_dihedral(self, at1, at2, at3, at4):
+        return [
+            [k, phase, per] for (k, per, phase, _, _) in
+            self._dihedral_terms(at1, at2, at3, at4)
+        ]
+
+    def get_14(self, at1, at2, at3, at4):
+        terms = self._dihedral_terms(at1, at2, at3, at4)
+        _, _, _, scee, scnb = terms[0]
+        s1, e1 = self.prm.atom_types[at1]
+        s4, e4 = self.prm.atom_types[at4]
+        # AMBER prmtops have no distinct 1-4 LJ types: sigma_14 = sigma.
+        return scnb, scee, s1, e1, s4, e4
+
+    def get_improper(self, at1, at2, at3, at4):
+        types = np.array((at1, at2, at3, at4))
+        perms = [x for x in permutations((0, 1, 2, 3)) if x[2] == 2]
+        for p in perms:
+            key = tuple(types[list(p)])
+            if key in self.prm.improper_types:
+                k, phase = self.prm.improper_types[key]
+                return k, phase, 0
+            if key in self.prm.improper_periodic_types:
+                k, per, phase = self.prm.improper_periodic_types[key]
+                return k, phase, per
+        raise RuntimeError(f"Could not find improper parameters for key {types}")

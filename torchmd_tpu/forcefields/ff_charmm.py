@@ -1,0 +1,225 @@
+"""CHARMM parameter (.prm / .par) and topology (.rtf) reader.
+
+Self-contained replacement for `parmed.charmm.CharmmParameterSet` as used by
+the reference (torchmd/forcefields/ff_parmed.py:28, tests/test_torchmd.py:384).
+Parses BONDS/ANGLES/DIHEDRALS/IMPROPER/NONBONDED sections (plus ATOMS/MASS
+from .prm or .rtf for atom masses) and exposes the common force-field getter
+interface.
+
+Conventions:
+  - epsilon stored positive (CHARMM files carry it negative; only |eps| is
+    physical -- all downstream math uses sqrt(eps_i * eps_j)).
+  - sigma derived from Rmin/2 columns: sigma = 2 * (Rmin/2) * 2**(-1/6).
+  - CHARMM dihedrals have scee = scnb = 1.0 (e14fac 1.0 convention).
+  - Dihedral lookup: exact, reversed, then CHARMM-style wildcard
+    (X, a2, a3, X) forms.
+  - Improper lookup: all permutations with the center fixed at position 2,
+    matching the reference's lookup loop (ff_parmed.py:116-129).
+"""
+
+from __future__ import annotations
+
+from itertools import permutations
+from math import radians
+
+import numpy as np
+
+from .forcefield import _ForceFieldBase
+
+_SIGMA_PER_RMIN2 = 2.0 ** (5.0 / 6.0)  # sigma = rmin2 * 2 / 2^(1/6)
+
+_SECTIONS = (
+    "ATOMS", "BONDS", "ANGLES", "DIHEDRALS", "IMPROPER", "IMPROPERS",
+    "NONBONDED", "CMAP", "NBFIX", "HBOND", "THOLE", "END",
+)
+
+
+class CharmmParameterSet:
+    """Parsed CHARMM parameter tables keyed by atom-type tuples."""
+
+    def __init__(self, *filenames):
+        self.masses: dict[str, float] = {}
+        self.bond_types: dict[tuple, tuple] = {}
+        self.angle_types: dict[tuple, tuple] = {}
+        self.urey_bradley_types: dict[tuple, tuple] = {}
+        self.dihedral_types: dict[tuple, list] = {}
+        self.improper_types: dict[tuple, tuple] = {}
+        self.improper_periodic_types: dict[tuple, tuple] = {}
+        self.nonbonded_types: dict[str, tuple] = {}  # (eps, rmin2, eps14, rmin14_2)
+        self.nbfix_types: dict[tuple, tuple] = {}
+        for fn in filenames:
+            self._parse(fn)
+
+    # ------------------------------------------------------------------
+    def _parse(self, filename: str):
+        with open(filename, "r", encoding="utf-8", errors="replace") as f:
+            raw_lines = f.readlines()
+
+        # Join continuation lines ending with '-'
+        lines: list[str] = []
+        pending = ""
+        for raw in raw_lines:
+            line = raw.split("!")[0].rstrip()
+            if pending:
+                line = pending + " " + line.strip()
+                pending = ""
+            if line.endswith("-"):
+                pending = line[:-1]
+                continue
+            lines.append(line)
+
+        section = None
+        for line in lines:
+            ls = line.strip()
+            if not ls or ls.startswith("*"):
+                continue
+            up = ls.upper()
+            first = up.split()[0]
+            if first in _SECTIONS or first.startswith("NONBONDED"):
+                section = "IMPROPER" if first == "IMPROPERS" else first
+                if section == "END":
+                    section = None
+                continue
+            if first == "MASS":
+                # RTF/PRM atom definition: MASS idx TYPE mass [element]
+                parts = ls.split()
+                if len(parts) >= 4:
+                    self.masses[parts[2]] = float(parts[3])
+                continue
+            if first in ("RESI", "PRES", "AUTO", "DECL", "DEFA", "GROUP",
+                         "ATOM", "BOND", "DOUBLE", "ANGL", "DIHE", "IMPR",
+                         "DONOR", "ACCEPTOR", "IC", "PATCH", "CUTNB"):
+                # RTF residue-definition content: not parameters
+                continue
+
+            parts = ls.split()
+            try:
+                if section == "BONDS" and len(parts) >= 4:
+                    key = (parts[0], parts[1])
+                    val = (float(parts[2]), float(parts[3]))
+                    self.bond_types[key] = val
+                    self.bond_types[key[::-1]] = val
+                elif section == "ANGLES" and len(parts) >= 5:
+                    key = (parts[0], parts[1], parts[2])
+                    val = (float(parts[3]), float(parts[4]))
+                    self.angle_types[key] = val
+                    self.angle_types[key[::-1]] = val
+                    if len(parts) >= 7:
+                        ub = (float(parts[5]), float(parts[6]))
+                        self.urey_bradley_types[key] = ub
+                        self.urey_bradley_types[key[::-1]] = ub
+                elif section == "DIHEDRALS" and len(parts) >= 7:
+                    key = (parts[0], parts[1], parts[2], parts[3])
+                    term = (float(parts[4]), int(float(parts[5])), float(parts[6]))
+                    if key[::-1] in self.dihedral_types and key not in self.dihedral_types:
+                        key = key[::-1]
+                    lst = self.dihedral_types.setdefault(key, [])
+                    self.dihedral_types[key[::-1]] = lst
+                    if term not in lst:
+                        lst.append(term)
+                elif section == "IMPROPER" and len(parts) >= 7:
+                    key = (parts[0], parts[1], parts[2], parts[3])
+                    k = float(parts[4])
+                    per = int(float(parts[5]))
+                    phase = float(parts[6])
+                    if per == 0:
+                        self.improper_types[key] = (k, phase)
+                    else:
+                        self.improper_periodic_types[key] = (k, per, phase)
+                elif section == "NONBONDED" and len(parts) >= 4:
+                    at = parts[0]
+                    eps = abs(float(parts[2]))
+                    rmin2 = float(parts[3])
+                    if len(parts) >= 7:
+                        eps14 = abs(float(parts[5]))
+                        rmin14_2 = float(parts[6])
+                    else:
+                        eps14, rmin14_2 = eps, rmin2
+                    self.nonbonded_types[at] = (eps, rmin2, eps14, rmin14_2)
+                elif section == "NBFIX" and len(parts) >= 4:
+                    key = (parts[0], parts[1])
+                    val = (abs(float(parts[2])), float(parts[3]))
+                    self.nbfix_types[key] = val
+                    self.nbfix_types[key[::-1]] = val
+            except (ValueError, IndexError):
+                continue
+
+
+class CharmmForcefield(_ForceFieldBase):
+    def __init__(self, mol, prm):
+        self.mol = mol
+        if isinstance(prm, CharmmParameterSet):
+            self.prm = prm
+        else:
+            files = prm if isinstance(prm, (list, tuple)) else [prm]
+            self.prm = CharmmParameterSet(*files)
+
+    def get_atom_types(self):
+        return np.unique(list(self.prm.nonbonded_types.keys()))
+
+    def get_charge(self, at):
+        idx = np.where(self.mol.atomtype == at)[0][0]
+        return self.mol.charge[idx]
+
+    def get_mass(self, at):
+        if at in self.prm.masses:
+            return self.prm.masses[at]
+        idx = np.where(self.mol.atomtype == at)[0][0]
+        return self.mol.masses[idx]
+
+    def get_LJ(self, at):
+        eps, rmin2, _, _ = self.prm.nonbonded_types[at]
+        return rmin2 * _SIGMA_PER_RMIN2, eps
+
+    def get_bond(self, at1, at2):
+        return self.prm.bond_types[(at1, at2)]
+
+    def get_angle(self, at1, at2, at3):
+        k, theta0 = self.prm.angle_types[(at1, at2, at3)]
+        return k, radians(theta0)
+
+    def _dihedral_terms(self, at1, at2, at3, at4):
+        cand = [
+            (at1, at2, at3, at4),
+            (at4, at3, at2, at1),
+            ("X", at2, at3, "X"),
+            ("X", at3, at2, "X"),
+        ]
+        for key in cand:
+            if key in self.prm.dihedral_types:
+                return self.prm.dihedral_types[key]
+        raise RuntimeError(
+            f"Could not find dihedral parameters for ({at1}, {at2}, {at3}, {at4})"
+        )
+
+    def get_dihedral(self, at1, at2, at3, at4):
+        return [
+            [k, radians(phase), per]
+            for (k, per, phase) in self._dihedral_terms(at1, at2, at3, at4)
+        ]
+
+    def get_14(self, at1, at2, at3, at4):
+        self._dihedral_terms(at1, at2, at3, at4)  # existence check
+        e1, r1, e14_1, r14_1 = self.prm.nonbonded_types[at1]
+        e4, r4, e14_4, r14_4 = self.prm.nonbonded_types[at4]
+        return (
+            1.0,  # scnb: CHARMM uses explicit 1-4 LJ types instead of scaling
+            1.0,  # scee: e14fac 1.0
+            r14_1 * _SIGMA_PER_RMIN2,
+            e14_1,
+            r14_4 * _SIGMA_PER_RMIN2,
+            e14_4,
+        )
+
+    def get_improper(self, at1, at2, at3, at4):
+        types = np.array((at1, at2, at3, at4))
+        perms = [x for x in permutations((0, 1, 2, 3)) if x[2] == 2]
+        for p in perms:
+            key = tuple(types[list(p)])
+            if key in self.prm.improper_types:
+                k, phase = self.prm.improper_types[key]
+                return k, radians(phase), 0
+            if key in self.prm.improper_periodic_types:
+                k, per, phase = self.prm.improper_periodic_types[key]
+                return k, radians(phase), per
+        raise RuntimeError(f"Could not find improper parameters for key {types}")

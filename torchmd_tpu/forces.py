@@ -1,0 +1,199 @@
+"""User-facing force/energy evaluator.
+
+`Forces` mirrors the reference class surface (torchmd/forces.py:7-346) --
+same constructor arguments, same `compute(pos, box, forces, returnDetails,
+explicit_forces, toNumpy, calculateForces)` signature and return shapes --
+but is a thin object shell over the pure-functional JAX core in
+`torchmd_tpu.potentials`:
+
+  - the whole per-replica evaluation is one jitted vmap (no Python loop
+    over replicas, cf. forces.py:116),
+  - forces always come from -grad(E) (the reference's autograd path,
+    forces.py:328-336); there is no separate analytic branch to keep in
+    sync, and cutoffs work under vmap because shapes are static,
+  - `explicit_forces` is accepted for API parity and ignored.
+
+External potentials (NNPs) plug in as any object with
+`calculate(pos, box) -> (energy[nreplicas], forces[nreplicas, natoms, 3])`
+(reference protocol, forces.py:321-326). If the external object exposes
+`energy_fn(pos, box) -> energy` as a JAX-traceable function it is folded
+into the jitted evaluation instead.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .potentials import (
+    BONDED_TERMS,
+    NONBONDED_TERMS,
+    TERMS,
+    ForceTermConfig,
+    compute_potentials,
+    make_ffparams,
+)
+from .systems import resolve_precision
+
+
+def _box_to_diag(box, nreplicas, dtype):
+    """Accept (R,3,3), (R,3), (3,3), (3,) or None -> (R,3) diagonal."""
+    if box is None:
+        return jnp.zeros((nreplicas, 3), dtype=dtype)
+    box = jnp.asarray(box, dtype=dtype)
+    if box.ndim == 3:
+        return jnp.diagonal(box, axis1=1, axis2=2)
+    if box.ndim == 2 and box.shape == (3, 3):
+        return jnp.tile(jnp.diag(box)[None], (nreplicas, 1))
+    if box.ndim == 2:
+        return box
+    return jnp.tile(box[None], (nreplicas, 1))
+
+
+class Forces:
+    bonded = list(BONDED_TERMS)
+    nonbonded = list(NONBONDED_TERMS)
+    terms = list(TERMS)
+
+    def __init__(
+        self,
+        parameters,
+        terms=None,
+        external=None,
+        cutoff=None,
+        rfa=False,
+        solventDielectric=78.5,
+        switch_dist=None,
+        exclusions=("bonds", "angles", "1-4"),
+        precision=None,
+    ):
+        self.par = parameters
+        if terms is None:
+            raise RuntimeError(
+                'Set force terms or leave empty brackets [].\nAvailable options: '
+                '"bonds", "angles", "dihedrals", "impropers", "1-4", '
+                '"electrostatics", "lj", "repulsion", "repulsioncg".'
+            )
+        self.energies = [t.lower() for t in terms]
+        for t in self.energies:
+            if t not in TERMS:
+                raise ValueError(f"Force term {t} is not implemented.")
+        if "1-4" in self.energies and "dihedrals" not in self.energies:
+            raise RuntimeError(
+                "You cannot enable 1-4 interactions without enabling dihedrals"
+            )
+
+        self.natoms = len(parameters.masses)
+        self.external = external
+        self.cutoff = cutoff
+        self.rfa = rfa
+        self.solventDielectric = solventDielectric
+        self.switch_dist = switch_dist
+        self.exclusions = exclusions
+
+        dtype = resolve_precision(
+            precision if precision is not None else getattr(parameters, "precision", None)
+        )
+        self.dtype = jnp.float64 if dtype == np.float64 else jnp.float32
+
+        def _amber(tbl):
+            return bool(tbl is not None and len(tbl["params"]) and
+                        np.all(np.asarray(tbl["params"])[:, 2] > 0))
+
+        self.config = ForceTermConfig(
+            terms=tuple(self.energies),
+            cutoff=None if cutoff is None else float(cutoff),
+            rfa=bool(rfa),
+            solvent_dielectric=float(solventDielectric),
+            switch_dist=None if switch_dist is None else float(switch_dist),
+            dihedrals_amber=_amber(parameters.dihedral_params),
+            impropers_amber=_amber(parameters.improper_params),
+        )
+        self.ffparams = make_ffparams(parameters, exclusions, dtype=self.dtype)
+
+        ext_energy_fn = getattr(external, "energy_fn", None)
+
+        def _potentials_one(ffp, pos, box):
+            pot = compute_potentials(ffp, pos, box, self.config)
+            if ext_energy_fn is not None:
+                pot["external"] = ext_energy_fn(pos, box)
+            return pot
+
+        def _pot_and_forces(ffp, pos, box):
+            def etot(p):
+                return sum(jax.tree_util.tree_leaves(_potentials_one(ffp, p, box)))
+
+            pot = _potentials_one(ffp, pos, box)
+            return pot, -jax.grad(etot)(pos)
+
+        self._potentials_one = _potentials_one
+        self._jit_pot = jax.jit(jax.vmap(_potentials_one, in_axes=(None, 0, 0)))
+        self._jit_pot_forces = jax.jit(jax.vmap(_pot_and_forces, in_axes=(None, 0, 0)))
+
+    # ------------------------------------------------------------------
+    def compute(
+        self,
+        pos,
+        box,
+        forces=None,
+        returnDetails=False,
+        explicit_forces=True,
+        toNumpy=True,
+        calculateForces=True,
+    ):
+        """Evaluate potentials (and forces) for a batch of replicas.
+
+        pos: (nreplicas, natoms, 3); box: (nreplicas, 3, 3) or (nreplicas, 3).
+        If `forces` is a numpy array it is filled in place (reference
+        in-place semantics); the computed forces are also available as
+        `self.last_forces`.
+        """
+        pos_j = jnp.asarray(np.asarray(pos), dtype=self.dtype)
+        nreplicas = pos_j.shape[0]
+        box_j = _box_to_diag(box, nreplicas, self.dtype)
+
+        if calculateForces:
+            pot, frc = self._jit_pot_forces(self.ffparams, pos_j, box_j)
+        else:
+            pot = self._jit_pot(self.ffparams, pos_j, box_j)
+            frc = None
+
+        # Host-side external potential (e.g. a torch NNP): batched call,
+        # added after the internal terms (reference forces.py:321-326).
+        if self.external is not None and not hasattr(self.external, "energy_fn"):
+            ext_ene, ext_force = self.external.calculate(np.asarray(pos_j), box)
+            pot = dict(pot)
+            pot["external"] = jnp.asarray(np.asarray(ext_ene), self.dtype).reshape(
+                nreplicas
+            )
+            if frc is not None:
+                frc = frc + jnp.asarray(np.asarray(ext_force), self.dtype)
+
+        if frc is not None:
+            self.last_forces = frc
+            if forces is not None and isinstance(forces, np.ndarray):
+                forces[:] = np.asarray(frc, dtype=forces.dtype)
+
+        # pot is a dict of (nreplicas,) arrays -> per-replica views
+        keys = list(pot.keys())
+        if "external" not in keys:
+            pot = dict(pot)
+            pot["external"] = jnp.zeros(nreplicas, dtype=self.dtype)
+            keys.append("external")
+
+        if returnDetails:
+            if toNumpy:
+                return [
+                    {k: float(np.asarray(pot[k]).reshape(nreplicas)[i]) for k in keys}
+                    for i in range(nreplicas)
+                ]
+            return [
+                {k: jnp.reshape(pot[k], (nreplicas,))[i] for k in keys}
+                for i in range(nreplicas)
+            ]
+
+        total = sum(jnp.reshape(pot[k], (nreplicas,)) for k in keys)
+        if toNumpy:
+            return [float(x) for x in np.asarray(total)]
+        return total

@@ -1,0 +1,288 @@
+"""Force-field parameter assembly: per-term {idx, map, params} tables.
+
+Re-implements the reference data model (torchmd/parameters.py:109-294) on
+numpy, then freezes it into an immutable JAX pytree (`FFParams`) for the
+compute path. The dedup-by-atom-type structure is what makes force-field
+parameters trainable: `params` holds one row per unique type combination,
+`map` is the (instance -> param row) indirection (one-to-many for
+multi-term dihedrals).
+
+Canonical orderings (identical to the reference so energies match exactly):
+  - bonds: each pair sorted, rows unique (parameters.py:160)
+  - angles: flipped so idx0 < idx2, rows unique (parameters.py:177-178)
+  - dihedrals: flipped so idx0 < idx3, rows unique (parameters.py:200-201)
+  - impropers: rows unique, order within row preserved (parameters.py:224)
+  - 1-4 pairs: dihedral (0,3) ends not already excluded by bonds/angles,
+    deduplicated by end pair (parameters.py:253-294); A/B from
+    Lorentz-Berthelot on sigma14/epsilon14.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from math import sqrt
+
+import numpy as np
+
+
+class Parameters:
+    """Host-side (numpy, float64) parameter assembly.
+
+    Mirrors the reference `Parameters` public surface: per-term dicts of
+    {idx, map, params}, plus charges/masses/mapped_atom_types and the
+    A/B LJ tables. `precision`/`device` are accepted for API parity; the
+    JAX compute path consumes `FFParams` built via `to_ffparams()`.
+    """
+
+    def __init__(self, ff, mol, terms=None, precision=None, device=None):
+        self.nonbonded_params = None
+        self.bond_params = None
+        self.charges = None
+        self.masses = None
+        self.mapped_atom_types = None
+        self.angle_params = None
+        self.dihedral_params = None
+        self.nonbonded_14_params = None
+        self.improper_params = None
+        self.A = None
+        self.B = None
+        self.natoms = mol.numAtoms
+        self.precision = precision
+        self.device = device
+
+        if terms is None:
+            terms = ("bonds", "angles", "dihedrals", "impropers", "1-4", "lj")
+        terms = [t.lower() for t in terms]
+        self.build_parameters(ff, mol, terms)
+
+    # ------------------------------------------------------------------
+    def get_exclusions(self, types=("bonds", "angles", "1-4"), fullarray=False):
+        exclusions = []
+        if self.bond_params is not None and "bonds" in types:
+            exclusions += self.bond_params["idx"].tolist()
+        if self.angle_params is not None and "angles" in types:
+            exclusions += self.angle_params["idx"][:, [0, 2]].tolist()
+        if self.dihedral_params is not None and "1-4" in types:
+            exclusions += self.dihedral_params["idx"][:, [0, 3]].tolist()
+        if fullarray:
+            fullmat = np.full((self.natoms, self.natoms), False, dtype=bool)
+            if len(exclusions):
+                exc = np.array(exclusions)
+                fullmat[exc[:, 0], exc[:, 1]] = True
+                fullmat[exc[:, 1], exc[:, 0]] = True
+            return fullmat
+        return exclusions
+
+    # ------------------------------------------------------------------
+    def build_parameters(self, ff, mol, terms):
+        uqatomtypes, indexes = np.unique(mol.atomtype, return_inverse=True)
+        self.atomtypes = np.asarray(mol.atomtype)
+        self.mapped_atom_types = indexes.astype(np.int64)
+        self.charges = np.asarray(mol.charge, dtype=np.float64)
+
+        if mol.masses is not None and len(np.atleast_1d(mol.masses)):
+            self.masses = np.asarray(mol.masses, dtype=np.float64).reshape(-1, 1)
+        else:
+            self.masses = np.array(
+                [ff.get_mass(at) for at in mol.atomtype], dtype=np.float64
+            ).reshape(-1, 1)
+
+        if any(t in terms for t in ("lj", "repulsion", "repulsioncg")):
+            self.nonbonded_params = self._make_nonbonded(mol, ff, uqatomtypes)
+        if "bonds" in terms and len(mol.bonds):
+            self.bond_params = self._make_bonds(mol, ff)
+        if "angles" in terms and len(mol.angles):
+            self.angle_params = self._make_angles(mol, ff)
+        if "dihedrals" in terms and len(mol.dihedrals):
+            self.dihedral_params = self._make_dihedrals(mol, ff)
+        if "impropers" in terms and len(mol.impropers):
+            self.improper_params = self._make_impropers(mol, ff)
+        if "1-4" in terms and len(mol.dihedrals):
+            self.nonbonded_14_params = self._make_14(mol, ff)
+
+    # ------------------------------------------------------------------
+    def _make_nonbonded(self, mol, ff, uqatomtypes):
+        params = np.array([ff.get_LJ(at) for at in uqatomtypes], dtype=np.float64)
+        mapping = np.stack(
+            [np.arange(mol.numAtoms), self.mapped_atom_types], axis=1
+        ).astype(np.int64)
+        return {"idx": None, "map": mapping, "params": params}
+
+    def _make_bonds(self, mol, ff):
+        uqbonds = np.unique([sorted(bb) for bb in mol.bonds], axis=0)
+        param_idx: dict = {}
+        rows, mapping = [], []
+        for i, bb in enumerate(uqbonds):
+            at_t = tuple(np.asarray(mol.atomtype)[bb])
+            if at_t not in param_idx:
+                rows.append(ff.get_bond(*at_t))
+                param_idx[at_t] = len(rows) - 1
+            mapping.append([i, param_idx[at_t]])
+        return {
+            "idx": uqbonds.astype(np.int64),
+            "map": np.array(mapping, dtype=np.int64),
+            "params": np.array(rows, dtype=np.float64),
+        }
+
+    def _make_angles(self, mol, ff):
+        uqangles = np.unique(
+            [ang if ang[0] < ang[2] else ang[::-1] for ang in mol.angles], axis=0
+        )
+        param_idx: dict = {}
+        rows, mapping = [], []
+        at = np.asarray(mol.atomtype)
+        for i, aa in enumerate(uqangles):
+            at_t = tuple(at[aa])
+            if at_t not in param_idx:
+                rows.append(ff.get_angle(*at_t))
+                param_idx[at_t] = len(rows) - 1
+            mapping.append([i, param_idx[at_t]])
+        return {
+            "idx": uqangles.astype(np.int64),
+            "map": np.array(mapping, dtype=np.int64),
+            "params": np.array(rows, dtype=np.float64),
+        }
+
+    def _make_dihedrals(self, mol, ff):
+        uqdihedrals = np.unique(
+            [d if d[0] < d[3] else d[::-1] for d in mol.dihedrals], axis=0
+        )
+        at = np.asarray(mol.atomtype)
+        param_idx = defaultdict(list)
+        rows, mapping = [], []
+        for i, types in enumerate(at[uqdihedrals]):
+            key = tuple(types)
+            if key not in param_idx:
+                for term in ff.get_dihedral(*types):
+                    rows.append(term)
+                    param_idx[key].append(len(rows) - 1)
+            for p in param_idx[key]:
+                mapping.append([i, p])
+        return {
+            "idx": uqdihedrals.astype(np.int64),
+            "map": np.array(mapping, dtype=np.int64),
+            "params": np.array(rows, dtype=np.float64),
+        }
+
+    def _make_impropers(self, mol, ff):
+        uqimpropers = np.unique(mol.impropers, axis=0)
+        uqbonds = np.unique([sorted(bb) for bb in mol.bonds], axis=0)
+        at = np.asarray(mol.atomtype)
+        neighbors = _bond_neighbors(uqbonds)
+
+        param_idx: dict = {}
+        rows, mapping = [], []
+        for i, impr in enumerate(uqimpropers):
+            types = at[impr]
+            try:
+                params = ff.get_improper(*types)
+            except Exception:
+                center = _detect_improper_center(impr, neighbors)
+                notcenter = sorted(np.setdiff1d(impr, [center]))
+                order = [notcenter[0], notcenter[1], center, notcenter[2]]
+                types = at[order]
+                params = ff.get_improper(*types)
+            key = tuple(types)
+            if key not in param_idx:
+                rows.append(params)
+                param_idx[key] = len(rows) - 1
+            mapping.append([i, param_idx[key]])
+        return {
+            "idx": uqimpropers.astype(np.int64),
+            "map": np.array(mapping, dtype=np.int64),
+            "params": np.array(rows, dtype=np.float64),
+        }
+
+    def _make_14(self, mol, ff):
+        uqdihedrals = np.unique(
+            [d if d[0] < d[3] else d[::-1] for d in mol.dihedrals], axis=0
+        )
+        exclusions = self.get_exclusions(types=("bonds", "angles"), fullarray=True)
+        keep = ~exclusions[uqdihedrals[:, 0], uqdihedrals[:, 3]]
+        dih14 = uqdihedrals[keep, :]
+        out = {"idx": [], "map": [], "params": []}
+        if not len(dih14):
+            return out
+        uq14idx = np.unique(dih14[:, [0, 3]], axis=0, return_index=True)[1]
+        dih14 = dih14[uq14idx]
+        out["idx"] = dih14[:, [0, 3]].astype(np.int64)
+
+        at = np.asarray(mol.atomtype)
+        param_idx: dict = {}
+        rows, mapping = [], []
+        for i, types in enumerate(at[dih14]):
+            scnb, scee, s14_1, e14_1, s14_4, e14_4 = ff.get_14(*types)
+            # Lorentz-Berthelot on the 1-4 LJ parameters
+            sig = 0.5 * (s14_1 + s14_4)
+            eps = sqrt(e14_1 * e14_4)
+            s6 = sig**6
+            rows_key = tuple(types)
+            if tuple(types[::-1]) in param_idx:
+                rows_key = tuple(types[::-1])
+            if rows_key not in param_idx:
+                rows.append([eps * 4 * s6 * s6, eps * 4 * s6, scnb, scee])
+                param_idx[rows_key] = len(rows) - 1
+            mapping.append([i, param_idx[rows_key]])
+        out["map"] = np.array(mapping, dtype=np.int64)
+        out["params"] = np.array(rows, dtype=np.float64)
+        return out
+
+    # ------------------------------------------------------------------
+    def get_AB(self):
+        sigma = self.nonbonded_params["params"][:, 0]
+        epsilon = self.nonbonded_params["params"][:, 1]
+        return calculate_AB(sigma, epsilon)
+
+    def get_parameters(self, include=None, exclude=None):
+        terms = ["charges", "lj", "bonds", "angles", "dihedrals", "impropers", "1-4"]
+        if include is not None:
+            terms = include
+        if exclude is not None:
+            terms = [t for t in terms if t not in exclude]
+        src = {
+            "charges": lambda: self.charges,
+            "lj": lambda: self.nonbonded_params["params"],
+            "bonds": lambda: self.bond_params["params"],
+            "angles": lambda: self.angle_params["params"],
+            "dihedrals": lambda: self.dihedral_params["params"],
+            "impropers": lambda: self.improper_params["params"],
+            "1-4": lambda: self.nonbonded_14_params["params"],
+        }
+        return {t: src[t]() for t in terms if t in src}
+
+
+def calculate_AB(sigma, epsilon):
+    """Lorentz-Berthelot combination into 12-6 A/B tables
+    (reference: torchmd/parameters.py:449-457)."""
+    sigma = np.asarray(sigma, dtype=np.float64)
+    epsilon = np.asarray(epsilon, dtype=np.float64)
+    sigma_table = 0.5 * (sigma + sigma[:, None])
+    eps_table = np.sqrt(epsilon * epsilon[:, None])
+    s6 = sigma_table**6
+    B = eps_table * 4 * s6
+    A = eps_table * 4 * s6 * s6
+    return A, B
+
+
+def get_sigma_epsilon(Adiag, Bdiag):
+    sigma = (Adiag / Bdiag) ** (1.0 / 6.0)
+    epsilon = Bdiag / (4 * sigma**6)
+    return sigma, epsilon
+
+
+def _bond_neighbors(bonds) -> dict[int, set]:
+    nb: dict[int, set] = defaultdict(set)
+    for a, b in bonds:
+        nb[int(a)].add(int(b))
+        nb[int(b)].add(int(a))
+    return nb
+
+
+def _detect_improper_center(indexes, neighbors):
+    """The improper center is the atom bonded to the other three
+    (reference: torchmd/parameters.py:466-469)."""
+    idxset = set(int(i) for i in indexes)
+    for i in indexes:
+        if len(neighbors.get(int(i), set()) & idxset) == 3:
+            return int(i)
+    raise RuntimeError(f"Could not detect improper center among atoms {indexes}")

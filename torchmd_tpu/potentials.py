@@ -1,0 +1,363 @@
+"""Pure-functional force-field potentials (JAX).
+
+This is the TPU-native core: every term is a pure function of
+(parameters, positions, box) with static shapes, so the whole evaluation
+jits, vmaps over replicas/conformations, differentiates (forces = -grad,
+parameter gradients for force-field training), and shards.
+
+Physics parity with the reference implementation (torchmd/forces.py):
+  - bonds:      E = k0 (r - r0)^2                        (forces.py:494-503)
+  - angles:     E = k0 (theta - theta0)^2                (forces.py:506-539)
+  - torsions:   AMBER  E = k (1 + cos(per*phi - phi0)) when all per > 0,
+                CHARMM E = k (dphi wrapped to +-pi)^2 otherwise
+                                                         (forces.py:542-579)
+  - 1-4:        scaled LJ (A/B/scnb) + scaled Coulomb (scee)
+                                                         (forces.py:185-236)
+  - lj:         A r^-12 - B r^-6 with cubic switching    (forces.py:390-415)
+  - electrostatics: Coulomb or reaction-field (Tironi 1995, OpenMM krf/crf)
+                                                         (forces.py:453-491)
+  - repulsion / repulsioncg: A r^-12 / B r^-6 only       (forces.py:418-450)
+
+Design differences from the reference (TPU-first, not a port):
+  - No dynamic-shape cutoff filtering: the nonbonded term is evaluated on a
+    dense (N, N) masked pair matrix; cutoff and exclusions are masks, which
+    keeps every shape static (jit/vmap-safe -- fixes the reference's
+    vmap/cutoff incompatibility noted at tests/test_torchmd.py:567-569).
+  - No scatter in the nonbonded path: per-atom forces are row-sums of the
+    pair matrix.  Bonded-term forces come from jax.grad of the energy.
+  - Replica batching is jax.vmap, not a Python loop (forces.py:116).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .units import ELEC_FACTOR
+
+BONDED_TERMS = ("bonds", "angles", "dihedrals", "impropers", "1-4")
+NONBONDED_TERMS = ("electrostatics", "lj", "repulsion", "repulsioncg")
+TERMS = BONDED_TERMS + NONBONDED_TERMS
+
+
+class TermTable(NamedTuple):
+    """One bonded term family: instance atom indices, the instance->param-row
+    indirection (one-to-many for multi-term torsions), and unique param rows."""
+
+    idx: jnp.ndarray        # (ninstances, arity) int32
+    map_term: jnp.ndarray   # (nassign,) int32 -- term instance per assignment
+    map_param: jnp.ndarray  # (nassign,) int32 -- param row per assignment
+    params: jnp.ndarray     # (nrows, k) float
+
+
+class FFParams(NamedTuple):
+    """Immutable pytree of force-field parameters for one topology."""
+
+    charges: jnp.ndarray            # (natoms,)
+    masses: jnp.ndarray             # (natoms, 1)
+    mapped_atom_types: jnp.ndarray  # (natoms,) int32
+    lj_params: Optional[jnp.ndarray]      # (ntypes, 2) sigma/epsilon
+    bonds: Optional[TermTable]
+    angles: Optional[TermTable]
+    dihedrals: Optional[TermTable]
+    impropers: Optional[TermTable]
+    nb14: Optional[TermTable]       # idx (q, 2); params rows [A, B, scnb, scee]
+    nb_mask: Optional[jnp.ndarray]  # (natoms, natoms) bool: nonbonded pairs
+
+
+class ForceTermConfig(NamedTuple):
+    """Static (hashable) evaluation configuration."""
+
+    terms: tuple
+    cutoff: Optional[float] = None
+    rfa: bool = False
+    solvent_dielectric: float = 78.5
+    switch_dist: Optional[float] = None
+    dihedrals_amber: bool = True   # all dihedral periodicities > 0
+    impropers_amber: bool = True   # all improper periodicities > 0
+
+
+# ----------------------------------------------------------------------
+# Geometry helpers
+# ----------------------------------------------------------------------
+
+def wrap_displacement(dv: jnp.ndarray, box: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Minimum-image wrap of displacement vectors for a rectangular box.
+    box components <= 0 disable wrapping along that axis (box == 0 means
+    no PBC, matching torchmd/forces.py:360-365)."""
+    if box is None:
+        return dv
+    safe = jnp.where(box > 0, box, 1.0)
+    return dv - jnp.where(box > 0, safe * jnp.round(dv / safe), 0.0)
+
+
+def _gather_disp(pos, idx_a, idx_b, box):
+    return wrap_displacement(pos[idx_a] - pos[idx_b], box)
+
+
+def _safe_norm(v, axis=-1):
+    d2 = jnp.sum(v * v, axis=axis)
+    return jnp.sqrt(jnp.maximum(d2, 1e-32))
+
+
+# ----------------------------------------------------------------------
+# Bonded terms
+# ----------------------------------------------------------------------
+
+def bond_energy(table: TermTable, pos, box, cutoff=None):
+    p = table.params[table.map_param]
+    dv = _gather_disp(pos, table.idx[:, 0], table.idx[:, 1], box)
+    r = _safe_norm(dv)
+    x = r[table.map_term] - p[:, 1]
+    e = p[:, 0] * x * x
+    if cutoff is not None:
+        # The reference drops bonds beyond the cutoff (forces.py:128-136).
+        e = jnp.where(r[table.map_term] <= cutoff, e, 0.0)
+    return jnp.sum(e)
+
+
+def angle_energy(table: TermTable, pos, box):
+    p = table.params[table.map_param]
+    r21 = _gather_disp(pos, table.idx[:, 0], table.idx[:, 1], box)
+    r23 = _gather_disp(pos, table.idx[:, 2], table.idx[:, 1], box)
+    dot = jnp.sum(r21 * r23, axis=1)
+    cos_theta = dot / (_safe_norm(r21) * _safe_norm(r23))
+    cos_theta = jnp.clip(cos_theta, -1.0, 1.0)
+    # atan2 formulation: same value as acos, bounded gradient at |cos| = 1
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 1e-24))
+    theta = jnp.arctan2(sin_theta, cos_theta)
+    dtheta = theta[table.map_term] - p[:, 1]
+    return jnp.sum(p[:, 0] * dtheta * dtheta)
+
+
+def _dihedral_phi(pos, idx, box):
+    r12 = _gather_disp(pos, idx[:, 0], idx[:, 1], box)
+    r23 = _gather_disp(pos, idx[:, 1], idx[:, 2], box)
+    r34 = _gather_disp(pos, idx[:, 2], idx[:, 3], box)
+    crossA = jnp.cross(r12, r23)
+    crossB = jnp.cross(r23, r34)
+    crossC = jnp.cross(r23, crossA)
+    normA = _safe_norm(crossA)
+    normB = _safe_norm(crossB)
+    normC = _safe_norm(crossC)
+    ncB = crossB / normB[:, None]
+    cos_phi = jnp.sum(crossA * ncB, axis=1) / normA
+    sin_phi = jnp.sum(crossC * ncB, axis=1) / normC
+    return -jnp.arctan2(sin_phi, cos_phi)
+
+
+def torsion_energy(table: TermTable, pos, box, amber: bool):
+    """Torsion (dihedral/improper) energy with multi-term indirection.
+
+    `amber` selects E = k(1 + cos(per*phi - phi0)); otherwise the CHARMM
+    harmonic form k * wrap(phi - phi0)^2 is used for ALL rows, matching the
+    reference's global `torch.all(per > 0)` branch (forces.py:566-579)."""
+    phi = _dihedral_phi(pos, table.idx, box)
+    p = table.params[table.map_param]
+    k0, phi0, per = p[:, 0], p[:, 1], p[:, 2]
+    phis = phi[table.map_term]
+    if amber:
+        e = k0 * (1.0 + jnp.cos(per * phis - phi0))
+    else:
+        diff = phis - phi0
+        diff = diff - 2.0 * jnp.pi * jnp.round(diff / (2.0 * jnp.pi))
+        e = k0 * diff * diff
+    return jnp.sum(e)
+
+
+def nb14_energies(table: TermTable, pos, box, charges, want_lj, want_elec):
+    """Scaled 1-4 LJ and electrostatics (no cutoff/switching/RFA),
+    matching torchmd/forces.py:185-236."""
+    dv = _gather_disp(pos, table.idx[:, 0], table.idx[:, 1], box)
+    r = _safe_norm(dv)
+    p = table.params[table.map_param]
+    aa, bb, scnb, scee = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+    e_lj = jnp.asarray(0.0, pos.dtype)
+    e_elec = jnp.asarray(0.0, pos.dtype)
+    rinv = 1.0 / r
+    if want_lj:
+        rinv6 = rinv**6
+        e_lj = jnp.sum((aa * rinv6 * rinv6 - bb * rinv6) / scnb)
+    if want_elec:
+        q = charges[table.idx[:, 0]] * charges[table.idx[:, 1]]
+        e_elec = jnp.sum(ELEC_FACTOR * q * rinv / scee)
+    return e_lj, e_elec
+
+
+# ----------------------------------------------------------------------
+# Nonbonded: dense masked pair matrix
+# ----------------------------------------------------------------------
+
+def _pair_matrix(pos, box, mask):
+    """Masked pair distances. Returns (dist, inv_dist, mask) with safe values
+    at masked entries (static shapes; no boolean filtering)."""
+    dv = pos[:, None, :] - pos[None, :, :]
+    dv = wrap_displacement(dv, box)
+    d2 = jnp.sum(dv * dv, axis=-1)
+    d2 = jnp.where(mask, d2, 1.0)
+    dist = jnp.sqrt(d2)
+    return dist, 1.0 / dist
+
+
+def nonbonded_energies(par: FFParams, pos, box, cfg: ForceTermConfig):
+    """All-pairs nonbonded terms on the dense masked matrix.
+    Energy counts each pair once (0.5 * symmetric sum)."""
+    mask = par.nb_mask
+    dist, rinv = _pair_matrix(pos, box, mask)
+    if cfg.cutoff is not None:
+        mask = jnp.logical_and(mask, dist <= cfg.cutoff)
+    fmask = mask.astype(pos.dtype)
+
+    out = {}
+    needs_ab = any(t in cfg.terms for t in ("lj", "repulsion", "repulsioncg"))
+    if needs_ab:
+        sigma = par.lj_params[:, 0]
+        epsilon = par.lj_params[:, 1]
+        s_at = sigma[par.mapped_atom_types]
+        e_at = epsilon[par.mapped_atom_types]
+        # Lorentz-Berthelot per pair (parameters.py:449-457)
+        sig_ij = 0.5 * (s_at[:, None] + s_at[None, :])
+        eps_ij = jnp.sqrt(jnp.abs(e_at[:, None] * e_at[None, :]))
+        s6 = sig_ij**6
+        B_ij = 4.0 * eps_ij * s6
+        A_ij = B_ij * s6
+
+    if "lj" in cfg.terms:
+        rinv6 = rinv**6
+        pot = A_ij * rinv6 * rinv6 - B_ij * rinv6
+        if cfg.switch_dist is not None and cfg.cutoff is not None:
+            t = (dist - cfg.switch_dist) / (cfg.cutoff - cfg.switch_dist)
+            sw = 1.0 + t * t * t * (-10.0 + t * (15.0 - t * 6.0))
+            pot = jnp.where(dist > cfg.switch_dist, pot * sw, pot)
+        out["lj"] = 0.5 * jnp.sum(pot * fmask)
+    if "repulsion" in cfg.terms:
+        rinv6 = rinv**6
+        out["repulsion"] = 0.5 * jnp.sum(A_ij * rinv6 * rinv6 * fmask)
+    if "repulsioncg" in cfg.terms:
+        out["repulsioncg"] = 0.5 * jnp.sum(B_ij * rinv**6 * fmask)
+    if "electrostatics" in cfg.terms:
+        qq = ELEC_FACTOR * par.charges[:, None] * par.charges[None, :]
+        if cfg.rfa and cfg.cutoff is not None:
+            # Reaction-field approximation (Tironi et al. 1995; OpenMM form)
+            denom = 2.0 * cfg.solvent_dielectric + 1.0
+            krf = (1.0 / cfg.cutoff**3) * (cfg.solvent_dielectric - 1.0) / denom
+            crf = (1.0 / cfg.cutoff) * (3.0 * cfg.solvent_dielectric) / denom
+            pot = qq * (rinv + krf * dist * dist - crf)
+        else:
+            pot = qq * rinv
+        out["electrostatics"] = 0.5 * jnp.sum(pot * fmask)
+    return out
+
+
+# ----------------------------------------------------------------------
+# Total energy
+# ----------------------------------------------------------------------
+
+def compute_potentials(par: FFParams, pos, box, cfg: ForceTermConfig) -> dict:
+    """Per-term potential energies for a single conformation.
+
+    pos: (natoms, 3); box: (3,) rectangular box diagonal (zeros = no PBC).
+    Returns a dict term -> scalar. vmap over a leading replica axis for
+    batched evaluation."""
+    pot = {}
+    if "bonds" in cfg.terms and par.bonds is not None:
+        pot["bonds"] = bond_energy(par.bonds, pos, box, cfg.cutoff)
+    if "angles" in cfg.terms and par.angles is not None:
+        pot["angles"] = angle_energy(par.angles, pos, box)
+    if "dihedrals" in cfg.terms and par.dihedrals is not None:
+        pot["dihedrals"] = torsion_energy(
+            par.dihedrals, pos, box, cfg.dihedrals_amber
+        )
+    if "impropers" in cfg.terms and par.impropers is not None:
+        pot["impropers"] = torsion_energy(
+            par.impropers, pos, box, cfg.impropers_amber
+        )
+    if "1-4" in cfg.terms and par.nb14 is not None:
+        e_lj, e_elec = nb14_energies(
+            par.nb14, pos, box, par.charges,
+            want_lj="lj" in cfg.terms,
+            want_elec="electrostatics" in cfg.terms,
+        )
+        if "lj" in cfg.terms:
+            pot["lj"] = pot.get("lj", 0.0) + e_lj
+        if "electrostatics" in cfg.terms:
+            pot["electrostatics"] = pot.get("electrostatics", 0.0) + e_elec
+
+    if any(t in cfg.terms for t in NONBONDED_TERMS) and par.nb_mask is not None:
+        nb = nonbonded_energies(par, pos, box, cfg)
+        for k, v in nb.items():
+            pot[k] = pot.get(k, 0.0) + v
+    return pot
+
+
+def total_energy(par: FFParams, pos, box, cfg: ForceTermConfig):
+    return sum(jax.tree_util.tree_leaves(compute_potentials(par, pos, box, cfg)))
+
+
+def energy_and_forces(par: FFParams, pos, box, cfg: ForceTermConfig):
+    """(per-term potentials, forces) for one conformation; forces = -dE/dpos."""
+
+    def etot(p):
+        return total_energy(par, p, box, cfg)
+
+    pot = compute_potentials(par, pos, box, cfg)
+    forces = -jax.grad(etot)(pos)
+    return pot, forces
+
+
+# ----------------------------------------------------------------------
+# FFParams construction
+# ----------------------------------------------------------------------
+
+def _term_table(d, dtype) -> Optional[TermTable]:
+    if d is None or d.get("params") is None or len(d["params"]) == 0:
+        return None
+    idx = d["idx"]
+    return TermTable(
+        idx=jnp.asarray(idx, dtype=jnp.int32),
+        map_term=jnp.asarray(d["map"][:, 0], dtype=jnp.int32),
+        map_param=jnp.asarray(d["map"][:, 1], dtype=jnp.int32),
+        params=jnp.asarray(d["params"], dtype=dtype),
+    )
+
+
+def make_ffparams(parameters, exclusions=("bonds", "angles", "1-4"),
+                  dtype=jnp.float32) -> FFParams:
+    """Freeze a host-side `Parameters` assembly into the FFParams pytree.
+    `exclusions` selects which bonded neighbor classes are masked out of
+    the all-pairs nonbonded evaluation (reference default 1-2/1-3/1-4)."""
+    excl = parameters.get_exclusions(types=exclusions, fullarray=True)
+    nb_mask = ~excl
+    np.fill_diagonal(nb_mask, False)
+
+    nb14 = None
+    if parameters.nonbonded_14_params is not None and len(
+        parameters.nonbonded_14_params["params"]
+    ):
+        d = parameters.nonbonded_14_params
+        nb14 = TermTable(
+            idx=jnp.asarray(d["idx"], dtype=jnp.int32),
+            map_term=jnp.asarray(d["map"][:, 0], dtype=jnp.int32),
+            map_param=jnp.asarray(d["map"][:, 1], dtype=jnp.int32),
+            params=jnp.asarray(d["params"], dtype=dtype),
+        )
+
+    return FFParams(
+        charges=jnp.asarray(parameters.charges, dtype=dtype),
+        masses=jnp.asarray(parameters.masses, dtype=dtype),
+        mapped_atom_types=jnp.asarray(parameters.mapped_atom_types, jnp.int32),
+        lj_params=(
+            jnp.asarray(parameters.nonbonded_params["params"], dtype=dtype)
+            if parameters.nonbonded_params is not None
+            else None
+        ),
+        bonds=_term_table(parameters.bond_params, dtype),
+        angles=_term_table(parameters.angle_params, dtype),
+        dihedrals=_term_table(parameters.dihedral_params, dtype),
+        impropers=_term_table(parameters.improper_params, dtype),
+        nb14=nb14,
+        nb_mask=jnp.asarray(nb_mask),
+    )
