@@ -1,0 +1,127 @@
+"""End-to-end CLI runs on the bundled run configs (argon, oscillator,
+water), plus checkpoint/resume."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import SYSTEMS_DIR
+
+from torchmd_tpu import run as runmod
+
+
+def test_run_argon_lj(tmp_path):
+    """Pure-LJ argon box with Langevin thermostat (tests/argon config)."""
+    args = runmod.get_args([
+        "--structure", os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"),
+        "--forcefield", os.path.join(SYSTEMS_DIR, "argon", "argon_forcefield.yaml"),
+        "--forceterms", "LJ",
+        "--cutoff", "9.0",
+        "--precision", "double",
+        "--steps", "40", "--output-period", "10", "--save-period", "20",
+        "--temperature", "120", "--langevin-temperature", "120",
+        "--langevin-gamma", "1.0",
+        "--log-dir", str(tmp_path),
+        "--device", "cpu",
+    ])
+    mol, system, forces = runmod.setup(args)
+    assert np.any(system.box != 0)  # CRYST1 box picked up
+    runmod.dynamics(args, mol, system, forces)
+
+    assert os.path.exists(tmp_path / "monitor_0.csv")
+    assert os.path.exists(tmp_path / "output_0.npy")
+    assert os.path.exists(tmp_path / "output_0.xyz")
+    traj = np.load(tmp_path / "output_0.npy")
+    assert traj.shape[0] == mol.numAtoms and traj.shape[1] == 3
+    rows = open(tmp_path / "monitor_0.csv").read().strip().splitlines()
+    assert rows[0].startswith("iter,ns,epot,ekin,etot,T")
+    assert len(rows) == 1 + 4
+
+
+def test_run_oscillator(tmp_path):
+    """Harmonic-oscillator dimer (tests/oscillator): bonded-only dynamics."""
+    args = runmod.get_args([
+        "--structure", os.path.join(SYSTEMS_DIR, "oscillator", "dummy.pdb"),
+        "--forcefield",
+        os.path.join(SYSTEMS_DIR, "oscillator", "oscillator_forcefield.yaml"),
+        "--forceterms", "Bonds",
+        "--precision", "double",
+        "--steps", "200", "--output-period", "50", "--save-period", "100",
+        "--temperature", "0",
+        "--log-dir", str(tmp_path),
+        "--device", "cpu",
+    ])
+    mol, system, forces = runmod.setup(args)
+    runmod.dynamics(args, mol, system, forces)
+    # bond (k0=0.2, req=3) with atoms 3 apart: energy stays ~0; atoms 2.99..3.01
+    traj = np.load(tmp_path / "output_0.npy")
+    d = np.linalg.norm(traj[0, :, -1] - traj[1, :, -1])
+    assert 2.0 < d < 4.0
+
+
+def test_run_water_replicas(tmp_path):
+    """Water box, 2 replicas, full bonded+LJ+electrostatics
+    (tests/water config shape)."""
+    args = runmod.get_args([
+        "--topology", os.path.join(SYSTEMS_DIR, "water", "structure.psf"),
+        "--coordinates", os.path.join(SYSTEMS_DIR, "water", "structure.pdb"),
+        "--forcefield",
+        os.path.join(SYSTEMS_DIR, "water", "water_forcefield.yaml"),
+        "--forceterms", "LJ", "Bonds", "Angles", "Electrostatics",
+        "--cutoff", "7.3",
+        "--replicas", "2",
+        "--precision", "double",
+        "--steps", "20", "--output-period", "10", "--save-period", "20",
+        "--temperature", "300", "--langevin-temperature", "300",
+        "--log-dir", str(tmp_path),
+        "--device", "cpu",
+    ])
+    mol, system, forces = runmod.setup(args)
+    assert system.nreplicas == 2
+    runmod.dynamics(args, mol, system, forces)
+    assert os.path.exists(tmp_path / "monitor_1.csv")
+    assert os.path.exists(tmp_path / "output_1.xyz")
+
+
+def test_checkpoint_resume(tmp_path):
+    common = [
+        "--structure", os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"),
+        "--forcefield", os.path.join(SYSTEMS_DIR, "argon", "argon_forcefield.yaml"),
+        "--forceterms", "LJ",
+        "--cutoff", "9.0",
+        "--precision", "double",
+        "--output-period", "10",
+        "--temperature", "120", "--langevin-temperature", "120",
+        "--device", "cpu",
+        "--seed", "7",
+    ]
+    # continuous 40-step run
+    d1 = tmp_path / "full"
+    args = runmod.get_args(
+        common + ["--steps", "40", "--log-dir", str(d1)]
+    )
+    mol, system, forces = runmod.setup(args)
+    runmod.dynamics(args, mol, system, forces)
+    full_pos = system.pos.copy()
+
+    # 20 steps + checkpoint, then resume for the remaining 20
+    d2 = tmp_path / "part1"
+    args = runmod.get_args(
+        common + ["--steps", "20", "--log-dir", str(d2),
+                  "--checkpoint-period", "20"]
+    )
+    mol, system, forces = runmod.setup(args)
+    runmod.dynamics(args, mol, system, forces)
+    chk = os.path.join(str(d2), "output.chk")
+    assert os.path.exists(chk)
+
+    d3 = tmp_path / "part2"
+    args = runmod.get_args(
+        common + ["--steps", "40", "--log-dir", str(d3), "--resume", chk]
+    )
+    mol, system, forces = runmod.setup(args)
+    runmod.dynamics(args, mol, system, forces)
+    np.testing.assert_allclose(system.pos, full_pos, atol=1e-8)

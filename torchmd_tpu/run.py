@@ -1,0 +1,264 @@
+"""Command-line simulation runner.
+
+Mirrors the reference CLI surface (torchmd/run.py:30-297): the same ~20
+flags (YAML `--conf` merging, force terms, cutoff/switching/RFA, Langevin
+thermostat, replicas, minimization, external NNP config, npz input), the
+same outputs (per-replica monitor_{k}.csv, {output}_{k}.npy trajectory,
+final .xyz), plus new capability the reference lacks:
+  - `--checkpoint-period N` / automatic resume: full simulation state
+    (pos/vel/box/rng/step) is persisted and restartable,
+  - `--profile`: jax profiler trace of the hot loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import os
+
+import numpy as np
+
+from .utils import LoadFromFile, LogWriter, save_argparse, xyz_writer
+from .units import FS2NS
+
+
+def get_args(arguments=None):
+    parser = argparse.ArgumentParser(description="TorchMD-TPU", prefix_chars="--")
+    parser.add_argument("--conf", type=open, action=LoadFromFile,
+                        help="Configuration yaml file")
+    parser.add_argument("--timestep", default=1, type=float, help="Timestep in fs")
+    parser.add_argument("--temperature", default=300, type=float,
+                        help="Assign velocity from initial temperature in K")
+    parser.add_argument("--langevin-temperature", default=0, type=float,
+                        help="Temperature in K of the thermostat")
+    parser.add_argument("--langevin-gamma", default=0.1, type=float,
+                        help="Langevin relaxation ps^-1")
+    parser.add_argument("--device", default=None,
+                        help="Device: cpu | tpu | None (jax default)")
+    parser.add_argument("--structure", default=None, help="Deprecated: Input PDB")
+    parser.add_argument("--topology", default=None, help="Input topology")
+    parser.add_argument("--coordinates", default=None, help="Input coordinates")
+    parser.add_argument("--forcefield", default=None, help="Force field file(s)")
+    parser.add_argument("--seed", type=int, default=1, help="random seed")
+    parser.add_argument("--output-period", type=int, default=10,
+                        help="Store trajectory and print monitor.csv every period")
+    parser.add_argument("--save-period", type=int, default=0,
+                        help="Dump trajectory to npy; default 10x output-period")
+    parser.add_argument("--checkpoint-period", type=int, default=0,
+                        help="Write a restart checkpoint every N steps (0=off)")
+    parser.add_argument("--resume", default=None,
+                        help="Resume from checkpoint file")
+    parser.add_argument("--steps", type=int, default=10000,
+                        help="Total number of simulation steps")
+    parser.add_argument("--log-dir", default="./", help="Log directory")
+    parser.add_argument("--output", default="output", help="Output filename")
+    parser.add_argument("--forceterms", nargs="+", default="LJ",
+                        help="Forceterms to include, e.g. --forceterms Bonds LJ")
+    parser.add_argument("--cutoff", default=None, type=float,
+                        help="LJ/Elec/Bond cutoff")
+    parser.add_argument("--switch_dist", default=None, type=float,
+                        help="Switching distance for LJ")
+    parser.add_argument("--precision", default="single", type=str,
+                        help="single | double")
+    parser.add_argument("--external", default=None, type=dict,
+                        help="External calculator config")
+    parser.add_argument("--rfa", default=False, action="store_true",
+                        help="Enable reaction field approximation")
+    parser.add_argument("--replicas", type=int, default=1,
+                        help="Number of different replicas to run")
+    parser.add_argument("--extended_system", default=None,
+                        help="xsc file for box size")
+    parser.add_argument("--minimize", default=None, type=int,
+                        help="Minimize the system for `minimize` steps")
+    parser.add_argument("--exclusions", default=("bonds", "angles", "1-4"),
+                        type=tuple, help="exclusions for the LJ/repulsionCG term")
+    parser.add_argument("--npz_file", default=None, type=str,
+                        help="Input file.npz with coord and z")
+    parser.add_argument("--profile", default=False, action="store_true",
+                        help="Capture a jax profiler trace of the hot loop")
+
+    args = parser.parse_args(args=arguments)
+    os.makedirs(args.log_dir, exist_ok=True)
+    save_argparse(args, os.path.join(args.log_dir, "input.yaml"), exclude="conf")
+
+    if isinstance(args.forceterms, str):
+        args.forceterms = [args.forceterms]
+    if args.steps % args.output_period != 0:
+        raise ValueError("Steps must be multiple of output-period.")
+    if args.save_period == 0:
+        args.save_period = 10 * args.output_period
+    if args.save_period % args.output_period != 0:
+        raise ValueError("save-period must be multiple of output-period.")
+    return args
+
+
+def setup(args, batch_comp=False):
+    import jax
+
+    from .io import Molecule, npzMolecule
+    from .forcefields import ForceField
+    from .parameters import Parameters
+    from .systems import System
+    from .forces import Forces
+    from .integrator import maxwell_boltzmann
+
+    if args.device:
+        jax.config.update("jax_platforms", str(args.device))
+
+    mol = None
+    if args.topology is not None:
+        mol = Molecule(args.topology)
+    elif args.structure is not None:
+        mol = Molecule(args.structure)
+        if mol.crystalinfo is not None:
+            mol.box = np.array(
+                [mol.crystalinfo["a"], mol.crystalinfo["b"], mol.crystalinfo["c"]]
+            ).reshape(3, 1)
+    elif args.npz_file is not None:
+        mol = npzMolecule(args.npz_file)
+        batch_comp = True
+    if mol is None:
+        raise RuntimeError("Provide --topology, --structure or --npz_file")
+
+    if args.coordinates is not None:
+        mol.read(args.coordinates)
+    if args.extended_system is not None:
+        mol.read(args.extended_system)
+
+    print("Force terms: ", args.forceterms)
+    ff = ForceField.create(mol, args.forcefield)
+    parameters = Parameters(
+        ff, mol, args.forceterms, precision=args.precision, device=args.device
+    )
+
+    external = None
+    if args.external is not None:
+        externalmodule = importlib.import_module(args.external["module"])
+        if batch_comp:
+            embeddings = np.tile(mol.embedding, (args.replicas, 1))
+        else:
+            emb = args.external["embeddings"]
+            if isinstance(emb, str):
+                emb = np.load(emb).astype(int)
+            embeddings = np.tile(np.asarray(emb), (args.replicas, 1))
+        file = args.external["file"]
+        extra = {
+            k: v for k, v in args.external.items()
+            if k not in ("module", "file", "embeddings")
+        }
+        external = externalmodule.External(
+            file, embeddings, device=args.device, **extra
+        )
+
+    system = System(mol.numAtoms, args.replicas, args.precision, args.device)
+    system.set_positions(mol.coords)
+    system.set_box(mol.box)
+    system.set_velocities(
+        maxwell_boltzmann(
+            parameters.masses, args.temperature, args.replicas, seed=args.seed
+        )
+    )
+
+    forces = Forces(
+        parameters,
+        terms=args.forceterms,
+        external=external,
+        cutoff=args.cutoff,
+        rfa=args.rfa,
+        switch_dist=args.switch_dist,
+        exclusions=args.exclusions,
+        precision=args.precision,
+    )
+    return mol, system, forces
+
+
+def dynamics(args, mol, system, forces):
+    from tqdm import tqdm
+
+    from .integrator import Integrator
+    from .wrapper import Wrapper
+    from .minimizers import minimize_bfgs
+    from .checkpoint import load_checkpoint, save_checkpoint
+
+    integrator = Integrator(
+        system, forces, args.timestep, args.device,
+        gamma=args.langevin_gamma, T=args.langevin_temperature, seed=args.seed,
+    )
+    wrapper = Wrapper(mol.numAtoms, mol.bonds if len(mol.bonds) else None,
+                      args.device)
+
+    outputname, outputext = os.path.splitext(args.output)
+    start_iter = 1
+    if args.resume:
+        start_iter = load_checkpoint(args.resume, system, integrator) + 1
+
+    trajs = [[] for _ in range(args.replicas)]
+    logs = [
+        LogWriter(
+            args.log_dir,
+            keys=("iter", "ns", "epot", "ekin", "etot", "T"),
+            name=f"monitor_{k}.csv",
+        )
+        for k in range(args.replicas)
+    ]
+
+    if args.minimize is not None:
+        minimize_bfgs(system, forces, steps=args.minimize)
+
+    Epot = forces.compute(system.pos, system.box, system.forces)
+
+    profile_ctx = None
+    if args.profile:
+        import jax
+
+        profile_ctx = jax.profiler.trace(os.path.join(args.log_dir, "jax_trace"))
+        profile_ctx.__enter__()
+
+    iterator = tqdm(range(start_iter, int(args.steps / args.output_period) + 1))
+    for i in iterator:
+        Ekin, Epot, T = integrator.step(niter=args.output_period)
+        wrapper.wrap(system.pos, system.box)
+        currpos = system.pos.copy()
+        for k in range(args.replicas):
+            trajs[k].append(currpos[k])
+            if (i * args.output_period) % args.save_period == 0:
+                np.save(
+                    os.path.join(args.log_dir, f"{outputname}_{k}{outputext}"),
+                    np.stack(trajs[k], axis=2),
+                )
+            logs[k].write_row(
+                {
+                    "iter": i * args.output_period,
+                    "ns": FS2NS * i * args.output_period * args.timestep,
+                    "epot": float(np.asarray(Epot).reshape(-1)[k]),
+                    "ekin": float(Ekin[k]),
+                    "etot": float(np.asarray(Epot).reshape(-1)[k] + Ekin[k]),
+                    "T": float(T[k]),
+                }
+            )
+        if args.checkpoint_period and (
+            (i * args.output_period) % args.checkpoint_period == 0
+        ):
+            save_checkpoint(
+                os.path.join(args.log_dir, f"{outputname}.chk"),
+                system, integrator, i,
+            )
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+
+    for k in range(args.replicas):
+        npy_name = os.path.join(args.log_dir, args.output + f"_{k}.npy")
+        xyz_name = os.path.join(args.log_dir, args.output + f"_{k}.xyz")
+        if os.path.exists(npy_name):
+            xyz_writer(npy_name, xyz_name, mol.element)
+
+
+def main(arguments=None):
+    args = get_args(arguments)
+    mol, system, forces = setup(args)
+    dynamics(args, mol, system, forces)
+
+
+if __name__ == "__main__":
+    main()
