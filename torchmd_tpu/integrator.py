@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .potentials import compute_potentials
+from .potentials import compute_potentials, energy_and_forces_fused
 from .systems import SimState
 from .units import BOLTZMANN, PICOSEC2TIMEU, TIMEFACTOR
 
@@ -139,21 +139,23 @@ class Integrator:
         vcoeff = self.vcoeff if use_thermostat else None
         masses = self.masses
 
-        def etot_one(pos, box):
-            pot = compute_potentials(ffp, pos, box, cfg)
+        def ef_one(pos, box):
+            # fused analytic nonbonded + AD bonded: the hot path
+            pot, frc = energy_and_forces_fused(ffp, pos, box, cfg)
             e = sum(jax.tree_util.tree_leaves(pot))
             if ext_energy is not None:
-                e = e + ext_energy(pos, box)
-            return e
+                ee, eg = jax.value_and_grad(ext_energy)(pos, box)
+                e = e + ee
+                frc = frc - eg
+            return e, frc
 
-        e_and_f = jax.vmap(jax.value_and_grad(etot_one), in_axes=(0, 0))
+        e_and_f = jax.vmap(ef_one, in_axes=(0, 0))
 
         @partial(jax.jit, static_argnames=("niter",))
         def run(state: SimState, box, niter: int):
             def body(st, _):
                 pos, vel = _first_vv(st.pos, st.vel, st.forces, masses, dt)
-                epot, grad = e_and_f(pos, box)
-                frc = -grad
+                epot, frc = e_and_f(pos, box)
                 key = st.key
                 if use_thermostat:
                     key, sub = jax.random.split(key)

@@ -309,6 +309,107 @@ def energy_and_forces(par: FFParams, pos, box, cfg: ForceTermConfig):
 
 
 # ----------------------------------------------------------------------
+# Fused analytic nonbonded energy + forces (the hot MD path)
+# ----------------------------------------------------------------------
+
+def nonbonded_energy_forces(par: FFParams, pos, box, cfg: ForceTermConfig):
+    """Dense nonbonded terms with analytic per-pair force coefficients.
+
+    Returns (energies dict, forces (natoms, 3)). Forces are row-sums of the
+    symmetric pair matrix -- no scatter, no AD rematerialization:
+        F_i = -sum_j g_ij * (r_i - r_j),  g_ij = (dE/dr)_ij / r_ij.
+    Identical math to nonbonded_energies (equivalence is tested to fp
+    accuracy); used inside the integrator scan where the backward pass of
+    the dense matrix would double the HBM traffic.
+    """
+    mask0 = par.nb_mask
+    dv = pos[:, None, :] - pos[None, :, :]
+    dv = wrap_displacement(dv, box)
+    d2 = jnp.sum(dv * dv, axis=-1)
+    d2 = jnp.where(mask0, d2, 1.0)
+    dist = jnp.sqrt(d2)
+    rinv = 1.0 / dist
+    mask = mask0
+    if cfg.cutoff is not None:
+        mask = jnp.logical_and(mask, dist <= cfg.cutoff)
+    fmask = mask.astype(pos.dtype)
+
+    out = {}
+    g = jnp.zeros_like(dist)  # accumulated (dE/dr)/r per pair
+
+    needs_ab = any(t in cfg.terms for t in ("lj", "repulsion", "repulsioncg"))
+    if needs_ab:
+        s_at = par.lj_params[:, 0][par.mapped_atom_types]
+        e_at = par.lj_params[:, 1][par.mapped_atom_types]
+        sig_ij = 0.5 * (s_at[:, None] + s_at[None, :])
+        eps_ij = jnp.sqrt(jnp.abs(e_at[:, None] * e_at[None, :]))
+        s6 = sig_ij**6
+        B_ij = 4.0 * eps_ij * s6
+        A_ij = B_ij * s6
+        rinv6 = rinv**6
+        rinv12 = rinv6 * rinv6
+
+    if "lj" in cfg.terms:
+        pot = A_ij * rinv12 - B_ij * rinv6
+        dEdr = (-12.0 * A_ij * rinv12 + 6.0 * B_ij * rinv6) * rinv
+        if cfg.switch_dist is not None and cfg.cutoff is not None:
+            t = (dist - cfg.switch_dist) / (cfg.cutoff - cfg.switch_dist)
+            sw = 1.0 + t * t * t * (-10.0 + t * (15.0 - t * 6.0))
+            dsw = t * t * (-30.0 + t * (60.0 - t * 30.0)) / (
+                cfg.cutoff - cfg.switch_dist
+            )
+            in_sw = dist > cfg.switch_dist
+            dEdr = jnp.where(in_sw, dEdr * sw + pot * dsw, dEdr)
+            pot = jnp.where(in_sw, pot * sw, pot)
+        out["lj"] = 0.5 * jnp.sum(pot * fmask)
+        g = g + (dEdr * rinv) * fmask
+    if "repulsion" in cfg.terms:
+        out["repulsion"] = 0.5 * jnp.sum(A_ij * rinv12 * fmask)
+        g = g + (-12.0 * A_ij * rinv12 * rinv * rinv) * fmask
+    if "repulsioncg" in cfg.terms:
+        out["repulsioncg"] = 0.5 * jnp.sum(B_ij * rinv6 * fmask)
+        g = g + (-6.0 * B_ij * rinv6 * rinv * rinv) * fmask
+    if "electrostatics" in cfg.terms:
+        qq = ELEC_FACTOR * par.charges[:, None] * par.charges[None, :]
+        if cfg.rfa and cfg.cutoff is not None:
+            denom = 2.0 * cfg.solvent_dielectric + 1.0
+            krf = (1.0 / cfg.cutoff**3) * (cfg.solvent_dielectric - 1.0) / denom
+            crf = (1.0 / cfg.cutoff) * (3.0 * cfg.solvent_dielectric) / denom
+            pot = qq * (rinv + krf * dist * dist - crf)
+            dEdr_over_r = qq * (2.0 * krf - rinv * rinv * rinv)
+        else:
+            pot = qq * rinv
+            dEdr_over_r = -qq * rinv * rinv * rinv
+        out["electrostatics"] = 0.5 * jnp.sum(pot * fmask)
+        g = g + dEdr_over_r * fmask
+
+    forces = -jnp.einsum("ij,ijk->ik", g, dv)
+    return out, forces
+
+
+def energy_and_forces_fused(par: FFParams, pos, box, cfg: ForceTermConfig):
+    """(per-term potentials, forces) with the nonbonded part analytic/fused
+    and the (cheap) bonded part via AD. The default integrator hot path."""
+    has_nb = any(t in cfg.terms for t in NONBONDED_TERMS) and par.nb_mask is not None
+
+    bonded_par = par._replace(nb_mask=None)
+
+    def e_bonded(p):
+        pot = compute_potentials(bonded_par, p, box, cfg)
+        return sum(jax.tree_util.tree_leaves(pot)), pot
+
+    (eb, pot_b), grad_b = jax.value_and_grad(e_bonded, has_aux=True)(pos)
+    forces = -grad_b
+    pot = dict(pot_b)
+    if has_nb:
+        nb_pot, nb_forces = nonbonded_energy_forces(par, pos, box, cfg)
+        for k, v in nb_pot.items():
+            pot[k] = pot.get(k, 0.0) + v
+        forces = forces + nb_forces
+    return pot, forces
+
+
+# ----------------------------------------------------------------------
 # FFParams construction
 # ----------------------------------------------------------------------
 
