@@ -67,6 +67,7 @@ class Forces:
         switch_dist=None,
         exclusions=("bonds", "angles", "1-4"),
         precision=None,
+        kernel="auto",
     ):
         self.par = parameters
         if terms is None:
@@ -111,6 +112,58 @@ class Forces:
             impropers_amber=_amber(parameters.improper_params),
         )
         self.ffparams = make_ffparams(parameters, exclusions, dtype=self.dtype)
+
+        # Kernel selection for the fused energy+forces hot path: the Pallas
+        # TPU kernel handles the dense nonbonded block when running f32 on
+        # TPU; everything else uses the fused jnp path.
+        from .ops import (
+            pallas_available,
+            pallas_supported_terms,
+            prepare_nb_data,
+            pallas_nonbonded_energy_forces,
+        )
+        from .potentials import energy_and_forces_fused
+
+        has_nb = (
+            any(t in self.energies for t in NONBONDED_TERMS)
+            and self.ffparams.nb_mask is not None
+        )
+        self.kernel = kernel
+        self.use_pallas = (
+            kernel in ("auto", "pallas")
+            and has_nb
+            and pallas_available()
+            and self.dtype == jnp.float32
+            and pallas_supported_terms(self.config)
+        )
+        if self.use_pallas:
+            self._nb_data = prepare_nb_data(self.ffparams)
+            bonded_ffp = self.ffparams._replace(nb_mask=None)
+            nb_data = self._nb_data
+            config = self.config
+
+            def ef_one(pos, box):
+                def eb(p):
+                    pot = compute_potentials(bonded_ffp, p, box, config)
+                    return sum(jax.tree_util.tree_leaves(pot)), pot
+
+                (e_b, pot), grad_b = jax.value_and_grad(eb, has_aux=True)(pos)
+                nb_pot, nb_f = pallas_nonbonded_energy_forces(
+                    nb_data, config, pos, box
+                )
+                pot = dict(pot)
+                for k, v in nb_pot.items():
+                    pot[k] = pot.get(k, 0.0) + v
+                return pot, -grad_b + nb_f
+
+        else:
+            ffp_ = self.ffparams
+            config = self.config
+
+            def ef_one(pos, box):
+                return energy_and_forces_fused(ffp_, pos, box, config)
+
+        self.ef_one = ef_one
 
         ext_energy_fn = getattr(external, "energy_fn", None)
 

@@ -139,9 +139,14 @@ class Integrator:
         vcoeff = self.vcoeff if use_thermostat else None
         masses = self.masses
 
+        # Fused analytic (or Pallas) nonbonded + AD bonded: the hot path.
+        fused_one = getattr(
+            forces_obj, "ef_one",
+            lambda pos, box: energy_and_forces_fused(ffp, pos, box, cfg),
+        )
+
         def ef_one(pos, box):
-            # fused analytic nonbonded + AD bonded: the hot path
-            pot, frc = energy_and_forces_fused(ffp, pos, box, cfg)
+            pot, frc = fused_one(pos, box)
             e = sum(jax.tree_util.tree_leaves(pot))
             if ext_energy is not None:
                 ee, eg = jax.value_and_grad(ext_energy)(pos, box)

@@ -1,0 +1,332 @@
+"""Pallas TPU kernel: fused all-pairs LJ + electrostatics energy/forces.
+
+The dense jnp path materializes O(N^2) intermediates in HBM (distance,
+coefficient and mask matrices), so each MD step pays ~10 N^2 * 4 bytes of
+HBM traffic. This kernel tiles the pair matrix into (TILE_I, TILE_J) VMEM
+blocks: per grid step it reads two thin per-atom slices plus one int8 mask
+tile, computes displacement/LJ/Coulomb(RFA)/switching in registers/VMEM,
+and accumulates row forces and scalar energies in-place across the j grid
+dimension (TPU grids execute sequentially, so revisiting the same output
+block is safe). HBM traffic drops to the bit-mask (N^2 * 1 byte) plus
+O(N) vectors.
+
+Covers the nonbonded term set of the reference (forces.py:381-491): lj
+(with cubic switching), electrostatics (plain or reaction-field),
+repulsion (A/r^12) and repulsioncg (B/r^6), with exclusions and the cutoff
+applied as masks. Newton's third law is exploited statistically by
+evaluating the full (symmetric) matrix: energies carry a 0.5 factor and
+row sums give complete per-atom forces with no scatter.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+TILE_I = 256
+TILE_J = 256
+
+
+def pallas_available() -> bool:
+    if not _HAS_PALLAS:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _kernel(
+    # i-views (1, TILE_I)
+    xi_ref, yi_ref, zi_ref, qi_ref, si_ref, ei_ref,
+    # j-views (1, TILE_J)
+    xj_ref, yj_ref, zj_ref, qj_ref, sj_ref, ej_ref,
+    # mask tile (TILE_I, TILE_J) int8
+    mask_ref,
+    # box (1, 3) SMEM
+    box_ref,
+    # outputs
+    fx_ref, fy_ref, fz_ref, elj_ref, eel_ref,
+    *, cfg,
+):
+    j = pl.program_id(1)
+    i = pl.program_id(0)
+
+    f32 = jnp.float32
+    xi = xi_ref[0, :][:, None]
+    yi = yi_ref[0, :][:, None]
+    zi = zi_ref[0, :][:, None]
+    xj = xj_ref[0, :][None, :]
+    yj = yj_ref[0, :][None, :]
+    zj = zj_ref[0, :][None, :]
+
+    dx = xi - xj
+    dy = yi - yj
+    dz = zi - zj
+    if cfg["pbc"]:
+        bx = box_ref[0, 0]
+        by = box_ref[0, 1]
+        bz = box_ref[0, 2]
+        dx = dx - bx * jnp.round(dx / bx)
+        dy = dy - by * jnp.round(dy / by)
+        dz = dz - bz * jnp.round(dz / bz)
+
+    mask = mask_ref[...] != 0
+    d2 = dx * dx + dy * dy + dz * dz
+    d2 = jnp.where(mask, d2, 1.0)
+    rinv = jax.lax.rsqrt(d2)
+    dist = d2 * rinv  # d2 / sqrt(d2)
+
+    if cfg["cutoff"] is not None:
+        mask = jnp.logical_and(mask, dist <= cfg["cutoff"])
+    fmask = mask.astype(f32)
+
+    e_lj = jnp.zeros((), f32)
+    e_el = jnp.zeros((), f32)
+    g = jnp.zeros_like(d2)  # (dE/dr)/r accumulated
+
+    if cfg["lj"] or cfg["repulsion"] or cfg["repulsioncg"]:
+        si = si_ref[0, :][:, None]
+        sj = sj_ref[0, :][None, :]
+        ei = ei_ref[0, :][:, None]
+        ej = ej_ref[0, :][None, :]
+        sig = 0.5 * (si + sj)
+        eps = jnp.sqrt(jnp.abs(ei * ej))
+        s2 = sig * sig
+        s6 = s2 * s2 * s2
+        B = 4.0 * eps * s6
+        A = B * s6
+        rinv2 = rinv * rinv
+        rinv6 = rinv2 * rinv2 * rinv2
+        rinv12 = rinv6 * rinv6
+    if cfg["lj"]:
+        pot = A * rinv12 - B * rinv6
+        dEdr = (-12.0 * A * rinv12 + 6.0 * B * rinv6) * rinv
+        if cfg["switch"] is not None and cfg["cutoff"] is not None:
+            sd, co = cfg["switch"], cfg["cutoff"]
+            t = (dist - sd) / (co - sd)
+            sw = 1.0 + t * t * t * (-10.0 + t * (15.0 - t * 6.0))
+            dsw = t * t * (-30.0 + t * (60.0 - t * 30.0)) / (co - sd)
+            in_sw = dist > sd
+            dEdr = jnp.where(in_sw, dEdr * sw + pot * dsw, dEdr)
+            pot = jnp.where(in_sw, pot * sw, pot)
+        e_lj = e_lj + 0.5 * jnp.sum(pot * fmask)
+        g = g + dEdr * rinv * fmask
+    if cfg["repulsion"]:
+        e_lj = e_lj + 0.5 * jnp.sum(A * rinv12 * fmask)
+        g = g + (-12.0 * A * rinv12 * rinv * rinv) * fmask
+    if cfg["repulsioncg"]:
+        e_lj = e_lj + 0.5 * jnp.sum(B * rinv6 * fmask)
+        g = g + (-6.0 * B * rinv6 * rinv * rinv) * fmask
+    if cfg["elec"]:
+        qi = qi_ref[0, :][:, None]
+        qj = qj_ref[0, :][None, :]
+        qq = cfg["elec_factor"] * qi * qj
+        if cfg["rfa"] and cfg["cutoff"] is not None:
+            pot = qq * (rinv + cfg["krf"] * d2 - cfg["crf"])
+            dEdr_r = qq * (2.0 * cfg["krf"] - rinv * rinv * rinv)
+        else:
+            pot = qq * rinv
+            dEdr_r = -qq * rinv * rinv * rinv
+        e_el = e_el + 0.5 * jnp.sum(pot * fmask)
+        g = g + dEdr_r * fmask
+
+    fx = -jnp.sum(g * dx, axis=1)
+    fy = -jnp.sum(g * dy, axis=1)
+    fz = -jnp.sum(g * dz, axis=1)
+
+    @pl.when(j == 0)
+    def _init_rows():
+        fx_ref[0, :] = fx
+        fy_ref[0, :] = fy
+        fz_ref[0, :] = fz
+
+    @pl.when(j != 0)
+    def _acc_rows():
+        fx_ref[0, :] = fx_ref[0, :] + fx
+        fy_ref[0, :] = fy_ref[0, :] + fy
+        fz_ref[0, :] = fz_ref[0, :] + fz
+
+    first = jnp.logical_and(i == 0, j == 0)
+
+    @pl.when(first)
+    def _init_e():
+        elj_ref[0, 0] = e_lj
+        eel_ref[0, 0] = e_el
+
+    @pl.when(jnp.logical_not(first))
+    def _acc_e():
+        elj_ref[0, 0] = elj_ref[0, 0] + e_lj
+        eel_ref[0, 0] = eel_ref[0, 0] + e_el
+
+
+class PallasNBData(NamedTuple):
+    """Padded per-atom arrays + mask prepared once per topology."""
+
+    x_pad: int
+    q: jnp.ndarray       # (1, Np)
+    sig: jnp.ndarray     # (1, Np)
+    eps: jnp.ndarray     # (1, Np)
+    mask: jnp.ndarray    # (Np, Np) int8
+    natoms: int
+
+
+def prepare_nb_data(ffp) -> PallasNBData:
+    n = int(ffp.charges.shape[0])
+    npad = _round_up(n, max(TILE_I, TILE_J))
+    f32 = jnp.float32
+
+    def pad1(v):
+        v = jnp.asarray(v, f32)
+        return jnp.pad(v, (0, npad - n))[None, :]
+
+    if ffp.lj_params is not None:
+        sig = ffp.lj_params[:, 0][ffp.mapped_atom_types]
+        eps = ffp.lj_params[:, 1][ffp.mapped_atom_types]
+    else:
+        sig = jnp.zeros(n)
+        eps = jnp.zeros(n)
+    mask = jnp.asarray(ffp.nb_mask, jnp.int8)
+    mask = jnp.pad(mask, ((0, npad - n), (0, npad - n)))
+    return PallasNBData(
+        x_pad=npad, q=pad1(ffp.charges), sig=pad1(sig), eps=pad1(eps),
+        mask=mask, natoms=n,
+    )
+
+
+def pallas_supported_terms(cfg) -> bool:
+    """The kernel accumulates LJ-family terms into one scalar, so exactly
+    one of lj/repulsion/repulsioncg may be active at a time."""
+    njfam = sum(t in cfg.terms for t in ("lj", "repulsion", "repulsioncg"))
+    return njfam <= 1
+
+
+def pallas_nonbonded_energy_forces(data: PallasNBData, cfg, pos, box,
+                                   interpret=False):
+    """pos: (natoms, 3) f32; box: (3,) f32. Returns dict of term energies
+    and forces (natoms, 3) f32."""
+    from ..units import ELEC_FACTOR
+
+    npad, n = data.x_pad, data.natoms
+    kcfg = {
+        "cutoff": None if cfg.cutoff is None else float(cfg.cutoff),
+        "switch": None if cfg.switch_dist is None else float(cfg.switch_dist),
+        "rfa": bool(cfg.rfa),
+        "lj": "lj" in cfg.terms,
+        "elec": "electrostatics" in cfg.terms,
+        "repulsion": "repulsion" in cfg.terms,
+        "repulsioncg": "repulsioncg" in cfg.terms,
+        "elec_factor": float(ELEC_FACTOR),
+        "pbc": True,
+        "krf": 0.0,
+        "crf": 0.0,
+    }
+    if kcfg["rfa"] and kcfg["cutoff"]:
+        denom = 2.0 * cfg.solvent_dielectric + 1.0
+        kcfg["krf"] = (1.0 / kcfg["cutoff"] ** 3) * (
+            cfg.solvent_dielectric - 1.0
+        ) / denom
+        kcfg["crf"] = (1.0 / kcfg["cutoff"]) * (
+            3.0 * cfg.solvent_dielectric
+        ) / denom
+
+    pos = jnp.asarray(pos, jnp.float32)
+    box = jnp.asarray(box, jnp.float32)
+    # Disable in-kernel wrapping when there is no box (all components 0);
+    # this is a trace-time decision via a concrete check on the host side
+    # is impossible for traced boxes, so use a safe-box trick instead:
+    safe_box = jnp.where(box > 0, box, jnp.asarray(1e30, jnp.float32))
+    box_in = safe_box[None, :]
+
+    xp = jnp.pad(pos[:, 0], (0, npad - n))[None, :]
+    yp = jnp.pad(pos[:, 1], (0, npad - n))[None, :]
+    zp = jnp.pad(pos[:, 2], (0, npad - n))[None, :]
+
+    ni = npad // TILE_I
+    nj = npad // TILE_J
+
+    def ispec(tile):
+        return pl.BlockSpec((1, tile), lambda i, j: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def jspec(tile):
+        return pl.BlockSpec((1, tile), lambda i, j: (0, j),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pl.GridSpec(
+        grid=(ni, nj),
+        in_specs=[
+            ispec(TILE_I), ispec(TILE_I), ispec(TILE_I),
+            ispec(TILE_I), ispec(TILE_I), ispec(TILE_I),
+            jspec(TILE_J), jspec(TILE_J), jspec(TILE_J),
+            jspec(TILE_J), jspec(TILE_J), jspec(TILE_J),
+            pl.BlockSpec((TILE_I, TILE_J), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_I), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_I), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_I), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+    )
+
+    flops_per_pair = 60
+    fx, fy, fz, e_lj, e_el = pl.pallas_call(
+        functools.partial(_kernel, cfg=kcfg),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pair * npad * npad,
+            bytes_accessed=npad * npad + 12 * npad * 4,
+            transcendentals=npad * npad,
+        ),
+        interpret=interpret,
+    )(
+        xp, yp, zp, data.q, data.sig, data.eps,
+        xp, yp, zp, data.q, data.sig, data.eps,
+        data.mask, box_in,
+    )
+
+    forces = jnp.stack([fx[0, :n], fy[0, :n], fz[0, :n]], axis=1)
+    out = {}
+    if kcfg["lj"]:
+        out["lj"] = e_lj[0, 0]
+    if kcfg["repulsion"]:
+        out["repulsion"] = e_lj[0, 0]
+    if kcfg["repulsioncg"]:
+        out["repulsioncg"] = e_lj[0, 0]
+    if kcfg["elec"]:
+        out["electrostatics"] = e_el[0, 0]
+    return out, forces
