@@ -1,0 +1,152 @@
+"""Cell-list / neighbor path: equivalence with the dense all-pairs path and
+full integration through the scan (rebuilds, overflow growth)."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import SYSTEMS_DIR
+
+from torchmd_tpu.io import Molecule
+from torchmd_tpu.forcefields import ForceField
+from torchmd_tpu.forces import Forces
+from torchmd_tpu.parameters import Parameters
+from torchmd_tpu.potentials import nonbonded_energy_forces
+from torchmd_tpu.neighbors import (
+    CellKernel,
+    build_cell_list,
+    discretize_box,
+    make_cell_config,
+    needs_rebuild,
+)
+
+
+def _argon(charges=True, terms=("lj", "electrostatics")):
+    mol = Molecule(os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"))
+    if charges:
+        rs = np.random.RandomState(0)
+        mol.charge = rs.randn(mol.numAtoms) * 0.05
+    ff = ForceField.create(
+        mol, os.path.join(SYSTEMS_DIR, "argon", "argon_forcefield.yaml")
+    )
+    par = Parameters(ff, mol, list(terms), precision="double")
+    par.charges = mol.charge.copy()
+    forces = Forces(par, terms=list(terms), precision="double",
+                    cutoff=9.0, rfa=True)
+    return mol, par, forces
+
+
+def test_cell_list_structure():
+    mol, par, forces = _argon()
+    cfg = make_cell_config([77.395] * 3, 9.0, skin=2.0, natoms=mol.numAtoms)
+    pos = jnp.asarray(mol.coords[:, :, 0])
+    cl = build_cell_list(pos, cfg)
+    assert not bool(cl.overflow)
+    # every atom appears in exactly one slot
+    slots = np.asarray(cl.slots).ravel()
+    real = slots[slots < mol.numAtoms]
+    assert sorted(real.tolist()) == list(range(mol.numAtoms))
+    assert int(np.asarray(cl.counts).sum()) == mol.numAtoms
+    # no rebuild needed right after building; needed after skin/2 motion
+    assert not bool(needs_rebuild(cl, pos, cfg))
+    assert bool(needs_rebuild(cl, pos + 1.5, cfg))
+
+
+def test_cell_energy_forces_match_dense():
+    mol, par, forces = _argon()
+    pos = jnp.asarray(mol.coords[:, :, 0])
+    box = jnp.asarray([77.395] * 3)
+    pot_d, f_d = nonbonded_energy_forces(forces.ffparams, pos, box, forces.config)
+
+    kern = CellKernel(forces.ffparams, forces.config, par, np.asarray(box))
+    cl = kern.build(pos)
+    pot_c, f_c = jax.jit(kern.energy_forces)(pos, box, cl)
+    for k in pot_d:
+        np.testing.assert_allclose(float(pot_c[k]), float(pot_d[k]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_d), atol=1e-14)
+
+
+def test_cell_exclusions_respected():
+    """Bonded exclusions must drop pairs from the cell path exactly as the
+    dense mask does (use a fake bond between two nearby argon atoms)."""
+    mol, par, forces = _argon(terms=("lj", "electrostatics", "bonds"))
+    # fabricate a bond between atoms 0 and 1
+    mol.bonds = np.array([[0, 1]])
+    ff = ForceField.create(
+        mol, os.path.join(SYSTEMS_DIR, "argon", "argon_forcefield.yaml")
+    )
+    par = Parameters(ff, mol, ["lj", "electrostatics", "bonds"],
+                     precision="double")
+    par.charges = mol.charge.copy()
+    forces = Forces(par, terms=["lj", "electrostatics", "bonds"],
+                    precision="double", cutoff=9.0, rfa=True)
+
+    pos = np.asarray(mol.coords[:, :, 0]).copy()
+    pos[1] = pos[0] + [3.0, 0, 0]  # within cutoff: exclusion matters
+    pos = jnp.asarray(pos)
+    box = jnp.asarray([77.395] * 3)
+
+    pot_d, f_d = nonbonded_energy_forces(forces.ffparams, pos, box, forces.config)
+    kern = CellKernel(forces.ffparams, forces.config, par, np.asarray(box))
+    pot_c, f_c = kern.energy_forces(pos, box, kern.build(pos))
+    for k in pot_d:
+        np.testing.assert_allclose(float(pot_c[k]), float(pot_d[k]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_d), atol=1e-13)
+
+
+def test_cell_integration_matches_dense_path():
+    """Short NVE trajectories via the cell-list scan and the dense scan must
+    agree (rebuilds included)."""
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.systems import System
+
+    def run(kernel):
+        mol, par, _ = _argon()
+        forces = Forces(par, terms=["lj", "electrostatics"],
+                        precision="double", cutoff=9.0, rfa=True,
+                        kernel=kernel)
+        system = System(mol.numAtoms, 1, "double", "cpu")
+        system.set_positions(mol.coords)
+        system.set_box(np.asarray([77.395] * 3))
+        system.set_velocities(
+            maxwell_boltzmann(par.masses, 300.0, 1, seed=3)
+        )
+        integ = Integrator(system, forces, timestep=5.0, device="cpu")
+        for _ in range(4):
+            integ.step(niter=25)
+        return system.pos.copy()
+
+    np.testing.assert_allclose(run("dense"), run("cell"), atol=1e-8)
+
+
+def test_cell_overflow_grows_capacity():
+    mol, par, forces = _argon()
+    # absurdly small capacity forces an overflow + growth cycle
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.systems import System
+
+    forces = Forces(par, terms=["lj", "electrostatics"], precision="double",
+                    cutoff=9.0, rfa=True, kernel="cell")
+    system = System(mol.numAtoms, 1, "double", "cpu")
+    system.set_positions(mol.coords)
+    system.set_box(np.asarray([77.395] * 3))
+    system.set_velocities(maxwell_boltzmann(par.masses, 120.0, 1, seed=3))
+    integ = Integrator(system, forces, timestep=2.0, device="cpu")
+    # shrink capacity after construction to force the overflow path
+    integ._cell_kernel.clcfg = integ._cell_kernel.clcfg.with_capacity(1)
+    integ._scan_fn = integ._build_scan_cell()
+    integ.step(niter=2)
+    assert integ._cell_kernel.clcfg.capacity > 1
+
+
+def test_discretize_box_stub_parity():
+    nc, pairs = discretize_box([30.0, 30.0, 30.0], 10.0)
+    assert nc == (3, 3, 3)
+    assert pairs.shape[1] == 2
+    # with 3 cells/axis and periodic wrap, every cell neighbors every other
+    assert len(pairs) == 27 * 28 // 2

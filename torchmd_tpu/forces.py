@@ -129,6 +129,11 @@ class Forces:
             and self.ffparams.nb_mask is not None
         )
         self.kernel = kernel
+        # Cell-list path: requested explicitly; the kernel is built lazily
+        # once a concrete box is known (Integrator init or first compute).
+        self.cell_requested = kernel == "cell" and has_nb
+        self.cell_skin = 2.0
+        self._cell_kernel = None
         self.use_pallas = (
             kernel in ("auto", "pallas")
             and has_nb
@@ -145,7 +150,9 @@ class Forces:
             def ef_one(pos, box):
                 def eb(p):
                     pot = compute_potentials(bonded_ffp, p, box, config)
-                    return sum(jax.tree_util.tree_leaves(pot)), pot
+                    leaves = jax.tree_util.tree_leaves(pot)
+                    e = sum(leaves) if leaves else jnp.zeros((), p.dtype)
+                    return e, pot
 
                 (e_b, pot), grad_b = jax.value_and_grad(eb, has_aux=True)(pos)
                 nb_pot, nb_f = pallas_nonbonded_energy_forces(
@@ -165,6 +172,23 @@ class Forces:
 
         self.ef_one = ef_one
 
+        def bonded_ef_one(pos, box):
+            """(per-term bonded potentials, bonded forces) via AD; used by
+            the cell-list integrator path, which supplies the nonbonded
+            part itself."""
+            bonded_ffp = self.ffparams._replace(nb_mask=None)
+
+            def eb(p):
+                pot = compute_potentials(bonded_ffp, p, box, self.config)
+                leaves = jax.tree_util.tree_leaves(pot)
+                e = sum(leaves) if leaves else jnp.zeros((), p.dtype)
+                return e, pot
+
+            (e_b, pot), grad_b = jax.value_and_grad(eb, has_aux=True)(pos)
+            return pot, -grad_b
+
+        self.bonded_ef_one = bonded_ef_one
+
         ext_energy_fn = getattr(external, "energy_fn", None)
 
         def _potentials_one(ffp, pos, box):
@@ -183,6 +207,18 @@ class Forces:
         self._potentials_one = _potentials_one
         self._jit_pot = jax.jit(jax.vmap(_potentials_one, in_axes=(None, 0, 0)))
         self._jit_pot_forces = jax.jit(jax.vmap(_pot_and_forces, in_axes=(None, 0, 0)))
+
+    # ------------------------------------------------------------------
+    def ensure_cell_kernel(self, box):
+        """Build (once) the cell-list kernel for a concrete box diagonal."""
+        if self._cell_kernel is None:
+            from .neighbors import CellKernel
+
+            self._cell_kernel = CellKernel(
+                self.ffparams, self.config, self.par, np.asarray(box),
+                skin=self.cell_skin, exclusions=self.exclusions,
+            )
+        return self._cell_kernel
 
     # ------------------------------------------------------------------
     def compute(

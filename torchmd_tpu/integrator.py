@@ -124,7 +124,16 @@ class Integrator:
             getattr(forces, "external", None) is not None
             and not hasattr(forces.external, "energy_fn")
         )
-        if not self._host_path:
+        self._use_cell = (
+            not self._host_path and getattr(forces, "cell_requested", False)
+        )
+        if self._use_cell:
+            box_all = np.asarray(systems.box_diag)
+            if not np.allclose(box_all, box_all[0]):
+                raise ValueError("cell-list kernel requires equal replica boxes")
+            self._cell_kernel = forces.ensure_cell_kernel(box_all[0])
+            self._scan_fn = self._build_scan_cell()
+        elif not self._host_path:
             self._scan_fn = self._build_scan()
 
     # ------------------------------------------------------------------
@@ -174,6 +183,70 @@ class Integrator:
 
         return run
 
+    def _build_scan_cell(self):
+        """Scan variant carrying per-replica cell lists in the loop state;
+        rebuilds (one lax.cond for the whole batch) when any atom moved
+        further than skin/2."""
+        forces_obj = self.forces
+        kern = self._cell_kernel
+        dt = self.dt
+        gamma = self.gamma
+        use_thermostat = bool(self.T)
+        vcoeff = self.vcoeff if use_thermostat else None
+        masses = self.masses
+        ext_energy = getattr(forces_obj.external, "energy_fn", None)
+
+        from .neighbors import needs_rebuild
+
+        build_v = jax.vmap(kern.build)
+
+        def update_all(pos_b, cl_b):
+            pred = jnp.any(
+                jax.vmap(lambda c, p: needs_rebuild(c, p, kern.clcfg))(cl_b, pos_b)
+            )
+
+            def rebuild():
+                new = build_v(pos_b)
+                # keep the overflow flag sticky across rebuilds
+                return new._replace(overflow=new.overflow | cl_b.overflow)
+
+            return jax.lax.cond(pred, rebuild, lambda: cl_b)
+
+        def ef_one(pos, box, cl):
+            pot, frc = forces_obj.bonded_ef_one(pos, box)
+            nb_pot, nb_f = kern.energy_forces(pos, box, cl)
+            e = sum(jax.tree_util.tree_leaves(pot)) + sum(
+                jax.tree_util.tree_leaves(nb_pot)
+            )
+            frc = frc + nb_f
+            if ext_energy is not None:
+                ee, eg = jax.value_and_grad(ext_energy)(pos, box)
+                e = e + ee
+                frc = frc - eg
+            return e, frc
+
+        e_and_f = jax.vmap(ef_one, in_axes=(0, 0, 0))
+
+        @partial(jax.jit, static_argnames=("niter",))
+        def run(carry, box, niter: int):
+            def body(c, _):
+                st, cl = c
+                pos, vel = _first_vv(st.pos, st.vel, st.forces, masses, dt)
+                cl = update_all(pos, cl)
+                epot, frc = e_and_f(pos, box, cl)
+                key = st.key
+                if use_thermostat:
+                    key, sub = jax.random.split(key)
+                    noise = jax.random.normal(sub, vel.shape, dtype=vel.dtype)
+                    vel = vel - gamma * vel * dt + noise * vcoeff
+                vel = _second_vv(vel, frc, masses, dt)
+                return (SimState(pos, vel, frc, key), cl), epot
+
+            carry, epots = jax.lax.scan(body, carry, None, length=niter)
+            return carry, epots[-1]
+
+        return run
+
     # ------------------------------------------------------------------
     def _state_from_system(self) -> SimState:
         s = self.systems
@@ -216,6 +289,21 @@ class Integrator:
                     )
                 systems.vel[:] += 0.5 * self.dt * systems.forces / self._masses_np
             epot = np.asarray(pot) if pot is not None else np.zeros(systems.nreplicas)
+        elif self._use_cell:
+            for _attempt in range(4):
+                state = self._state_from_system()
+                cl = jax.vmap(self._cell_kernel.build)(state.pos)
+                (state, cl), epot = self._scan_fn((state, cl), box, int(niter))
+                if not bool(np.asarray(cl.overflow)):
+                    break
+                # a cell overflowed: grow capacity and redo this chunk
+                self._cell_kernel = self._cell_kernel.grow()
+                self.forces._cell_kernel = self._cell_kernel
+                self._scan_fn = self._build_scan_cell()
+            else:
+                raise RuntimeError("cell list capacity kept overflowing")
+            self._state_to_system(state)
+            epot = np.asarray(epot)
         else:
             state = self._state_from_system()
             state, epot = self._scan_fn(state, box, int(niter))

@@ -396,7 +396,9 @@ def energy_and_forces_fused(par: FFParams, pos, box, cfg: ForceTermConfig):
 
     def e_bonded(p):
         pot = compute_potentials(bonded_par, p, box, cfg)
-        return sum(jax.tree_util.tree_leaves(pot)), pot
+        leaves = jax.tree_util.tree_leaves(pot)
+        e = sum(leaves) if leaves else jnp.zeros((), p.dtype)
+        return e, pot
 
     (eb, pot_b), grad_b = jax.value_and_grad(e_bonded, has_aux=True)(pos)
     forces = -grad_b
