@@ -90,18 +90,141 @@ class AmberParameterSet:
         self.improper_types: dict[tuple, tuple] = {}  # no harmonic impropers in AMBER
 
 
+class AmberFrcmodParameterSet:
+    """AMBER .frcmod parameter modification file parser.
+
+    Covers the sections parmed reads for the reference's frcmod path
+    (ff_parmed.py:41-42): MASS, BOND, ANGLE (deg), DIHE (with IDIVF
+    divider, SCEE=/SCNB= annotations, negative-periodicity multi-term
+    continuation), IMPROPER (center third), NONBON (Rmin/2 + epsilon).
+    Angles/phases are converted to radians at the getter level like the
+    prmtop tables.
+    """
+
+    def __init__(self, fname: str):
+        self.masses: dict[str, float] = {}
+        self.atom_types: dict[str, tuple] = {}   # name -> (sigma, eps)
+        self.bond_types: dict[tuple, tuple] = {}
+        self.angle_types: dict[tuple, tuple] = {}
+        self.dihedral_types: dict[tuple, list] = {}
+        self.improper_periodic_types: dict[tuple, tuple] = {}
+        self.improper_types: dict[tuple, tuple] = {}
+        self._parse(fname)
+
+    @staticmethod
+    def _split_types(line: str, ntypes: int) -> tuple[tuple, list]:
+        """Extract the dash-joined type field (which may embed spaces for
+        short names, e.g. 'C -N -CT-C ') and the remaining numeric tokens."""
+        # token style first: the whole type field is one token (gaff-style
+        # "ca-ca-ca-ce 1 3.625 ...")
+        parts = line.split()
+        key = tuple(t.strip() for t in parts[0].split("-"))
+        if len(key) == ntypes and all(key):
+            return key, parts[1:]
+        # classic fixed-width field with embedded spaces ("C -N -CT-C ")
+        width = 3 * ntypes - 2
+        head = line[:width]
+        key = tuple(t.strip() for t in head.split("-"))
+        if len(key) == ntypes and all(key):
+            return key, line[width:].split()
+        raise ValueError(f"Cannot parse {ntypes}-type field: {line!r}")
+
+    def _parse(self, fname):
+        import math
+        import re
+
+        section = None
+        pending_key = None
+        with open(fname, "r", encoding="utf-8", errors="replace") as f:
+            lines = f.readlines()
+        for k, raw in enumerate(lines):
+            line = raw.rstrip("\n")
+            up = line.strip().upper()
+            if k == 0:
+                continue  # title line
+            if up[:4] in ("MASS", "BOND", "ANGL", "DIHE", "IMPR", "NONB",
+                          "HBON") or up == "END":
+                section = up[:4] if up != "END" else None
+                pending_key = None
+                continue
+            if not line.strip():
+                pending_key = None
+                continue
+            try:
+                if section == "MASS":
+                    parts = line.split()
+                    self.masses[parts[0]] = float(parts[1])
+                elif section == "BOND":
+                    key, vals = self._split_types(line, 2)
+                    v = (float(vals[0]), float(vals[1]))
+                    self.bond_types[key] = v
+                    self.bond_types[key[::-1]] = v
+                elif section == "ANGL":
+                    key, vals = self._split_types(line, 3)
+                    v = (float(vals[0]), math.radians(float(vals[1])))
+                    self.angle_types[key] = v
+                    self.angle_types[key[::-1]] = v
+                elif section == "DIHE":
+                    # types IDIVF PK PHASE PN [scee scnb | SCEE=x SCNB=y];
+                    # negative PN marks a multi-term continuation
+                    key, vals = self._split_types(line, 4)
+                    idivf = float(vals[0])
+                    pk = float(vals[1]) / idivf
+                    phase = math.radians(float(vals[2]))
+                    per = float(vals[3])
+                    scee, scnb = 1.2, 2.0
+                    m = re.search(r"SCEE\s*=?\s*([\d.]+)", line, re.I)
+                    if m:
+                        scee = float(m.group(1))
+                    elif len(vals) >= 5:
+                        scee = float(vals[4])
+                    m = re.search(r"SCNB\s*=?\s*([\d.]+)", line, re.I)
+                    if m:
+                        scnb = float(m.group(1))
+                    elif len(vals) >= 6:
+                        scnb = float(vals[5])
+                    if key not in self.dihedral_types and key[::-1] in self.dihedral_types:
+                        key = key[::-1]
+                    continuing = pending_key == key
+                    if key in self.dihedral_types and not continuing:
+                        self.dihedral_types[key] = []  # re-definition replaces
+                    lst = self.dihedral_types.setdefault(key, [])
+                    lst.append((pk, abs(per), phase, scee, scnb))
+                    pending_key = key if per < 0 else None
+                elif section == "IMPR":
+                    key0, vals = self._split_types(line, 4)
+                    key = _improper_key(key0[0], key0[1], key0[2], key0[3])
+                    self.improper_periodic_types[key] = (
+                        float(vals[0]),
+                        float(vals[2]),
+                        math.radians(float(vals[1])),
+                    )
+                elif section == "NONB":
+                    parts = line.split()
+                    rmin2 = float(parts[1])
+                    eps = abs(float(parts[2]))
+                    self.atom_types[parts[0]] = (
+                        rmin2 * _SIGMA_PER_RMIN2, eps
+                    )
+            except (ValueError, IndexError):
+                pending_key = None
+                continue
+
+
 class AmberForcefield(_ForceFieldBase):
     def __init__(self, mol, prm):
         from ..io.prmtop import Prmtop
 
         self.mol = mol
-        if isinstance(prm, AmberParameterSet):
+        if isinstance(prm, (AmberParameterSet, AmberFrcmodParameterSet)):
             self.prm = prm
         elif isinstance(prm, str) and prm.endswith(".prmtop"):
             top = getattr(mol, "prmtop", None)
             if top is None:
                 top = Prmtop(prm)
             self.prm = AmberParameterSet(top)
+        elif isinstance(prm, str) and prm.endswith(".frcmod"):
+            self.prm = AmberFrcmodParameterSet(prm)
         else:
             raise ValueError(f"Unsupported AMBER parameter source: {prm}")
 

@@ -251,6 +251,109 @@ class Parameters:
         return {t: src[t]() for t in terms if t in src}
 
 
+def to_yaml_ff(parameters, mol) -> dict:
+    """Export assembled parameters back to the YAML force-field schema
+    (the native equivalent of the reference's `to_parmed` OpenMM round-trip,
+    parameters.py:320-435). Reloading the dict through YamlForcefield and
+    re-assembling reproduces identical parameter tables (charges always
+    come from the Molecule)."""
+    from math import degrees
+
+    at = np.asarray(mol.atomtype)
+    uq = np.unique(at)
+    out: dict = {"atomtypes": [str(a) for a in uq]}
+
+    def key_of(types):
+        return "(" + ", ".join(str(t) for t in types) + ")"
+
+    if parameters.nonbonded_params is not None:
+        lj = {}
+        elec = {}
+        for i, a in enumerate(uq):
+            sigma, eps = parameters.nonbonded_params["params"][i]
+            first = int(np.where(at == a)[0][0])
+            lj[str(a)] = {
+                "sigma": float(sigma), "epsilon": float(eps),
+                "sigma14": float(sigma), "epsilon14": float(eps),
+            }
+            elec[str(a)] = {"charge": float(parameters.charges[first])}
+        out["lj"] = lj
+        out["electrostatics"] = elec
+
+    out["masses"] = {
+        str(a): float(parameters.masses[int(np.where(at == a)[0][0]), 0])
+        for a in uq
+    }
+
+    def export_two_col(term, names):
+        d = {}
+        for inst, prow in term["map"]:
+            types = at[term["idx"][inst]]
+            d.setdefault(
+                key_of(types),
+                {names[0]: float(term["params"][prow, 0]),
+                 names[1]: float(term["params"][prow, 1])},
+            )
+        return d
+
+    if parameters.bond_params is not None:
+        out["bonds"] = export_two_col(parameters.bond_params, ("k0", "req"))
+    if parameters.angle_params is not None:
+        d = {}
+        for inst, prow in parameters.angle_params["map"]:
+            types = at[parameters.angle_params["idx"][inst]]
+            p = parameters.angle_params["params"][prow]
+            d.setdefault(
+                key_of(types),
+                {"k0": float(p[0]), "theta0": degrees(float(p[1]))},
+            )
+        out["angles"] = d
+    if parameters.dihedral_params is not None:
+        d = {}
+        for inst, prow in parameters.dihedral_params["map"]:
+            types = at[parameters.dihedral_params["idx"][inst]]
+            p = parameters.dihedral_params["params"][prow]
+            ent = d.setdefault(key_of(types), {"terms": []})
+            term = {
+                "phi_k": float(p[0]),
+                "phase": degrees(float(p[1])),
+                "per": float(p[2]),
+            }
+            if term not in ent["terms"]:
+                ent["terms"].append(term)
+        # scnb/scee from the 1-4 tables
+        if parameters.nonbonded_14_params is not None and len(
+            parameters.nonbonded_14_params.get("params", [])
+        ):
+            nb14 = parameters.nonbonded_14_params
+            for inst, prow in nb14["map"]:
+                i, l = nb14["idx"][inst]
+                # find a dihedral with these end atoms for the key
+                didx = parameters.dihedral_params["idx"]
+                cand = np.where(
+                    ((didx[:, 0] == i) & (didx[:, 3] == l))
+                    | ((didx[:, 0] == l) & (didx[:, 3] == i))
+                )[0]
+                if len(cand):
+                    key = key_of(at[didx[cand[0]]])
+                    if key in d:
+                        d[key]["scnb"] = float(nb14["params"][prow, 2])
+                        d[key]["scee"] = float(nb14["params"][prow, 3])
+        out["dihedrals"] = d
+    if parameters.improper_params is not None:
+        d = {}
+        for inst, prow in parameters.improper_params["map"]:
+            types = at[parameters.improper_params["idx"][inst]]
+            p = parameters.improper_params["params"][prow]
+            d.setdefault(
+                key_of(types),
+                {"phi_k": float(p[0]), "phase": degrees(float(p[1])),
+                 "per": float(p[2])},
+            )
+        out["impropers"] = d
+    return out
+
+
 def calculate_AB(sigma, epsilon):
     """Lorentz-Berthelot combination into 12-6 A/B tables
     (reference: torchmd/parameters.py:449-457)."""
