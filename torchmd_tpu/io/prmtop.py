@@ -44,10 +44,16 @@ def _parse_sections(path: str) -> dict[str, list[str]]:
 
 
 def _floats(lines: list[str]) -> np.ndarray:
-    toks: list[str] = []
-    for ln in lines:
-        toks.extend(ln.split())
-    return np.array(toks, dtype=np.float64)
+    text = "\n".join(lines)
+    try:
+        from ..native import parse_floats
+
+        out = parse_floats(text.encode())
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    return np.array(text.split(), dtype=np.float64)
 
 
 def _ints(lines: list[str]) -> np.ndarray:

@@ -190,7 +190,22 @@ def _decompress_frame(f) -> tuple[np.ndarray, int] | None:
 
 def read_xtc(path: str) -> dict:
     """Read all frames. Returns dict with coords (natoms, 3, nframes) in
-    Angstrom, box (3, nframes) diagonal in Angstrom, step, time arrays."""
+    Angstrom, box (3, nframes) diagonal in Angstrom, step, time arrays.
+    Uses the native C++ decoder when available; falls back to the pure
+    Python implementation below."""
+    try:
+        from ..native import xtc_decode
+
+        with open(path, "rb") as f:
+            data = f.read()
+        decoded = xtc_decode(data)
+        if decoded is not None:
+            coords, box, steps, times = decoded
+            return {"coords": coords, "box": box, "step": steps,
+                    "time": times}
+    except Exception:
+        pass  # fall back to the Python decoder
+
     frames = []
     boxes = []
     steps = []
