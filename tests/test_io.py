@@ -1,0 +1,94 @@
+"""Reader unit tests: PDB, PSF, PRMTOP, XTC, COOR/XSC, units and fields."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import DATA_DIR, SYSTEMS_DIR
+
+from torchmd_tpu.io import Molecule
+from torchmd_tpu.io.namd import read_coor, read_xsc
+from torchmd_tpu.io.pdb import read_pdb, write_pdb
+from torchmd_tpu.io.prmtop import Prmtop
+
+
+def test_pdb_fields_and_conect():
+    d = read_pdb(os.path.join(SYSTEMS_DIR, "oscillator", "dummy.pdb"))
+    assert len(d["name"]) == 2
+    assert list(d["name"]) == ["AR", "AR"]
+    assert d["bonds"].tolist() == [[0, 1]]
+    np.testing.assert_allclose(d["coords"][0, :, 0], [51.58, 69.23, 34.13])
+
+
+def test_pdb_cryst1():
+    d = read_pdb(os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"))
+    assert d["crystalinfo"]["a"] == pytest.approx(77.395)
+
+
+def test_psf_sections():
+    m = Molecule(os.path.join(DATA_DIR, "1water", "structure.psf"))
+    assert m.numAtoms == 3
+    assert list(m.atomtype) == ["OT", "HT", "HT"]
+    np.testing.assert_allclose(m.charge, [-0.834, 0.417, 0.417])
+    np.testing.assert_allclose(m.masses, [15.9994, 1.008, 1.008])
+    assert m.bonds.shape == (3, 2)
+    assert m.angles.tolist() == [[1, 0, 2]]
+
+
+def test_prmtop_tables():
+    top = Prmtop(
+        os.path.join(DATA_DIR, "prod_alanine_dipeptide_amber", "structure.prmtop")
+    )
+    assert top.natoms == 688
+    # charges are converted out of AMBER internal units
+    assert abs(top.charge.sum()) < 1e-6
+    assert top.bonds.shape[0] == 687
+    assert (top.bonds >= 0).all() and (top.bonds < 688).all()
+    # water box: mostly O/H masses
+    assert top.masses.max() > 15 and top.masses.min() > 1
+    # LJ diagonal extraction gives sensible sigma/eps for oxygen
+    rmin2, eps = top.lj_diag(int(top.atom_type_index[4]))
+    assert 0 < eps < 1 and 0 < rmin2 < 3
+
+
+def test_coor_xsc():
+    d = os.path.join(DATA_DIR, "prod_alanine_dipeptide_amber")
+    coords = read_coor(os.path.join(d, "input.coor"))
+    assert coords.shape == (688, 3)
+    box = read_xsc(os.path.join(d, "input.xsc"))
+    np.testing.assert_allclose(box, [19.83881, 19.6193, 19.6342], atol=1e-4)
+
+
+def test_xtc_frames_and_box():
+    m = Molecule(os.path.join(DATA_DIR, "sodiumperiodic", "structure.psf"))
+    m.read(os.path.join(DATA_DIR, "sodiumperiodic", "tmp.xtc"))
+    assert m.nframes >= 1
+    assert np.all(m.box[:, 0] > 10)
+    # physically sane water O-H distances in the solvated frames
+    if m.numAtoms > 3:
+        d = np.linalg.norm(m.coords[1, :, 0] - m.coords[2, :, 0])
+        assert 0.5 < d < 2.0
+
+
+def test_pdb_write_roundtrip(tmp_path):
+    m = Molecule(os.path.join(DATA_DIR, "1water", "structure.psf"))
+    m.read(os.path.join(DATA_DIR, "1water", "structure.pdb"))
+    out = tmp_path / "out.pdb"
+    write_pdb(str(out), m)
+    m2 = Molecule(str(out))
+    np.testing.assert_allclose(
+        m2.coords[:, :, 0], m.coords[:, :, 0], atol=1e-3
+    )
+
+
+def test_molecule_multiframe_dropframes():
+    m = Molecule(os.path.join(DATA_DIR, "waterbox", "structure.psf"))
+    m.read(os.path.join(DATA_DIR, "waterbox", "output.xtc"))
+    assert m.nframes == 2
+    first = m.coords[:, :, 0].copy()
+    m.dropFrames(keep=0)
+    assert m.nframes == 1
+    np.testing.assert_array_equal(m.coords[:, :, 0], first)

@@ -5,10 +5,37 @@ TorchMD (classical + coarse-grained differentiable MD): harmonic bonds and
 angles, AMBER/CHARMM torsions, impropers, scaled 1-4, Lennard-Jones with
 switching, Coulomb/reaction-field electrostatics, CG repulsion terms,
 CHARMM/AMBER/YAML force-field input, velocity-Verlet + Langevin dynamics,
-minimizers, PBC wrapping, batched replicas, and pluggable NNPs — designed
+minimizers, PBC wrapping, batched replicas, and pluggable NNPs -- designed
 TPU-first: pure-functional state stepped inside jitted `lax.scan`,
 gather/segment-sum force accumulation, masked fixed-shape pair math, Pallas
-nonbonded kernels, and vmap/shard_map replica parallelism.
+nonbonded kernels, jit-compatible cell lists, and vmap/shard_map
+replica/spatial parallelism over device meshes.
+
+Quick start (mirrors the reference's object API):
+
+    from torchmd_tpu.io import Molecule
+    from torchmd_tpu.forcefields import ForceField
+    from torchmd_tpu.parameters import Parameters
+    from torchmd_tpu.forces import Forces
+    from torchmd_tpu.systems import System
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+
+    mol = Molecule("structure.prmtop"); mol.read("input.coor")
+    ff = ForceField.create(mol, "structure.prmtop")
+    par = Parameters(ff, mol, ["bonds","angles","dihedrals","impropers",
+                               "1-4","electrostatics","lj"])
+    system = System(mol.numAtoms, nreplicas=1)
+    system.set_positions(mol.coords); system.set_box(mol.box)
+    system.set_velocities(maxwell_boltzmann(par.masses, 300))
+    forces = Forces(par, terms=[...], cutoff=9.0, rfa=True)
+    integ = Integrator(system, forces, timestep=2.0, gamma=0.1, T=300)
+    Ekin, Epot, T = integ.step(niter=100)   # one compiled lax.scan
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "io", "forcefields", "parameters", "systems", "forces", "integrator",
+    "minimizers", "wrapper", "neighbors", "potentials", "parallel", "train",
+    "external", "checkpoint", "profiling", "units", "run",
+]
