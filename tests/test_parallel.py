@@ -214,3 +214,27 @@ def test_sharded_force_matching_step():
     np.testing.assert_allclose(
         np.asarray(s_sh.params["lj"]), np.asarray(s_ns.params["lj"]), rtol=1e-9
     )
+
+
+def test_integrator_mesh_option(alanine):
+    """Integrator(mesh=...) shards the replica axis without changing the
+    trajectory."""
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.systems import System
+
+    mol, forces = alanine
+
+    def run(mesh):
+        system = System(mol.numAtoms, 8, "double", "cpu")
+        system.set_positions(mol.coords)
+        system.set_box(mol.box)
+        system.set_velocities(
+            maxwell_boltzmann(forces.par.masses, 300, 8, seed=11)
+        )
+        integ = Integrator(system, forces, 1.0, gamma=0.1, T=300, seed=4,
+                           mesh=mesh)
+        integ.step(niter=5)
+        return system.pos.copy()
+
+    mesh = make_mesh(8, axes=("dp",))
+    np.testing.assert_allclose(run(None), run(mesh), atol=1e-10)

@@ -87,7 +87,7 @@ class Integrator:
     loop is a single compiled scan over `niter` steps."""
 
     def __init__(self, systems, forces, timestep, device=None, gamma=None,
-                 T=None, batch=None, seed=1):
+                 T=None, batch=None, seed=1, mesh=None, mesh_axis="dp"):
         self.dt = timestep / TIMEFACTOR
         self.systems = systems
         self.forces = forces
@@ -115,6 +115,20 @@ class Integrator:
             self.natoms = np.bincount(np.asarray(batch))
         else:
             self.natoms = len(masses)
+
+        # Optional replica sharding: place the leading (nreplicas) axis of
+        # the state on a mesh axis; the compiled scan then runs ensemble-
+        # parallel across chips with no per-step communication.
+        self._sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if systems.nreplicas % mesh.shape[mesh_axis] != 0:
+                raise ValueError(
+                    f"nreplicas={systems.nreplicas} must divide over "
+                    f"mesh axis {mesh_axis}={mesh.shape[mesh_axis]}"
+                )
+            self._sharding = NamedSharding(mesh, P(mesh_axis))
 
         self.key = jax.random.PRNGKey(seed)
         # Host-loop fallback: duck-typed force providers without a jittable
@@ -251,10 +265,15 @@ class Integrator:
     def _state_from_system(self) -> SimState:
         s = self.systems
         dtype = self.dtype
+
+        def put(x):
+            x = jnp.asarray(x, dtype=dtype)
+            if self._sharding is not None:
+                x = jax.device_put(x, self._sharding)
+            return x
+
         return SimState(
-            pos=jnp.asarray(s.pos, dtype=dtype),
-            vel=jnp.asarray(s.vel, dtype=dtype),
-            forces=jnp.asarray(s.forces, dtype=dtype),
+            pos=put(s.pos), vel=put(s.vel), forces=put(s.forces),
             key=self.key,
         )
 
@@ -268,6 +287,8 @@ class Integrator:
     def step(self, niter=1):
         systems = self.systems
         box = jnp.asarray(systems.box_diag, dtype=self.dtype)
+        if self._sharding is not None:
+            box = jax.device_put(box, self._sharding)
 
         if self._host_path:
             # Host-coupled external potential (e.g. a torch NNP): step with

@@ -228,6 +228,118 @@ class Parameters:
         return out
 
     # ------------------------------------------------------------------
+    def precision_(self, precision):
+        """API parity no-op: assembly is kept in float64; consumers pick
+        their compute dtype (Forces(precision=...))."""
+        self.precision = precision
+
+    def to_(self, device):
+        """API parity: host-side tables have no device placement."""
+        self.device = device
+
+    def to_parmed(self, mol):
+        """Export to a parmed.ParameterSet (requires parmed). For a
+        dependency-free round trip use `to_yaml_ff`."""
+        try:
+            from parmed.parameters import ParameterSet
+            from parmed.topologyobjects import (
+                AngleType, AtomType, BondType, DihedralType,
+                DihedralTypeList, ImproperType,
+            )
+        except ImportError as e:
+            raise ImportError(
+                "to_parmed requires the optional 'parmed' package; "
+                "use to_yaml_ff() for a dependency-free export"
+            ) from e
+        from math import degrees
+
+        from .io.periodictable import NUMBER_BY_SYMBOL
+
+        prm = ParameterSet()
+        at = np.asarray(self.atomtypes)
+        uq = np.unique(at)
+        sigma = self.nonbonded_params["params"][:, 0]
+        epsilon = self.nonbonded_params["params"][:, 1]
+        for i, a in enumerate(uq):
+            idx = int(np.where(at == a)[0][0])
+            el = str(mol.element[idx]) if mol.element is not None else "C"
+            atype = AtomType(
+                name=str(a), number=i + 1, mass=float(self.masses[idx, 0]),
+                atomic_number=NUMBER_BY_SYMBOL.get(el, 6),
+            )
+            atype.sigma = float(sigma[i])
+            atype.epsilon = float(epsilon[i])
+            atype.sigma_14 = float(sigma[i])
+            atype.epsilon_14 = float(epsilon[i])
+            prm.atom_types[str(a)] = atype
+
+        if self.bond_params is not None:
+            for b, p in self.bond_params["map"]:
+                key = tuple(at[self.bond_params["idx"][b]])
+                bt = BondType(
+                    k=float(self.bond_params["params"][p, 0]),
+                    req=float(self.bond_params["params"][p, 1]),
+                )
+                prm.bond_types[key] = bt
+                prm.bond_types[key[::-1]] = bt
+        if self.angle_params is not None:
+            for a_, p in self.angle_params["map"]:
+                key = tuple(at[self.angle_params["idx"][a_]])
+                t = AngleType(
+                    k=float(self.angle_params["params"][p, 0]),
+                    theteq=degrees(float(self.angle_params["params"][p, 1])),
+                )
+                prm.angle_types[key] = t
+                prm.angle_types[key[::-1]] = t
+        if self.dihedral_params is not None:
+            dmap = np.asarray(self.dihedral_params["map"])
+            dpar = np.asarray(self.dihedral_params["params"])
+            for i in range(dpar.shape[0]):
+                inst = int(dmap[dmap[:, 1] == i][0, 0])
+                key = tuple(at[self.dihedral_params["idx"][inst]])
+                if key not in prm.dihedral_types:
+                    lst = DihedralTypeList()
+                    prm.dihedral_types[key] = lst
+                    prm.dihedral_types[key[::-1]] = lst
+                scnb, scee = 2.0, 1.2
+                if self.nonbonded_14_params is not None and len(
+                    self.nonbonded_14_params.get("params", [])
+                ):
+                    idx14 = np.asarray(self.nonbonded_14_params["idx"])
+                    quad = self.dihedral_params["idx"][inst]
+                    ends = sorted([int(quad[0]), int(quad[3])])
+                    hit = np.where(np.all(idx14 == np.array(ends), axis=1))[0]
+                    if len(hit):
+                        prow = int(self.nonbonded_14_params["map"][hit[0], 1])
+                        scnb = round(
+                            float(self.nonbonded_14_params["params"][prow, 2]), 2
+                        )
+                        scee = round(
+                            float(self.nonbonded_14_params["params"][prow, 3]), 2
+                        )
+                prm.dihedral_types[key].append(
+                    DihedralType(
+                        phi_k=float(dpar[i, 0]), per=float(dpar[i, 2]),
+                        phase=degrees(float(dpar[i, 1])), scee=scee, scnb=scnb,
+                    )
+                )
+        if self.improper_params is not None:
+            for d, p in self.improper_params["map"]:
+                key = tuple(at[self.improper_params["idx"][d]])
+                skey = sorted([key[0], key[1], key[3]])
+                key = (skey[0], skey[1], key[2], skey[2])
+                prow = np.asarray(self.improper_params["params"])[p]
+                if prow[2] == 0:
+                    prm.improper_types[key] = ImproperType(
+                        psi_k=float(prow[0]), psi_eq=degrees(float(prow[1]))
+                    )
+                else:
+                    prm.improper_periodic_types[key] = DihedralType(
+                        phi_k=float(prow[0]), per=float(prow[2]),
+                        phase=degrees(float(prow[1])),
+                    )
+        return prm
+
     def get_AB(self):
         sigma = self.nonbonded_params["params"][:, 0]
         epsilon = self.nonbonded_params["params"][:, 1]
