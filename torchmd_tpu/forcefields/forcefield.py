@@ -56,6 +56,35 @@ class _ForceFieldBase(ABC):
         ...
 
 
+class NullForcefield(_ForceFieldBase):
+    """Placeholder for runs with no molecular-mechanics terms (external
+    potential only). Any parameter lookup raises."""
+
+    def __init__(self, mol):
+        self.mol = mol
+
+    def _unavailable(self, *a):
+        raise RuntimeError(
+            "No force-field file was provided; only external-potential "
+            "terms are available."
+        )
+
+    get_atom_types = _unavailable
+    get_charge = _unavailable
+    get_LJ = _unavailable
+    get_bond = _unavailable
+    get_angle = _unavailable
+    get_dihedral = _unavailable
+    get_14 = _unavailable
+    get_improper = _unavailable
+
+    def get_mass(self, at):
+        import numpy as np
+
+        idx = np.where(self.mol.atomtype == at)[0][0]
+        return self.mol.masses[idx]
+
+
 class ForceField:
     """Factory selecting a force-field reader by file extension."""
 
@@ -65,6 +94,10 @@ class ForceField:
         from .ff_charmm import CharmmForcefield
         from .ff_amber import AmberForcefield
 
+        if prm is None:
+            # No parameter file: valid for external-potential-only runs
+            # (e.g. npz + NNP with empty force terms)
+            return NullForcefield(mol)
         if isinstance(prm, (list, tuple)):
             # CHARMM prm (+ rtf) file set
             return CharmmForcefield(mol, prm)
