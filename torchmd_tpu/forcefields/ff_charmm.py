@@ -211,6 +211,13 @@ class CharmmForcefield(_ForceFieldBase):
             e14_4,
         )
 
+    def get_nbfix(self):
+        """Pair-specific LJ overrides {(t1, t2): (eps, rmin_full)} from the
+        NBFIX section (capability the reference lacks: its 2ions/3ions
+        tests loosen tolerances with 'I don't have nbfix',
+        tests/test_torchmd.py:325-326)."""
+        return dict(self.prm.nbfix_types)
+
     def get_improper(self, at1, at2, at3, at4):
         types = np.array((at1, at2, at3, at4))
         perms = [x for x in permutations((0, 1, 2, 3)) if x[2] == 2]

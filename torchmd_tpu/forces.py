@@ -68,6 +68,7 @@ class Forces:
         exclusions=("bonds", "angles", "1-4"),
         precision=None,
         kernel="auto",
+        nbfix=False,
     ):
         self.par = parameters
         if terms is None:
@@ -111,7 +112,9 @@ class Forces:
             dihedrals_amber=_amber(parameters.dihedral_params),
             impropers_amber=_amber(parameters.improper_params),
         )
-        self.ffparams = make_ffparams(parameters, exclusions, dtype=self.dtype)
+        self.ffparams = make_ffparams(
+            parameters, exclusions, dtype=self.dtype, nbfix=nbfix
+        )
 
         # Kernel selection for the fused energy+forces hot path: the Pallas
         # TPU kernel handles the dense nonbonded block when running f32 on
@@ -140,6 +143,7 @@ class Forces:
             and pallas_available()
             and self.dtype == jnp.float32
             and pallas_supported_terms(self.config)
+            and self.ffparams.lj_ab is None  # NBFIX tables: dense path
         )
         if self.use_pallas:
             self._nb_data = prepare_nb_data(self.ffparams)

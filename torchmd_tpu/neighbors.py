@@ -198,15 +198,22 @@ def cell_nonbonded_energy_forces(
     g = jnp.zeros_like(d2)
     needs_ab = any(t in cfg.terms for t in ("lj", "repulsion", "repulsioncg"))
     if needs_ab:
-        s_at = ffp.lj_params[:, 0][ffp.mapped_atom_types]
-        e_at = ffp.lj_params[:, 1][ffp.mapped_atom_types]
-        s_pad = jnp.concatenate([s_at, jnp.zeros(1, s_at.dtype)])
-        e_pad = jnp.concatenate([e_at, jnp.zeros(1, e_at.dtype)])
-        sig = 0.5 * (s_at[:, None] + s_pad[cands])
-        eps = jnp.sqrt(jnp.abs(e_at[:, None] * e_pad[cands]))
-        s6 = sig**6
-        B = 4.0 * eps * s6
-        A = B * s6
+        if ffp.lj_ab is not None:
+            ti = ffp.mapped_atom_types
+            t_pad = jnp.concatenate([ti, jnp.zeros(1, ti.dtype)])
+            tj = t_pad[cands]
+            A = ffp.lj_ab[0][ti[:, None], tj]
+            B = ffp.lj_ab[1][ti[:, None], tj]
+        else:
+            s_at = ffp.lj_params[:, 0][ffp.mapped_atom_types]
+            e_at = ffp.lj_params[:, 1][ffp.mapped_atom_types]
+            s_pad = jnp.concatenate([s_at, jnp.zeros(1, s_at.dtype)])
+            e_pad = jnp.concatenate([e_at, jnp.zeros(1, e_at.dtype)])
+            sig = 0.5 * (s_at[:, None] + s_pad[cands])
+            eps = jnp.sqrt(jnp.abs(e_at[:, None] * e_pad[cands]))
+            s6 = sig**6
+            B = 4.0 * eps * s6
+            A = B * s6
         rinv6 = rinv**6
         rinv12 = rinv6 * rinv6
     if "lj" in cfg.terms:

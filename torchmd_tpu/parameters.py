@@ -49,6 +49,7 @@ class Parameters:
         self.natoms = mol.numAtoms
         self.precision = precision
         self.device = device
+        self.nbfix = np.zeros((0, 4))  # rows: [type_i, type_j, eps, rmin]
 
         if terms is None:
             terms = ("bonds", "angles", "dihedrals", "impropers", "1-4", "lj")
@@ -89,6 +90,7 @@ class Parameters:
 
         if any(t in terms for t in ("lj", "repulsion", "repulsioncg")):
             self.nonbonded_params = self._make_nonbonded(mol, ff, uqatomtypes)
+            self.nbfix = self._make_nbfix(ff, uqatomtypes)
         if "bonds" in terms and len(mol.bonds):
             self.bond_params = self._make_bonds(mol, ff)
         if "angles" in terms and len(mol.angles):
@@ -107,6 +109,23 @@ class Parameters:
             [np.arange(mol.numAtoms), self.mapped_atom_types], axis=1
         ).astype(np.int64)
         return {"idx": None, "map": mapping, "params": params}
+
+    def _make_nbfix(self, ff, uqatomtypes):
+        """Pair-specific LJ overrides as [type_i, type_j, eps, rmin_full]
+        rows over the unique-type index space (CHARMM NBFIX)."""
+        getter = getattr(ff, "get_nbfix", None)
+        if getter is None:
+            return np.zeros((0, 4))
+        tmap = {t: i for i, t in enumerate(uqatomtypes)}
+        rows = []
+        seen = set()
+        for (t1, t2), (eps, rmin) in getter().items():
+            if t1 in tmap and t2 in tmap:
+                i, j = sorted((tmap[t1], tmap[t2]))
+                if (i, j) not in seen:
+                    seen.add((i, j))
+                    rows.append([i, j, abs(eps), rmin])
+        return np.asarray(rows, dtype=np.float64).reshape(-1, 4)
 
     def _make_bonds(self, mol, ff):
         uqbonds = np.unique([sorted(bb) for bb in mol.bonds], axis=0)

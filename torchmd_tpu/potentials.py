@@ -66,6 +66,9 @@ class FFParams(NamedTuple):
     impropers: Optional[TermTable]
     nb14: Optional[TermTable]       # idx (q, 2); params rows [A, B, scnb, scee]
     nb_mask: Optional[jnp.ndarray]  # (natoms, natoms) bool: nonbonded pairs
+    # Optional pair-specific LJ override tables (ntypes, ntypes): set when
+    # NBFIX handling is enabled (capability beyond the reference).
+    lj_ab: Optional[tuple] = None   # (A_table, B_table)
 
 
 class ForceTermConfig(NamedTuple):
@@ -214,16 +217,21 @@ def nonbonded_energies(par: FFParams, pos, box, cfg: ForceTermConfig):
     out = {}
     needs_ab = any(t in cfg.terms for t in ("lj", "repulsion", "repulsioncg"))
     if needs_ab:
-        sigma = par.lj_params[:, 0]
-        epsilon = par.lj_params[:, 1]
-        s_at = sigma[par.mapped_atom_types]
-        e_at = epsilon[par.mapped_atom_types]
-        # Lorentz-Berthelot per pair (parameters.py:449-457)
-        sig_ij = 0.5 * (s_at[:, None] + s_at[None, :])
-        eps_ij = jnp.sqrt(jnp.abs(e_at[:, None] * e_at[None, :]))
-        s6 = sig_ij**6
-        B_ij = 4.0 * eps_ij * s6
-        A_ij = B_ij * s6
+        if par.lj_ab is not None:
+            ti = par.mapped_atom_types
+            A_ij = par.lj_ab[0][ti[:, None], ti[None, :]]
+            B_ij = par.lj_ab[1][ti[:, None], ti[None, :]]
+        else:
+            sigma = par.lj_params[:, 0]
+            epsilon = par.lj_params[:, 1]
+            s_at = sigma[par.mapped_atom_types]
+            e_at = epsilon[par.mapped_atom_types]
+            # Lorentz-Berthelot per pair (parameters.py:449-457)
+            sig_ij = 0.5 * (s_at[:, None] + s_at[None, :])
+            eps_ij = jnp.sqrt(jnp.abs(e_at[:, None] * e_at[None, :]))
+            s6 = sig_ij**6
+            B_ij = 4.0 * eps_ij * s6
+            A_ij = B_ij * s6
 
     if "lj" in cfg.terms:
         rinv6 = rinv**6
@@ -339,13 +347,18 @@ def nonbonded_energy_forces(par: FFParams, pos, box, cfg: ForceTermConfig):
 
     needs_ab = any(t in cfg.terms for t in ("lj", "repulsion", "repulsioncg"))
     if needs_ab:
-        s_at = par.lj_params[:, 0][par.mapped_atom_types]
-        e_at = par.lj_params[:, 1][par.mapped_atom_types]
-        sig_ij = 0.5 * (s_at[:, None] + s_at[None, :])
-        eps_ij = jnp.sqrt(jnp.abs(e_at[:, None] * e_at[None, :]))
-        s6 = sig_ij**6
-        B_ij = 4.0 * eps_ij * s6
-        A_ij = B_ij * s6
+        if par.lj_ab is not None:
+            ti = par.mapped_atom_types
+            A_ij = par.lj_ab[0][ti[:, None], ti[None, :]]
+            B_ij = par.lj_ab[1][ti[:, None], ti[None, :]]
+        else:
+            s_at = par.lj_params[:, 0][par.mapped_atom_types]
+            e_at = par.lj_params[:, 1][par.mapped_atom_types]
+            sig_ij = 0.5 * (s_at[:, None] + s_at[None, :])
+            eps_ij = jnp.sqrt(jnp.abs(e_at[:, None] * e_at[None, :]))
+            s6 = sig_ij**6
+            B_ij = 4.0 * eps_ij * s6
+            A_ij = B_ij * s6
         rinv6 = rinv**6
         rinv12 = rinv6 * rinv6
 
@@ -428,10 +441,12 @@ def _term_table(d, dtype) -> Optional[TermTable]:
 
 
 def make_ffparams(parameters, exclusions=("bonds", "angles", "1-4"),
-                  dtype=jnp.float32) -> FFParams:
+                  dtype=jnp.float32, nbfix=False) -> FFParams:
     """Freeze a host-side `Parameters` assembly into the FFParams pytree.
     `exclusions` selects which bonded neighbor classes are masked out of
-    the all-pairs nonbonded evaluation (reference default 1-2/1-3/1-4)."""
+    the all-pairs nonbonded evaluation (reference default 1-2/1-3/1-4).
+    `nbfix=True` bakes pair-specific CHARMM NBFIX LJ overrides into
+    (ntypes, ntypes) A/B tables (the reference silently ignores NBFIX)."""
     excl = parameters.get_exclusions(types=exclusions, fullarray=True)
     nb_mask = ~excl
     np.fill_diagonal(nb_mask, False)
@@ -448,7 +463,29 @@ def make_ffparams(parameters, exclusions=("bonds", "angles", "1-4"),
             params=jnp.asarray(d["params"], dtype=dtype),
         )
 
+    lj_ab = None
+    if nbfix and parameters.nonbonded_params is not None and len(
+        getattr(parameters, "nbfix", [])
+    ):
+        sig = np.asarray(parameters.nonbonded_params["params"][:, 0])
+        eps = np.abs(np.asarray(parameters.nonbonded_params["params"][:, 1]))
+        sig_ij = 0.5 * (sig[:, None] + sig[None, :])
+        eps_ij = np.sqrt(eps[:, None] * eps[None, :])
+        s6 = sig_ij**6
+        B_tab = 4.0 * eps_ij * s6
+        A_tab = B_tab * s6
+        for ti, tj, feps, frmin in np.asarray(parameters.nbfix):
+            i, j = int(ti), int(tj)
+            # NBFIX rows give Emin and the FULL Rmin of the pair:
+            # E = eps ((Rmin/r)^12 - 2 (Rmin/r)^6)
+            a = feps * frmin**12
+            b = 2.0 * feps * frmin**6
+            A_tab[i, j] = A_tab[j, i] = a
+            B_tab[i, j] = B_tab[j, i] = b
+        lj_ab = (jnp.asarray(A_tab, dtype), jnp.asarray(B_tab, dtype))
+
     return FFParams(
+        lj_ab=lj_ab,
         charges=jnp.asarray(parameters.charges, dtype=dtype),
         masses=jnp.asarray(parameters.masses, dtype=dtype),
         mapped_atom_types=jnp.asarray(parameters.mapped_atom_types, jnp.int32),
