@@ -51,7 +51,8 @@ print("Initial Epot per replica:", Epot)
 # ----------------------------------------------------------------------
 # 4. Dynamics: 100 steps = ONE compiled lax.scan, zero host syncs
 # ----------------------------------------------------------------------
-integrator = Integrator(system, forces, timestep=2.0, gamma=0.1, T=300)
+# 1 fs: unconstrained TIP3P water is unstable beyond ~1 fs (no SHAKE yet)
+integrator = Integrator(system, forces, timestep=1.0, gamma=0.1, T=300)
 for i in range(5):
     Ekin, Epot, T = integrator.step(niter=100)
     print(f"iter {(i + 1) * 100:5d}  Epot={Epot[0]:10.3f}  "

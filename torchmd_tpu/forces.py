@@ -201,16 +201,21 @@ class Forces:
                 pot["external"] = ext_energy_fn(pos, box)
             return pot
 
-        def _pot_and_forces(ffp, pos, box):
-            def etot(p):
-                return sum(jax.tree_util.tree_leaves(_potentials_one(ffp, p, box)))
-
-            pot = _potentials_one(ffp, pos, box)
-            return pot, -jax.grad(etot)(pos)
+        def _pot_and_forces(pos, box):
+            # fused analytic (or Pallas) nonbonded + AD bonded -- identical
+            # numbers to the pure-AD path (tests/test_fused.py) and far
+            # cheaper to compile/execute
+            pot, frc = ef_one(pos, box)
+            if ext_energy_fn is not None:
+                ee, eg = jax.value_and_grad(ext_energy_fn)(pos, box)
+                pot = dict(pot)
+                pot["external"] = ee
+                frc = frc - eg
+            return pot, frc
 
         self._potentials_one = _potentials_one
         self._jit_pot = jax.jit(jax.vmap(_potentials_one, in_axes=(None, 0, 0)))
-        self._jit_pot_forces = jax.jit(jax.vmap(_pot_and_forces, in_axes=(None, 0, 0)))
+        self._jit_pot_forces = jax.jit(jax.vmap(_pot_and_forces, in_axes=(0, 0)))
 
     # ------------------------------------------------------------------
     def ensure_cell_kernel(self, box):
@@ -247,7 +252,7 @@ class Forces:
         box_j = _box_to_diag(box, nreplicas, self.dtype)
 
         if calculateForces:
-            pot, frc = self._jit_pot_forces(self.ffparams, pos_j, box_j)
+            pot, frc = self._jit_pot_forces(pos_j, box_j)
         else:
             pot = self._jit_pot(self.ffparams, pos_j, box_j)
             frc = None

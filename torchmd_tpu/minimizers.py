@@ -22,26 +22,26 @@ logger = logging.getLogger(__name__)
 
 
 def _energy_forces_fn(forces):
-    """(pos (R,N,3), box (R,3)) -> (Epot (R,), forces (R,N,3)) jitted."""
-    from .potentials import compute_potentials
-
-    ffp = forces.ffparams
-    cfg = forces.config
+    """(pos (R,N,3), box (R,3)) -> (Epot (R,), forces (R,N,3)) jitted,
+    via the Forces object's fused hot path (Pallas/analytic nonbonded +
+    AD bonded)."""
     ext = getattr(forces.external, "energy_fn", None)
 
-    def etot_one(pos, box):
-        pot = compute_potentials(ffp, pos, box, cfg)
-        e = sum(jax.tree_util.tree_leaves(pot))
+    def ef(pos, box):
+        pot, frc = forces.ef_one(pos, box)
+        leaves = jax.tree_util.tree_leaves(pot)
+        e = sum(leaves) if leaves else jnp.zeros((), pos.dtype)
         if ext is not None:
-            e = e + ext(pos, box)
-        return e
+            ee, eg = jax.value_and_grad(ext)(pos, box)
+            e = e + ee
+            frc = frc - eg
+        return e, frc
 
-    vg = jax.vmap(jax.value_and_grad(etot_one), in_axes=(0, 0))
+    vg = jax.vmap(ef, in_axes=(0, 0))
 
     @jax.jit
     def efn(pos, box):
-        e, g = vg(pos, box)
-        return e, -g
+        return vg(pos, box)
 
     return efn
 
