@@ -21,6 +21,8 @@ import os
 import sys
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))

@@ -125,3 +125,31 @@ def test_checkpoint_resume(tmp_path):
     mol, system, forces = runmod.setup(args)
     runmod.dynamics(args, mol, system, forces)
     np.testing.assert_allclose(system.pos, full_pos, atol=1e-8)
+
+
+def test_run_coarse_grained(tmp_path):
+    """Coarse-grained chain (tests/cg config shape): PSF topology, XTC
+    coords, YAML FF with bonds/angles/repulsionCG terms."""
+    args = runmod.get_args([
+        "--topology", os.path.join(SYSTEMS_DIR, "cg", "cg_structure.psf"),
+        "--coordinates", os.path.join(SYSTEMS_DIR, "cg", "cg_structure.xtc"),
+        "--forcefield", os.path.join(SYSTEMS_DIR, "cg", "forcefield.yaml"),
+        "--forceterms", "Bonds", "Angles", "RepulsionCG",
+        "--cutoff", "7.3",
+        "--replicas", "2",
+        "--precision", "double",
+        "--steps", "20", "--output-period", "10", "--save-period", "20",
+        "--temperature", "350", "--langevin-temperature", "350",
+        "--langevin-gamma", "1.0",
+        "--log-dir", str(tmp_path),
+        "--device", "cpu",
+        "--exclusions", "bonds",
+    ])
+    mol, system, forces = runmod.setup(args)
+    assert "repulsioncg" in forces.energies
+    runmod.dynamics(args, mol, system, forces)
+    assert os.path.exists(tmp_path / "monitor_1.csv")
+    import csv
+    with open(tmp_path / "monitor_0.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert np.isfinite(float(rows[-1]["epot"]))

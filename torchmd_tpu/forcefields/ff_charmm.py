@@ -211,6 +211,14 @@ class CharmmForcefield(_ForceFieldBase):
             e14_4,
         )
 
+    def get_urey_bradley(self, at1, at2, at3):
+        """(Kub, S0) for the 1-3 spring of a CHARMM angle type, or None
+        when the angle has no UB columns."""
+        for key in ((at1, at2, at3), (at3, at2, at1)):
+            if key in self.prm.urey_bradley_types:
+                return self.prm.urey_bradley_types[key]
+        return None
+
     def get_nbfix(self):
         """Pair-specific LJ overrides {(t1, t2): (eps, rmin_full)} from the
         NBFIX section (capability the reference lacks: its 2ions/3ions

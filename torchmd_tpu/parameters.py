@@ -50,6 +50,7 @@ class Parameters:
         self.precision = precision
         self.device = device
         self.nbfix = np.zeros((0, 4))  # rows: [type_i, type_j, eps, rmin]
+        self.urey_bradley_params = None
 
         if terms is None:
             terms = ("bonds", "angles", "dihedrals", "impropers", "1-4", "lj")
@@ -81,9 +82,16 @@ class Parameters:
         self.mapped_atom_types = indexes.astype(np.int64)
         self.charges = np.asarray(mol.charge, dtype=np.float64)
 
-        if mol.masses is not None and len(np.atleast_1d(mol.masses)):
-            self.masses = np.asarray(mol.masses, dtype=np.float64).reshape(-1, 1)
+        mm = (
+            np.asarray(mol.masses, dtype=np.float64)
+            if mol.masses is not None
+            else np.zeros(0)
+        )
+        if mm.size and np.any(mm != 0):
+            self.masses = mm.reshape(-1, 1)
         else:
+            # topology carries no masses (e.g. coarse-grained PSFs with
+            # zero mass columns): take them from the force field
             self.masses = np.array(
                 [ff.get_mass(at) for at in mol.atomtype], dtype=np.float64
             ).reshape(-1, 1)
@@ -95,6 +103,8 @@ class Parameters:
             self.bond_params = self._make_bonds(mol, ff)
         if "angles" in terms and len(mol.angles):
             self.angle_params = self._make_angles(mol, ff)
+        if "urey-bradley" in terms and len(mol.angles):
+            self.urey_bradley_params = self._make_urey_bradley(mol, ff)
         if "dihedrals" in terms and len(mol.dihedrals):
             self.dihedral_params = self._make_dihedrals(mol, ff)
         if "impropers" in terms and len(mol.impropers):
@@ -181,6 +191,37 @@ class Parameters:
             "idx": uqdihedrals.astype(np.int64),
             "map": np.array(mapping, dtype=np.int64),
             "params": np.array(rows, dtype=np.float64),
+        }
+
+    def _make_urey_bradley(self, mol, ff):
+        """CHARMM Urey-Bradley 1-3 springs: harmonic in the terminal-atom
+        distance of angles whose type triple carries UB parameters
+        (capability the reference lacks)."""
+        getter = getattr(ff, "get_urey_bradley", None)
+        if getter is None:
+            return None
+        uqangles = np.unique(
+            [ang if ang[0] < ang[2] else ang[::-1] for ang in mol.angles], axis=0
+        )
+        at = np.asarray(mol.atomtype)
+        param_idx: dict = {}
+        rows, mapping, idx = [], [], []
+        for aa in uqangles:
+            at_t = tuple(at[aa])
+            p = getter(*at_t)
+            if p is None:
+                continue
+            if at_t not in param_idx:
+                rows.append(p)
+                param_idx[at_t] = len(rows) - 1
+            mapping.append([len(idx), param_idx[at_t]])
+            idx.append([aa[0], aa[2]])
+        if not rows:
+            return None
+        return {
+            "idx": np.asarray(idx, dtype=np.int64),
+            "map": np.asarray(mapping, dtype=np.int64),
+            "params": np.asarray(rows, dtype=np.float64),
         }
 
     def _make_impropers(self, mol, ff):

@@ -38,7 +38,8 @@ import numpy as np
 
 from .units import ELEC_FACTOR
 
-BONDED_TERMS = ("bonds", "angles", "dihedrals", "impropers", "1-4")
+BONDED_TERMS = ("bonds", "angles", "dihedrals", "impropers", "1-4",
+                "urey-bradley")
 NONBONDED_TERMS = ("electrostatics", "lj", "repulsion", "repulsioncg")
 TERMS = BONDED_TERMS + NONBONDED_TERMS
 
@@ -66,6 +67,8 @@ class FFParams(NamedTuple):
     impropers: Optional[TermTable]
     nb14: Optional[TermTable]       # idx (q, 2); params rows [A, B, scnb, scee]
     nb_mask: Optional[jnp.ndarray]  # (natoms, natoms) bool: nonbonded pairs
+    # Urey-Bradley 1-3 springs (CHARMM; capability beyond the reference):
+    urey_bradley: Optional[TermTable] = None
     # Optional pair-specific LJ override tables (ntypes, ntypes): set when
     # NBFIX handling is enabled (capability beyond the reference).
     lj_ab: Optional[tuple] = None   # (A_table, B_table)
@@ -275,6 +278,9 @@ def compute_potentials(par: FFParams, pos, box, cfg: ForceTermConfig) -> dict:
         pot["bonds"] = bond_energy(par.bonds, pos, box, cfg.cutoff)
     if "angles" in cfg.terms and par.angles is not None:
         pot["angles"] = angle_energy(par.angles, pos, box)
+    if "urey-bradley" in cfg.terms and par.urey_bradley is not None:
+        # harmonic 1-3 spring, same functional form as bonds
+        pot["urey-bradley"] = bond_energy(par.urey_bradley, pos, box)
     if "dihedrals" in cfg.terms and par.dihedrals is not None:
         pot["dihedrals"] = torsion_energy(
             par.dihedrals, pos, box, cfg.dihedrals_amber
@@ -500,4 +506,7 @@ def make_ffparams(parameters, exclusions=("bonds", "angles", "1-4"),
         impropers=_term_table(parameters.improper_params, dtype),
         nb14=nb14,
         nb_mask=jnp.asarray(nb_mask),
+        urey_bradley=_term_table(
+            getattr(parameters, "urey_bradley_params", None), dtype
+        ),
     )
