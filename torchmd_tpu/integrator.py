@@ -87,7 +87,8 @@ class Integrator:
     loop is a single compiled scan over `niter` steps."""
 
     def __init__(self, systems, forces, timestep, device=None, gamma=None,
-                 T=None, batch=None, seed=1, mesh=None, mesh_axis="dp"):
+                 T=None, batch=None, seed=1, mesh=None, mesh_axis="dp",
+                 constraints=None):
         self.dt = timestep / TIMEFACTOR
         self.systems = systems
         self.forces = forces
@@ -115,6 +116,22 @@ class Integrator:
             self.natoms = np.bincount(np.asarray(batch))
         else:
             self.natoms = len(masses)
+
+        # Optional SHAKE/RATTLE bond constraints (new vs the reference):
+        # temperature then uses the reduced DOF count 3N - C.
+        self.constraints = None
+        self._dof_scale = 1.0
+        if constraints:
+            from .constraints import build_constraints
+
+            self.constraints = build_constraints(
+                forces.par, masses, mode=constraints
+            )
+            if self.constraints is not None and batch is None:
+                ncon = int(self.constraints.pairs.shape[0])
+                self._dof_scale = (3 * len(masses)) / max(
+                    3 * len(masses) - ncon, 1
+                )
 
         # Optional replica sharding: place the leading (nreplicas) axis of
         # the state on a mesh axis; the compiled scan then runs ensemble-
@@ -179,10 +196,21 @@ class Integrator:
 
         e_and_f = jax.vmap(ef_one, in_axes=(0, 0))
 
+        cs = self.constraints
+        if cs is not None:
+            from .constraints import rattle_velocities, shake_positions
+
+            shake_v = jax.vmap(lambda pn, pr: shake_positions(cs, pn, pr))
+            rattle_v = jax.vmap(lambda p, v: rattle_velocities(cs, p, v))
+
         @partial(jax.jit, static_argnames=("niter",))
         def run(state: SimState, box, niter: int):
             def body(st, _):
                 pos, vel = _first_vv(st.pos, st.vel, st.forces, masses, dt)
+                if cs is not None:
+                    pos_c = shake_v(pos, st.pos)
+                    vel = vel + (pos_c - pos) / dt
+                    pos = pos_c
                 epot, frc = e_and_f(pos, box)
                 key = st.key
                 if use_thermostat:
@@ -190,6 +218,8 @@ class Integrator:
                     noise = jax.random.normal(sub, vel.shape, dtype=vel.dtype)
                     vel = vel - gamma * vel * dt + noise * vcoeff
                 vel = _second_vv(vel, frc, masses, dt)
+                if cs is not None:
+                    vel = rattle_v(pos, vel)
                 return SimState(pos, vel, frc, key), epot
 
             state, epots = jax.lax.scan(body, state, None, length=niter)
@@ -241,11 +271,22 @@ class Integrator:
 
         e_and_f = jax.vmap(ef_one, in_axes=(0, 0, 0))
 
+        cs = self.constraints
+        if cs is not None:
+            from .constraints import rattle_velocities, shake_positions
+
+            shake_v = jax.vmap(lambda pn, pr: shake_positions(cs, pn, pr))
+            rattle_v = jax.vmap(lambda p, v: rattle_velocities(cs, p, v))
+
         @partial(jax.jit, static_argnames=("niter",))
         def run(carry, box, niter: int):
             def body(c, _):
                 st, cl = c
                 pos, vel = _first_vv(st.pos, st.vel, st.forces, masses, dt)
+                if cs is not None:
+                    pos_c = shake_v(pos, st.pos)
+                    vel = vel + (pos_c - pos) / dt
+                    pos = pos_c
                 cl = update_all(pos, cl)
                 epot, frc = e_and_f(pos, box, cl)
                 key = st.key
@@ -254,6 +295,8 @@ class Integrator:
                     noise = jax.random.normal(sub, vel.shape, dtype=vel.dtype)
                     vel = vel - gamma * vel * dt + noise * vcoeff
                 vel = _second_vv(vel, frc, masses, dt)
+                if cs is not None:
+                    vel = rattle_v(pos, vel)
                 return (SimState(pos, vel, frc, key), cl), epot
 
             carry, epots = jax.lax.scan(body, carry, None, length=niter)
@@ -333,5 +376,5 @@ class Integrator:
 
         ke = kinetic_energy(self.masses, self.systems.vel, self.batch)
         Ekin = np.asarray(ke).flatten()
-        T = kinetic_to_temp(Ekin, self.natoms)
+        T = kinetic_to_temp(Ekin, self.natoms) * self._dof_scale
         return Ekin, epot, T
