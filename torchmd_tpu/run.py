@@ -74,6 +74,8 @@ def get_args(arguments=None):
                         type=tuple, help="exclusions for the LJ/repulsionCG term")
     parser.add_argument("--npz_file", default=None, type=str,
                         help="Input file.npz with coord and z")
+    parser.add_argument("--constraints", default=None, type=str,
+                        help="Bond constraints: hbonds | allbonds (SHAKE/RATTLE)")
     parser.add_argument("--profile", default=False, action="store_true",
                         help="Capture a jax profiler trace of the hot loop")
 
@@ -183,6 +185,7 @@ def dynamics(args, mol, system, forces):
     integrator = Integrator(
         system, forces, args.timestep, args.device,
         gamma=args.langevin_gamma, T=args.langevin_temperature, seed=args.seed,
+        constraints=getattr(args, "constraints", None),
     )
     wrapper = Wrapper(mol.numAtoms, mol.bonds if len(mol.bonds) else None,
                       args.device)
