@@ -153,3 +153,27 @@ def test_run_coarse_grained(tmp_path):
     with open(tmp_path / "monitor_0.csv") as f:
         rows = list(csv.DictReader(f))
     assert np.isfinite(float(rows[-1]["epot"]))
+
+
+def test_run_npt_argon(tmp_path):
+    """NPT: --pressure enables the MC barostat; the box volume changes."""
+    args = runmod.get_args([
+        "--structure", os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"),
+        "--forcefield", os.path.join(SYSTEMS_DIR, "argon", "argon_forcefield.yaml"),
+        "--forceterms", "LJ",
+        "--cutoff", "9.0",
+        "--precision", "double",
+        "--steps", "60", "--output-period", "10", "--save-period", "30",
+        "--temperature", "120", "--langevin-temperature", "120",
+        "--langevin-gamma", "2.0",
+        "--pressure", "100.0",
+        "--log-dir", str(tmp_path),
+        "--device", "cpu",
+        "--seed", "4",
+    ])
+    mol, system, forces = runmod.setup(args)
+    v0 = float(np.prod(np.diag(system.box[0])))
+    runmod.dynamics(args, mol, system, forces)
+    v1 = float(np.prod(np.diag(system.box[0])))
+    assert np.isfinite(v1) and v1 > 0
+    assert v1 != v0  # at least one accepted volume move

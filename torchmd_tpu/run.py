@@ -76,6 +76,8 @@ def get_args(arguments=None):
                         help="Input file.npz with coord and z")
     parser.add_argument("--constraints", default=None, type=str,
                         help="Bond constraints: hbonds | allbonds (SHAKE/RATTLE)")
+    parser.add_argument("--pressure", default=None, type=float,
+                        help="NPT target pressure in bar (MC barostat)")
     parser.add_argument("--profile", default=False, action="store_true",
                         help="Capture a jax profiler trace of the hot loop")
 
@@ -190,6 +192,15 @@ def dynamics(args, mol, system, forces):
     wrapper = Wrapper(mol.numAtoms, mol.bonds if len(mol.bonds) else None,
                       args.device)
 
+    barostat = None
+    if getattr(args, "pressure", None) is not None:
+        from .barostat import MonteCarloBarostat
+
+        barostat = MonteCarloBarostat(
+            args.pressure, args.langevin_temperature or args.temperature,
+            group_id=wrapper.group_id, seed=args.seed,
+        )
+
     outputname, outputext = os.path.splitext(args.output)
     start_iter = 1
     if args.resume:
@@ -220,6 +231,8 @@ def dynamics(args, mol, system, forces):
     iterator = tqdm(range(start_iter, int(args.steps / args.output_period) + 1))
     for i in iterator:
         Ekin, Epot, T = integrator.step(niter=args.output_period)
+        if barostat is not None:
+            barostat.attempt(system, forces)
         wrapper.wrap(system.pos, system.box)
         currpos = system.pos.copy()
         for k in range(args.replicas):
