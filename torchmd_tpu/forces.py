@@ -145,53 +145,51 @@ class Forces:
             and pallas_supported_terms(self.config)
             and self.ffparams.lj_ab is None  # NBFIX tables: dense path
         )
+        from .bonded import bonded_energy_forces, build_bonded_plan
+        from .potentials import nonbonded_energy_forces
+
+        ffp_ = self.ffparams
+        config = self.config
+        self._bonded_plan = build_bonded_plan(ffp_, config)
+        plan = self._bonded_plan
+
+        def bonded_ef_one(pos, box):
+            """(per-term bonded potentials, bonded forces): fused analytic
+            formulas with one sorted segment-sum scatter (torchmd_tpu.bonded)."""
+            if plan is None:
+                return {}, jnp.zeros_like(pos)
+            return bonded_energy_forces(ffp_, plan, pos, box, config)
+
+        self.bonded_ef_one = bonded_ef_one
+
         if self.use_pallas:
             self._nb_data = prepare_nb_data(self.ffparams)
-            bonded_ffp = self.ffparams._replace(nb_mask=None)
             nb_data = self._nb_data
-            config = self.config
 
             def ef_one(pos, box):
-                def eb(p):
-                    pot = compute_potentials(bonded_ffp, p, box, config)
-                    leaves = jax.tree_util.tree_leaves(pot)
-                    e = sum(leaves) if leaves else jnp.zeros((), p.dtype)
-                    return e, pot
-
-                (e_b, pot), grad_b = jax.value_and_grad(eb, has_aux=True)(pos)
+                pot, frc = bonded_ef_one(pos, box)
                 nb_pot, nb_f = pallas_nonbonded_energy_forces(
                     nb_data, config, pos, box
                 )
                 pot = dict(pot)
                 for k, v in nb_pot.items():
                     pot[k] = pot.get(k, 0.0) + v
-                return pot, -grad_b + nb_f
+                return pot, frc + nb_f
 
-        else:
-            ffp_ = self.ffparams
-            config = self.config
+        elif has_nb:
 
             def ef_one(pos, box):
-                return energy_and_forces_fused(ffp_, pos, box, config)
+                pot, frc = bonded_ef_one(pos, box)
+                nb_pot, nb_f = nonbonded_energy_forces(ffp_, pos, box, config)
+                pot = dict(pot)
+                for k, v in nb_pot.items():
+                    pot[k] = pot.get(k, 0.0) + v
+                return pot, frc + nb_f
+
+        else:
+            ef_one = bonded_ef_one
 
         self.ef_one = ef_one
-
-        def bonded_ef_one(pos, box):
-            """(per-term bonded potentials, bonded forces) via AD; used by
-            the cell-list integrator path, which supplies the nonbonded
-            part itself."""
-            bonded_ffp = self.ffparams._replace(nb_mask=None)
-
-            def eb(p):
-                pot = compute_potentials(bonded_ffp, p, box, self.config)
-                leaves = jax.tree_util.tree_leaves(pot)
-                e = sum(leaves) if leaves else jnp.zeros((), p.dtype)
-                return e, pot
-
-            (e_b, pot), grad_b = jax.value_and_grad(eb, has_aux=True)(pos)
-            return pot, -grad_b
-
-        self.bonded_ef_one = bonded_ef_one
 
         ext_energy_fn = getattr(external, "energy_fn", None)
 

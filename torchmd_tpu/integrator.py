@@ -184,9 +184,11 @@ class Integrator:
             forces_obj, "ef_one",
             lambda pos, box: energy_and_forces_fused(ffp, pos, box, cfg),
         )
+        # static no-PBC specialization: compile out the minimum-image wrap
+        use_pbc = bool(np.any(np.asarray(self.systems.box_diag) != 0))
 
         def ef_one(pos, box):
-            pot, frc = fused_one(pos, box)
+            pot, frc = fused_one(pos, box if use_pbc else None)
             e = sum(jax.tree_util.tree_leaves(pot))
             if ext_energy is not None:
                 ee, eg = jax.value_and_grad(ext_energy)(pos, box)

@@ -36,8 +36,10 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-TILE_I = 256
-TILE_J = 256
+import os as _os
+
+TILE_I = int(_os.environ.get("TMD_PALLAS_TILE_I", 512))
+TILE_J = int(_os.environ.get("TMD_PALLAS_TILE_J", 512))
 
 
 def pallas_available() -> bool:
@@ -220,8 +222,9 @@ def pallas_supported_terms(cfg) -> bool:
 
 def pallas_nonbonded_energy_forces(data: PallasNBData, cfg, pos, box,
                                    interpret=False):
-    """pos: (natoms, 3) f32; box: (3,) f32. Returns dict of term energies
-    and forces (natoms, 3) f32."""
+    """pos: (natoms, 3) f32; box: (3,) f32 or None (no PBC: the minimum-
+    image wrap is compiled out). Returns dict of term energies and forces
+    (natoms, 3) f32."""
     from ..units import ELEC_FACTOR
 
     npad, n = data.x_pad, data.natoms
@@ -234,7 +237,7 @@ def pallas_nonbonded_energy_forces(data: PallasNBData, cfg, pos, box,
         "repulsion": "repulsion" in cfg.terms,
         "repulsioncg": "repulsioncg" in cfg.terms,
         "elec_factor": float(ELEC_FACTOR),
-        "pbc": True,
+        "pbc": box is not None,
         "krf": 0.0,
         "crf": 0.0,
     }
@@ -248,12 +251,13 @@ def pallas_nonbonded_energy_forces(data: PallasNBData, cfg, pos, box,
         ) / denom
 
     pos = jnp.asarray(pos, jnp.float32)
-    box = jnp.asarray(box, jnp.float32)
-    # Disable in-kernel wrapping when there is no box (all components 0);
-    # this is a trace-time decision via a concrete check on the host side
-    # is impossible for traced boxes, so use a safe-box trick instead:
-    safe_box = jnp.where(box > 0, box, jnp.asarray(1e30, jnp.float32))
-    box_in = safe_box[None, :]
+    if box is None:
+        box_in = jnp.ones((1, 3), jnp.float32)  # unused (pbc=False)
+    else:
+        box = jnp.asarray(box, jnp.float32)
+        # per-axis disable for zero components via a huge safe box
+        safe_box = jnp.where(box > 0, box, jnp.asarray(1e30, jnp.float32))
+        box_in = safe_box[None, :]
 
     xp = jnp.pad(pos[:, 0], (0, npad - n))[None, :]
     yp = jnp.pad(pos[:, 1], (0, npad - n))[None, :]
