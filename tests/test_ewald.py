@@ -1,0 +1,185 @@
+"""Ewald electrostatics validation.
+
+The strongest checks need no external oracle:
+  - the NaCl Madelung constant (exact lattice-sum result),
+  - invariance of the total to the splitting parameter alpha / cutoff,
+  - autodiff forces vs numerical differentiation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchmd_tpu.ewald import (
+    EwaldRecip,
+    choose_parameters,
+    ewald_real_pair_energy,
+    madelung_nacl,
+)
+from torchmd_tpu.units import ELEC_FACTOR
+
+MADELUNG = 1.7475645946331822
+
+
+def _total_energy(pos, q, box, cutoff, tol=1e-7, excl=None):
+    """real (direct masked double loop over minimum images) + recip."""
+    pos = jnp.asarray(pos, jnp.float64)
+    q = jnp.asarray(q, jnp.float64)
+    box = jnp.asarray(box, jnp.float64)
+    rec = EwaldRecip(q, box, cutoff, excl_pairs=excl, tol=tol,
+                     dtype=jnp.float64)
+    alpha = rec.cfg.alpha
+
+    def e_real(p):
+        dv = p[:, None, :] - p[None, :, :]
+        dv = dv - box * jnp.round(dv / box)
+        d2 = jnp.sum(dv * dv, axis=-1)
+        n = p.shape[0]
+        mask = ~jnp.eye(n, dtype=bool)
+        if excl is not None:
+            m = np.ones((n, n), dtype=bool)
+            for a, b in excl:
+                m[a, b] = m[b, a] = False
+            mask = mask & jnp.asarray(m)
+        d2 = jnp.where(mask, d2, 1.0)
+        d = jnp.sqrt(d2)
+        rinv = 1.0 / d
+        qq = ELEC_FACTOR * q[:, None] * q[None, :]
+        pot = ewald_real_pair_energy(qq, d, rinv, alpha)
+        pot = jnp.where(mask & (d <= cutoff), pot, 0.0)
+        return 0.5 * jnp.sum(pot)
+
+    def e_tot(p):
+        return e_real(p) + rec.energy(p, box)
+
+    return e_tot(pos), e_tot
+
+
+def test_madelung_constant():
+    pos, q, box = madelung_nacl(a=5.64)
+    e, _ = _total_energy(pos, q, box, cutoff=2.8)
+    r0 = 5.64 / 2
+    exact = -MADELUNG * ELEC_FACTOR * 8 / (2 * r0)  # 8 ions, E per pair *4
+    np.testing.assert_allclose(float(e), exact, rtol=1e-6)
+
+
+def test_alpha_independence():
+    """The Ewald total must not depend on the real/reciprocal split."""
+    rs = np.random.RandomState(0)
+    n = 24
+    box = np.array([11.0, 13.0, 12.0])
+    pos = rs.rand(n, 3) * box
+    q = rs.randn(n)
+    q -= q.mean()  # neutral
+
+    e1, _ = _total_energy(pos, q, box, cutoff=3.5, tol=1e-8)
+    e2, _ = _total_energy(pos, q, box, cutoff=5.5, tol=1e-8)
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-6)
+
+
+def test_charged_system_background():
+    """Non-neutral systems get the uniform-background correction and stay
+    alpha-independent."""
+    rs = np.random.RandomState(1)
+    n = 16
+    box = np.array([10.0, 10.0, 10.0])
+    pos = rs.rand(n, 3) * box
+    q = np.abs(rs.randn(n))  # net positive
+
+    e1, _ = _total_energy(pos, q, box, cutoff=3.0, tol=1e-8)
+    e2, _ = _total_energy(pos, q, box, cutoff=4.5, tol=1e-8)
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-5)
+
+
+def test_forces_match_numerical():
+    rs = np.random.RandomState(2)
+    n = 8
+    box = np.array([9.0, 9.0, 9.0])
+    pos = rs.rand(n, 3) * box
+    q = rs.randn(n)
+    q -= q.mean()
+
+    e0, e_tot = _total_energy(pos, q, box, cutoff=3.0, tol=1e-8)
+    g = jax.grad(e_tot)(jnp.asarray(pos))
+    # numerical gradient on a few components
+    h = 1e-5
+    for (i, k) in [(0, 0), (3, 1), (7, 2)]:
+        dp = np.zeros_like(pos)
+        dp[i, k] = h
+        ep = float(e_tot(jnp.asarray(pos + dp)))
+        em = float(e_tot(jnp.asarray(pos - dp)))
+        num = (ep - em) / (2 * h)
+        np.testing.assert_allclose(float(g[i, k]), num, rtol=1e-5, atol=1e-7)
+
+
+def test_exclusions_cancel():
+    """An excluded pair must contribute nothing to the Ewald total:
+    compare against the same system evaluated with the pair's charges off."""
+    rs = np.random.RandomState(3)
+    box = np.array([12.0, 12.0, 12.0])
+    n = 10
+    pos = rs.rand(n, 3) * box
+    pos[1] = pos[0] + [1.0, 0, 0]  # close excluded pair
+    q = rs.randn(n)
+
+    excl = [(0, 1)]
+    e_with, _ = _total_energy(pos, q, box, cutoff=4.0, tol=1e-8, excl=excl)
+
+    # direct check: total with exclusion == limit where the 0-1 interaction
+    # is absent. Build it by superposition: E(all) - E(pair 0,1 alone
+    # interacting) is not separable in Ewald, so instead verify the
+    # exclusion is alpha-independent too (it only cancels correctly if the
+    # erf correction matches the reciprocal contribution of that pair).
+    e_with2, _ = _total_energy(pos, q, box, cutoff=6.0, tol=1e-8, excl=excl)
+    np.testing.assert_allclose(float(e_with), float(e_with2), rtol=1e-6)
+
+
+def test_forces_ewald_mode_end_to_end():
+    """elec='ewald' through the Forces/Integrator stack: total energy is
+    cutoff-split independent, and NVE dynamics conserve energy."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from common import ALL_TERMS, load_system
+    from conftest import DATA_DIR
+    from torchmd_tpu.parameters import Parameters
+    from torchmd_tpu.forces import Forces
+    from torchmd_tpu.systems import System
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+
+    mol, ff, _ = load_system(os.path.join(DATA_DIR, "2watersperiodic"))
+    par = Parameters(ff, mol, ALL_TERMS, precision="double")
+    pos = mol.coords[:, :, 0][None]
+    box = np.zeros((1, 3, 3))
+    np.fill_diagonal(box[0], mol.box[:, 0])
+
+    def etot(cutoff):
+        f = Forces(par, terms=ALL_TERMS, precision="double",
+                   cutoff=cutoff, elec="ewald")
+        det = f.compute(pos, box, returnDetails=True)[0]
+        return det
+
+    d1 = etot(6.0)
+    d2 = etot(8.0)
+    # electrostatics alpha-split independent; lj changes with cutoff a bit
+    assert abs(d1["electrostatics"] - d2["electrostatics"]) < 1e-4, (
+        d1["electrostatics"], d2["electrostatics"]
+    )
+
+    # NVE conservation through the scan path
+    f = Forces(par, terms=ALL_TERMS, precision="double", cutoff=8.0,
+               elec="ewald")
+    system = System(mol.numAtoms, 1, "double", "cpu")
+    system.set_positions(mol.coords)
+    system.set_box(mol.box)
+    system.set_velocities(maxwell_boltzmann(par.masses, 100, 1, seed=0))
+    integ = Integrator(system, f, timestep=0.5, device="cpu")
+    etots = []
+    for _ in range(4):
+        Ekin, Epot, T = integ.step(niter=20)
+        etots.append(float(Epot[0] + Ekin[0]))
+    assert abs(etots[-1] - etots[0]) < 0.05, etots

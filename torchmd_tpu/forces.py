@@ -69,6 +69,7 @@ class Forces:
         precision=None,
         kernel="auto",
         nbfix=False,
+        elec="auto",
     ):
         self.par = parameters
         if terms is None:
@@ -116,6 +117,24 @@ class Forces:
             parameters, exclusions, dtype=self.dtype, nbfix=nbfix
         )
 
+        # Full Ewald electrostatics (new capability: the reference is
+        # RFA-only for periodic systems). The reciprocal-space kernel needs
+        # a concrete box, so it is built lazily like the cell list.
+        if elec not in ("auto", "ewald"):
+            raise ValueError(f"Unknown elec mode: {elec}")
+        self.ewald_requested = elec == "ewald"
+        self._ewald = None
+        if self.ewald_requested and cutoff is None:
+            raise ValueError("elec='ewald' requires a cutoff")
+
+        self.kernel = kernel
+        self._build_evaluators()
+
+    def _build_evaluators(self):
+        """(Re)build the fused/jitted evaluation functions from the current
+        static config (called at construction and after ensure_ewald)."""
+        parameters = self.par
+        external = self.external
         # Kernel selection for the fused energy+forces hot path: the Pallas
         # TPU kernel handles the dense nonbonded block when running f32 on
         # TPU; everything else uses the fused jnp path.
@@ -131,12 +150,12 @@ class Forces:
             any(t in self.energies for t in NONBONDED_TERMS)
             and self.ffparams.nb_mask is not None
         )
-        self.kernel = kernel
         # Cell-list path: requested explicitly; the kernel is built lazily
         # once a concrete box is known (Integrator init or first compute).
-        self.cell_requested = kernel == "cell" and has_nb
-        self.cell_skin = 2.0
-        self._cell_kernel = None
+        self.cell_requested = self.kernel == "cell" and has_nb
+        self.cell_skin = getattr(self, "cell_skin", 2.0)
+        self._cell_kernel = getattr(self, "_cell_kernel", None)
+        kernel = self.kernel
         self.use_pallas = (
             kernel in ("auto", "pallas")
             and has_nb
@@ -144,6 +163,7 @@ class Forces:
             and self.dtype == jnp.float32
             and pallas_supported_terms(self.config)
             and self.ffparams.lj_ab is None  # NBFIX tables: dense path
+            and self.config.ewald_alpha is None  # erf not in the kernel yet
         )
         from .bonded import bonded_energy_forces, build_bonded_plan
         from .potentials import nonbonded_energy_forces
@@ -189,12 +209,27 @@ class Forces:
         else:
             ef_one = bonded_ef_one
 
+        if self._ewald is not None:
+            rec = self._ewald
+            inner_ef = ef_one
+
+            def ef_one(pos, box):
+                pot, frc = inner_ef(pos, box)
+                er, eg = jax.value_and_grad(rec.energy)(pos, box)
+                pot = dict(pot)
+                pot["electrostatics"] = pot.get("electrostatics", 0.0) + er
+                return pot, frc - eg
+
         self.ef_one = ef_one
 
         ext_energy_fn = getattr(external, "energy_fn", None)
 
         def _potentials_one(ffp, pos, box):
             pot = compute_potentials(ffp, pos, box, self.config)
+            if self._ewald is not None:
+                pot["electrostatics"] = (
+                    pot.get("electrostatics", 0.0) + self._ewald.energy(pos, box)
+                )
             if ext_energy_fn is not None:
                 pot["external"] = ext_energy_fn(pos, box)
             return pot
@@ -214,6 +249,23 @@ class Forces:
         self._potentials_one = _potentials_one
         self._jit_pot = jax.jit(jax.vmap(_potentials_one, in_axes=(None, 0, 0)))
         self._jit_pot_forces = jax.jit(jax.vmap(_pot_and_forces, in_axes=(0, 0)))
+
+    # ------------------------------------------------------------------
+    def ensure_ewald(self, box, tol=1e-5):
+        """Build (once) the Ewald reciprocal kernel for a concrete box and
+        rebuild the evaluators with erfc-damped real-space electrostatics."""
+        if not self.ewald_requested or self._ewald is not None:
+            return self._ewald
+        from .ewald import EwaldRecip
+
+        excl = self.par.get_exclusions(types=self.exclusions)
+        self._ewald = EwaldRecip(
+            self.ffparams.charges, np.asarray(box).reshape(-1)[:3],
+            self.cutoff, excl_pairs=excl, tol=tol, dtype=self.dtype,
+        )
+        self.config = self.config._replace(ewald_alpha=self._ewald.cfg.alpha)
+        self._build_evaluators()
+        return self._ewald
 
     # ------------------------------------------------------------------
     def ensure_cell_kernel(self, box):
@@ -248,6 +300,8 @@ class Forces:
         pos_j = jnp.asarray(np.asarray(pos), dtype=self.dtype)
         nreplicas = pos_j.shape[0]
         box_j = _box_to_diag(box, nreplicas, self.dtype)
+        if self.ewald_requested and self._ewald is None:
+            self.ensure_ewald(np.asarray(box_j)[0])
 
         if calculateForces:
             pot, frc = self._jit_pot_forces(pos_j, box_j)

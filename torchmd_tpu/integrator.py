@@ -158,6 +158,8 @@ class Integrator:
         self._use_cell = (
             not self._host_path and getattr(forces, "cell_requested", False)
         )
+        if getattr(forces, "ewald_requested", False) and not self._host_path:
+            forces.ensure_ewald(np.asarray(systems.box_diag)[0])
         if self._use_cell:
             box_all = np.asarray(systems.box_diag)
             if not np.allclose(box_all, box_all[0]):

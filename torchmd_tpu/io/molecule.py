@@ -72,6 +72,8 @@ class Molecule:
             self.box = read_xsc(filename).reshape(3, 1)
         elif ext == ".npz":
             self._read_npz(filename)
+        elif ext == ".mol2":
+            self._read_mol2(filename)
         else:
             raise ValueError(f"Unsupported file extension: {filename}")
         return self
@@ -156,6 +158,18 @@ class Molecule:
         self.bonds = d["bonds"]
         self.box = d["box"]
         self.name = self.element.copy()
+        self._set_coords(d["coords"])
+
+    def _read_mol2(self, filename):
+        from .mol2 import read_mol2
+
+        d = read_mol2(filename)
+        self.numAtoms = len(d["name"])
+        self.name = d["name"]
+        self.atomtype = d["atomtype"]
+        self.element = d["element"]
+        self.charge = d["charge"]
+        self.bonds = d["bonds"]
         self._set_coords(d["coords"])
 
     def _set_coords(self, coords):

@@ -239,7 +239,15 @@ def cell_nonbonded_energy_forces(
     if "electrostatics" in cfg.terms:
         q_pad = jnp.concatenate([ffp.charges, jnp.zeros(1, ffp.charges.dtype)])
         qq = ELEC_FACTOR * ffp.charges[:, None] * q_pad[cands]
-        if cfg.rfa and cfg.cutoff is not None:
+        if cfg.ewald_alpha is not None:
+            a = cfg.ewald_alpha
+            erfc_t = jax.scipy.special.erfc(a * dist)
+            pot = qq * erfc_t * rinv
+            dEdr_r = -qq * rinv * rinv * (
+                erfc_t * rinv
+                + (2.0 * a / jnp.sqrt(jnp.pi)) * jnp.exp(-(a * dist) ** 2)
+            )
+        elif cfg.rfa and cfg.cutoff is not None:
             denom = 2.0 * cfg.solvent_dielectric + 1.0
             krf = (1.0 / cfg.cutoff**3) * (cfg.solvent_dielectric - 1.0) / denom
             crf = (1.0 / cfg.cutoff) * (3.0 * cfg.solvent_dielectric) / denom

@@ -84,6 +84,10 @@ class ForceTermConfig(NamedTuple):
     switch_dist: Optional[float] = None
     dihedrals_amber: bool = True   # all dihedral periodicities > 0
     impropers_amber: bool = True   # all improper periodicities > 0
+    # Ewald real-space damping: when set, the short-range electrostatics
+    # use erfc(alpha*r)/r (the reciprocal/self/exclusion parts live in
+    # torchmd_tpu.ewald.EwaldRecip); overrides rfa.
+    ewald_alpha: Optional[float] = None
 
 
 # ----------------------------------------------------------------------
@@ -251,7 +255,9 @@ def nonbonded_energies(par: FFParams, pos, box, cfg: ForceTermConfig):
         out["repulsioncg"] = 0.5 * jnp.sum(B_ij * rinv**6 * fmask)
     if "electrostatics" in cfg.terms:
         qq = ELEC_FACTOR * par.charges[:, None] * par.charges[None, :]
-        if cfg.rfa and cfg.cutoff is not None:
+        if cfg.ewald_alpha is not None:
+            pot = qq * jax.scipy.special.erfc(cfg.ewald_alpha * dist) * rinv
+        elif cfg.rfa and cfg.cutoff is not None:
             # Reaction-field approximation (Tironi et al. 1995; OpenMM form)
             denom = 2.0 * cfg.solvent_dielectric + 1.0
             krf = (1.0 / cfg.cutoff**3) * (cfg.solvent_dielectric - 1.0) / denom
@@ -390,7 +396,15 @@ def nonbonded_energy_forces(par: FFParams, pos, box, cfg: ForceTermConfig):
         g = g + (-6.0 * B_ij * rinv6 * rinv * rinv) * fmask
     if "electrostatics" in cfg.terms:
         qq = ELEC_FACTOR * par.charges[:, None] * par.charges[None, :]
-        if cfg.rfa and cfg.cutoff is not None:
+        if cfg.ewald_alpha is not None:
+            a = cfg.ewald_alpha
+            erfc_t = jax.scipy.special.erfc(a * dist)
+            pot = qq * erfc_t * rinv
+            dEdr_over_r = -qq * rinv * rinv * (
+                erfc_t * rinv
+                + (2.0 * a / jnp.sqrt(jnp.pi)) * jnp.exp(-(a * dist) ** 2)
+            )
+        elif cfg.rfa and cfg.cutoff is not None:
             denom = 2.0 * cfg.solvent_dielectric + 1.0
             krf = (1.0 / cfg.cutoff**3) * (cfg.solvent_dielectric - 1.0) / denom
             crf = (1.0 / cfg.cutoff) * (3.0 * cfg.solvent_dielectric) / denom

@@ -78,6 +78,10 @@ def get_args(arguments=None):
                         help="Bond constraints: hbonds | allbonds (SHAKE/RATTLE)")
     parser.add_argument("--pressure", default=None, type=float,
                         help="NPT target pressure in bar (MC barostat)")
+    parser.add_argument("--elec", default="auto", type=str,
+                        help="Electrostatics: auto (Coulomb/RFA) | ewald")
+    parser.add_argument("--nbfix", default=False, action="store_true",
+                        help="Apply CHARMM NBFIX pair-specific LJ overrides")
     parser.add_argument("--profile", default=False, action="store_true",
                         help="Capture a jax profiler trace of the hot loop")
 
@@ -172,6 +176,8 @@ def setup(args, batch_comp=False):
         switch_dist=args.switch_dist,
         exclusions=args.exclusions,
         precision=args.precision,
+        elec=getattr(args, "elec", "auto"),
+        nbfix=getattr(args, "nbfix", False),
     )
     return mol, system, forces
 
