@@ -93,10 +93,13 @@ def measure_baseline(niter=3):
         forces = RefForces(par, terms=TERMS, cutoff=CUTOFF, rfa=RFA)
         integ = RefIntegrator(system, forces, TIMESTEP, "cpu", gamma=GAMMA, T=TEMP)
         integ.step(niter=1)  # warmup
-        t0 = time.perf_counter()
-        integ.step(niter=niter)
-        dt = time.perf_counter() - t0
-        return niter / dt, "torchmd-cpu (measured)"
+        best = 0.0
+        for _ in range(2):  # best-of-2: the shared CPU is noisy
+            t0 = time.perf_counter()
+            integ.step(niter=niter)
+            dt = time.perf_counter() - t0
+            best = max(best, niter / dt)
+        return best, "torchmd-cpu (measured)"
     except Exception as e:  # reference not runnable here
         return FALLBACK_BASELINE_STEPS_PER_SEC, f"torchmd-cpu (recorded; {type(e).__name__})"
 

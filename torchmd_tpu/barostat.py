@@ -16,7 +16,6 @@ they compose with every kernel path.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .units import BOLTZMANN

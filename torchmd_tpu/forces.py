@@ -144,8 +144,6 @@ class Forces:
             prepare_nb_data,
             pallas_nonbonded_energy_forces,
         )
-        from .potentials import energy_and_forces_fused
-
         has_nb = (
             any(t in self.energies for t in NONBONDED_TERMS)
             and self.ffparams.nb_mask is not None

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .potentials import compute_potentials, energy_and_forces_fused
+from .potentials import energy_and_forces_fused
 from .systems import SimState
 from .units import BOLTZMANN, PICOSEC2TIMEU, TIMEFACTOR
 

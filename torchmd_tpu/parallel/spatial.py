@@ -20,7 +20,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 try:
     from jax import shard_map
@@ -100,6 +99,16 @@ def sharded_energy_fn(ffp: FFParams, cfg: ForceTermConfig, mesh: Mesh,
     """Build `efn(pos_batch (B, N, 3), box_batch (B, 3)) -> (B,)` where the
     batch shards over `dp_axis` and each conformation's pair-matrix rows
     shard over `sp_axis`. B must divide by mesh.shape[dp_axis]."""
+    if ffp.lj_ab is not None:
+        raise NotImplementedError(
+            "NBFIX override tables are not yet supported on the spatially "
+            "sharded path; use the dense/cell kernels"
+        )
+    if cfg.ewald_alpha is not None:
+        raise NotImplementedError(
+            "Ewald real-space damping is not yet supported on the spatially "
+            "sharded path; use the dense/cell kernels"
+        )
     natoms = ffp.charges.shape[0]
     sp = mesh.shape[sp_axis]
     npad = -(-natoms // sp) * sp

@@ -11,8 +11,7 @@ conformation's pair matrix over `sp`.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
