@@ -55,3 +55,29 @@ def test_pallas_kernel_matches_dense(name, pbc):
         )
     scale = float(jnp.abs(f_d).max())
     assert float(jnp.abs(f_p - f_d).max()) < 5e-5 * max(scale, 1.0)
+
+
+def test_pallas_kernel_ewald_real_space():
+    """erfc approximation branch vs the exact dense Ewald real-space path."""
+    mol, ff, _ = load_system(os.path.join(DATA_DIR, "2watersperiodic"))
+    par = Parameters(ff, mol, ALL_TERMS, precision="single")
+    forces = Forces(par, terms=ALL_TERMS, precision="single", cutoff=8.0)
+    cfg = forces.config._replace(ewald_alpha=0.4112)
+    ffp = forces.ffparams
+
+    pos = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+    box = jnp.asarray(mol.box[:, 0], jnp.float32)
+
+    from torchmd_tpu.potentials import nonbonded_energy_forces
+
+    pot_d, f_d = nonbonded_energy_forces(ffp, pos, box, cfg)
+    data = prepare_nb_data(ffp)
+    pot_p, f_p = pallas_nonbonded_energy_forces(
+        data, cfg, pos, box, interpret=True
+    )
+    np.testing.assert_allclose(
+        float(pot_p["electrostatics"]), float(pot_d["electrostatics"]),
+        rtol=1e-4, atol=1e-3,
+    )
+    scale = float(jnp.abs(f_d).max())
+    assert float(jnp.abs(f_p - f_d).max()) < 1e-4 * max(scale, 1.0)

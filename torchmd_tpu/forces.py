@@ -161,7 +161,6 @@ class Forces:
             and self.dtype == jnp.float32
             and pallas_supported_terms(self.config)
             and self.ffparams.lj_ab is None  # NBFIX tables: dense path
-            and self.config.ewald_alpha is None  # erf not in the kernel yet
         )
         from .bonded import bonded_energy_forces, build_bonded_plan
         from .potentials import nonbonded_energy_forces

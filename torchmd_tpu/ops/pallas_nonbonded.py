@@ -53,6 +53,15 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def _erfc_approx(x):
+    """Abramowitz & Stegun 7.1.26 rational erfc approximation
+    (|error| < 1.5e-7 -- f32-accurate); Mosaic has no erf primitive."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return poly * jnp.exp(-x * x)
+
+
 def _kernel(
     # i-views (1, TILE_I)
     xi_ref, yi_ref, zi_ref, qi_ref, si_ref, ei_ref,
@@ -139,7 +148,16 @@ def _kernel(
         qi = qi_ref[0, :][:, None]
         qj = qj_ref[0, :][None, :]
         qq = cfg["elec_factor"] * qi * qj
-        if cfg["rfa"] and cfg["cutoff"] is not None:
+        if cfg["ewald_alpha"] is not None:
+            a = cfg["ewald_alpha"]
+            x = a * dist
+            erfc_t = _erfc_approx(x)
+            pot = qq * erfc_t * rinv
+            dEdr_r = -qq * rinv * rinv * (
+                erfc_t * rinv
+                + (2.0 * a / 1.7724538509055159) * jnp.exp(-x * x)
+            )
+        elif cfg["rfa"] and cfg["cutoff"] is not None:
             pot = qq * (rinv + cfg["krf"] * d2 - cfg["crf"])
             dEdr_r = qq * (2.0 * cfg["krf"] - rinv * rinv * rinv)
         else:
@@ -235,6 +253,9 @@ def pallas_nonbonded_energy_forces(data: PallasNBData, cfg, pos, box,
         "repulsion": "repulsion" in cfg.terms,
         "repulsioncg": "repulsioncg" in cfg.terms,
         "elec_factor": float(ELEC_FACTOR),
+        "ewald_alpha": (
+            None if cfg.ewald_alpha is None else float(cfg.ewald_alpha)
+        ),
         "pbc": box is not None,
         "krf": 0.0,
         "crf": 0.0,
