@@ -111,7 +111,12 @@ def setup(args, batch_comp=False):
     from .integrator import maxwell_boltzmann
 
     if args.device:
-        jax.config.update("jax_platforms", str(args.device))
+        dev = str(args.device)
+        if dev.startswith("cuda"):
+            # reference configs say "cuda"; map to the default accelerator
+            dev = None
+        if dev:
+            jax.config.update("jax_platforms", dev)
 
     mol = None
     if args.topology is not None:
