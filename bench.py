@@ -114,6 +114,7 @@ def main():
                           "4 fs, cutoff 7.3 A, RFA, Langevin 300 K",
                 "value": round(mine, 3),
                 "unit": "steps/s",
+                "ns_per_day": round(mine * TIMESTEP * 1e-6 * 86400, 2),
                 "vs_baseline": round(mine / baseline, 2),
                 "device": device,
                 "baseline_steps_per_sec": round(baseline, 4),

@@ -100,3 +100,16 @@ def test_langevin_equilibrates_real_system():
         _, _, T = integ.step(niter=10)
         temps.append(T[0])
     assert 150 < np.mean(temps[3:]) < 450
+
+
+def test_minimize_fire_on_device():
+    mol, par, forces, system = _make("benzamidine")
+    from torchmd_tpu.minimizers import minimize_fire
+
+    e_before = forces.compute(system.pos, system.box)[0]
+    hist = minimize_fire(system, forces, steps=400)
+    e_after = forces.compute(system.pos, system.box)[0]
+    assert e_after < e_before - 1.0
+    assert hist[-1] < hist[0]
+    fmax = np.abs(np.asarray(forces.last_forces)).max()
+    assert fmax < 10.0
