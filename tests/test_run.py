@@ -177,3 +177,20 @@ def test_run_npt_argon(tmp_path):
     v1 = float(np.prod(np.diag(system.box[0])))
     assert np.isfinite(v1) and v1 > 0
     assert v1 != v0  # at least one accepted volume move
+
+
+def test_run_dcd_output(tmp_path):
+    args = runmod.get_args([
+        "--structure", os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"),
+        "--forcefield", os.path.join(SYSTEMS_DIR, "argon", "argon_forcefield.yaml"),
+        "--forceterms", "LJ", "--cutoff", "9.0", "--precision", "double",
+        "--steps", "30", "--output-period", "10", "--save-period", "30",
+        "--temperature", "120", "--traj-format", "dcd",
+        "--log-dir", str(tmp_path), "--device", "cpu",
+    ])
+    mol, system, forces = runmod.setup(args)
+    runmod.dynamics(args, mol, system, forces)
+    from torchmd_tpu.io.dcd import read_dcd
+    d = read_dcd(str(tmp_path / "output_0.dcd"))
+    assert d["coords"].shape == (mol.numAtoms, 3, 3)
+    assert np.all(d["box"][:, 0] > 70)

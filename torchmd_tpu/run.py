@@ -84,6 +84,8 @@ def get_args(arguments=None):
                         help="Apply CHARMM NBFIX pair-specific LJ overrides")
     parser.add_argument("--profile", default=False, action="store_true",
                         help="Capture a jax profiler trace of the hot loop")
+    parser.add_argument("--traj-format", default="npy", type=str,
+                        help="Trajectory format: npy (reference behavior) | dcd")
 
     args = parser.parse_args(args=arguments)
     os.makedirs(args.log_dir, exist_ok=True)
@@ -213,6 +215,19 @@ def dynamics(args, mol, system, forces):
         )
 
     outputname, outputext = os.path.splitext(args.output)
+    use_dcd = getattr(args, "traj_format", "npy") == "dcd"
+    dcd_writers = []
+    if use_dcd:
+        from .io.dcd import DCDWriter
+
+        dcd_writers = [
+            DCDWriter(
+                os.path.join(args.log_dir, f"{outputname}_{k}.dcd"),
+                mol.numAtoms, timestep_fs=args.timestep,
+                save_period=args.output_period,
+            )
+            for k in range(args.replicas)
+        ]
     start_iter = 1
     if args.resume:
         start_iter = load_checkpoint(args.resume, system, integrator) + 1
@@ -247,12 +262,17 @@ def dynamics(args, mol, system, forces):
         wrapper.wrap(system.pos, system.box)
         currpos = system.pos.copy()
         for k in range(args.replicas):
-            trajs[k].append(currpos[k])
-            if (i * args.output_period) % args.save_period == 0:
-                np.save(
-                    os.path.join(args.log_dir, f"{outputname}_{k}{outputext}"),
-                    np.stack(trajs[k], axis=2),
+            if use_dcd:
+                dcd_writers[k].write_frame(
+                    currpos[k], np.diag(system.box[k])
                 )
+            else:
+                trajs[k].append(currpos[k])
+                if (i * args.output_period) % args.save_period == 0:
+                    np.save(
+                        os.path.join(args.log_dir, f"{outputname}_{k}{outputext}"),
+                        np.stack(trajs[k], axis=2),
+                    )
             logs[k].write_row(
                 {
                     "iter": i * args.output_period,
@@ -274,6 +294,8 @@ def dynamics(args, mol, system, forces):
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)
 
+    for w in dcd_writers:
+        w.close()
     for k in range(args.replicas):
         npy_name = os.path.join(args.log_dir, args.output + f"_{k}.npy")
         xyz_name = os.path.join(args.log_dir, args.output + f"_{k}.xyz")
