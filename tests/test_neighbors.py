@@ -132,8 +132,11 @@ def test_cell_overflow_grows_capacity():
 
     forces = Forces(par, terms=["lj", "electrostatics"], precision="double",
                     cutoff=9.0, rfa=True, kernel="cell")
+    # co-locate two atoms in one cell so capacity=1 must overflow
+    coords = mol.coords.copy()
+    coords[1, :, 0] = coords[0, :, 0] + 0.5
     system = System(mol.numAtoms, 1, "double", "cpu")
-    system.set_positions(mol.coords)
+    system.set_positions(coords)
     system.set_box(np.asarray([77.395] * 3))
     system.set_velocities(maxwell_boltzmann(par.masses, 120.0, 1, seed=3))
     integ = Integrator(system, forces, timestep=2.0, device="cpu")

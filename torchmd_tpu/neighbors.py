@@ -44,35 +44,47 @@ class CellListConfig(NamedTuple):
     ncells: tuple         # (ncx, ncy, ncz)
     capacity: int
     max_exclusions: int
+    split: int = 1        # cells have edge >= rc/split; stencil (2*split+1)^3
 
     @property
     def rc(self):
         return self.cutoff + self.skin
+
+    @property
+    def stencil(self):
+        return 2 * self.split + 1
 
     def with_capacity(self, capacity: int) -> "CellListConfig":
         return self._replace(capacity=capacity)
 
 
 def make_cell_config(box, cutoff, skin=2.0, capacity=None,
-                     natoms=None, max_exclusions=16) -> CellListConfig:
+                     natoms=None, max_exclusions=16,
+                     split=2) -> CellListConfig:
+    """split=2 (half-size cells, 125-stencil) keeps the per-cell capacity
+    small, which bounds both the padded candidate count and the memory of
+    the dense cell-pair evaluation; split=1 is the classic 27-stencil."""
     box = tuple(float(b) for b in np.asarray(box).reshape(-1)[:3])
     if min(box) <= 0:
         raise ValueError("Cell lists require a periodic box")
     rc = cutoff + skin
-    nc = tuple(max(1, int(b // rc)) for b in box)
-    if min(nc) < 3:
-        # fewer than 3 cells along an axis makes the 27-stencil revisit
-        # cells (double counting); such boxes belong on the dense path
+    for s_try in range(split, 0, -1):
+        edge = rc / s_try
+        nc = tuple(max(1, int(b // edge)) for b in box)
+        if min(nc) >= 2 * s_try + 1:
+            split = s_try
+            break
+    else:
         raise ValueError(
-            f"Box {box} too small for cell list with rc={rc}: "
-            f"need >= 3 cells per axis, got {nc}"
+            f"Box {box} too small for a cell list with rc={rc}; "
+            "use the dense path"
         )
     if capacity is None:
         ncells = nc[0] * nc[1] * nc[2]
         density = (natoms or 1000) / ncells
-        capacity = int(max(8, density * 2.5))
+        capacity = int(max(4, np.ceil(density * 2.5)))
     return CellListConfig(box, float(cutoff), float(skin), nc, capacity,
-                          max_exclusions)
+                          max_exclusions, split)
 
 
 class CellList(NamedTuple):
@@ -91,6 +103,26 @@ def _cell_ids(pos, cfg: CellListConfig):
         nc - 1,
     )
     return (cid3[:, 0] * cfg.ncells[1] + cid3[:, 1]) * cfg.ncells[2] + cid3[:, 2]
+
+
+def neighbor_cell_table(cfg: CellListConfig) -> np.ndarray:
+    """(ncells, stencil^3) static table of neighbor cell ids (periodic)."""
+    s = cfg.split
+    offs = np.array(
+        [(dx, dy, dz)
+         for dx in range(-s, s + 1)
+         for dy in range(-s, s + 1)
+         for dz in range(-s, s + 1)], dtype=np.int64,
+    )
+    ncx, ncy, ncz = cfg.ncells
+    cx, cy, cz = np.meshgrid(
+        np.arange(ncx), np.arange(ncy), np.arange(ncz), indexing="ij"
+    )
+    cx, cy, cz = cx.ravel(), cy.ravel(), cz.ravel()
+    nx = (cx[:, None] + offs[None, :, 0]) % ncx
+    ny = (cy[:, None] + offs[None, :, 1]) % ncy
+    nz = (cz[:, None] + offs[None, :, 2]) % ncz
+    return ((nx * ncy + ny) * ncz + nz).astype(np.int32)
 
 
 def build_cell_list(pos, cfg: CellListConfig) -> CellList:
@@ -120,29 +152,11 @@ def needs_rebuild(cl: CellList, pos, cfg: CellListConfig):
     return jnp.any(jnp.sum(d * d, axis=1) > (cfg.skin * 0.5) ** 2)
 
 
-def _neighbor_cell_offsets():
-    off = []
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                off.append((dx, dy, dz))
-    return np.asarray(off, np.int32)  # (27, 3)
-
-
 def candidate_matrix(cl: CellList, pos, cfg: CellListConfig):
-    """(natoms, 27 * capacity) int32 candidate neighbor ids (n = padding)."""
-    nc = np.asarray(cfg.ncells, np.int64)
+    """(natoms, stencil^3 * capacity) int32 candidate ids (n = padding)."""
     cid = _cell_ids(pos, cfg)
-    cz = cid % cfg.ncells[2]
-    cy = (cid // cfg.ncells[2]) % cfg.ncells[1]
-    cx = cid // (cfg.ncells[1] * cfg.ncells[2])
-    offs = jnp.asarray(_neighbor_cell_offsets())  # (27, 3)
-    ncj = jnp.asarray(cfg.ncells, jnp.int32)
-    nx = (cx[:, None] + offs[None, :, 0]) % ncj[0]
-    ny = (cy[:, None] + offs[None, :, 1]) % ncj[1]
-    nz = (cz[:, None] + offs[None, :, 2]) % ncj[2]
-    ncell_ids = (nx * cfg.ncells[1] + ny) * cfg.ncells[2] + nz  # (N, 27)
-    cands = cl.slots[ncell_ids]  # (N, 27, capacity)
+    table = jnp.asarray(neighbor_cell_table(cfg))
+    cands = cl.slots[table[cid]]  # (N, S3, capacity)
     return cands.reshape(pos.shape[0], -1)
 
 
@@ -166,100 +180,195 @@ def build_exclusion_table(parameters, natoms, max_exclusions,
 
 def cell_nonbonded_energy_forces(
     ffp: FFParams, cfg: ForceTermConfig, clcfg: CellListConfig,
-    cl: CellList, excl_table, pos, box,
+    cl: CellList, excl_table, pos, box, cell_chunk=None,
 ):
-    """Nonbonded energies + forces over the fixed-shape candidate matrix.
-    Same physics as potentials.nonbonded_energy_forces; O(N * 27 * capacity)
-    instead of O(N^2)."""
+    """Nonbonded energies + forces in cell-pair form.
+
+    TPU-native formulation: positions and per-atom attributes are gathered
+    into the (ncells, capacity) slot layout ONCE per evaluation (cell-slice
+    granularity, not per-pair rows), then every chunk of cells evaluates a
+    dense (capacity x stencil^3*capacity) pair block against its neighbor
+    cells -- pure vectorized math, no per-pair gathers. Forces accumulate
+    in slot layout and scatter back to atoms with a single segment add.
+
+    Same physics as potentials.nonbonded_energy_forces (0.5 * symmetric
+    double count); equivalence is tested against the dense path.
+    """
     n = pos.shape[0]
-    cands = candidate_matrix(cl, pos, clcfg)      # (N, M)
-    m = cands.shape[1]
-    padded_pos = jnp.concatenate([pos, jnp.zeros((1, 3), pos.dtype)])
-    pj = padded_pos[cands]                        # (N, M, 3)
-    dv = pos[:, None, :] - pj
-    boxv = jnp.asarray(box, pos.dtype)
+    cap = clcfg.capacity
+    s3 = clcfg.stencil ** 3
+    ncells = clcfg.ncells[0] * clcfg.ncells[1] * clcfg.ncells[2]
+    slots = cl.slots                                   # (ncells, cap)
+    table = jnp.asarray(neighbor_cell_table(clcfg))    # (ncells, S3)
+    dtype = pos.dtype
+
+    if cell_chunk is None:
+        e_width = excl_table.shape[1]
+        budget = 48_000_000  # elements in the largest boolean intermediate
+        cell_chunk = max(1, min(ncells, budget // max(cap * s3 * cap * e_width, 1)))
+    nchunk = -(-ncells // cell_chunk)
+    ncpad = nchunk * cell_chunk
+
+    # slot-layout attribute tables (single cheap gathers)
+    pos_pad = jnp.concatenate([pos, jnp.zeros((1, 3), dtype)])
+    P = pos_pad[slots]                                 # (ncells, cap, 3)
+    q_pad = jnp.concatenate([ffp.charges.astype(dtype), jnp.zeros(1, dtype)])
+    Q = q_pad[slots]
+    if ffp.lj_ab is not None:
+        t_pad = jnp.concatenate(
+            [ffp.mapped_atom_types, jnp.zeros(1, ffp.mapped_atom_types.dtype)]
+        )
+        TY = t_pad[slots]
+        SG = EP = None
+    else:
+        s_at = ffp.lj_params[:, 0].astype(dtype)[ffp.mapped_atom_types]
+        e_at = ffp.lj_params[:, 1].astype(dtype)[ffp.mapped_atom_types]
+        SG = jnp.concatenate([s_at, jnp.zeros(1, dtype)])[slots]
+        EP = jnp.concatenate([e_at, jnp.zeros(1, dtype)])[slots]
+        TY = None
+    e_width = excl_table.shape[1]
+    excl_pad = jnp.concatenate(
+        [excl_table, jnp.full((1, e_width), n, excl_table.dtype)]
+    )
+    EX = excl_pad[slots]                               # (ncells, cap, E)
+
+    def pad_cells(a, fill=0):
+        return jnp.pad(
+            a, [(0, ncpad - ncells)] + [(0, 0)] * (a.ndim - 1),
+            constant_values=fill,
+        )
+
+    Pc_all = pad_cells(P)
+    Sc_all = pad_cells(slots, n)
+    Qc_all = pad_cells(Q)
+    EXc_all = pad_cells(EX, n)
+    Tb_all = pad_cells(table)  # padded cells read neighbor block 0 (masked)
+    if TY is not None:
+        TYc_all = pad_cells(TY)
+    else:
+        SGc_all = pad_cells(SG)
+        EPc_all = pad_cells(EP)
+
+    boxv = jnp.asarray(box, dtype)
     safe = jnp.where(boxv > 0, boxv, 1.0)
-    dv = dv - jnp.where(boxv > 0, safe * jnp.round(dv / safe), 0.0)
-    d2 = jnp.sum(dv * dv, axis=-1)
 
-    iidx = jnp.arange(n, dtype=jnp.int32)[:, None]
-    valid = (cands < n) & (cands != iidx)
-    # exclusion check: candidate j present in atom i's exclusion list?
-    excl = excl_table[:, None, :] == cands[:, :, None]  # (N, M, E)
-    valid = valid & ~jnp.any(excl, axis=-1)
-
-    d2 = jnp.where(valid, d2, 1.0)
-    dist = jnp.sqrt(d2)
-    rinv = 1.0 / dist
-    mask = valid & (dist <= cfg.cutoff)
-    fmask = mask.astype(pos.dtype)
-
-    out = {}
-    g = jnp.zeros_like(d2)
     needs_ab = any(t in cfg.terms for t in ("lj", "repulsion", "repulsioncg"))
-    if needs_ab:
-        if ffp.lj_ab is not None:
-            ti = ffp.mapped_atom_types
-            t_pad = jnp.concatenate([ti, jnp.zeros(1, ti.dtype)])
-            tj = t_pad[cands]
-            A = ffp.lj_ab[0][ti[:, None], tj]
-            B = ffp.lj_ab[1][ti[:, None], tj]
-        else:
-            s_at = ffp.lj_params[:, 0][ffp.mapped_atom_types]
-            e_at = ffp.lj_params[:, 1][ffp.mapped_atom_types]
-            s_pad = jnp.concatenate([s_at, jnp.zeros(1, s_at.dtype)])
-            e_pad = jnp.concatenate([e_at, jnp.zeros(1, e_at.dtype)])
-            sig = 0.5 * (s_at[:, None] + s_pad[cands])
-            eps = jnp.sqrt(jnp.abs(e_at[:, None] * e_pad[cands]))
-            s6 = sig**6
-            B = 4.0 * eps * s6
-            A = B * s6
-        rinv6 = rinv**6
-        rinv12 = rinv6 * rinv6
-    if "lj" in cfg.terms:
-        pot = A * rinv12 - B * rinv6
-        dEdr = (-12.0 * A * rinv12 + 6.0 * B * rinv6) * rinv
-        if cfg.switch_dist is not None and cfg.cutoff is not None:
-            t = (dist - cfg.switch_dist) / (cfg.cutoff - cfg.switch_dist)
-            sw = 1.0 + t * t * t * (-10.0 + t * (15.0 - t * 6.0))
-            dsw = t * t * (-30.0 + t * (60.0 - t * 30.0)) / (
-                cfg.cutoff - cfg.switch_dist
-            )
-            in_sw = dist > cfg.switch_dist
-            dEdr = jnp.where(in_sw, dEdr * sw + pot * dsw, dEdr)
-            pot = jnp.where(in_sw, pot * sw, pot)
-        out["lj"] = 0.5 * jnp.sum(pot * fmask)
-        g = g + dEdr * rinv * fmask
-    if "repulsion" in cfg.terms:
-        out["repulsion"] = 0.5 * jnp.sum(A * rinv12 * fmask)
-        g = g + (-12.0 * A * rinv12 * rinv * rinv) * fmask
-    if "repulsioncg" in cfg.terms:
-        out["repulsioncg"] = 0.5 * jnp.sum(B * rinv6 * fmask)
-        g = g + (-6.0 * B * rinv6 * rinv * rinv) * fmask
-    if "electrostatics" in cfg.terms:
-        q_pad = jnp.concatenate([ffp.charges, jnp.zeros(1, ffp.charges.dtype)])
-        qq = ELEC_FACTOR * ffp.charges[:, None] * q_pad[cands]
-        if cfg.ewald_alpha is not None:
-            a = cfg.ewald_alpha
-            erfc_t = jax.scipy.special.erfc(a * dist)
-            pot = qq * erfc_t * rinv
-            dEdr_r = -qq * rinv * rinv * (
-                erfc_t * rinv
-                + (2.0 * a / jnp.sqrt(jnp.pi)) * jnp.exp(-(a * dist) ** 2)
-            )
-        elif cfg.rfa and cfg.cutoff is not None:
-            denom = 2.0 * cfg.solvent_dielectric + 1.0
-            krf = (1.0 / cfg.cutoff**3) * (cfg.solvent_dielectric - 1.0) / denom
-            crf = (1.0 / cfg.cutoff) * (3.0 * cfg.solvent_dielectric) / denom
-            pot = qq * (rinv + krf * d2 - crf)
-            dEdr_r = qq * (2.0 * krf - rinv * rinv * rinv)
-        else:
-            pot = qq * rinv
-            dEdr_r = -qq * rinv * rinv * rinv
-        out["electrostatics"] = 0.5 * jnp.sum(pot * fmask)
-        g = g + dEdr_r * fmask
+    want_elec = "electrostatics" in cfg.terms
 
-    forces = -jnp.einsum("ij,ijk->ik", g, dv)
+    def block(args):
+        if TY is not None:
+            Pc, Sc, Qc, EXc, nbr, TYc = args
+        else:
+            Pc, Sc, Qc, EXc, nbr, SGc, EPc = args
+        cc = Pc.shape[0]
+        # neighbor-side data: cell-slice gathers
+        Pn = P[nbr].reshape(cc, s3 * cap, 3)
+        cand = slots[nbr].reshape(cc, s3 * cap)
+        Qn = Q[nbr].reshape(cc, s3 * cap)
+
+        dv = Pc[:, :, None, :] - Pn[:, None, :, :]     # (cc, cap, S3cap, 3)
+        dv = dv - jnp.where(boxv > 0, safe * jnp.round(dv / safe), 0.0)
+        d2 = jnp.sum(dv * dv, axis=-1)
+
+        valid = (cand[:, None, :] < n) & (Sc[:, :, None] < n)
+        valid = valid & (cand[:, None, :] != Sc[:, :, None])
+        excl_hit = jnp.any(
+            EXc[:, :, None, :] == cand[:, None, :, None], axis=-1
+        )
+        valid = valid & ~excl_hit
+
+        d2 = jnp.where(valid, d2, 1.0)
+        dist = jnp.sqrt(d2)
+        rinv = 1.0 / dist
+        mask = valid & (dist <= cfg.cutoff)
+        fmask = mask.astype(dtype)
+
+        pot = {}
+        g = jnp.zeros_like(d2)
+        if needs_ab:
+            if TY is not None:
+                TYn = jnp.zeros(0)  # placeholder (defined below)
+                tyn = (
+                    jnp.concatenate(
+                        [ffp.mapped_atom_types,
+                         jnp.zeros(1, ffp.mapped_atom_types.dtype)]
+                    )[cand]
+                )
+                A = ffp.lj_ab[0].astype(dtype)[TYc[:, :, None], tyn[:, None, :]]
+                B = ffp.lj_ab[1].astype(dtype)[TYc[:, :, None], tyn[:, None, :]]
+            else:
+                SGn = SG.reshape(-1)[  # neighbor sigma via cell slices
+                    jnp.zeros(0, jnp.int32)
+                ] if False else SG[nbr].reshape(cc, s3 * cap)
+                EPn = EP[nbr].reshape(cc, s3 * cap)
+                sig = 0.5 * (SGc[:, :, None] + SGn[:, None, :])
+                eps = jnp.sqrt(jnp.abs(EPc[:, :, None] * EPn[:, None, :]))
+                s6 = sig**6
+                B = 4.0 * eps * s6
+                A = B * s6
+            rinv6 = rinv**6
+            rinv12 = rinv6 * rinv6
+        if "lj" in cfg.terms:
+            p = A * rinv12 - B * rinv6
+            dEdr = (-12.0 * A * rinv12 + 6.0 * B * rinv6) * rinv
+            if cfg.switch_dist is not None and cfg.cutoff is not None:
+                t = (dist - cfg.switch_dist) / (cfg.cutoff - cfg.switch_dist)
+                sw = 1.0 + t * t * t * (-10.0 + t * (15.0 - t * 6.0))
+                dsw = t * t * (-30.0 + t * (60.0 - t * 30.0)) / (
+                    cfg.cutoff - cfg.switch_dist
+                )
+                in_sw = dist > cfg.switch_dist
+                dEdr = jnp.where(in_sw, dEdr * sw + p * dsw, dEdr)
+                p = jnp.where(in_sw, p * sw, p)
+            pot["lj"] = 0.5 * jnp.sum(p * fmask)
+            g = g + dEdr * rinv * fmask
+        if "repulsion" in cfg.terms:
+            pot["repulsion"] = 0.5 * jnp.sum(A * rinv12 * fmask)
+            g = g + (-12.0 * A * rinv12 * rinv * rinv) * fmask
+        if "repulsioncg" in cfg.terms:
+            pot["repulsioncg"] = 0.5 * jnp.sum(B * rinv6 * fmask)
+            g = g + (-6.0 * B * rinv6 * rinv * rinv) * fmask
+        if want_elec:
+            qq = ELEC_FACTOR * Qc[:, :, None] * Qn[:, None, :]
+            if cfg.ewald_alpha is not None:
+                a = cfg.ewald_alpha
+                erfc_t = jax.scipy.special.erfc(a * dist)
+                p = qq * erfc_t * rinv
+                dEdr_r = -qq * rinv * rinv * (
+                    erfc_t * rinv
+                    + (2.0 * a / jnp.sqrt(jnp.pi)) * jnp.exp(-(a * dist) ** 2)
+                )
+            elif cfg.rfa and cfg.cutoff is not None:
+                denom = 2.0 * cfg.solvent_dielectric + 1.0
+                krf = (1.0 / cfg.cutoff**3) * (cfg.solvent_dielectric - 1.0) / denom
+                crf = (1.0 / cfg.cutoff) * (3.0 * cfg.solvent_dielectric) / denom
+                p = qq * (rinv + krf * d2 - crf)
+                dEdr_r = qq * (2.0 * krf - rinv * rinv * rinv)
+            else:
+                p = qq * rinv
+                dEdr_r = -qq * rinv * rinv * rinv
+            pot["electrostatics"] = 0.5 * jnp.sum(p * fmask)
+            g = g + dEdr_r * fmask
+
+        f_slots = -jnp.einsum("icj,icjk->ick", g, dv)   # (cc, cap, 3)
+        return pot, f_slots
+
+    def stack(a):
+        return a.reshape((nchunk, cell_chunk) + a.shape[1:])
+
+    if TY is not None:
+        args = (stack(Pc_all), stack(Sc_all), stack(Qc_all), stack(EXc_all),
+                stack(Tb_all), stack(TYc_all))
+    else:
+        args = (stack(Pc_all), stack(Sc_all), stack(Qc_all), stack(EXc_all),
+                stack(Tb_all), stack(SGc_all), stack(EPc_all))
+    pots, f_blocks = jax.lax.map(block, args)
+    out = {k: jnp.sum(v) for k, v in pots.items()}
+
+    # scatter slot forces back to atoms (padding rows land in the n-th bin)
+    f_flat = f_blocks.reshape(-1, 3)
+    ids = Sc_all.reshape(-1)
+    forces = jnp.zeros((n + 1, 3), dtype).at[ids].add(f_flat)[:n]
     return out, forces
 
 
@@ -324,16 +433,12 @@ def discretize_box(box, subcell_size):
     """27-neighbor cell index table for a rectangular box, the utility the
     reference sketches in neighbourlist.py:4-31. Returns (ncells_per_dim,
     neighbor_cell_pairs)."""
-    nc = tuple(max(1, int(float(b) // subcell_size)) for b in np.asarray(box))
-    ncells = nc[0] * nc[1] * nc[2]
-    offs = _neighbor_cell_offsets()
+    box = tuple(float(b) for b in np.asarray(box).reshape(-1)[:3])
+    nc = tuple(max(1, int(b // subcell_size)) for b in box)
+    cfg = CellListConfig(box, subcell_size, 0.0, nc, 1, 1, split=1)
+    table = neighbor_cell_table(cfg)
     pairs = set()
-    for cx in range(nc[0]):
-        for cy in range(nc[1]):
-            for cz in range(nc[2]):
-                c = (cx * nc[1] + cy) * nc[2] + cz
-                for dx, dy, dz in offs:
-                    nx, ny, nz = (cx + dx) % nc[0], (cy + dy) % nc[1], (cz + dz) % nc[2]
-                    c2 = (nx * nc[1] + ny) * nc[2] + nz
-                    pairs.add((min(c, c2), max(c, c2)))
+    for c in range(table.shape[0]):
+        for c2 in table[c]:
+            pairs.add((min(c, int(c2)), max(c, int(c2))))
     return nc, np.asarray(sorted(pairs), dtype=np.int64).reshape(-1, 2)
