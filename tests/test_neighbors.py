@@ -153,3 +153,20 @@ def test_discretize_box_stub_parity():
     assert pairs.shape[1] == 2
     # with 3 cells/axis and periodic wrap, every cell neighbors every other
     assert len(pairs) == 27 * 28 // 2
+
+
+def test_cell_ewald_real_space_matches_dense():
+    """Ewald erfc damping through the cell-pair path == dense path."""
+    mol, par, forces = _argon()
+    cfg = forces.config._replace(ewald_alpha=0.37)
+    ffp = forces.ffparams
+    pos = jnp.asarray(mol.coords[:, :, 0])
+    box = jnp.asarray([77.395] * 3)
+
+    pot_d, f_d = nonbonded_energy_forces(ffp, pos, box, cfg)
+    kern = CellKernel(ffp, cfg, par, np.asarray(box))
+    pot_c, f_c = kern.energy_forces(pos, box, kern.build(pos))
+    for k in pot_d:
+        np.testing.assert_allclose(float(pot_c[k]), float(pot_d[k]),
+                                   rtol=1e-11, err_msg=k)
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_d), atol=1e-13)
