@@ -1,18 +1,26 @@
-"""Fused analytic bonded energies + forces with one sorted segment-sum.
+"""Fused analytic bonded energies + forces, engineered for TPU op count.
 
-The AD path (grad of the bonded energy) turns every gather into a
-scatter-add in the backward pass -- on TPU those dominate the whole MD
-step once the nonbonded side runs in the Pallas kernel. Here forces come
-from the reference's analytic formulas (torchmd/forces.py:494-605), and
-ALL per-term force contributions scatter in a single
-`jax.ops.segment_sum` whose atom indices were sorted once at setup
-(indices_are_sorted=True), which lowers to an efficient sorted reduction
-instead of random atomic updates.
+On TPU the cost of the bonded stage is dominated by the NUMBER of
+gather/scatter ops (each costs ~0.1 ms regardless of size at MD scales),
+not by FLOPs. This implementation therefore uses exactly three indexed
+ops per evaluation:
 
-Energies are identical to potentials.compute_potentials (tested to fp
-accuracy); forces are identical to -grad (the angle sin(theta)->0 guard
-zeroes the same measure-zero configurations the reference guards,
-forces.py:523-526).
+  1. ONE coordinate gather `pos[big_idx]` covering every atom slot of
+     every term family (slices of the result are views, not ops),
+  2. one segment-sum for the multi-term torsion coefficient indirection
+     (skipped when the instance->assignment map is the identity),
+  3. ONE sorted segment-sum scattering all force contributions back to
+     atoms.
+
+All per-assignment parameters (k0, r0, phases, scaled 1-4 A/B/qq, ...)
+are baked into dense arrays at plan-build time, so no parameter-row
+gathers happen at runtime. (Force-field *training* differentiates the
+separate `potentials.compute_potentials` path, which keeps parameters as
+live pytree leaves; this module is the MD hot path.)
+
+Physics matches the reference analytic formulas (torchmd/forces.py:
+494-605, incl. the OpenMM torsion force distribution); equivalence with
+pure AD is tested to fp accuracy.
 """
 
 from __future__ import annotations
@@ -23,229 +31,247 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .potentials import (
-    FFParams,
-    ForceTermConfig,
-    wrap_displacement,
-    _safe_norm,
-)
+from .potentials import FFParams, ForceTermConfig
 from .units import ELEC_FACTOR
 
 
 class BondedPlan(NamedTuple):
-    """Static scatter plan: sorted flat atom indices + inverse permutation
-    for the concatenated per-term force contributions."""
-
-    perm: jnp.ndarray          # (M,) int32 contribution -> sorted order
-    idx_sorted: jnp.ndarray    # (M,) int32 atom id per sorted contribution
+    big_idx: jnp.ndarray       # (G,) int32: coordinate gather plan
+    perm: jnp.ndarray          # (G,) int32: contribution -> sorted order
+    idx_sorted: jnp.ndarray    # (G,) int32: atom id per sorted contribution
     natoms: int
-    counts: tuple              # contributions per family (for slicing)
+    families: tuple            # static description + baked parameter arrays
+
+
+def _expand(table):
+    """Baked per-assignment parameter rows + (instance count, map info)."""
+    params = np.asarray(table.params)[np.asarray(table.map_param)]
+    map_term = np.asarray(table.map_term)
+    ninst = int(np.asarray(table.idx).shape[0])
+    identity = bool(
+        len(map_term) == ninst and np.array_equal(map_term, np.arange(ninst))
+    )
+    return params, map_term, ninst, identity
 
 
 def build_bonded_plan(ffp: FFParams, cfg: ForceTermConfig) -> Optional[BondedPlan]:
-    chunks = []
-    counts = {}
+    gather_cols = []   # 1-D atom-index arrays, in contribution order
+    families = []
+
+    def add_family(kind, idx_np, extras):
+        offset = sum(len(c) for c in gather_cols)
+        for k in range(idx_np.shape[1]):
+            gather_cols.append(idx_np[:, k])
+        families.append(dict(
+            kind=kind, offset=offset, count=int(idx_np.shape[0]),
+            arity=int(idx_np.shape[1]), **extras,
+        ))
+
     if "bonds" in cfg.terms and ffp.bonds is not None:
-        idx = np.asarray(ffp.bonds.idx)
-        chunks += [idx[:, 0], idx[:, 1]]
-        counts["bonds"] = 2 * len(idx)
+        params, map_term, ninst, ident = _expand(ffp.bonds)
+        add_family("bond", np.asarray(ffp.bonds.idx), dict(
+            k0=jnp.asarray(params[:, 0]), r0=jnp.asarray(params[:, 1]),
+            map_term=None if ident else jnp.asarray(map_term, jnp.int32),
+            ninst=ninst, cutoff=cfg.cutoff,
+        ))
     if "angles" in cfg.terms and ffp.angles is not None:
-        idx = np.asarray(ffp.angles.idx)
-        chunks += [idx[:, 0], idx[:, 1], idx[:, 2]]
-        counts["angles"] = 3 * len(idx)
-    if "dihedrals" in cfg.terms and ffp.dihedrals is not None:
-        idx = np.asarray(ffp.dihedrals.idx)
-        chunks += [idx[:, 0], idx[:, 1], idx[:, 2], idx[:, 3]]
-        counts["dihedrals"] = 4 * len(idx)
-    if "impropers" in cfg.terms and ffp.impropers is not None:
-        idx = np.asarray(ffp.impropers.idx)
-        chunks += [idx[:, 0], idx[:, 1], idx[:, 2], idx[:, 3]]
-        counts["impropers"] = 4 * len(idx)
+        params, map_term, ninst, ident = _expand(ffp.angles)
+        add_family("angle", np.asarray(ffp.angles.idx), dict(
+            k0=jnp.asarray(params[:, 0]), t0=jnp.asarray(params[:, 1]),
+            map_term=None if ident else jnp.asarray(map_term, jnp.int32),
+            ninst=ninst,
+        ))
+    for term, field, amber in (
+        ("dihedrals", "dihedrals", cfg.dihedrals_amber),
+        ("impropers", "impropers", cfg.impropers_amber),
+    ):
+        tbl = getattr(ffp, field)
+        if term in cfg.terms and tbl is not None:
+            params, map_term, ninst, ident = _expand(tbl)
+            add_family("torsion", np.asarray(tbl.idx), dict(
+                name=term,
+                k0=jnp.asarray(params[:, 0]), phi0=jnp.asarray(params[:, 1]),
+                per=jnp.asarray(params[:, 2]),
+                map_term=None if ident else jnp.asarray(map_term, jnp.int32),
+                ninst=ninst, amber=bool(amber),
+            ))
     if "1-4" in cfg.terms and ffp.nb14 is not None:
-        idx = np.asarray(ffp.nb14.idx)
-        chunks += [idx[:, 0], idx[:, 1]]
-        counts["nb14"] = 2 * len(idx)
+        params, map_term, ninst, ident = _expand(ffp.nb14)
+        idx_np = np.asarray(ffp.nb14.idx)
+        q = np.asarray(ffp.charges)
+        qq = ELEC_FACTOR * q[idx_np[:, 0]] * q[idx_np[:, 1]] / params[:, 3]
+        add_family("nb14", idx_np, dict(
+            aa=jnp.asarray(params[:, 0] / params[:, 2]),
+            bb=jnp.asarray(params[:, 1] / params[:, 2]),
+            qq=jnp.asarray(qq),
+            want_lj="lj" in cfg.terms,
+            want_elec="electrostatics" in cfg.terms,
+        ))
     if "urey-bradley" in cfg.terms and ffp.urey_bradley is not None:
-        idx = np.asarray(ffp.urey_bradley.idx)
-        chunks += [idx[:, 0], idx[:, 1]]
-        counts["ub"] = 2 * len(idx)
-    if not chunks:
+        params, map_term, ninst, ident = _expand(ffp.urey_bradley)
+        add_family("ub", np.asarray(ffp.urey_bradley.idx), dict(
+            k0=jnp.asarray(params[:, 0]), r0=jnp.asarray(params[:, 1]),
+            map_term=None if ident else jnp.asarray(map_term, jnp.int32),
+            ninst=ninst, cutoff=None,
+        ))
+
+    if not families:
         return None
-    flat = np.concatenate(chunks).astype(np.int64)
+    flat = np.concatenate(gather_cols).astype(np.int64)
     perm = np.argsort(flat, kind="stable")
     return BondedPlan(
+        big_idx=jnp.asarray(flat, jnp.int32),
         perm=jnp.asarray(perm, jnp.int32),
         idx_sorted=jnp.asarray(flat[perm], jnp.int32),
         natoms=int(ffp.charges.shape[0]),
-        counts=tuple(sorted(counts.items())),
+        families=tuple(
+            tuple(sorted(f.items(), key=lambda kv: kv[0])) for f in families
+        ),
     )
 
 
-def _bond_like(table, pos, box, cutoff=None, scale=None):
-    """Harmonic two-center term. Returns (E, [f_i, f_j] contributions)."""
-    p = table.params[table.map_param]
-    dv = wrap_displacement(
-        pos[table.idx[:, 0]] - pos[table.idx[:, 1]], box
-    )
-    r = _safe_norm(dv)
-    unit = dv / r[:, None]
-    x = r[table.map_term] - p[:, 1]
-    e = p[:, 0] * x * x
-    coeff = 2.0 * p[:, 0] * x  # dE/dr
-    if cutoff is not None:
-        keep = r[table.map_term] <= cutoff
-        e = jnp.where(keep, e, 0.0)
-        coeff = jnp.where(keep, coeff, 0.0)
-    # multi-term safety: sum assignments back to instances
-    n_inst = table.idx.shape[0]
-    coeff_inst = jax.ops.segment_sum(coeff, table.map_term, num_segments=n_inst)
-    fv = unit * coeff_inst[:, None]
-    return jnp.sum(e), (-fv, fv)
+def _wrap(dv, box):
+    if box is None:
+        return dv
+    safe = jnp.where(box > 0, box, 1.0)
+    return dv - jnp.where(box > 0, safe * jnp.round(dv / safe), 0.0)
 
 
-def _angle_term(table, pos, box):
-    p = table.params[table.map_param]
-    r21 = wrap_displacement(pos[table.idx[:, 0]] - pos[table.idx[:, 1]], box)
-    r23 = wrap_displacement(pos[table.idx[:, 2]] - pos[table.idx[:, 1]], box)
-    dot = jnp.sum(r21 * r23, axis=1)
-    n21inv = 1.0 / _safe_norm(r21)
-    n23inv = 1.0 / _safe_norm(r23)
-    cos_t = jnp.clip(dot * n21inv * n23inv, -1.0, 1.0)
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-    theta = jnp.arctan2(jnp.maximum(sin_t, 1e-12), cos_t)
-    n_inst = table.idx.shape[0]
-    dt_ = theta[table.map_term] - p[:, 1]
-    e = p[:, 0] * dt_ * dt_
-    coeff_assign = jnp.where(
-        sin_t[table.map_term] != 0,
-        -2.0 * p[:, 0] * dt_ / jnp.maximum(sin_t[table.map_term], 1e-30),
-        0.0,
-    )
-    coeff = jax.ops.segment_sum(coeff_assign, table.map_term, num_segments=n_inst)
-    f0 = (
-        coeff[:, None]
-        * (cos_t[:, None] * r21 * n21inv[:, None] - r23 * n23inv[:, None])
-        * n21inv[:, None]
-    )
-    f2 = (
-        coeff[:, None]
-        * (cos_t[:, None] * r23 * n23inv[:, None] - r21 * n21inv[:, None])
-        * n23inv[:, None]
-    )
-    f1 = -(f0 + f2)
-    return jnp.sum(e), (f0, f1, f2)
+def _norm(v):
+    return jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1), 1e-32))
 
 
-def _torsion_term(table, pos, box, amber: bool):
-    idx = table.idx
-    r12 = wrap_displacement(pos[idx[:, 0]] - pos[idx[:, 1]], box)
-    r23 = wrap_displacement(pos[idx[:, 1]] - pos[idx[:, 2]], box)
-    r34 = wrap_displacement(pos[idx[:, 2]] - pos[idx[:, 3]], box)
-    crossA = jnp.cross(r12, r23)
-    crossB = jnp.cross(r23, r34)
-    crossC = jnp.cross(r23, crossA)
-    normA = _safe_norm(crossA)
-    normB = _safe_norm(crossB)
-    normC = _safe_norm(crossC)
-    ncB = crossB / normB[:, None]
-    cos_phi = jnp.sum(crossA * ncB, axis=1) / normA
-    sin_phi = jnp.sum(crossC * ncB, axis=1) / normC
-    phi = -jnp.arctan2(sin_phi, cos_phi)
-
-    p = table.params[table.map_param]
-    k0, phi0, per = p[:, 0], p[:, 1], p[:, 2]
-    phis = phi[table.map_term]
-    if amber:
-        diff = per * phis - phi0
-        e = k0 * (1.0 + jnp.cos(diff))
-        coeff_assign = -per * k0 * jnp.sin(diff)
-    else:
-        diff = phis - phi0
-        diff = diff - 2.0 * jnp.pi * jnp.round(diff / (2.0 * jnp.pi))
-        e = k0 * diff * diff
-        coeff_assign = 2.0 * k0 * diff
-    n_inst = idx.shape[0]
-    coeff = jax.ops.segment_sum(
-        coeff_assign, table.map_term, num_segments=n_inst
-    )
-
-    # OpenMM force distribution (reference forces.py:584-604)
-    normD = _safe_norm(r23)
-    norm2D = normD * normD
-    ff0 = (-coeff * normD) / (normA * normA)
-    ff1 = jnp.sum(r12 * r23, axis=1) / norm2D
-    ff2 = jnp.sum(r34 * r23, axis=1) / norm2D
-    ff3 = (coeff * normD) / (normB * normB)
-    f0v = ff0[:, None] * crossA
-    f3v = ff3[:, None] * crossB
-    s = ff1[:, None] * f0v - ff2[:, None] * f3v
-    return jnp.sum(e), (-f0v, f0v + s, f3v - s, -f3v)
-
-
-def _nb14_term(table, pos, box, charges, want_lj, want_elec, dtype):
-    dv = wrap_displacement(pos[table.idx[:, 0]] - pos[table.idx[:, 1]], box)
-    r = _safe_norm(dv)
-    unit = dv / r[:, None]
-    p = table.params[table.map_param]
-    aa, bb, scnb, scee = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
-    rinv = 1.0 / r
-    e_lj = jnp.asarray(0.0, dtype)
-    e_el = jnp.asarray(0.0, dtype)
-    coeff = jnp.zeros_like(r)
-    if want_lj:
-        rinv6 = rinv**6
-        rinv12 = rinv6 * rinv6
-        e_lj = jnp.sum((aa * rinv12 - bb * rinv6) / scnb)
-        coeff = coeff + (-12.0 * aa * rinv12 + 6.0 * bb * rinv6) * rinv / scnb
-    if want_elec:
-        qq = ELEC_FACTOR * charges[table.idx[:, 0]] * charges[table.idx[:, 1]]
-        pot = qq * rinv / scee
-        e_el = jnp.sum(pot)
-        coeff = coeff + (-pot * rinv)
-    fv = unit * coeff[:, None]
-    return e_lj, e_el, (-fv, fv)
+def _maybe_segment(coeff, f, dtype):
+    if f["map_term"] is None:
+        return coeff
+    return jax.ops.segment_sum(coeff, f["map_term"], num_segments=f["ninst"])
 
 
 def bonded_energy_forces(ffp: FFParams, plan: BondedPlan, pos, box,
                          cfg: ForceTermConfig):
     """(per-term bonded potentials dict, bonded forces (natoms, 3))."""
-    pot = {}
+    P = pos[plan.big_idx]              # the single coordinate gather
+    dtype = pos.dtype
+    pot: dict = {}
     contribs = []
-    if "bonds" in cfg.terms and ffp.bonds is not None:
-        e, fs = _bond_like(ffp.bonds, pos, box, cutoff=cfg.cutoff)
-        pot["bonds"] = e
-        contribs += list(fs)
-    if "angles" in cfg.terms and ffp.angles is not None:
-        e, fs = _angle_term(ffp.angles, pos, box)
-        pot["angles"] = e
-        contribs += list(fs)
-    if "dihedrals" in cfg.terms and ffp.dihedrals is not None:
-        e, fs = _torsion_term(ffp.dihedrals, pos, box, cfg.dihedrals_amber)
-        pot["dihedrals"] = e
-        contribs += list(fs)
-    if "impropers" in cfg.terms and ffp.impropers is not None:
-        e, fs = _torsion_term(ffp.impropers, pos, box, cfg.impropers_amber)
-        pot["impropers"] = e
-        contribs += list(fs)
-    if "1-4" in cfg.terms and ffp.nb14 is not None:
-        e_lj, e_el, fs = _nb14_term(
-            ffp.nb14, pos, box, ffp.charges,
-            "lj" in cfg.terms, "electrostatics" in cfg.terms, pos.dtype,
-        )
-        if "lj" in cfg.terms:
-            pot["lj"] = pot.get("lj", 0.0) + e_lj
-        if "electrostatics" in cfg.terms:
-            pot["electrostatics"] = pot.get("electrostatics", 0.0) + e_el
-        contribs += list(fs)
-    if "urey-bradley" in cfg.terms and ffp.urey_bradley is not None:
-        e, fs = _bond_like(ffp.urey_bradley, pos, box)
-        pot["urey-bradley"] = e
-        contribs += list(fs)
 
-    if not contribs:
-        return pot, jnp.zeros_like(pos)
+    for fam in plan.families:
+        f = dict(fam)
+        o, c = f["offset"], f["count"]
 
-    flat = jnp.concatenate(contribs, axis=0)          # (M, 3)
+        def col(k):
+            return jax.lax.slice_in_dim(P, o + k * c, o + (k + 1) * c, axis=0)
+
+        if f["kind"] in ("bond", "ub"):
+            dv = _wrap(col(0) - col(1), box)
+            r = _norm(dv)
+            unit = dv / r[:, None]
+            rr = r if f["map_term"] is None else r[f["map_term"]]
+            x = rr - f["r0"]
+            e = f["k0"] * x * x
+            coeff = 2.0 * f["k0"] * x
+            if f["cutoff"] is not None:
+                keep = rr <= f["cutoff"]
+                e = jnp.where(keep, e, 0.0)
+                coeff = jnp.where(keep, coeff, 0.0)
+            coeff = _maybe_segment(coeff, f, dtype)
+            fv = unit * coeff[:, None]
+            key = "bonds" if f["kind"] == "bond" else "urey-bradley"
+            pot[key] = pot.get(key, 0.0) + jnp.sum(e)
+            contribs += [-fv, fv]
+
+        elif f["kind"] == "angle":
+            r21 = _wrap(col(0) - col(1), box)
+            r23 = _wrap(col(2) - col(1), box)
+            dot = jnp.sum(r21 * r23, axis=1)
+            n21inv = 1.0 / _norm(r21)
+            n23inv = 1.0 / _norm(r23)
+            cos_t = jnp.clip(dot * n21inv * n23inv, -1.0, 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+            theta = jnp.arctan2(jnp.maximum(sin_t, 1e-12), cos_t)
+            th = theta if f["map_term"] is None else theta[f["map_term"]]
+            sn = sin_t if f["map_term"] is None else sin_t[f["map_term"]]
+            dt_ = th - f["t0"]
+            e = f["k0"] * dt_ * dt_
+            coeff = jnp.where(
+                sn != 0,
+                -2.0 * f["k0"] * dt_ / jnp.maximum(sn, 1e-30),
+                0.0,
+            )
+            coeff = _maybe_segment(coeff, f, dtype)
+            f0 = (
+                coeff[:, None]
+                * (cos_t[:, None] * r21 * n21inv[:, None] - r23 * n23inv[:, None])
+                * n21inv[:, None]
+            )
+            f2 = (
+                coeff[:, None]
+                * (cos_t[:, None] * r23 * n23inv[:, None] - r21 * n21inv[:, None])
+                * n23inv[:, None]
+            )
+            pot["angles"] = pot.get("angles", 0.0) + jnp.sum(e)
+            contribs += [f0, -(f0 + f2), f2]
+
+        elif f["kind"] == "torsion":
+            r12 = _wrap(col(0) - col(1), box)
+            r23 = _wrap(col(1) - col(2), box)
+            r34 = _wrap(col(2) - col(3), box)
+            crossA = jnp.cross(r12, r23)
+            crossB = jnp.cross(r23, r34)
+            crossC = jnp.cross(r23, crossA)
+            normA = _norm(crossA)
+            normB = _norm(crossB)
+            normC = _norm(crossC)
+            ncB = crossB / normB[:, None]
+            cos_phi = jnp.sum(crossA * ncB, axis=1) / normA
+            sin_phi = jnp.sum(crossC * ncB, axis=1) / normC
+            phi = -jnp.arctan2(sin_phi, cos_phi)
+            phis = phi if f["map_term"] is None else phi[f["map_term"]]
+            if f["amber"]:
+                diff = f["per"] * phis - f["phi0"]
+                e = f["k0"] * (1.0 + jnp.cos(diff))
+                coeff = -f["per"] * f["k0"] * jnp.sin(diff)
+            else:
+                diff = phis - f["phi0"]
+                diff = diff - 2.0 * jnp.pi * jnp.round(diff / (2.0 * jnp.pi))
+                e = f["k0"] * diff * diff
+                coeff = 2.0 * f["k0"] * diff
+            coeff = _maybe_segment(coeff, f, dtype)
+            normD = _norm(r23)
+            norm2D = normD * normD
+            ff0 = (-coeff * normD) / (normA * normA)
+            ff1 = jnp.sum(r12 * r23, axis=1) / norm2D
+            ff2 = jnp.sum(r34 * r23, axis=1) / norm2D
+            ff3 = (coeff * normD) / (normB * normB)
+            f0v = ff0[:, None] * crossA
+            f3v = ff3[:, None] * crossB
+            s = ff1[:, None] * f0v - ff2[:, None] * f3v
+            pot[f["name"]] = pot.get(f["name"], 0.0) + jnp.sum(e)
+            contribs += [-f0v, f0v + s, f3v - s, -f3v]
+
+        elif f["kind"] == "nb14":
+            dv = _wrap(col(0) - col(1), box)
+            r = _norm(dv)
+            unit = dv / r[:, None]
+            rinv = 1.0 / r
+            coeff = jnp.zeros_like(r)
+            if f["want_lj"]:
+                rinv6 = rinv**6
+                rinv12 = rinv6 * rinv6
+                pot["lj"] = pot.get("lj", 0.0) + jnp.sum(
+                    f["aa"] * rinv12 - f["bb"] * rinv6
+                )
+                coeff = coeff + (
+                    -12.0 * f["aa"] * rinv12 + 6.0 * f["bb"] * rinv6
+                ) * rinv
+            if f["want_elec"]:
+                p_e = f["qq"] * rinv
+                pot["electrostatics"] = pot.get("electrostatics", 0.0) + jnp.sum(p_e)
+                coeff = coeff + (-p_e * rinv)
+            fv = unit * coeff[:, None]
+            contribs += [-fv, fv]
+
+    flat = jnp.concatenate(contribs, axis=0)
     flat_sorted = flat[plan.perm]
     forces = jax.ops.segment_sum(
         flat_sorted, plan.idx_sorted, num_segments=plan.natoms,

@@ -161,6 +161,9 @@ class Forces:
             and self.dtype == jnp.float32
             and pallas_supported_terms(self.config)
             and self.ffparams.lj_ab is None  # NBFIX tables: dense path
+            # below ~2k atoms the fixed kernel cost loses to XLA's fused
+            # dense path (measured on v5e); "pallas" forces it on
+            and (kernel == "pallas" or self.natoms >= 2048)
         )
         from .bonded import bonded_energy_forces, build_bonded_plan
         from .potentials import nonbonded_energy_forces
