@@ -194,3 +194,19 @@ def test_run_dcd_output(tmp_path):
     d = read_dcd(str(tmp_path / "output_0.dcd"))
     assert d["coords"].shape == (mol.numAtoms, 3, 3)
     assert np.all(d["box"][:, 0] > 70)
+
+
+def test_run_minimize_fire(tmp_path):
+    args = runmod.get_args([
+        "--structure", os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"),
+        "--forcefield", os.path.join(SYSTEMS_DIR, "argon", "argon_forcefield.yaml"),
+        "--forceterms", "LJ", "--cutoff", "9.0", "--precision", "double",
+        "--steps", "10", "--output-period", "10", "--save-period", "10",
+        "--temperature", "10",
+        "--minimize", "50", "--minimize-method", "fire",
+        "--log-dir", str(tmp_path), "--device", "cpu",
+    ])
+    mol, system, forces = runmod.setup(args)
+    e0 = forces.compute(system.pos, system.box)[0]
+    runmod.dynamics(args, mol, system, forces)
+    assert os.path.exists(tmp_path / "monitor_0.csv")

@@ -70,6 +70,9 @@ def get_args(arguments=None):
                         help="xsc file for box size")
     parser.add_argument("--minimize", default=None, type=int,
                         help="Minimize the system for `minimize` steps")
+    parser.add_argument("--minimize-method", default="bfgs", type=str,
+                        help="Minimizer: bfgs (scipy L-BFGS-B) | fire "
+                             "(on-device) | lbfgs (on-device optax)")
     parser.add_argument("--exclusions", default=("bonds", "angles", "1-4"),
                         type=tuple, help="exclusions for the LJ/repulsionCG term")
     parser.add_argument("--npz_file", default=None, type=str,
@@ -243,7 +246,18 @@ def dynamics(args, mol, system, forces):
     ]
 
     if args.minimize is not None:
-        minimize_bfgs(system, forces, steps=args.minimize)
+        method = getattr(args, "minimize_method", "bfgs")
+        if method == "fire":
+            from .minimizers import minimize_fire
+
+            minimize_fire(system, forces, steps=args.minimize)
+        elif method == "lbfgs":
+            from .minimizers import minimize_lbfgs
+
+            minimize_lbfgs(system, forces, steps=max(1, args.minimize // 20),
+                           verbose=False)
+        else:
+            minimize_bfgs(system, forces, steps=args.minimize)
 
     Epot = forces.compute(system.pos, system.box, system.forces)
 
