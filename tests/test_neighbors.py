@@ -170,3 +170,51 @@ def test_cell_ewald_real_space_matches_dense():
         np.testing.assert_allclose(float(pot_c[k]), float(pot_d[k]),
                                    rtol=1e-11, err_msg=k)
     np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_d), atol=1e-13)
+
+
+def test_cell_compute_api_matches_dense():
+    """Forces.compute() honors kernel='cell' (fresh build per call)."""
+    mol, par, _ = _argon()
+    box = np.zeros((1, 3, 3))
+    np.fill_diagonal(box[0], [77.395] * 3)
+    pos = mol.coords[:, :, 0][None]
+
+    fd = Forces(par, terms=["lj", "electrostatics"], precision="double",
+                cutoff=9.0, rfa=True)
+    fc = Forces(par, terms=["lj", "electrostatics"], precision="double",
+                cutoff=9.0, rfa=True, kernel="cell")
+    ed = fd.compute(pos, box, returnDetails=True)[0]
+    ec = fc.compute(pos, box, returnDetails=True)[0]
+    for k, v in ed.items():
+        np.testing.assert_allclose(ec[k], v, rtol=1e-12, err_msg=k)
+    np.testing.assert_allclose(
+        np.asarray(fc.last_forces), np.asarray(fd.last_forces), atol=1e-12
+    )
+
+
+def test_cell_multireplica_dynamics():
+    """Cell-list scan with 2 replicas matches two independent 1-replica
+    runs (per-replica cell lists through vmap)."""
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.systems import System
+
+    mol, par, _ = _argon()
+
+    def run(nrep, seed_vel):
+        forces = Forces(par, terms=["lj", "electrostatics"],
+                        precision="double", cutoff=9.0, rfa=True,
+                        kernel="cell")
+        system = System(mol.numAtoms, nrep, "double", "cpu")
+        system.set_positions(mol.coords)
+        system.set_box(np.asarray([77.395] * 3))
+        vel1 = np.asarray(maxwell_boltzmann(par.masses, 150.0, 1,
+                                            seed=seed_vel))
+        system.set_velocities(np.repeat(vel1, nrep, axis=0))
+        integ = Integrator(system, forces, timestep=5.0, device="cpu")
+        integ.step(niter=30)
+        return system.pos.copy()
+
+    single = run(1, 7)
+    double = run(2, 7)
+    np.testing.assert_allclose(double[0], single[0], atol=1e-10)
+    np.testing.assert_allclose(double[1], single[0], atol=1e-10)

@@ -209,6 +209,18 @@ class Forces:
         else:
             ef_one = bonded_ef_one
 
+        if self.cell_requested and self._cell_kernel is not None and has_nb:
+            kern = self._cell_kernel
+
+            def ef_one(pos, box):  # noqa: F811 -- cell-path override
+                pot, frc = bonded_ef_one(pos, box)
+                cl = kern.build(pos)
+                nb_pot, nb_f = kern.energy_forces(pos, box, cl)
+                pot = dict(pot)
+                for k, v in nb_pot.items():
+                    pot[k] = pot.get(k, 0.0) + v
+                return pot, frc + nb_f
+
         if self._ewald is not None:
             rec = self._ewald
             inner_ef = ef_one
@@ -302,6 +314,9 @@ class Forces:
         box_j = _box_to_diag(box, nreplicas, self.dtype)
         if self.ewald_requested and self._ewald is None:
             self.ensure_ewald(np.asarray(box_j)[0])
+        if self.cell_requested and self._cell_kernel is None:
+            self.ensure_cell_kernel(np.asarray(box_j)[0])
+            self._build_evaluators()
 
         if calculateForces:
             pot, frc = self._jit_pot_forces(pos_j, box_j)

@@ -362,7 +362,7 @@ class Integrator:
                 state = self._state_from_system()
                 cl = jax.vmap(self._cell_kernel.build)(state.pos)
                 (state, cl), epot = self._scan_fn((state, cl), box, int(niter))
-                if not bool(np.asarray(cl.overflow)):
+                if not bool(np.any(np.asarray(cl.overflow))):
                     break
                 # a cell overflowed: grow capacity and redo this chunk
                 self._cell_kernel = self._cell_kernel.grow()
