@@ -183,3 +183,35 @@ def test_forces_ewald_mode_end_to_end():
         Ekin, Epot, T = integ.step(niter=20)
         etots.append(float(Epot[0] + Ekin[0]))
     assert abs(etots[-1] - etots[0]) < 0.05, etots
+
+
+def test_ewald_with_constraints_nve():
+    """Cross-feature integration: Ewald electrostatics + SHAKE-rigid water
+    conserve energy at 2 fs NVE."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from common import ALL_TERMS, load_system
+    from conftest import DATA_DIR
+    from torchmd_tpu.parameters import Parameters
+    from torchmd_tpu.forces import Forces
+    from torchmd_tpu.systems import System
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+
+    mol, ff, _ = load_system(os.path.join(DATA_DIR, "2watersperiodic"))
+    par = Parameters(ff, mol, ALL_TERMS, precision="double")
+    forces = Forces(par, terms=ALL_TERMS, precision="double", cutoff=8.0,
+                    elec="ewald")
+    system = System(mol.numAtoms, 1, "double", "cpu")
+    system.set_positions(mol.coords)
+    system.set_box(mol.box)
+    system.set_velocities(maxwell_boltzmann(par.masses, 150, 1, seed=2))
+    integ = Integrator(system, forces, timestep=2.0, device="cpu",
+                       constraints="allbonds")
+    etots = []
+    for _ in range(5):
+        Ekin, Epot, T = integ.step(niter=25)
+        etots.append(float(Epot[0] + Ekin[0]))
+    assert np.isfinite(etots).all()
+    assert abs(etots[-1] - etots[0]) < 0.05, etots
