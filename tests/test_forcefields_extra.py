@@ -67,3 +67,34 @@ def test_yaml_wildcard_prefers_fewest_x():
     assert ff.get_bond("B", "B") == (1.0, 1.0)   # falls to (X, X)
     # reversed lookup also resolves through (A, X)
     assert ff.get_bond("B", "A") == (2.0, 2.0)
+
+
+def test_charmm_argon_par_psf_pipeline():
+    """The reference's tests/reference CHARMM argon set (par with
+    continuation lines + rtf MASS + psf) computes the textbook LJ dimer
+    energy."""
+    import os
+
+    from conftest import SYSTEMS_DIR
+    from torchmd_tpu.io import Molecule
+    from torchmd_tpu.forcefields import ForceField
+    from torchmd_tpu.parameters import Parameters
+    from torchmd_tpu.forces import Forces
+
+    d = os.path.join(SYSTEMS_DIR, "reference")
+    mol = Molecule(os.path.join(d, "structure.psf"))
+    mol.read(os.path.join(d, "argon2.pdb"))
+    ff = ForceField.create(
+        mol, [os.path.join(d, "argon.par"), os.path.join(d, "argon.rtf")]
+    )
+    sigma, eps = ff.get_LJ("AR")
+    assert sigma == pytest.approx(2 * 1.9081 * 2 ** (-1 / 6), rel=1e-9)
+    assert eps == pytest.approx(0.238, rel=1e-9)
+
+    par = Parameters(ff, mol, ["lj"], precision="double")
+    forces = Forces(par, terms=["lj"], precision="double")
+    pos = mol.coords[:, :, 0][None]
+    r = float(np.linalg.norm(pos[0, 1] - pos[0, 0]))
+    e = forces.compute(pos, None)[0]
+    expected = 4 * eps * ((sigma / r) ** 12 - (sigma / r) ** 6)
+    assert e == pytest.approx(expected, rel=1e-10)
