@@ -38,4 +38,27 @@ __all__ = [
     "io", "forcefields", "parameters", "systems", "forces", "integrator",
     "minimizers", "wrapper", "neighbors", "potentials", "parallel", "train",
     "external", "checkpoint", "profiling", "units", "run",
+    # convenience re-exports (lazy)
+    "Molecule", "ForceField", "Parameters", "System", "Forces", "Integrator",
+    "maxwell_boltzmann", "Wrapper",
 ]
+
+_LAZY = {
+    "Molecule": ("torchmd_tpu.io", "Molecule"),
+    "ForceField": ("torchmd_tpu.forcefields", "ForceField"),
+    "Parameters": ("torchmd_tpu.parameters", "Parameters"),
+    "System": ("torchmd_tpu.systems", "System"),
+    "Forces": ("torchmd_tpu.forces", "Forces"),
+    "Integrator": ("torchmd_tpu.integrator", "Integrator"),
+    "maxwell_boltzmann": ("torchmd_tpu.integrator", "maxwell_boltzmann"),
+    "Wrapper": ("torchmd_tpu.wrapper", "Wrapper"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'torchmd_tpu' has no attribute {name!r}")
