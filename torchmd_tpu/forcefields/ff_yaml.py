@@ -1,16 +1,26 @@
 """YAML force-field reader.
 
-Implements the same custom YAML schema and wildcard-matching semantics as
-the reference (torchmd/forcefields/ff_yaml.py:7-103): sections `atomtypes`,
-`masses`, `bonds`, `angles`, `dihedrals` (with `terms`, `scnb`, `scee`),
-`impropers`, `lj` (sigma/epsilon + sigma14/epsilon14), `electrostatics`.
-Atom-type keys may use `X` wildcards; matches are tried fewest-wildcards
-first, with reversed tuples for bonds/angles/dihedrals and center-fixed
-permutations for impropers (center at position 2).
+Reads the custom YAML schema used by the reference's bundled force fields
+(behavior spec: torchmd/forcefields/ff_yaml.py:7-103 and
+tests/water/water_forcefield.yaml): top-level sections ``atomtypes``,
+``masses``, ``bonds`` ({k0, req}), ``angles`` ({k0, theta0}), ``dihedrals``
+({terms: [{phi_k, phase, per}], scnb, scee}), ``impropers`` ({phi_k, phase,
+per}), ``lj`` ({sigma, epsilon, sigma14, epsilon14}), ``electrostatics``
+({charge}). Multi-atom entries are keyed by "(T1, T2, ...)" strings; the
+type ``X`` is a wildcard.
+
+Lookup semantics: the most specific entry wins (fewest wildcards); ties
+prefer the query's own atom order over the reversed order (bonds, angles,
+dihedrals) or over center-preserving permutations (impropers, center fixed
+at the third slot), and within one ordering prefer wildcards in trailing
+positions. Implementation here parses each section's keys into type tuples
+once and probes that table with lazily generated patterns — equivalent
+semantics, table-driven rather than the reference's string-formatting probe.
 """
 
 from __future__ import annotations
 
+from itertools import combinations, permutations
 from math import radians
 
 import numpy as np
@@ -18,52 +28,78 @@ import yaml
 
 from .forcefield import _ForceFieldBase
 
+WILDCARD = "X"
+
+
+def _parse_key(key) -> tuple:
+    """A section key — "(T1, T2)" or a bare type name — as a type tuple."""
+    text = str(key).strip()
+    if text.startswith("(") and text.endswith(")"):
+        return tuple(part.strip() for part in text[1:-1].split(","))
+    return (text,)
+
+
+def _orderings(term, types):
+    """Every atom ordering under which `term` may be stored, preference
+    order first."""
+    yield types
+    if term in ("bonds", "angles", "dihedrals"):
+        yield types[::-1]
+    elif term == "impropers":
+        # Center atom stays third; the outer three may appear in any order.
+        for idx in permutations((0, 1, 3)):
+            if idx == (0, 1, 3):
+                continue  # identity already yielded
+            i, j, k = idx
+            yield (types[i], types[j], types[2], types[k])
+
+
+def _with_wildcards(order, count):
+    """All patterns replacing `count` positions of `order` with the
+    wildcard, trailing positions first (the reference's tie-break order)."""
+    slots = range(len(order))
+    for chosen in reversed(list(combinations(slots, count))):
+        yield tuple(
+            WILDCARD if pos in chosen else typ for pos, typ in enumerate(order)
+        )
+
 
 class YamlForcefield(_ForceFieldBase):
+    """Force-field parameter source backed by a YAML file or parsed dict."""
+
     def __init__(self, mol, prm):
         self.mol = mol
         if isinstance(prm, str):
-            with open(prm, "r") as f:
-                self.prm = yaml.safe_load(f)
+            with open(prm) as fh:
+                self.prm = yaml.safe_load(fh)
         else:
-            self.prm = dict(prm)  # already-parsed dict
+            self.prm = dict(prm)
+        self._tables: dict[str, dict] = {}
 
-    def _get_x_variants(self, atomtypes):
-        from itertools import product
-
-        permutations = np.array(
-            sorted(product([False, True], repeat=len(atomtypes)), key=sum)
-        )
-        variants = []
-        for per in permutations:
-            tmpat = atomtypes.copy()
-            tmpat[per] = "X"
-            variants.append(tmpat)
-        return variants
+    def _table(self, term) -> dict:
+        """Section entries keyed by parsed type tuple (built once)."""
+        table = self._tables.get(term)
+        if table is None:
+            section = self.prm.get(term) or {}
+            table = {_parse_key(k): v for k, v in section.items()}
+            self._tables[term] = table
+        return table
 
     def get_parameters(self, term, atomtypes):
-        from itertools import permutations
+        """Most-specific matching entry for `atomtypes` in section `term`."""
+        table = self._table(term)
+        query = tuple(atomtypes)
+        orders = list(_orderings(term, query))
+        for nwild in range(len(query) + 1):
+            for order in orders:
+                for pattern in _with_wildcards(order, nwild):
+                    if pattern in table:
+                        return table[pattern]
+        raise RuntimeError(
+            f"{list(atomtypes)} doesn't have {term} information in the FF"
+        )
 
-        atomtypes = np.array(atomtypes)
-        variants = self._get_x_variants(atomtypes)
-        if term in ("bonds", "angles", "dihedrals"):
-            variants += self._get_x_variants(atomtypes[::-1])
-        elif term == "impropers":
-            perms = np.array(
-                [x for x in permutations((0, 1, 2, 3)) if x[2] == 2]
-            )
-            for perm in perms:
-                variants += self._get_x_variants(atomtypes[perm])
-        variants = sorted(variants, key=lambda x: np.sum(x == "X"))
-
-        termpar = self.prm[term]
-        for var in variants:
-            key = ", ".join(var)
-            if len(var) > 1:
-                key = "(" + key + ")"
-            if key in termpar:
-                return termpar[key]
-        raise RuntimeError(f"{atomtypes} doesn't have {term} information in the FF")
+    # --- _ForceFieldBase getters -------------------------------------
 
     def get_atom_types(self):
         return np.unique(self.prm["atomtypes"])
@@ -75,34 +111,36 @@ class YamlForcefield(_ForceFieldBase):
         return self.prm["masses"][at]
 
     def get_LJ(self, at):
-        p = self.get_parameters("lj", [at])
-        return p["sigma"], p["epsilon"]
+        entry = self.get_parameters("lj", [at])
+        return entry["sigma"], entry["epsilon"]
 
     def get_bond(self, at1, at2):
-        p = self.get_parameters("bonds", [at1, at2])
-        return p["k0"], p["req"]
+        entry = self.get_parameters("bonds", [at1, at2])
+        return entry["k0"], entry["req"]
 
     def get_angle(self, at1, at2, at3):
-        p = self.get_parameters("angles", [at1, at2, at3])
-        return p["k0"], radians(p["theta0"])
+        entry = self.get_parameters("angles", [at1, at2, at3])
+        return entry["k0"], radians(entry["theta0"])
 
     def get_dihedral(self, at1, at2, at3, at4):
-        p = self.get_parameters("dihedrals", [at1, at2, at3, at4])
-        return [[t["phi_k"], radians(t["phase"]), t["per"]] for t in p["terms"]]
+        entry = self.get_parameters("dihedrals", [at1, at2, at3, at4])
+        return [
+            [t["phi_k"], radians(t["phase"]), t["per"]] for t in entry["terms"]
+        ]
 
     def get_14(self, at1, at2, at3, at4):
-        p = self.get_parameters("dihedrals", [at1, at2, at3, at4])
-        lj1 = self.get_parameters("lj", [at1])
-        lj4 = self.get_parameters("lj", [at4])
+        dih = self.get_parameters("dihedrals", [at1, at2, at3, at4])
+        end1 = self.get_parameters("lj", [at1])
+        end4 = self.get_parameters("lj", [at4])
         return (
-            p.get("scnb", 1),
-            p.get("scee", 1),
-            lj1["sigma14"],
-            lj1["epsilon14"],
-            lj4["sigma14"],
-            lj4["epsilon14"],
+            dih.get("scnb", 1),
+            dih.get("scee", 1),
+            end1["sigma14"],
+            end1["epsilon14"],
+            end4["sigma14"],
+            end4["epsilon14"],
         )
 
     def get_improper(self, at1, at2, at3, at4):
-        p = self.get_parameters("impropers", [at1, at2, at3, at4])
-        return p["phi_k"], radians(p["phase"]), p["per"]
+        entry = self.get_parameters("impropers", [at1, at2, at3, at4])
+        return entry["phi_k"], radians(entry["phase"]), entry["per"]

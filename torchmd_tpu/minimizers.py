@@ -64,16 +64,13 @@ def minimize_bfgs(system, forces, fmax=0.5, steps=1000, verbose=True):
         epot = float(e[0])
         grad = -np.asarray(f[0], dtype=np.float64)
         if verbose:
-            print(
-                "{0:4d}   {1: 3.6f}   {2: 3.6f}".format(
-                    info["Nfeval"], epot, np.max(np.linalg.norm(grad, axis=1))
-                )
-            )
+            fmax_now = np.max(np.linalg.norm(grad, axis=1))
+            print(f"{info['Nfeval']:>4d}  E={epot:12.6f}  fmax={fmax_now:10.6f}")
         info["Nfeval"] += 1
         return epot, grad.reshape(-1)
 
     if verbose:
-        print("{0:4s} {1:9s}       {2:9s}".format("Iter", " Epot", " fmax"))
+        print(f"{'iter':>4s}  {'Epot':>14s}  {'fmax':>15s}")
     x0 = np.asarray(system.pos, dtype=np.float64)[0].flatten()
     res = minimize(
         evalfunc, x0, method="L-BFGS-B", jac=True,
@@ -111,12 +108,12 @@ def minimize_lbfgs(system, forces, steps=10, max_iter=20, verbose=True):
     state = solver.init(pos)
     energies = []
     if verbose:
-        print("{0:4s} {1:9s}".format("Iter", " Epot"))
+        print(f"{'iter':>4s}  {'Epot':>14s}")
     for i in range(steps * max_iter):
         pos, state, value = one(pos, state)
         energies.append(float(value))
         if verbose and i % max_iter == 0:
-            print("{0:4d}   {1: 3.6f}".format(i, float(value)))
+            print(f"{i:>4d}  E={float(value):12.6f}")
     system.pos[:] = np.asarray(pos, dtype=system.pos.dtype)
     return np.asarray(energies)
 

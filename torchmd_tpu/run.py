@@ -105,43 +105,74 @@ def get_args(arguments=None):
     return args
 
 
-def setup(args, batch_comp=False):
+def _select_platform(device):
+    """Point jax at the requested backend. Reference configs may say
+    "cuda"; that maps to whatever accelerator jax finds by default."""
+    if not device:
+        return
+    name = str(device)
+    if name.startswith("cuda"):
+        return
     import jax
 
+    jax.config.update("jax_platforms", name)
+
+
+def _load_molecule(args):
+    """Build the Molecule from whichever input flag was given, folding in
+    coordinate/box files. Returns (mol, is_npz)."""
     from .io import Molecule, npzMolecule
+
+    if args.npz_file is not None:
+        return npzMolecule(args.npz_file), True
+
+    topo = args.topology if args.topology is not None else args.structure
+    if topo is None:
+        raise RuntimeError("Provide --topology, --structure or --npz_file")
+    mol = Molecule(topo)
+    if args.topology is None and mol.crystalinfo is not None:
+        # PDB CRYST1 record carries the box when no topology file is given.
+        abc = [mol.crystalinfo[k] for k in ("a", "b", "c")]
+        mol.box = np.asarray(abc, dtype=np.float64).reshape(3, 1)
+    for extra in (args.coordinates, args.extended_system):
+        if extra is not None:
+            mol.read(extra)
+    return mol, False
+
+
+def _instantiate_external(args, mol, is_npz):
+    """Construct the external (NNP) calculator described by the --external
+    dict: import `module`, tile per-atom embeddings across replicas, and
+    pass the remaining keys through as constructor kwargs."""
+    spec = args.external
+    if spec is None:
+        return None
+    spec = dict(spec)
+    module_name = spec.pop("module")
+    weights = spec.pop("file", None)
+    emb = spec.pop("embeddings", None)
+    if is_npz:
+        per_atom = np.asarray(mol.embedding)
+    elif isinstance(emb, str):
+        per_atom = np.load(emb).astype(int)
+    else:
+        per_atom = np.asarray(emb)
+    per_atom = per_atom.reshape(-1)
+    embeddings = np.repeat(per_atom[None], args.replicas, axis=0)
+    factory = getattr(importlib.import_module(module_name), "External")
+    return factory(weights, embeddings, device=args.device, **spec)
+
+
+def setup(args, batch_comp=False):
     from .forcefields import ForceField
     from .parameters import Parameters
     from .systems import System
     from .forces import Forces
     from .integrator import maxwell_boltzmann
 
-    if args.device:
-        dev = str(args.device)
-        if dev.startswith("cuda"):
-            # reference configs say "cuda"; map to the default accelerator
-            dev = None
-        if dev:
-            jax.config.update("jax_platforms", dev)
-
-    mol = None
-    if args.topology is not None:
-        mol = Molecule(args.topology)
-    elif args.structure is not None:
-        mol = Molecule(args.structure)
-        if mol.crystalinfo is not None:
-            mol.box = np.array(
-                [mol.crystalinfo["a"], mol.crystalinfo["b"], mol.crystalinfo["c"]]
-            ).reshape(3, 1)
-    elif args.npz_file is not None:
-        mol = npzMolecule(args.npz_file)
-        batch_comp = True
-    if mol is None:
-        raise RuntimeError("Provide --topology, --structure or --npz_file")
-
-    if args.coordinates is not None:
-        mol.read(args.coordinates)
-    if args.extended_system is not None:
-        mol.read(args.extended_system)
+    _select_platform(args.device)
+    mol, is_npz = _load_molecule(args)
+    batch_comp = batch_comp or is_npz
 
     print("Force terms: ", args.forceterms)
     ff = ForceField.create(mol, args.forcefield)
@@ -149,38 +180,18 @@ def setup(args, batch_comp=False):
         ff, mol, args.forceterms, precision=args.precision, device=args.device
     )
 
-    external = None
-    if args.external is not None:
-        externalmodule = importlib.import_module(args.external["module"])
-        if batch_comp:
-            embeddings = np.tile(mol.embedding, (args.replicas, 1))
-        else:
-            emb = args.external["embeddings"]
-            if isinstance(emb, str):
-                emb = np.load(emb).astype(int)
-            embeddings = np.tile(np.asarray(emb), (args.replicas, 1))
-        file = args.external["file"]
-        extra = {
-            k: v for k, v in args.external.items()
-            if k not in ("module", "file", "embeddings")
-        }
-        external = externalmodule.External(
-            file, embeddings, device=args.device, **extra
-        )
-
     system = System(mol.numAtoms, args.replicas, args.precision, args.device)
     system.set_positions(mol.coords)
     system.set_box(mol.box)
-    system.set_velocities(
-        maxwell_boltzmann(
-            parameters.masses, args.temperature, args.replicas, seed=args.seed
-        )
+    vel0 = maxwell_boltzmann(
+        parameters.masses, args.temperature, args.replicas, seed=args.seed
     )
+    system.set_velocities(vel0)
 
     forces = Forces(
         parameters,
         terms=args.forceterms,
-        external=external,
+        external=_instantiate_external(args, mol, batch_comp),
         cutoff=args.cutoff,
         rfa=args.rfa,
         switch_dist=args.switch_dist,
@@ -232,15 +243,24 @@ def dynamics(args, mol, system, forces):
             for k in range(args.replicas)
         ]
     start_iter = 1
+    trajs = [[] for _ in range(args.replicas)]
     if args.resume:
         start_iter = load_checkpoint(args.resume, system, integrator) + 1
-
-    trajs = [[] for _ in range(args.replicas)]
+        # Preserve pre-crash outputs: reload already-saved trajectory frames
+        # so the next np.save extends rather than truncates them.
+        if not use_dcd:
+            for k in range(args.replicas):
+                prior = os.path.join(args.log_dir,
+                                     f"{outputname}_{k}{outputext or '.npy'}")
+                if os.path.exists(prior):
+                    old = np.load(prior)  # (natoms, 3, nframes)
+                    trajs[k] = [old[:, :, j] for j in range(old.shape[2])]
     logs = [
         LogWriter(
             args.log_dir,
             keys=("iter", "ns", "epot", "ekin", "etot", "T"),
             name=f"monitor_{k}.csv",
+            append=bool(args.resume),
         )
         for k in range(args.replicas)
     ]

@@ -1,8 +1,12 @@
-"""Logging, config and trajectory-conversion utilities.
+"""Run-loop utilities: CSV metric monitors, config-file handling for the
+CLI, and trajectory export.
 
-Functional equivalents of the reference helpers (torchmd/utils.py):
-CSV monitor writer with wall-time column, YAML/k=v config merging for
-argparse, resolved-config persistence, and npy->xyz conversion.
+Behavior spec from the reference (torchmd/utils.py:10-93): a per-replica
+``monitor_{k}.csv`` with a trailing wall-time column, a ``--conf`` argparse
+action that merges YAML or ``key=value`` files into the namespace, a
+resolved-config dump, and an npy→xyz converter. Beyond the reference, the
+monitor supports append mode so ``--resume`` continues history instead of
+truncating it.
 """
 
 from __future__ import annotations
@@ -18,78 +22,103 @@ import yaml
 
 
 class LogWriter:
-    """CSV monitor (one row per output period, flushed immediately, with a
-    wall-time column `t`), mirroring torchmd/utils.py:10-38."""
+    """Appends rows of run metrics to a flushed CSV file.
 
-    def __init__(self, path, keys, header="", name="monitor.csv"):
-        self.keys = tuple(keys) + ("t",)
-        assert path is not None
+    Columns are the caller's `keys` plus a trailing wall-clock column ``t``
+    (seconds since the writer opened). Every row is flushed immediately so a
+    crashed run keeps its history. With ``append=True`` a non-empty existing
+    file is continued without rewriting the header (used on --resume);
+    otherwise the file is recreated.
+    """
+
+    def __init__(self, path, keys, header="", name="monitor.csv",
+                 append=False):
         os.makedirs(path, exist_ok=True)
-        filename = os.path.join(path, name)
-        if os.path.exists(filename):
-            os.remove(filename)
-        self.f = open(filename, "wt")
-        if isinstance(header, dict):
-            header = "# {} \n".format(json.dumps(header))
-        self.f.write(header)
-        self.logger = csv.DictWriter(self.f, fieldnames=self.keys)
-        self.logger.writeheader()
-        self.f.flush()
-        self.tstart = time.time()
+        target = os.path.join(path, name)
+        continuing = (
+            append and os.path.isfile(target) and os.path.getsize(target) > 0
+        )
+        self._fields = list(keys) + ["t"]
+        self._fh = open(target, "a" if continuing else "w", newline="")
+        self._csv = csv.DictWriter(self._fh, fieldnames=self._fields)
+        self._t0 = time.time()
+        if not continuing:
+            if isinstance(header, dict):
+                self._fh.write("# {} \n".format(json.dumps(header)))
+            elif header:
+                self._fh.write(header)
+            self._csv.writeheader()
+            self._fh.flush()
 
-    def write_row(self, epinfo):
-        if self.logger:
-            epinfo = dict(epinfo)
-            epinfo["t"] = time.time() - self.tstart
-            self.logger.writerow(epinfo)
-            self.f.flush()
+    # kept as attributes for duck-type compatibility with older callers
+    @property
+    def keys(self):
+        return tuple(self._fields)
+
+    def write_row(self, row):
+        stamped = dict(row)
+        stamped["t"] = time.time() - self._t0
+        self._csv.writerow(stamped)
+        self._fh.flush()
 
     def close(self):
-        self.f.close()
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 class LoadFromFile(argparse.Action):
-    """argparse action merging a YAML (or k=v) config file into the
-    namespace (torchmd/utils.py:41-57)."""
+    """``--conf FILE`` argparse action: merge settings from FILE into the
+    namespace. ``.yaml``/``.yml`` files update it wholesale; anything else
+    is read as ``key=value`` lines (blank lines and ``#`` comments are
+    skipped), each value coerced to the type of the flag's current value."""
 
     def __call__(self, parser, namespace, values, option_string=None):
-        if values.name.endswith("yaml") or values.name.endswith("yml"):
-            with values as f:
-                namespace.__dict__.update(yaml.safe_load(f))
+        fh = open(values) if isinstance(values, str) else values
+        with fh:
+            text = fh.read()
+            filename = getattr(fh, "name", str(values))
+        if filename.endswith((".yaml", ".yml")):
+            for key, val in (yaml.safe_load(text) or {}).items():
+                setattr(namespace, key, val)
             return
-        with values as f:
-            for line in f.read().rstrip().split("\n"):
-                k, v = line.split("=")
-                typ = type(namespace.__dict__[k])
-                namespace.__dict__[k] = typ(v) if typ is not None else v
+        for raw in text.splitlines():
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            key, _, val = line.partition("=")
+            key, val = key.strip(), val.strip()
+            current = getattr(namespace, key, None)
+            setattr(namespace, key,
+                    type(current)(val) if current is not None else val)
 
 
 def save_argparse(args, filename, exclude=None):
-    if filename.endswith("yaml") or filename.endswith("yml"):
-        if isinstance(exclude, str):
-            exclude = [exclude]
-        d = args.__dict__.copy()
-        for exl in exclude or []:
-            d.pop(exl, None)
-        with open(filename, "w") as fout:
-            yaml.dump(d, fout)
-    else:
-        with open(filename, "w") as f:
-            for k, v in args.__dict__.items():
-                if k is exclude:
-                    continue
-                f.write(f"{k}={v}\n")
+    """Persist the resolved run configuration (the reference writes
+    ``log_dir/input.yaml``) so a run is reproducible from its output dir."""
+    if isinstance(exclude, str):
+        exclude = [exclude]
+    skip = set(exclude or ())
+    entries = {k: v for k, v in vars(args).items() if k not in skip}
+    with open(filename, "w") as fh:
+        if filename.endswith((".yaml", ".yml")):
+            yaml.dump(entries, fh)
+        else:
+            fh.writelines(f"{key}={val}\n" for key, val in entries.items())
 
 
 def xyz_writer(input_file, output_file, mol_elements):
-    """Convert an (natoms, 3, nsteps) .npy trajectory to .xyz
-    (torchmd/utils.py:78-93)."""
-    npy_traj = np.load(input_file)
-    nats, _, nsteps = npy_traj.shape
-    with open(output_file, "a") as f:
-        for i in range(nsteps):
-            f.write(f"{nats}\n\n")
-            for j in range(nats):
-                f.write(f"{mol_elements[j]} ")
-                f.write(" ".join(map(str, npy_traj[j, :, i])))
-                f.write("\n")
+    """Append an ``(natoms, 3, nframes)`` .npy trajectory to `output_file`
+    in xyz format, one block per frame."""
+    traj = np.load(input_file)
+    natoms = traj.shape[0]
+    with open(output_file, "a") as fh:
+        for frame in np.moveaxis(traj, 2, 0):
+            fh.write(f"{natoms}\n\n")
+            for element, xyz in zip(mol_elements, frame):
+                coords = " ".join(str(c) for c in xyz)
+                fh.write(f"{element} {coords}\n")
