@@ -218,3 +218,57 @@ def test_cell_multireplica_dynamics():
     double = run(2, 7)
     np.testing.assert_allclose(double[0], single[0], atol=1e-10)
     np.testing.assert_allclose(double[1], single[0], atol=1e-10)
+
+
+def test_cell_ewald_integration_matches_dense():
+    """elec='ewald' + kernel='cell': the integrator scan must include the
+    Ewald reciprocal/self/exclusion terms (regression: it used to integrate
+    erfc real-space only), and step() Epot must equal forces.compute()."""
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.systems import System
+
+    def run(kernel):
+        mol, par, _ = _argon()
+        forces = Forces(par, terms=["lj", "electrostatics"],
+                        precision="double", cutoff=9.0, elec="ewald",
+                        kernel=kernel)
+        system = System(mol.numAtoms, 1, "double", "cpu")
+        system.set_positions(mol.coords)
+        system.set_box(np.asarray([77.395] * 3))
+        system.set_velocities(maxwell_boltzmann(par.masses, 120.0, 1, seed=5))
+        integ = Integrator(system, forces, timestep=5.0, device="cpu")
+        _, epot, _ = integ.step(niter=10)
+        return system.pos.copy(), float(np.asarray(epot).reshape(-1)[0]), \
+            forces, system
+
+    pos_d, e_d, _, _ = run("dense")
+    pos_c, e_c, forces_c, system_c = run("cell")
+    np.testing.assert_allclose(pos_c, pos_d, atol=1e-8)
+    np.testing.assert_allclose(e_c, e_d, rtol=1e-10)
+    # scan-reported Epot agrees with an independent compute() at the same pos
+    e_api = forces_c.compute(system_c.pos, system_c.box, returnDetails=False)
+    np.testing.assert_allclose(e_api[0], e_c, rtol=1e-9)
+
+
+def test_cell_compute_overflow_grows():
+    """Forces.compute() on the cell path must detect capacity overflow and
+    grow instead of returning corrupted energies."""
+    mol, par, _ = _argon()
+    forces = Forces(par, terms=["lj", "electrostatics"], precision="double",
+                    cutoff=9.0, rfa=True, kernel="cell")
+    box = np.zeros((1, 3, 3))
+    np.fill_diagonal(box[0], [77.395] * 3)
+    coords = mol.coords.copy()
+    coords[1, :, 0] = coords[0, :, 0] + 0.5  # two atoms share one cell
+    pos = coords[:, :, 0][None]
+
+    ref = Forces(par, terms=["lj", "electrostatics"], precision="double",
+                 cutoff=9.0, rfa=True)
+    expected = ref.compute(pos, box)
+
+    forces.ensure_cell_kernel(np.asarray([77.395] * 3))
+    forces._cell_kernel.clcfg = forces._cell_kernel.clcfg.with_capacity(1)
+    forces._build_evaluators()
+    got = forces.compute(pos, box)
+    assert forces._cell_kernel.clcfg.capacity > 1
+    np.testing.assert_allclose(got, expected, rtol=1e-10)

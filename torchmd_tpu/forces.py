@@ -317,6 +317,18 @@ class Forces:
         if self.cell_requested and self._cell_kernel is None:
             self.ensure_cell_kernel(np.asarray(box_j)[0])
             self._build_evaluators()
+        if self.cell_requested and self._cell_kernel is not None:
+            # Guard against silent cell-capacity overflow (which clamps atom
+            # ranks and corrupts energies): grow + rebuild until it fits,
+            # mirroring Integrator.step's retry loop.
+            for _attempt in range(4):
+                cl = jax.vmap(self._cell_kernel.build)(pos_j)
+                if not bool(np.any(np.asarray(cl.overflow))):
+                    break
+                self._cell_kernel = self._cell_kernel.grow()
+                self._build_evaluators()
+            else:
+                raise RuntimeError("cell list capacity kept overflowing")
 
         if calculateForces:
             pot, frc = self._jit_pot_forces(pos_j, box_j)

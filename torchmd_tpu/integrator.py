@@ -243,6 +243,11 @@ class Integrator:
         vcoeff = self.vcoeff if use_thermostat else None
         masses = self.masses
         ext_energy = getattr(forces_obj.external, "energy_fn", None)
+        # Ewald reciprocal/self/exclusion terms: the cell kernel only covers
+        # the erfc-damped real-space part, so fold the rest in exactly as
+        # Forces._build_evaluators does (without it, elec='ewald' +
+        # kernel='cell' would integrate wrong energies AND forces).
+        ewald = getattr(forces_obj, "_ewald", None)
 
         from .neighbors import needs_rebuild
 
@@ -267,6 +272,10 @@ class Integrator:
                 jax.tree_util.tree_leaves(nb_pot)
             )
             frc = frc + nb_f
+            if ewald is not None:
+                er, eg = jax.value_and_grad(ewald.energy)(pos, box)
+                e = e + er
+                frc = frc - eg
             if ext_energy is not None:
                 ee, eg = jax.value_and_grad(ext_energy)(pos, box)
                 e = e + ee
@@ -367,6 +376,9 @@ class Integrator:
                 # a cell overflowed: grow capacity and redo this chunk
                 self._cell_kernel = self._cell_kernel.grow()
                 self.forces._cell_kernel = self._cell_kernel
+                # rebuild the Forces closures too, or compute()/ef_one keep
+                # referencing the old smaller-capacity kernel
+                self.forces._build_evaluators()
                 self._scan_fn = self._build_scan_cell()
             else:
                 raise RuntimeError("cell list capacity kept overflowing")
