@@ -38,6 +38,42 @@ CUTOFF, RFA, TIMESTEP, TEMP, GAMMA = 7.3, True, 4.0, 300.0, 0.1
 FALLBACK_BASELINE_STEPS_PER_SEC = 1.00
 
 
+def pallas_parity_gate(forces, mol):
+    """Assert the compiled-on-TPU Pallas kernels (bonded + nonbonded)
+    reproduce the pure-AD jnp path on this device before timing anything —
+    a Mosaic miscompile must fail the bench, not produce fast wrong numbers.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from torchmd_tpu.potentials import compute_potentials
+
+    ffp, cfg = forces.ffparams, forces.config
+    pos = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+
+    @jax.jit
+    def ad_path(p):
+        def etot(q):
+            pot = compute_potentials(ffp, q, None, cfg)
+            return sum(jax.tree_util.tree_leaves(pot))
+
+        return jax.value_and_grad(etot)(p)
+
+    @jax.jit
+    def kern_path(p):
+        pot, frc = forces.ef_one(p, None)
+        return sum(jax.tree_util.tree_leaves(pot)), -frc
+
+    e_ad, g_ad = ad_path(pos)
+    e_k, g_k = kern_path(pos)
+    e_scale = max(1.0, abs(float(e_ad)))
+    g_scale = float(jnp.max(jnp.abs(g_ad)))
+    e_err = abs(float(e_ad) - float(e_k)) / e_scale
+    g_err = float(jnp.max(jnp.abs(g_ad - g_k))) / g_scale
+    assert e_err < 1e-5, f"on-TPU Pallas energy parity failed: {e_err}"
+    assert g_err < 1e-3, f"on-TPU Pallas force parity failed: {g_err}"
+
+
 def measure_mine(niter=100, rounds=3):
     import jax
 
@@ -53,12 +89,13 @@ def measure_mine(niter=100, rounds=3):
     ff = ForceField.create(mol, os.path.join(DATA, "structure.prmtop"))
     par = Parameters(ff, mol, TERMS, precision="single")
     forces = Forces(par, terms=TERMS, precision="single", cutoff=CUTOFF, rfa=RFA)
+    pallas_parity_gate(forces, mol)
     system = System(mol.numAtoms, 1, "single")
     system.set_positions(mol.coords)
     system.set_velocities(maxwell_boltzmann(par.masses, TEMP, 1, seed=1))
     integ = Integrator(system, forces, TIMESTEP, gamma=GAMMA, T=TEMP, seed=1)
 
-    integ.step(niter=5)  # compile + warmup
+    integ.step(niter=niter)  # compile + warmup at the timed shape
     best = 0.0
     for _ in range(rounds):
         t0 = time.perf_counter()

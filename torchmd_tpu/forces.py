@@ -173,12 +173,41 @@ class Forces:
         self._bonded_plan = build_bonded_plan(ffp_, config)
         plan = self._bonded_plan
 
-        def bonded_ef_one(pos, box):
-            """(per-term bonded potentials, bonded forces): fused analytic
-            formulas with one sorted segment-sum scatter (torchmd_tpu.bonded)."""
-            if plan is None:
-                return {}, jnp.zeros_like(pos)
-            return bonded_energy_forces(ffp_, plan, pos, box, config)
+        # Pallas fused bonded kernels (gather + physics + scatter in VMEM):
+        # XLA's row-serialized gather/segment-sum ops cost ~2 ms at thrombin
+        # scale; the kernels cut that to ~0.7 ms (ops/pallas_bonded.py).
+        import os as _os
+
+        self.use_pallas_bonded = (
+            plan is not None
+            and pallas_available()
+            and self.dtype == jnp.float32
+            and kernel in ("auto", "pallas")
+            and _os.environ.get("TMD_PALLAS_BONDED", "1") != "0"
+        )
+        self._pallas_bonded_plan = None
+        if self.use_pallas_bonded:
+            from .ops.pallas_bonded import (
+                build_pallas_bonded_plan,
+                pallas_bonded_energy_forces,
+            )
+
+            self._pallas_bonded_plan = build_pallas_bonded_plan(ffp_, config)
+
+        if self._pallas_bonded_plan is not None:
+            pplan = self._pallas_bonded_plan
+
+            def bonded_ef_one(pos, box):
+                return pallas_bonded_energy_forces(pplan, pos, box)
+
+        else:
+
+            def bonded_ef_one(pos, box):
+                """(per-term bonded potentials, bonded forces): fused analytic
+                formulas with one sorted segment-sum scatter (torchmd_tpu.bonded)."""
+                if plan is None:
+                    return {}, jnp.zeros_like(pos)
+                return bonded_energy_forces(ffp_, plan, pos, box, config)
 
         self.bonded_ef_one = bonded_ef_one
 

@@ -148,6 +148,13 @@ class Integrator:
             self._sharding = NamedSharding(mesh, P(mesh_axis))
 
         self.key = jax.random.PRNGKey(seed)
+        # device-state cache (avoids host<->device round trips per step();
+        # critical when the TPU is reached through a network tunnel)
+        self._dev_state = None
+        self._host_snap = None
+        self._dev_box = None
+        self._box_snap = None
+        self._packer = None
         # Host-loop fallback: duck-typed force providers without a jittable
         # energy (mock objects, host-coupled NNPs) are stepped with
         # per-iteration compute() calls, like the reference loop.
@@ -318,33 +325,98 @@ class Integrator:
         return run
 
     # ------------------------------------------------------------------
+    # Host<->device state movement. The TPU may sit behind a network
+    # tunnel where every transfer costs a full round trip (~20 ms
+    # measured), so step() (a) reuses the cached device state when the
+    # numpy System buffers are unchanged since our last sync, and (b)
+    # pulls pos/vel/forces/KE/Epot back in ONE packed transfer.
     def _state_from_system(self) -> SimState:
         s = self.systems
         dtype = self.dtype
+        snap = (s.pos, s.vel, s.forces)
+        if (
+            self._dev_state is not None
+            and self._host_snap is not None
+            and all(np.array_equal(a, b)
+                    for a, b in zip(self._host_snap, snap))
+        ):
+            return self._dev_state._replace(key=self.key)
 
-        def put(x):
-            x = jnp.asarray(x, dtype=dtype)
-            if self._sharding is not None:
-                x = jax.device_put(x, self._sharding)
-            return x
+        if self._sharding is not None:
+            def put(x):
+                return jax.device_put(jnp.asarray(x, dtype=dtype),
+                                      self._sharding)
 
-        return SimState(
-            pos=put(s.pos), vel=put(s.vel), forces=put(s.forces),
-            key=self.key,
-        )
+            state = SimState(pos=put(s.pos), vel=put(s.vel),
+                             forces=put(s.forces), key=self.key)
+        else:
+            packed = jnp.asarray(
+                np.stack([s.pos, s.vel, s.forces]), dtype=dtype
+            )  # one host->device transfer
+            state = SimState(pos=packed[0], vel=packed[1],
+                             forces=packed[2], key=self.key)
+        self._dev_state = state
+        self._host_snap = tuple(a.copy() for a in snap)
+        return state
 
+    def _make_packer(self):
+        masses = self.masses
+        batch = None if self.batch is None else jnp.asarray(self.batch)
+
+        @jax.jit
+        def pack(state: SimState, epot, overflow):
+            ke = kinetic_energy(masses, state.vel, batch)  # (R, nb)
+            epot = jnp.reshape(jnp.asarray(epot, state.pos.dtype), (-1, 1))
+            ov = jnp.full_like(epot, overflow.astype(state.pos.dtype))
+            aux = jnp.concatenate([ke.astype(state.pos.dtype), epot, ov], 1)
+            r, n = state.pos.shape[0], state.pos.shape[1]
+            aux = jnp.pad(aux, ((0, 0), (0, 3 * n - aux.shape[1])))
+            return jnp.stack(
+                [state.pos, state.vel, state.forces, aux.reshape(r, n, 3)]
+            )
+
+        return pack
+
+    def _sync_to_host(self, state: SimState, epot, overflow=None):
+        """One packed device->host pull; returns (Ekin, epot, overflow)."""
+        s = self.systems
+        self.key = state.key
+        self._dev_state = state
+        if overflow is None:
+            overflow = jnp.zeros((), jnp.bool_)
+        if self._packer is None:
+            self._packer = self._make_packer()
+        packed = np.asarray(self._packer(state, epot, overflow))
+        s.pos[:] = packed[0].astype(s.pos.dtype)
+        s.vel[:] = packed[1].astype(s.vel.dtype)
+        s.forces[:] = packed[2].astype(s.forces.dtype)
+        self._host_snap = (s.pos.copy(), s.vel.copy(), s.forces.copy())
+        r = packed.shape[1]
+        aux = packed[3].reshape(r, -1)
+        nb = 1 if self.batch is None else int(np.max(self.batch)) + 1
+        ekin = aux[:, :nb]
+        return ekin, aux[:, nb], bool(aux[0, nb + 1] != 0)
+
+    # kept for checkpoint/compat callers
     def _state_to_system(self, state: SimState):
         s = self.systems
         s.pos[:] = np.asarray(state.pos, dtype=s.pos.dtype)
         s.vel[:] = np.asarray(state.vel, dtype=s.vel.dtype)
         s.forces[:] = np.asarray(state.forces, dtype=s.forces.dtype)
+        self._host_snap = (s.pos.copy(), s.vel.copy(), s.forces.copy())
+        self._dev_state = state
         self.key = state.key
 
     def step(self, niter=1):
         systems = self.systems
-        box = jnp.asarray(systems.box_diag, dtype=self.dtype)
-        if self._sharding is not None:
-            box = jax.device_put(box, self._sharding)
+        box_np = np.asarray(systems.box_diag)
+        if self._box_snap is None or not np.array_equal(self._box_snap, box_np):
+            box = jnp.asarray(box_np, dtype=self.dtype)
+            if self._sharding is not None:
+                box = jax.device_put(box, self._sharding)
+            self._dev_box = box
+            self._box_snap = box_np.copy()
+        box = self._dev_box
 
         if self._host_path:
             # Host-coupled external potential (e.g. a torch NNP): step with
@@ -366,12 +438,22 @@ class Integrator:
                     )
                 systems.vel[:] += 0.5 * self.dt * systems.forces / self._masses_np
             epot = np.asarray(pot) if pot is not None else np.zeros(systems.nreplicas)
-        elif self._use_cell:
+            ke = kinetic_energy(self.masses, systems.vel, self.batch)
+            Ekin = np.asarray(ke).flatten()
+            T = kinetic_to_temp(Ekin, self.natoms) * self._dof_scale
+            return Ekin, epot, T
+
+        if self._use_cell:
+            state0 = self._state_from_system()
             for _attempt in range(4):
-                state = self._state_from_system()
-                cl = jax.vmap(self._cell_kernel.build)(state.pos)
-                (state, cl), epot = self._scan_fn((state, cl), box, int(niter))
-                if not bool(np.any(np.asarray(cl.overflow))):
+                cl = jax.vmap(self._cell_kernel.build)(state0.pos)
+                (state, cl), epot_dev = self._scan_fn(
+                    (state0, cl), box, int(niter)
+                )
+                ekin, epot, overflowed = self._sync_to_host(
+                    state, epot_dev, jnp.any(cl.overflow)
+                )
+                if not overflowed:
                     break
                 # a cell overflowed: grow capacity and redo this chunk
                 self._cell_kernel = self._cell_kernel.grow()
@@ -382,15 +464,11 @@ class Integrator:
                 self._scan_fn = self._build_scan_cell()
             else:
                 raise RuntimeError("cell list capacity kept overflowing")
-            self._state_to_system(state)
-            epot = np.asarray(epot)
         else:
-            state = self._state_from_system()
-            state, epot = self._scan_fn(state, box, int(niter))
-            self._state_to_system(state)
-            epot = np.asarray(epot)
+            state0 = self._state_from_system()
+            state, epot_dev = self._scan_fn(state0, box, int(niter))
+            ekin, epot, _ = self._sync_to_host(state, epot_dev)
 
-        ke = kinetic_energy(self.masses, self.systems.vel, self.batch)
-        Ekin = np.asarray(ke).flatten()
+        Ekin = np.asarray(ekin, dtype=np.float64).flatten()
         T = kinetic_to_temp(Ekin, self.natoms) * self._dof_scale
-        return Ekin, epot, T
+        return Ekin, np.asarray(epot, dtype=np.float64), T
