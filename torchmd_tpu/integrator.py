@@ -88,7 +88,7 @@ class Integrator:
 
     def __init__(self, systems, forces, timestep, device=None, gamma=None,
                  T=None, batch=None, seed=1, mesh=None, mesh_axis="dp",
-                 constraints=None):
+                 constraints=None, shard="replica"):
         self.dt = timestep / TIMEFACTOR
         self.systems = systems
         self.forces = forces
@@ -133,11 +133,26 @@ class Integrator:
                     3 * len(masses) - ncon, 1
                 )
 
-        # Optional replica sharding: place the leading (nreplicas) axis of
-        # the state on a mesh axis; the compiled scan then runs ensemble-
-        # parallel across chips with no per-step communication.
+        # Optional sharding over a device mesh:
+        #   shard="replica" (default): the leading (nreplicas) axis of the
+        #     state lives on a mesh axis; the compiled scan runs ensemble-
+        #     parallel across chips with no per-step communication.
+        #   shard="spatial": ONE large system's atom rows shard over the
+        #     mesh axis; each step all_gathers positions over ICI, evaluates
+        #     its row block of the pair matrix with the same unified math as
+        #     the dense path, and psums energies (strong scaling — a
+        #     capability the reference cannot express, SURVEY.md §2.9).
         self._sharding = None
-        if mesh is not None:
+        self._spatial = None
+        if mesh is not None and shard == "spatial":
+            if systems.nreplicas != 1:
+                raise ValueError("spatial sharding supports nreplicas=1")
+            if constraints:
+                raise NotImplementedError(
+                    "constraints + spatial sharding not yet supported"
+                )
+            self._spatial = (mesh, mesh_axis)
+        elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             if systems.nreplicas % mesh.shape[mesh_axis] != 0:
@@ -167,7 +182,16 @@ class Integrator:
         )
         if getattr(forces, "ewald_requested", False) and not self._host_path:
             forces.ensure_ewald(np.asarray(systems.box_diag)[0])
-        if self._use_cell:
+        if self._spatial is not None:
+            if self._host_path:
+                raise ValueError("spatial sharding needs a jittable force "
+                                 "provider")
+            if self._use_cell:
+                raise NotImplementedError(
+                    "kernel='cell' + spatial sharding not yet supported"
+                )
+            self._scan_fn = self._build_scan_spatial()
+        elif self._use_cell:
             box_all = np.asarray(systems.box_diag)
             if not np.allclose(box_all, box_all[0]):
                 raise ValueError("cell-list kernel requires equal replica boxes")
@@ -324,6 +348,202 @@ class Integrator:
 
         return run
 
+    def _build_scan_spatial(self):
+        """Scan variant for ONE large system sharded over a mesh axis.
+
+        State rows (atoms) live split across chips; each inner step:
+          first VV half-kick/drift on local rows
+          -> all_gather positions over ICI
+          -> row block of the pair matrix via the SAME unified block math
+             as the dense path (parallel.spatial.rowblock_energy_forces:
+             NBFIX/RFA/switching/Ewald real-space all supported)
+          -> bonded + Ewald reciprocal + external evaluated replicated,
+             local force rows sliced out
+          -> per-rank thermostat noise (key folded with the axis index)
+          -> second VV half-kick.
+        Energies are psum-reduced, so every rank returns the exact total.
+        """
+        from functools import partial as _partial
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+
+        from .parallel.spatial import (
+            pad_ffparams_rows,
+            rowblock_energy_forces,
+        )
+        from .potentials import NONBONDED_TERMS
+
+        mesh, ax = self._spatial
+        forces_obj = self.forces
+        ffp = forces_obj.ffparams
+        cfg = forces_obj.config
+        natoms = int(ffp.charges.shape[0])
+        sp = mesh.shape[ax]
+        npad = -(-natoms // sp) * sp
+        rows = npad // sp
+        self._spatial_npad = npad
+
+        has_nb = (
+            any(t in cfg.terms for t in NONBONDED_TERMS)
+            and ffp.nb_mask is not None
+        )
+        ffp_pad = pad_ffparams_rows(ffp, npad) if has_nb else ffp
+        ewald = getattr(forces_obj, "_ewald", None)
+        ext_energy = getattr(forces_obj.external, "energy_fn", None)
+        bonded_ef = forces_obj.bonded_ef_one
+
+        dt = self.dt
+        gamma = self.gamma
+        use_thermostat = bool(self.T)
+        use_pbc = bool(np.any(np.asarray(self.systems.box_diag) != 0))
+
+        def pad_rows(a, value=0.0):
+            return jnp.pad(a, ((0, npad - a.shape[0]), (0, 0)),
+                           constant_values=value)
+
+        # padded masses (1.0 on padding: harmless divisor, zero velocity);
+        # padded noise coefficient 0.0 (padding rows stay frozen)
+        masses_pad = pad_rows(self.masses, 1.0)
+        vcoeff_pad = pad_rows(self.vcoeff, 0.0) if use_thermostat else None
+        self._spatial_masses_pad = masses_pad
+        self._spatial_sharding = NamedSharding(mesh, P(ax))
+
+        @_partial(jax.jit, static_argnames=("niter",))
+        def run(state: SimState, box, niter: int):
+            @_partial(
+                shard_map, mesh=mesh,
+                in_specs=(P(ax), P(ax), P(ax), P(), P()),
+                out_specs=(P(ax), P(ax), P(ax), P(), P()),
+                check_vma=False,
+            )
+            def inner(pos_l, vel_l, frc_l, key, boxv):
+                row0 = jax.lax.axis_index(ax) * rows
+                m_l = jax.lax.dynamic_slice_in_dim(masses_pad, row0, rows, 0)
+                vc_l = (
+                    jax.lax.dynamic_slice_in_dim(vcoeff_pad, row0, rows, 0)
+                    if use_thermostat else None
+                )
+                boxe = boxv if use_pbc else None
+
+                def ef_rows(pos_loc):
+                    pos_full = jax.lax.all_gather(pos_loc, ax, axis=0,
+                                                  tiled=True)
+                    e = jnp.zeros((), pos_loc.dtype)
+                    f_rows = jnp.zeros_like(pos_loc)
+                    if has_nb:
+                        pot_nb, f_nb = rowblock_energy_forces(
+                            ffp_pad, cfg, pos_loc, pos_full, boxe, row0
+                        )
+                        e = e + jax.lax.psum(
+                            sum(jax.tree_util.tree_leaves(pot_nb)), ax
+                        )
+                        f_rows = f_rows + f_nb
+                    pos_n = pos_full[:natoms]
+
+                    def e_replicated(p):
+                        er = jnp.zeros((), p.dtype)
+                        if ewald is not None:
+                            er = er + ewald.energy(p, boxv)
+                        if ext_energy is not None:
+                            er = er + ext_energy(p, boxv)
+                        return er
+
+                    pot_b, f_b = bonded_ef(pos_n, boxe)
+                    e = e + sum(jax.tree_util.tree_leaves(pot_b))
+                    f_full = f_b
+                    if ewald is not None or ext_energy is not None:
+                        er, eg = jax.value_and_grad(e_replicated)(pos_n)
+                        e = e + er
+                        f_full = f_full - eg
+                    f_rows = f_rows + jax.lax.dynamic_slice_in_dim(
+                        pad_rows(f_full), row0, rows, 0
+                    )
+                    return e, f_rows
+
+                def body(carry, _):
+                    p_l, v_l, f_l, k = carry
+                    p_l, v_l = _first_vv(p_l, v_l, f_l, m_l, dt)
+                    e, f_l = ef_rows(p_l)
+                    if use_thermostat:
+                        k, sub = jax.random.split(k)
+                        sub = jax.random.fold_in(sub, jax.lax.axis_index(ax))
+                        noise = jax.random.normal(sub, v_l.shape,
+                                                  dtype=v_l.dtype)
+                        v_l = v_l - gamma * v_l * dt + noise * vc_l
+                    v_l = _second_vv(v_l, f_l, m_l, dt)
+                    return (p_l, v_l, f_l, k), e
+
+                carry, epots = jax.lax.scan(
+                    body, (pos_l, vel_l, frc_l, key), None, length=niter
+                )
+                p_l, v_l, f_l, k = carry
+                return p_l, v_l, f_l, k, epots[-1]
+
+            pos, vel, frc, key, epot = inner(
+                state.pos, state.vel, state.forces, state.key,
+                jnp.reshape(box, (-1,))[:3],
+            )
+            return SimState(pos, vel, frc, key), epot
+
+        return run
+
+    def _spatial_state_from_system(self) -> SimState:
+        s = self.systems
+        snap = (s.pos, s.vel, s.forces)
+        if (
+            self._dev_state is not None
+            and self._host_snap is not None
+            and all(np.array_equal(a, b)
+                    for a, b in zip(self._host_snap, snap))
+        ):
+            return self._dev_state._replace(key=self.key)
+        npad = self._spatial_npad
+
+        def put(x):
+            x = np.asarray(x)[0]  # (natoms, 3)
+            x = np.pad(x, ((0, npad - x.shape[0]), (0, 0)))
+            return jax.device_put(
+                jnp.asarray(x, self.dtype), self._spatial_sharding
+            )
+
+        state = SimState(pos=put(s.pos), vel=put(s.vel),
+                         forces=put(s.forces), key=self.key)
+        self._dev_state = state
+        self._host_snap = tuple(a.copy() for a in snap)
+        return state
+
+    def _spatial_sync_to_host(self, state: SimState, epot):
+        s = self.systems
+        self.key = state.key
+        self._dev_state = state
+        if self._packer is None:
+            masses_pad = self._spatial_masses_pad
+
+            @jax.jit
+            def pack(st: SimState, e):
+                ke = 0.5 * jnp.sum(masses_pad * st.vel * st.vel)
+                aux = jnp.zeros_like(st.pos)
+                aux = aux.at[0, 0].set(ke).at[0, 1].set(
+                    jnp.asarray(e, st.pos.dtype)
+                )
+                return jnp.stack([st.pos, st.vel, st.forces, aux])
+
+            self._packer = pack
+        packed = np.asarray(self._packer(state, epot))
+        n = s.pos.shape[1]
+        s.pos[0] = packed[0, :n].astype(s.pos.dtype)
+        s.vel[0] = packed[1, :n].astype(s.vel.dtype)
+        s.forces[0] = packed[2, :n].astype(s.forces.dtype)
+        self._host_snap = (s.pos.copy(), s.vel.copy(), s.forces.copy())
+        return (
+            np.asarray([packed[3, 0, 0]]),
+            np.asarray([packed[3, 0, 1]]),
+        )
+
     # ------------------------------------------------------------------
     # Host<->device state movement. The TPU may sit behind a network
     # tunnel where every transfer costs a full round trip (~20 ms
@@ -442,6 +662,14 @@ class Integrator:
             Ekin = np.asarray(ke).flatten()
             T = kinetic_to_temp(Ekin, self.natoms) * self._dof_scale
             return Ekin, epot, T
+
+        if self._spatial is not None:
+            state0 = self._spatial_state_from_system()
+            state, epot_dev = self._scan_fn(state0, box, int(niter))
+            ekin, epot = self._spatial_sync_to_host(state, epot_dev)
+            Ekin = np.asarray(ekin, dtype=np.float64).flatten()
+            T = kinetic_to_temp(Ekin, self.natoms) * self._dof_scale
+            return Ekin, np.asarray(epot, dtype=np.float64), T
 
         if self._use_cell:
             state0 = self._state_from_system()

@@ -332,45 +332,34 @@ def energy_and_forces(par: FFParams, pos, box, cfg: ForceTermConfig):
 # Fused analytic nonbonded energy + forces (the hot MD path)
 # ----------------------------------------------------------------------
 
-def nonbonded_energy_forces(par: FFParams, pos, box, cfg: ForceTermConfig):
-    """Dense nonbonded terms with analytic per-pair force coefficients.
+def nonbonded_block_energy_forces(cfg: ForceTermConfig, dv, mask, qq,
+                                  A_ij, B_ij):
+    """Shared pair-block nonbonded math: energies + row forces for a block
+    of pair displacements.
 
-    Returns (energies dict, forces (natoms, 3)). Forces are row-sums of the
-    symmetric pair matrix -- no scatter, no AD rematerialization:
-        F_i = -sum_j g_ij * (r_i - r_j),  g_ij = (dE/dr)_ij / r_ij.
-    Identical math to nonbonded_energies (equivalence is tested to fp
-    accuracy); used inside the integrator scan where the backward pass of
-    the dense matrix would double the HBM traffic.
+    dv: (rows, cols, 3) minimum-image displacements; mask: (rows, cols)
+    valid-pair mask (self/exclusions/padding already removed); qq, A_ij,
+    B_ij: per-pair coefficient blocks (None when the term set does not
+    need them).  Returns ({term: 0.5 * sum energy}, row forces (rows, 3)).
+
+    Both the dense single-device evaluation and the spatially sharded
+    row-block path consume this single implementation, so LJ(A/B incl.
+    NBFIX tables), switching, RFA and Ewald real-space behave identically
+    everywhere (the round-1 sharded path re-derived LJ from
+    Lorentz-Berthelot and rejected NBFIX/Ewald).
     """
-    mask0 = par.nb_mask
-    dv = pos[:, None, :] - pos[None, :, :]
-    dv = wrap_displacement(dv, box)
     d2 = jnp.sum(dv * dv, axis=-1)
-    d2 = jnp.where(mask0, d2, 1.0)
+    d2 = jnp.where(mask, d2, 1.0)
     dist = jnp.sqrt(d2)
     rinv = 1.0 / dist
-    mask = mask0
     if cfg.cutoff is not None:
         mask = jnp.logical_and(mask, dist <= cfg.cutoff)
-    fmask = mask.astype(pos.dtype)
+    fmask = mask.astype(dv.dtype)
 
     out = {}
     g = jnp.zeros_like(dist)  # accumulated (dE/dr)/r per pair
 
-    needs_ab = any(t in cfg.terms for t in ("lj", "repulsion", "repulsioncg"))
-    if needs_ab:
-        if par.lj_ab is not None:
-            ti = par.mapped_atom_types
-            A_ij = par.lj_ab[0][ti[:, None], ti[None, :]]
-            B_ij = par.lj_ab[1][ti[:, None], ti[None, :]]
-        else:
-            s_at = par.lj_params[:, 0][par.mapped_atom_types]
-            e_at = par.lj_params[:, 1][par.mapped_atom_types]
-            sig_ij = 0.5 * (s_at[:, None] + s_at[None, :])
-            eps_ij = jnp.sqrt(jnp.abs(e_at[:, None] * e_at[None, :]))
-            s6 = sig_ij**6
-            B_ij = 4.0 * eps_ij * s6
-            A_ij = B_ij * s6
+    if A_ij is not None:
         rinv6 = rinv**6
         rinv12 = rinv6 * rinv6
 
@@ -395,7 +384,6 @@ def nonbonded_energy_forces(par: FFParams, pos, box, cfg: ForceTermConfig):
         out["repulsioncg"] = 0.5 * jnp.sum(B_ij * rinv6 * fmask)
         g = g + (-6.0 * B_ij * rinv6 * rinv * rinv) * fmask
     if "electrostatics" in cfg.terms:
-        qq = ELEC_FACTOR * par.charges[:, None] * par.charges[None, :]
         if cfg.ewald_alpha is not None:
             a = cfg.ewald_alpha
             erfc_t = jax.scipy.special.erfc(a * dist)
@@ -418,6 +406,54 @@ def nonbonded_energy_forces(par: FFParams, pos, box, cfg: ForceTermConfig):
 
     forces = -jnp.einsum("ij,ijk->ik", g, dv)
     return out, forces
+
+
+def pair_coefficients(par: FFParams, cfg: ForceTermConfig, rows=None):
+    """Per-pair coefficient blocks (qq, A_ij, B_ij) for `rows` (an index
+    slice tuple (row0, nrows) applied with dynamic slices, or None for the
+    full matrix). Handles both Lorentz-Berthelot and NBFIX A/B tables."""
+    def rowslice(a):
+        if rows is None:
+            return a
+        row0, nrows = rows
+        return jax.lax.dynamic_slice_in_dim(a, row0, nrows, 0)
+
+    qq = None
+    if "electrostatics" in cfg.terms:
+        q_r = rowslice(par.charges)
+        qq = ELEC_FACTOR * q_r[:, None] * par.charges[None, :]
+
+    A_ij = B_ij = None
+    if any(t in cfg.terms for t in ("lj", "repulsion", "repulsioncg")):
+        if par.lj_ab is not None:
+            ti = par.mapped_atom_types
+            A_ij = par.lj_ab[0][rowslice(ti)[:, None], ti[None, :]]
+            B_ij = par.lj_ab[1][rowslice(ti)[:, None], ti[None, :]]
+        else:
+            s_at = par.lj_params[:, 0][par.mapped_atom_types]
+            e_at = par.lj_params[:, 1][par.mapped_atom_types]
+            sig_ij = 0.5 * (rowslice(s_at)[:, None] + s_at[None, :])
+            eps_ij = jnp.sqrt(jnp.abs(rowslice(e_at)[:, None] * e_at[None, :]))
+            s6 = sig_ij**6
+            B_ij = 4.0 * eps_ij * s6
+            A_ij = B_ij * s6
+    return qq, A_ij, B_ij
+
+
+def nonbonded_energy_forces(par: FFParams, pos, box, cfg: ForceTermConfig):
+    """Dense nonbonded terms with analytic per-pair force coefficients.
+
+    Returns (energies dict, forces (natoms, 3)). Forces are row-sums of the
+    symmetric pair matrix -- no scatter, no AD rematerialization:
+        F_i = -sum_j g_ij * (r_i - r_j),  g_ij = (dE/dr)_ij / r_ij.
+    Identical math to nonbonded_energies (equivalence is tested to fp
+    accuracy); used inside the integrator scan where the backward pass of
+    the dense matrix would double the HBM traffic.
+    """
+    dv = pos[:, None, :] - pos[None, :, :]
+    dv = wrap_displacement(dv, box)
+    qq, A_ij, B_ij = pair_coefficients(par, cfg)
+    return nonbonded_block_energy_forces(cfg, dv, par.nb_mask, qq, A_ij, B_ij)
 
 
 def energy_and_forces_fused(par: FFParams, pos, box, cfg: ForceTermConfig):
