@@ -105,6 +105,38 @@ def main():
         args.niter,
     )
 
+    def lj_gas(natoms=24_000, density=0.0213):
+        """Synthetic argon-density LJ gas on the cell-list path (the
+        large-N axis the reference's dead neighbourlist sketch aimed at)."""
+        from torchmd_tpu.forcefields.ff_yaml import YamlForcefield
+
+        L = float((natoms / density) ** (1.0 / 3.0))
+        rs = np.random.RandomState(0)
+        mol = Molecule()
+        mol.numAtoms = natoms
+        mol.atomtype = np.array(["AR"] * natoms, dtype=object)
+        mol.charge = np.zeros(natoms)
+        mol.masses = np.full(natoms, 39.948)
+        mol.bonds = np.zeros((0, 2), dtype=np.int64)
+        # jittered lattice start (avoids overlapping hot start)
+        m = int(np.ceil(natoms ** (1 / 3)))
+        grid = np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"),
+                        axis=-1).reshape(-1, 3)[:natoms]
+        coords = (grid + 0.5) * (L / m) + rs.randn(natoms, 3) * 0.1
+        mol.coords = coords[:, :, None]
+        mol.box = np.full((3, 1), L)
+        ffd = {"atomtypes": ["AR"],
+               "lj": {"AR": {"sigma": 3.405, "epsilon": 0.238}},
+               "electrostatics": {"AR": {"charge": 0.0}},
+               "masses": {"AR": 39.948}}
+        ff = YamlForcefield(mol, ffd)
+        par = Parameters(ff, mol, ["lj"], precision="single")
+        forces = Forces(par, terms=["lj"], precision="single", cutoff=9.0)
+        return mol, forces, par, {"box": np.full(3, L), "T": 120.0,
+                                  "timestep": 5.0}
+
+    bench_system("lj-gas cell path (24000)", lj_gas, args.niter)
+
 
 if __name__ == "__main__":
     main()

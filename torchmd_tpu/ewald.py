@@ -142,6 +142,184 @@ class EwaldRecip:
         return e_recip + e_self + e_net + e_excl
 
 
+class PmeRecip:
+    """Smooth particle-mesh Ewald reciprocal term (Essmann et al. 1995).
+
+    Replaces EwaldRecip's separable O(N*K^3) phase-table sum with
+    B-spline charge spreading onto a (Kx, Ky, Kz) mesh + one 3-D XLA FFT:
+    O(N*p^3 + K^3 log K). Self/net-charge/exclusion corrections are
+    identical to EwaldRecip. Forces come from autodiff (the backward of
+    segment_sum spreading is a gather; the FFT is its own adjoint).
+
+    The interface matches EwaldRecip (`cfg.alpha`, `energy(pos, box)`), so
+    Forces can swap it in transparently above a size threshold.
+    """
+
+    ORDER = 4  # cubic B-spline spreading
+
+    def __init__(self, charges, box, cutoff, excl_pairs=None, tol=1e-5,
+                 dtype=jnp.float32, spacing=0.8):
+        base = choose_parameters(box, cutoff, tol)
+        box_np = np.asarray(box, np.float64).reshape(-1)[:3]
+
+        def fast_len(n):
+            n = max(int(n), 16)
+            while True:
+                m = n
+                for f in (2, 3, 5):
+                    while m % f == 0:
+                        m //= f
+                if m == 1:
+                    return n
+                n += 1
+
+        # mesh fine enough for both the k-space tolerance and the spline
+        # interpolation error (~`spacing` Angstrom spacing)
+        kmesh = tuple(
+            fast_len(max(2 * k + 1, int(np.ceil(L / spacing))))
+            for k, L in zip(base.kmax, box_np)
+        )
+        self.cfg = EwaldConfig(base.alpha, kmesh, base.tol)
+        self.dtype = dtype
+        self.charges = jnp.asarray(charges, dtype)
+        if excl_pairs is not None and len(excl_pairs):
+            pairs = np.sort(np.asarray(excl_pairs, dtype=np.int64), axis=1)
+            pairs = np.unique(pairs, axis=0)
+            self.excl = jnp.asarray(pairs, jnp.int32)
+        else:
+            self.excl = None
+        # Euler-spline |b(m)|^2 correction factors, static per mesh axis
+        self._b2 = tuple(
+            jnp.asarray(self._spline_b2(K), jnp.float64).astype(dtype)
+            for K in kmesh
+        )
+
+    # -- B-spline helpers ------------------------------------------------
+    @classmethod
+    def _spline_weights(cls, frac):
+        """M_n(frac + t) for t = 0..n-1; frac in [0, 1). Returns (..., n).
+
+        Iterative Cox-de Boor construction evaluated at the n points
+        u_t = frac + t; the recursion's shifted term M_{k-1}(u_t - 1)
+        equals M_{k-1}(u_{t-1}), i.e. a slot shift."""
+        n = cls.ORDER
+        u = frac[..., None] + jnp.arange(n, dtype=frac.dtype)
+        m = jnp.maximum(0.0, 1.0 - jnp.abs(u - 1.0))  # M_2 (support [0,2))
+        for k in range(3, n + 1):
+            prev_shift = jnp.concatenate(
+                [jnp.zeros_like(m[..., :1]), m[..., :-1]], axis=-1
+            )
+            m = (u / (k - 1)) * m + ((k - u) / (k - 1)) * prev_shift
+        return m
+
+    @classmethod
+    def _spline_b2(cls, K):
+        """|b(m)|^2 Euler-spline factors for mesh size K (numpy; Essmann
+        eq. 4.4). Degenerate modes (Nyquist zeros of even-order splines)
+        get factor 0, i.e. are dropped from the sum."""
+        n = cls.ORDER
+        w = np.asarray(
+            cls._spline_weights(jnp.zeros(1, jnp.float64))
+        )[0]                       # M_n(t) at t = 0..n-1
+        pts = w[1:n]               # M_n(k+1), k = 0..n-2
+        m = np.arange(K)
+        denom = sum(
+            pts[k] * np.exp(2j * np.pi * m * k / K) for k in range(n - 1)
+        )
+        mag2 = np.abs(denom) ** 2
+        return np.where(mag2 < 1e-12, 0.0, 1.0 / mag2)
+
+    # ---------------------------------------------------------------
+    def _spread(self, pos, box, q):
+        """B-spline charge spreading -> (Kx, Ky, Kz) real mesh."""
+        n = self.ORDER
+        Kx, Ky, Kz = self.cfg.kmax
+        dtype = pos.dtype
+        Ks = jnp.asarray([Kx, Ky, Kz], dtype)
+        u = pos / box
+        u = (u - jnp.floor(u)) * Ks            # scaled coords in [0, K)
+        base = jnp.floor(u)
+        frac = u - base
+        w = self._spline_weights(frac)         # (N, 3, n)? frac is (N,3)
+        # frac (N, 3) -> weights (N, 3, n)
+        idx = (
+            base[..., None].astype(jnp.int32)
+            - jnp.arange(n, dtype=jnp.int32)
+        )                                       # k = floor(u) - t
+        idx = jnp.mod(idx, jnp.asarray([Kx, Ky, Kz], jnp.int32)[None, :, None])
+
+        wx, wy, wz = w[:, 0, :], w[:, 1, :], w[:, 2, :]
+        ix, iy, iz = idx[:, 0, :], idx[:, 1, :], idx[:, 2, :]
+        # outer product over the n^3 stencil, flattened scatter
+        wq = (
+            q[:, None, None, None]
+            * wx[:, :, None, None] * wy[:, None, :, None]
+            * wz[:, None, None, :]
+        ).reshape(-1)
+        flat = (
+            (ix[:, :, None, None] * Ky + iy[:, None, :, None]) * Kz
+            + iz[:, None, None, :]
+        ).reshape(-1)
+        mesh = jax.ops.segment_sum(wq, flat, num_segments=Kx * Ky * Kz)
+        return mesh.reshape(Kx, Ky, Kz).astype(dtype)
+
+    def energy(self, pos, box):
+        """Reciprocal + self + net-charge + exclusion terms (kcal/mol)."""
+        dtype = pos.dtype
+        q = self.charges.astype(dtype)
+        box = jnp.asarray(box, dtype)
+        V = box[0] * box[1] * box[2]
+        alpha = jnp.asarray(self.cfg.alpha, dtype)
+        Kx, Ky, Kz = self.cfg.kmax
+        two_pi = 2.0 * jnp.pi
+
+        mesh = self._spread(pos, box, q)
+        # FFT in f32 can lose precision; promote when running f64
+        Sk = jnp.fft.fftn(mesh.astype(
+            jnp.float64 if dtype == jnp.float64 else jnp.float32
+        ))
+
+        def kvec(K, L):
+            m = jnp.fft.fftfreq(K, d=1.0 / K).astype(dtype)  # integer freqs
+            return (two_pi / L) * m
+
+        kx = kvec(Kx, box[0])
+        ky = kvec(Ky, box[1])
+        kz = kvec(Kz, box[2])
+        k2 = (
+            kx[:, None, None] ** 2 + ky[None, :, None] ** 2
+            + kz[None, None, :] ** 2
+        )
+        k2_safe = jnp.where(k2 > 0, k2, 1.0)
+        pref = jnp.where(
+            k2 > 0, jnp.exp(-k2_safe / (4.0 * alpha**2)) / k2_safe, 0.0
+        )
+        bx, by, bz = self._b2
+        b2 = (
+            bx[:, None, None] * by[None, :, None] * bz[None, None, :]
+        ).astype(pref.dtype)
+        s2 = (Sk.real**2 + Sk.imag**2).astype(dtype)
+        e_recip = (
+            ELEC_FACTOR * (two_pi / V) * jnp.sum(pref * b2 * s2)
+        )
+
+        e_self = -ELEC_FACTOR * alpha / jnp.sqrt(jnp.pi) * jnp.sum(q * q)
+        qtot = jnp.sum(q)
+        e_net = -ELEC_FACTOR * jnp.pi / (2.0 * V * alpha**2) * qtot * qtot
+
+        e_excl = jnp.asarray(0.0, dtype)
+        if self.excl is not None:
+            i, j = self.excl[:, 0], self.excl[:, 1]
+            dv = pos[i] - pos[j]
+            safe = jnp.where(box > 0, box, 1.0)
+            dv = dv - jnp.where(box > 0, safe * jnp.round(dv / safe), 0.0)
+            r = jnp.sqrt(jnp.sum(dv * dv, axis=1))
+            qq = ELEC_FACTOR * q[i] * q[j]
+            e_excl = -jnp.sum(qq * jax.scipy.special.erf(alpha * r) / r)
+
+        return e_recip + e_self + e_net + e_excl
+
+
 def ewald_real_pair_energy(qq, dist, rinv, alpha):
     """Real-space (erfc-damped) pair energy; composes with the masked pair
     frameworks."""

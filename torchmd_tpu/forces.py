@@ -148,15 +148,30 @@ class Forces:
             any(t in self.energies for t in NONBONDED_TERMS)
             and self.ffparams.nb_mask is not None
         )
-        # Cell-list path: requested explicitly; the kernel is built lazily
-        # once a concrete box is known (Integrator init or first compute).
-        self.cell_requested = self.kernel == "cell" and has_nb
+        # Cell-list path: requested explicitly, or selected automatically
+        # for large periodic systems (the dense O(N^2) path stops being
+        # viable around ~10k atoms). The kernel is built lazily once a
+        # concrete box is known (Integrator init or first compute).
+        import os as _os_sel
+
+        self.cell_requested = (
+            getattr(self, "cell_requested", False)
+            or (self.kernel == "cell" and has_nb)
+        )
+        self.cell_auto = (
+            self.kernel == "auto"
+            and has_nb
+            and self.natoms >= int(_os_sel.environ.get("TMD_AUTO_CELL_N",
+                                                       "12000"))
+        )
         self.cell_skin = getattr(self, "cell_skin", 2.0)
         self._cell_kernel = getattr(self, "_cell_kernel", None)
         kernel = self.kernel
         self.use_pallas = (
             kernel in ("auto", "pallas")
             and has_nb
+            and not self.cell_auto        # large-N auto -> cell path; the
+            and not self.cell_requested   # dense O(N^2) mask wouldn't fit
             and pallas_available()
             and self.dtype == jnp.float32
             and pallas_supported_terms(self.config)
@@ -309,15 +324,35 @@ class Forces:
         return self._ewald
 
     # ------------------------------------------------------------------
-    def ensure_cell_kernel(self, box):
-        """Build (once) the cell-list kernel for a concrete box diagonal."""
+    def wants_cell(self, box) -> bool:
+        """True when evaluation should run on the cell-list path for this
+        concrete box: explicitly requested, or auto-selected for a large
+        periodic system whose box can host a cell grid."""
+        if self.cell_requested:
+            return True
+        if not getattr(self, "cell_auto", False) or self.cutoff is None:
+            return False
+        if box is None:
+            return False
+        b = np.asarray(box, dtype=np.float64).reshape(-1)[:3]
+        if not np.all(b > 0):
+            return False
+        rc = float(self.cutoff) + float(self.cell_skin)
+        return bool(np.min(b) // rc >= 3)  # feasible 27-stencil grid
+
+    def ensure_cell_kernel(self, box, pos0=None):
+        """Build (once) the cell-list kernel for a concrete box diagonal.
+        `pos0` (optional starting coordinates) sizes the cell capacity from
+        real occupancy. Marks the cell path as the active kernel."""
         if self._cell_kernel is None:
             from .neighbors import CellKernel
 
             self._cell_kernel = CellKernel(
                 self.ffparams, self.config, self.par, np.asarray(box),
                 skin=self.cell_skin, exclusions=self.exclusions,
+                pos0=pos0,
             )
+        self.cell_requested = True
         return self._cell_kernel
 
     # ------------------------------------------------------------------
@@ -343,8 +378,9 @@ class Forces:
         box_j = _box_to_diag(box, nreplicas, self.dtype)
         if self.ewald_requested and self._ewald is None:
             self.ensure_ewald(np.asarray(box_j)[0])
-        if self.cell_requested and self._cell_kernel is None:
-            self.ensure_cell_kernel(np.asarray(box_j)[0])
+        if self._cell_kernel is None and self.wants_cell(np.asarray(box_j)[0]):
+            self.ensure_cell_kernel(np.asarray(box_j)[0],
+                                    pos0=np.asarray(pos_j)[0])
             self._build_evaluators()
         if self.cell_requested and self._cell_kernel is not None:
             # Guard against silent cell-capacity overflow (which clamps atom

@@ -177,9 +177,14 @@ class Integrator:
             getattr(forces, "external", None) is not None
             and not hasattr(forces.external, "energy_fn")
         )
-        self._use_cell = (
-            not self._host_path and getattr(forces, "cell_requested", False)
-        )
+        if self._host_path:
+            self._use_cell = False
+        elif hasattr(forces, "wants_cell"):
+            self._use_cell = forces.wants_cell(
+                np.asarray(systems.box_diag)[0]
+            )
+        else:
+            self._use_cell = getattr(forces, "cell_requested", False)
         if getattr(forces, "ewald_requested", False) and not self._host_path:
             forces.ensure_ewald(np.asarray(systems.box_diag)[0])
         if self._spatial is not None:
@@ -195,7 +200,9 @@ class Integrator:
             box_all = np.asarray(systems.box_diag)
             if not np.allclose(box_all, box_all[0]):
                 raise ValueError("cell-list kernel requires equal replica boxes")
-            self._cell_kernel = forces.ensure_cell_kernel(box_all[0])
+            self._cell_kernel = forces.ensure_cell_kernel(
+                box_all[0], pos0=np.asarray(systems.pos)[0]
+            )
             self._scan_fn = self._build_scan_cell()
         elif not self._host_path:
             self._scan_fn = self._build_scan()

@@ -60,7 +60,7 @@ class CellListConfig(NamedTuple):
 
 def make_cell_config(box, cutoff, skin=2.0, capacity=None,
                      natoms=None, max_exclusions=16,
-                     split=2) -> CellListConfig:
+                     split=1) -> CellListConfig:
     """split=2 (half-size cells, 125-stencil) keeps the per-cell capacity
     small, which bounds both the padded candidate count and the memory of
     the dense cell-pair evaluation; split=1 is the classic 27-stencil."""
@@ -80,9 +80,11 @@ def make_cell_config(box, cutoff, skin=2.0, capacity=None,
             "use the dense path"
         )
     if capacity is None:
+        # Poisson-ish occupancy slack; the overflow-growth machinery covers
+        # outliers, so a tight factor wins (pair work scales with cap^2)
         ncells = nc[0] * nc[1] * nc[2]
         density = (natoms or 1000) / ncells
-        capacity = int(max(4, np.ceil(density * 2.5)))
+        capacity = int(max(4, np.ceil(density * 1.7 + 4.0 * np.sqrt(density))))
     return CellListConfig(box, float(cutoff), float(skin), nc, capacity,
                           max_exclusions, split)
 
@@ -160,9 +162,11 @@ def candidate_matrix(cl: CellList, pos, cfg: CellListConfig):
     return cands.reshape(pos.shape[0], -1)
 
 
-def build_exclusion_table(parameters, natoms, max_exclusions,
+def build_exclusion_table(parameters, natoms, max_exclusions=0,
                           exclusions=("bonds", "angles", "1-4")):
-    """Padded per-atom exclusion lists (host-side, once per topology)."""
+    """Padded per-atom exclusion lists (host-side, once per topology).
+    The width is the actual maximum exclusion count (0 columns for systems
+    with no exclusions -- the per-pair compare is then skipped entirely)."""
     pairs = parameters.get_exclusions(types=exclusions)
     table = [[] for _ in range(natoms)]
     for a, b in pairs:
@@ -171,7 +175,7 @@ def build_exclusion_table(parameters, natoms, max_exclusions,
             table[a].append(b)
         if a not in table[b]:
             table[b].append(a)
-    width = max(max_exclusions, max((len(t) for t in table), default=1))
+    width = max(max_exclusions, max((len(t) for t in table), default=0))
     out = np.full((natoms, width), natoms, dtype=np.int32)
     for i, t in enumerate(table):
         out[i, : len(t)] = t
@@ -182,35 +186,45 @@ def cell_nonbonded_energy_forces(
     ffp: FFParams, cfg: ForceTermConfig, clcfg: CellListConfig,
     cl: CellList, excl_table, pos, box, cell_chunk=None,
 ):
-    """Nonbonded energies + forces in cell-pair form.
+    """Nonbonded energies + forces in cell-pair form, via ghost cells.
 
     TPU-native formulation: positions and per-atom attributes are gathered
-    into the (ncells, capacity) slot layout ONCE per evaluation (cell-slice
-    granularity, not per-pair rows), then every chunk of cells evaluates a
-    dense (capacity x stencil^3*capacity) pair block against its neighbor
-    cells -- pure vectorized math, no per-pair gathers. Forces accumulate
-    in slot layout and scatter back to atoms with a single segment add.
+    into the (ncells, capacity) slot layout ONCE per evaluation, then the
+    cell grid is extended with a periodic ghost layer (`jnp.pad(...,
+    mode="wrap")` on the 3-D cell array, with ghost positions pre-shifted
+    by +-box). Neighbor access for every stencil offset then becomes a
+    pure STATIC slice of the extended arrays — zero per-pair or per-cell
+    gathers in the hot loop, and no minimum-image wrap in the pair math.
+    A lax.scan over the stencil offsets evaluates dense
+    (ncells*cap, cap) pair blocks through the same unified block math as
+    the dense path (`potentials.nonbonded_block_energy_forces`), so
+    LJ/NBFIX/switching/RFA/Ewald real-space behave identically. Forces
+    accumulate in slot layout and scatter back to atoms with one
+    segment add.
 
-    Same physics as potentials.nonbonded_energy_forces (0.5 * symmetric
-    double count); equivalence is tested against the dense path.
+    Energies carry the 0.5 symmetric factor (every pair is seen from both
+    cells); equivalence is tested against the dense path.
     """
+    from .potentials import nonbonded_block_energy_forces
+
     n = pos.shape[0]
     cap = clcfg.capacity
-    s3 = clcfg.stencil ** 3
-    ncells = clcfg.ncells[0] * clcfg.ncells[1] * clcfg.ncells[2]
+    s = clcfg.split
+    ncx, ncy, ncz = clcfg.ncells
+    ncells = ncx * ncy * ncz
     slots = cl.slots                                   # (ncells, cap)
-    table = jnp.asarray(neighbor_cell_table(clcfg))    # (ncells, S3)
     dtype = pos.dtype
 
-    if cell_chunk is None:
-        e_width = excl_table.shape[1]
-        budget = 48_000_000  # elements in the largest boolean intermediate
-        cell_chunk = max(1, min(ncells, budget // max(cap * s3 * cap * e_width, 1)))
-    nchunk = -(-ncells // cell_chunk)
-    ncpad = nchunk * cell_chunk
-
-    # slot-layout attribute tables (single cheap gathers)
-    pos_pad = jnp.concatenate([pos, jnp.zeros((1, 3), dtype)])
+    # slot-layout attribute tables (single cheap gathers per evaluation;
+    # attributes are per-rebuild constants, positions change every step).
+    # Positions are wrapped into [0, box) first: ghost shifts assume each
+    # atom sits in its own cell's primary image (trajectories may be
+    # unwrapped), and the wrap matches _cell_ids' floor-fraction binning.
+    boxw = jnp.asarray(box, dtype)
+    pos_w = pos - jnp.where(
+        boxw > 0, boxw * jnp.floor(pos / jnp.where(boxw > 0, boxw, 1.0)), 0.0
+    )
+    pos_pad = jnp.concatenate([pos_w, jnp.zeros((1, 3), dtype)])
     P = pos_pad[slots]                                 # (ncells, cap, 3)
     q_pad = jnp.concatenate([ffp.charges.astype(dtype), jnp.zeros(1, dtype)])
     Q = q_pad[slots]
@@ -232,143 +246,131 @@ def cell_nonbonded_energy_forces(
     )
     EX = excl_pad[slots]                               # (ncells, cap, E)
 
-    def pad_cells(a, fill=0):
-        return jnp.pad(
-            a, [(0, ncpad - ncells)] + [(0, 0)] * (a.ndim - 1),
-            constant_values=fill,
-        )
+    def grid4(a):
+        return a.reshape((ncx, ncy, ncz) + a.shape[1:])
 
-    Pc_all = pad_cells(P)
-    Sc_all = pad_cells(slots, n)
-    Qc_all = pad_cells(Q)
-    EXc_all = pad_cells(EX, n)
-    Tb_all = pad_cells(table)  # padded cells read neighbor block 0 (masked)
-    if TY is not None:
-        TYc_all = pad_cells(TY)
-    else:
-        SGc_all = pad_cells(SG)
-        EPc_all = pad_cells(EP)
+    def ghost(a):
+        pad = [(s, s), (s, s), (s, s)] + [(0, 0)] * (a.ndim - 3)
+        return jnp.pad(a, pad, mode="wrap")
 
     boxv = jnp.asarray(box, dtype)
-    safe = jnp.where(boxv > 0, boxv, 1.0)
+    # ghost-region position shifts: cells wrapped from the far side carry
+    # pre-shifted coordinates, so the pair math needs no minimum-image wrap
+    def shift_vec(nc, blen):
+        lo = jnp.full((s,), -blen, dtype)
+        mid = jnp.zeros((nc,), dtype)
+        hi = jnp.full((s,), blen, dtype)
+        return jnp.concatenate([lo, mid, hi])
 
+    ext_P = ghost(grid4(P))                            # (X, Y, Z, cap, 3)
+    ext_P = ext_P.at[..., 0].add(
+        shift_vec(ncx, boxv[0])[:, None, None, None]
+    )
+    ext_P = ext_P.at[..., 1].add(
+        shift_vec(ncy, boxv[1])[None, :, None, None]
+    )
+    ext_P = ext_P.at[..., 2].add(
+        shift_vec(ncz, boxv[2])[None, None, :, None]
+    )
+    ext_ids = ghost(grid4(slots))
+    ext_Q = ghost(grid4(Q))
+    if TY is not None:
+        ext_TY = ghost(grid4(TY))
+    else:
+        ext_SG = ghost(grid4(SG))
+        ext_EP = ghost(grid4(EP))
+
+    ids_i = slots.reshape(ncells * cap)                # interior atom ids
+    valid_i = ids_i < n
+    rows = ncells * cap
+
+    offsets = jnp.asarray(
+        [(dx, dy, dz)
+         for dx in range(-s, s + 1)
+         for dy in range(-s, s + 1)
+         for dz in range(-s, s + 1)], dtype=jnp.int32,
+    )
+
+    qq_terms = "electrostatics" in cfg.terms
     needs_ab = any(t in cfg.terms for t in ("lj", "repulsion", "repulsioncg"))
-    want_elec = "electrostatics" in cfg.terms
 
-    def block(args):
-        if TY is not None:
-            Pc, Sc, Qc, EXc, nbr, TYc = args
-        else:
-            Pc, Sc, Qc, EXc, nbr, SGc, EPc = args
-        cc = Pc.shape[0]
-        # neighbor-side data: cell-slice gathers
-        Pn = P[nbr].reshape(cc, s3 * cap, 3)
-        cand = slots[nbr].reshape(cc, s3 * cap)
-        Qn = Q[nbr].reshape(cc, s3 * cap)
+    def offset_block(carry, delta):
+        f_acc, pot_acc = carry
+        start3 = (delta[0] + s, delta[1] + s, delta[2] + s)
 
-        dv = Pc[:, :, None, :] - Pn[:, None, :, :]     # (cc, cap, S3cap, 3)
-        dv = dv - jnp.where(boxv > 0, safe * jnp.round(dv / safe), 0.0)
-        d2 = jnp.sum(dv * dv, axis=-1)
+        def nslice(a):
+            sizes = (ncx, ncy, ncz) + a.shape[3:]
+            zeros = tuple(
+                jnp.zeros((), jnp.int32) for _ in range(a.ndim - 3)
+            )
+            return jax.lax.dynamic_slice(
+                a, start3 + zeros, sizes
+            ).reshape((ncells,) + a.shape[3:])
 
-        valid = (cand[:, None, :] < n) & (Sc[:, :, None] < n)
-        valid = valid & (cand[:, None, :] != Sc[:, :, None])
-        excl_hit = jnp.any(
-            EXc[:, :, None, :] == cand[:, None, :, None], axis=-1
-        )
-        valid = valid & ~excl_hit
+        Pn = nslice(ext_P)                             # (ncells, cap, 3)
+        idn = nslice(ext_ids)                          # (ncells, cap)
+        dv = (P[:, :, None, :] - Pn[:, None, :, :]).reshape(rows, cap, 3)
+        idn_b = jnp.broadcast_to(
+            idn[:, None, :], (ncells, cap, cap)
+        ).reshape(rows, cap)
 
-        d2 = jnp.where(valid, d2, 1.0)
-        dist = jnp.sqrt(d2)
-        rinv = 1.0 / dist
-        mask = valid & (dist <= cfg.cutoff)
-        fmask = mask.astype(dtype)
+        mask = valid_i[:, None] & (idn_b < n) & (ids_i[:, None] != idn_b)
+        if e_width > 0:
+            excl_hit = jnp.any(
+                EX.reshape(rows, 1, e_width) == idn_b[:, :, None], axis=-1
+            )
+            mask = mask & ~excl_hit
 
-        pot = {}
-        g = jnp.zeros_like(d2)
+        qq = None
+        if qq_terms:
+            Qn = nslice(ext_Q)
+            qq = ELEC_FACTOR * (
+                Q[:, :, None] * Qn[:, None, :]
+            ).reshape(rows, cap)
+        A_ij = B_ij = None
         if needs_ab:
             if TY is not None:
-                TYn = jnp.zeros(0)  # placeholder (defined below)
-                tyn = (
-                    jnp.concatenate(
-                        [ffp.mapped_atom_types,
-                         jnp.zeros(1, ffp.mapped_atom_types.dtype)]
-                    )[cand]
-                )
-                A = ffp.lj_ab[0].astype(dtype)[TYc[:, :, None], tyn[:, None, :]]
-                B = ffp.lj_ab[1].astype(dtype)[TYc[:, :, None], tyn[:, None, :]]
+                TYn = nslice(ext_TY)
+                ti = jnp.broadcast_to(
+                    TY[:, :, None], (ncells, cap, cap)
+                ).reshape(rows, cap)
+                tj = jnp.broadcast_to(
+                    TYn[:, None, :], (ncells, cap, cap)
+                ).reshape(rows, cap)
+                A_ij = ffp.lj_ab[0].astype(dtype)[ti, tj]
+                B_ij = ffp.lj_ab[1].astype(dtype)[ti, tj]
             else:
-                SGn = SG.reshape(-1)[  # neighbor sigma via cell slices
-                    jnp.zeros(0, jnp.int32)
-                ] if False else SG[nbr].reshape(cc, s3 * cap)
-                EPn = EP[nbr].reshape(cc, s3 * cap)
-                sig = 0.5 * (SGc[:, :, None] + SGn[:, None, :])
-                eps = jnp.sqrt(jnp.abs(EPc[:, :, None] * EPn[:, None, :]))
-                s6 = sig**6
-                B = 4.0 * eps * s6
-                A = B * s6
-            rinv6 = rinv**6
-            rinv12 = rinv6 * rinv6
-        if "lj" in cfg.terms:
-            p = A * rinv12 - B * rinv6
-            dEdr = (-12.0 * A * rinv12 + 6.0 * B * rinv6) * rinv
-            if cfg.switch_dist is not None and cfg.cutoff is not None:
-                t = (dist - cfg.switch_dist) / (cfg.cutoff - cfg.switch_dist)
-                sw = 1.0 + t * t * t * (-10.0 + t * (15.0 - t * 6.0))
-                dsw = t * t * (-30.0 + t * (60.0 - t * 30.0)) / (
-                    cfg.cutoff - cfg.switch_dist
-                )
-                in_sw = dist > cfg.switch_dist
-                dEdr = jnp.where(in_sw, dEdr * sw + p * dsw, dEdr)
-                p = jnp.where(in_sw, p * sw, p)
-            pot["lj"] = 0.5 * jnp.sum(p * fmask)
-            g = g + dEdr * rinv * fmask
-        if "repulsion" in cfg.terms:
-            pot["repulsion"] = 0.5 * jnp.sum(A * rinv12 * fmask)
-            g = g + (-12.0 * A * rinv12 * rinv * rinv) * fmask
-        if "repulsioncg" in cfg.terms:
-            pot["repulsioncg"] = 0.5 * jnp.sum(B * rinv6 * fmask)
-            g = g + (-6.0 * B * rinv6 * rinv * rinv) * fmask
-        if want_elec:
-            qq = ELEC_FACTOR * Qc[:, :, None] * Qn[:, None, :]
-            if cfg.ewald_alpha is not None:
-                a = cfg.ewald_alpha
-                erfc_t = jax.scipy.special.erfc(a * dist)
-                p = qq * erfc_t * rinv
-                dEdr_r = -qq * rinv * rinv * (
-                    erfc_t * rinv
-                    + (2.0 * a / jnp.sqrt(jnp.pi)) * jnp.exp(-(a * dist) ** 2)
-                )
-            elif cfg.rfa and cfg.cutoff is not None:
-                denom = 2.0 * cfg.solvent_dielectric + 1.0
-                krf = (1.0 / cfg.cutoff**3) * (cfg.solvent_dielectric - 1.0) / denom
-                crf = (1.0 / cfg.cutoff) * (3.0 * cfg.solvent_dielectric) / denom
-                p = qq * (rinv + krf * d2 - crf)
-                dEdr_r = qq * (2.0 * krf - rinv * rinv * rinv)
-            else:
-                p = qq * rinv
-                dEdr_r = -qq * rinv * rinv * rinv
-            pot["electrostatics"] = 0.5 * jnp.sum(p * fmask)
-            g = g + dEdr_r * fmask
+                SGn = nslice(ext_SG)
+                EPn = nslice(ext_EP)
+                sig = 0.5 * (SG[:, :, None] + SGn[:, None, :])
+                eps = jnp.sqrt(jnp.abs(EP[:, :, None] * EPn[:, None, :]))
+                s6 = (sig**6).reshape(rows, cap)
+                B_ij = 4.0 * eps.reshape(rows, cap) * s6
+                A_ij = B_ij * s6
 
-        f_slots = -jnp.einsum("icj,icjk->ick", g, dv)   # (cc, cap, 3)
-        return pot, f_slots
+        pot, f_rows = nonbonded_block_energy_forces(
+            cfg, dv, mask, qq, A_ij, B_ij
+        )
+        f_acc = f_acc + f_rows.reshape(ncells, cap, 3)
+        pot_acc = {k: pot_acc[k] + pot[k] for k in pot_acc}
+        return (f_acc, pot_acc), None
 
-    def stack(a):
-        return a.reshape((nchunk, cell_chunk) + a.shape[1:])
-
-    if TY is not None:
-        args = (stack(Pc_all), stack(Sc_all), stack(Qc_all), stack(EXc_all),
-                stack(Tb_all), stack(TYc_all))
-    else:
-        args = (stack(Pc_all), stack(Sc_all), stack(Qc_all), stack(EXc_all),
-                stack(Tb_all), stack(SGc_all), stack(EPc_all))
-    pots, f_blocks = jax.lax.map(block, args)
-    out = {k: jnp.sum(v) for k, v in pots.items()}
+    pot0 = {}
+    if "lj" in cfg.terms:
+        pot0["lj"] = jnp.zeros((), dtype)
+    if "repulsion" in cfg.terms:
+        pot0["repulsion"] = jnp.zeros((), dtype)
+    if "repulsioncg" in cfg.terms:
+        pot0["repulsioncg"] = jnp.zeros((), dtype)
+    if qq_terms:
+        pot0["electrostatics"] = jnp.zeros((), dtype)
+    f0 = jnp.zeros((ncells, cap, 3), dtype)
+    (f_slots, out), _ = jax.lax.scan(offset_block, (f0, pot0), offsets)
 
     # scatter slot forces back to atoms (padding rows land in the n-th bin)
-    f_flat = f_blocks.reshape(-1, 3)
-    ids = Sc_all.reshape(-1)
-    forces = jnp.zeros((n + 1, 3), dtype).at[ids].add(f_flat)[:n]
+    forces = jnp.zeros((n + 1, 3), dtype).at[
+        slots.reshape(-1)
+    ].add(f_slots.reshape(-1, 3))[:n]
     return out, forces
 
 
@@ -386,7 +388,7 @@ class CellKernel:
 
     def __init__(self, ffp: FFParams, cfg: ForceTermConfig, parameters,
                  box, skin=2.0, exclusions=("bonds", "angles", "1-4"),
-                 capacity=None):
+                 capacity=None, pos0=None):
         if cfg.cutoff is None:
             raise ValueError("Cell lists require a cutoff")
         natoms = int(ffp.charges.shape[0])
@@ -395,8 +397,20 @@ class CellKernel:
         self.clcfg = make_cell_config(
             box, cfg.cutoff, skin=skin, capacity=capacity, natoms=natoms
         )
+        if capacity is None and pos0 is not None:
+            # size capacity from the real occupancy of the starting
+            # configuration (pair work scales with capacity^2); the
+            # overflow-growth retry covers later density fluctuations
+            probe = self.clcfg.with_capacity(1)
+            import numpy as _np
+
+            cid = _np.asarray(_cell_ids(jnp.asarray(pos0), probe))
+            occ = int(_np.bincount(cid).max()) if len(cid) else 1
+            self.clcfg = self.clcfg.with_capacity(
+                max(4, int(occ * 1.15) + 2)
+            )
         self.excl_table = build_exclusion_table(
-            parameters, natoms, self.clcfg.max_exclusions, exclusions
+            parameters, natoms, 0, exclusions
         )
 
     def build(self, pos) -> CellList:

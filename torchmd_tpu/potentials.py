@@ -350,22 +350,31 @@ def nonbonded_block_energy_forces(cfg: ForceTermConfig, dv, mask, qq,
     """
     d2 = jnp.sum(dv * dv, axis=-1)
     d2 = jnp.where(mask, d2, 1.0)
-    dist = jnp.sqrt(d2)
-    rinv = 1.0 / dist
+    # sqrt/divide are only needed by electrostatics and switching; pure
+    # LJ/repulsion runs entirely on even powers of r (the cutoff compares
+    # d^2), which matters on big cell-pair blocks
+    needs_dist = (
+        "electrostatics" in cfg.terms
+        or (cfg.switch_dist is not None and "lj" in cfg.terms)
+    )
+    rinv2 = 1.0 / d2
+    if needs_dist:
+        dist = jnp.sqrt(d2)
+        rinv = 1.0 / dist
     if cfg.cutoff is not None:
-        mask = jnp.logical_and(mask, dist <= cfg.cutoff)
+        mask = jnp.logical_and(mask, d2 <= cfg.cutoff * cfg.cutoff)
     fmask = mask.astype(dv.dtype)
 
     out = {}
-    g = jnp.zeros_like(dist)  # accumulated (dE/dr)/r per pair
+    g = jnp.zeros_like(d2)  # accumulated (dE/dr)/r per pair
 
     if A_ij is not None:
-        rinv6 = rinv**6
+        rinv6 = rinv2 * rinv2 * rinv2
         rinv12 = rinv6 * rinv6
 
     if "lj" in cfg.terms:
         pot = A_ij * rinv12 - B_ij * rinv6
-        dEdr = (-12.0 * A_ij * rinv12 + 6.0 * B_ij * rinv6) * rinv
+        dEdr_r = (-12.0 * A_ij * rinv12 + 6.0 * B_ij * rinv6) * rinv2
         if cfg.switch_dist is not None and cfg.cutoff is not None:
             t = (dist - cfg.switch_dist) / (cfg.cutoff - cfg.switch_dist)
             sw = 1.0 + t * t * t * (-10.0 + t * (15.0 - t * 6.0))
@@ -373,16 +382,16 @@ def nonbonded_block_energy_forces(cfg: ForceTermConfig, dv, mask, qq,
                 cfg.cutoff - cfg.switch_dist
             )
             in_sw = dist > cfg.switch_dist
-            dEdr = jnp.where(in_sw, dEdr * sw + pot * dsw, dEdr)
+            dEdr_r = jnp.where(in_sw, dEdr_r * sw + pot * dsw * rinv, dEdr_r)
             pot = jnp.where(in_sw, pot * sw, pot)
         out["lj"] = 0.5 * jnp.sum(pot * fmask)
-        g = g + (dEdr * rinv) * fmask
+        g = g + dEdr_r * fmask
     if "repulsion" in cfg.terms:
         out["repulsion"] = 0.5 * jnp.sum(A_ij * rinv12 * fmask)
-        g = g + (-12.0 * A_ij * rinv12 * rinv * rinv) * fmask
+        g = g + (-12.0 * A_ij * rinv12 * rinv2) * fmask
     if "repulsioncg" in cfg.terms:
         out["repulsioncg"] = 0.5 * jnp.sum(B_ij * rinv6 * fmask)
-        g = g + (-6.0 * B_ij * rinv6 * rinv * rinv) * fmask
+        g = g + (-6.0 * B_ij * rinv6 * rinv2) * fmask
     if "electrostatics" in cfg.terms:
         if cfg.ewald_alpha is not None:
             a = cfg.ewald_alpha
