@@ -313,3 +313,39 @@ def test_kernel_auto_selects_cell_for_large_periodic(monkeypatch):
     integ = Integrator(system, forces2, timestep=5.0, device="cpu")
     assert integ._use_cell
     integ.step(niter=5)
+
+
+def test_pallas_cell_kernel_matches_xla(monkeypatch):
+    """The Pallas ghost-column cell kernel (interpret mode, f32) must match
+    the XLA ghost-cell path, exclusions included."""
+    from torchmd_tpu.neighbors import cell_nonbonded_energy_forces
+    from torchmd_tpu.ops.pallas_cell import pallas_cell_energy_forces
+
+    mol = Molecule(os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"))
+    rs = np.random.RandomState(0)
+    mol.charge = rs.randn(mol.numAtoms) * 0.05
+    mol.bonds = np.array([[0, 1], [5, 9]])
+    ff = ForceField.create(
+        mol, os.path.join(SYSTEMS_DIR, "argon", "argon_forcefield.yaml")
+    )
+    par = Parameters(ff, mol, ["lj", "electrostatics", "bonds"],
+                     precision="single")
+    par.charges = mol.charge.copy()
+    forces = Forces(par, terms=["lj", "electrostatics", "bonds"],
+                    precision="single", cutoff=9.0, rfa=True)
+    box = np.asarray([77.395] * 3)
+    kern = CellKernel(forces.ffparams, forces.config, par, box)
+    pos = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+    boxj = jnp.asarray(box, jnp.float32)
+    cl = kern.build(pos)
+    pot_x, f_x = cell_nonbonded_energy_forces(
+        forces.ffparams, forces.config, kern.clcfg, cl, kern.excl_table,
+        pos, boxj,
+    )
+    pot_p, f_p = pallas_cell_energy_forces(
+        forces.ffparams, forces.config, kern.clcfg, cl, kern.excl_table,
+        pos, boxj, interpret=True,
+    )
+    for k in pot_x:
+        assert abs(float(pot_x[k]) - float(pot_p[k])) < 1e-6, k
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), atol=1e-6)

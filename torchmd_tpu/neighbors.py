@@ -424,6 +424,25 @@ class CellKernel:
         )
 
     def energy_forces(self, pos, box, cl: CellList):
+        import os as _os
+
+        if (
+            pos.dtype == jnp.float32
+            and _os.environ.get("TMD_PALLAS_CELL", "1") != "0"
+        ):
+            from .ops.pallas_cell import (
+                pallas_cell_energy_forces,
+                pallas_cell_supported,
+            )
+            from .ops.pallas_nonbonded import pallas_available
+
+            if pallas_available() and pallas_cell_supported(
+                self.cfg, self.clcfg, self.ffp
+            ):
+                return pallas_cell_energy_forces(
+                    self.ffp, self.cfg, self.clcfg, cl, self.excl_table,
+                    pos, box,
+                )
         return cell_nonbonded_energy_forces(
             self.ffp, self.cfg, self.clcfg, cl, self.excl_table, pos, box
         )

@@ -62,49 +62,18 @@ def _erfc_approx(x):
     return poly * jnp.exp(-x * x)
 
 
-def _kernel(
-    # i-views (1, TILE_I)
-    xi_ref, yi_ref, zi_ref, qi_ref, si_ref, ei_ref,
-    # j-views (1, TILE_J)
-    xj_ref, yj_ref, zj_ref, qj_ref, sj_ref, ej_ref,
-    # mask tile (TILE_I, TILE_J) int8
-    mask_ref,
-    # box (1, 3) SMEM
-    box_ref,
-    # outputs
-    fx_ref, fy_ref, fz_ref, elj_ref, eel_ref,
-    *, cfg,
-):
-    j = pl.program_id(1)
-    i = pl.program_id(0)
-
+def pair_terms(cfg, d2, mask, si, sj, ei, ej, qi, qj):
+    """Shape-agnostic per-pair term math shared by the dense and cell-list
+    Pallas kernels: given squared distances and a validity mask (any
+    broadcast-compatible block shapes), returns (e_lj, e_el scalars with
+    the 0.5 symmetric factor, g = (dE/dr)/r block)."""
     f32 = jnp.float32
-    xi = xi_ref[0, :][:, None]
-    yi = yi_ref[0, :][:, None]
-    zi = zi_ref[0, :][:, None]
-    xj = xj_ref[0, :][None, :]
-    yj = yj_ref[0, :][None, :]
-    zj = zj_ref[0, :][None, :]
-
-    dx = xi - xj
-    dy = yi - yj
-    dz = zi - zj
-    if cfg["pbc"]:
-        bx = box_ref[0, 0]
-        by = box_ref[0, 1]
-        bz = box_ref[0, 2]
-        dx = dx - bx * jnp.round(dx / bx)
-        dy = dy - by * jnp.round(dy / by)
-        dz = dz - bz * jnp.round(dz / bz)
-
-    mask = mask_ref[...] != 0
-    d2 = dx * dx + dy * dy + dz * dz
     d2 = jnp.where(mask, d2, 1.0)
     rinv = jax.lax.rsqrt(d2)
     dist = d2 * rinv  # d2 / sqrt(d2)
 
     if cfg["cutoff"] is not None:
-        mask = jnp.logical_and(mask, dist <= cfg["cutoff"])
+        mask = jnp.logical_and(mask, d2 <= cfg["cutoff"] * cfg["cutoff"])
     fmask = mask.astype(f32)
 
     e_lj = jnp.zeros((), f32)
@@ -112,10 +81,6 @@ def _kernel(
     g = jnp.zeros_like(d2)  # (dE/dr)/r accumulated
 
     if cfg["lj"] or cfg["repulsion"] or cfg["repulsioncg"]:
-        si = si_ref[0, :][:, None]
-        sj = sj_ref[0, :][None, :]
-        ei = ei_ref[0, :][:, None]
-        ej = ej_ref[0, :][None, :]
         sig = 0.5 * (si + sj)
         eps = jnp.sqrt(jnp.abs(ei * ej))
         s2 = sig * sig
@@ -145,8 +110,6 @@ def _kernel(
         e_lj = e_lj + 0.5 * jnp.sum(B * rinv6 * fmask)
         g = g + (-6.0 * B * rinv6 * rinv * rinv) * fmask
     if cfg["elec"]:
-        qi = qi_ref[0, :][:, None]
-        qj = qj_ref[0, :][None, :]
         qq = cfg["elec_factor"] * qi * qj
         if cfg["ewald_alpha"] is not None:
             a = cfg["ewald_alpha"]
@@ -165,6 +128,89 @@ def _kernel(
             dEdr_r = -qq * rinv * rinv * rinv
         e_el = e_el + 0.5 * jnp.sum(pot * fmask)
         g = g + dEdr_r * fmask
+    return e_lj, e_el, g
+
+
+def make_kernel_cfg(cfg, pbc):
+    """Static kernel-config dict from a ForceTermConfig (shared by the
+    dense and cell-list Pallas kernels)."""
+    from ..units import ELEC_FACTOR
+
+    kcfg = {
+        "cutoff": None if cfg.cutoff is None else float(cfg.cutoff),
+        "switch": None if cfg.switch_dist is None else float(cfg.switch_dist),
+        "rfa": bool(cfg.rfa),
+        "lj": "lj" in cfg.terms,
+        "elec": "electrostatics" in cfg.terms,
+        "repulsion": "repulsion" in cfg.terms,
+        "repulsioncg": "repulsioncg" in cfg.terms,
+        "elec_factor": float(ELEC_FACTOR),
+        "ewald_alpha": (
+            None if cfg.ewald_alpha is None else float(cfg.ewald_alpha)
+        ),
+        "pbc": bool(pbc),
+        "krf": 0.0,
+        "crf": 0.0,
+    }
+    if kcfg["rfa"] and kcfg["cutoff"]:
+        denom = 2.0 * cfg.solvent_dielectric + 1.0
+        kcfg["krf"] = (1.0 / kcfg["cutoff"] ** 3) * (
+            cfg.solvent_dielectric - 1.0
+        ) / denom
+        kcfg["crf"] = (1.0 / kcfg["cutoff"]) * (
+            3.0 * cfg.solvent_dielectric
+        ) / denom
+    return kcfg
+
+
+def _kernel(
+    # i-views (1, TILE_I)
+    xi_ref, yi_ref, zi_ref, qi_ref, si_ref, ei_ref,
+    # j-views (1, TILE_J)
+    xj_ref, yj_ref, zj_ref, qj_ref, sj_ref, ej_ref,
+    # mask tile (TILE_I, TILE_J) int8
+    mask_ref,
+    # box (1, 3) SMEM
+    box_ref,
+    # outputs
+    fx_ref, fy_ref, fz_ref, elj_ref, eel_ref,
+    *, cfg,
+):
+    j = pl.program_id(1)
+    i = pl.program_id(0)
+
+    xi = xi_ref[0, :][:, None]
+    yi = yi_ref[0, :][:, None]
+    zi = zi_ref[0, :][:, None]
+    xj = xj_ref[0, :][None, :]
+    yj = yj_ref[0, :][None, :]
+    zj = zj_ref[0, :][None, :]
+
+    dx = xi - xj
+    dy = yi - yj
+    dz = zi - zj
+    if cfg["pbc"]:
+        bx = box_ref[0, 0]
+        by = box_ref[0, 1]
+        bz = box_ref[0, 2]
+        dx = dx - bx * jnp.round(dx / bx)
+        dy = dy - by * jnp.round(dy / by)
+        dz = dz - bz * jnp.round(dz / bz)
+
+    mask = mask_ref[...] != 0
+    d2 = dx * dx + dy * dy + dz * dz
+
+    si = sj = ei = ej = qi = qj = None
+    if cfg["lj"] or cfg["repulsion"] or cfg["repulsioncg"]:
+        si = si_ref[0, :][:, None]
+        sj = sj_ref[0, :][None, :]
+        ei = ei_ref[0, :][:, None]
+        ej = ej_ref[0, :][None, :]
+    if cfg["elec"]:
+        qi = qi_ref[0, :][:, None]
+        qj = qj_ref[0, :][None, :]
+
+    e_lj, e_el, g = pair_terms(cfg, d2, mask, si, sj, ei, ej, qi, qj)
 
     fx = -jnp.sum(g * dx, axis=1)
     fy = -jnp.sum(g * dy, axis=1)
@@ -241,33 +287,8 @@ def pallas_nonbonded_energy_forces(data: PallasNBData, cfg, pos, box,
     """pos: (natoms, 3) f32; box: (3,) f32 or None (no PBC: the minimum-
     image wrap is compiled out). Returns dict of term energies and forces
     (natoms, 3) f32."""
-    from ..units import ELEC_FACTOR
-
     npad, n = data.x_pad, data.natoms
-    kcfg = {
-        "cutoff": None if cfg.cutoff is None else float(cfg.cutoff),
-        "switch": None if cfg.switch_dist is None else float(cfg.switch_dist),
-        "rfa": bool(cfg.rfa),
-        "lj": "lj" in cfg.terms,
-        "elec": "electrostatics" in cfg.terms,
-        "repulsion": "repulsion" in cfg.terms,
-        "repulsioncg": "repulsioncg" in cfg.terms,
-        "elec_factor": float(ELEC_FACTOR),
-        "ewald_alpha": (
-            None if cfg.ewald_alpha is None else float(cfg.ewald_alpha)
-        ),
-        "pbc": box is not None,
-        "krf": 0.0,
-        "crf": 0.0,
-    }
-    if kcfg["rfa"] and kcfg["cutoff"]:
-        denom = 2.0 * cfg.solvent_dielectric + 1.0
-        kcfg["krf"] = (1.0 / kcfg["cutoff"] ** 3) * (
-            cfg.solvent_dielectric - 1.0
-        ) / denom
-        kcfg["crf"] = (1.0 / kcfg["cutoff"]) * (
-            3.0 * cfg.solvent_dielectric
-        ) / denom
+    kcfg = make_kernel_cfg(cfg, box is not None)
 
     pos = jnp.asarray(pos, jnp.float32)
     if box is None:
