@@ -215,3 +215,101 @@ def test_ewald_with_constraints_nve():
         etots.append(float(Epot[0] + Ekin[0]))
     assert np.isfinite(etots).all()
     assert abs(etots[-1] - etots[0]) < 0.05, etots
+
+
+# ----------------------------------------------------------------------
+# PME (smooth particle-mesh Ewald)
+# ----------------------------------------------------------------------
+
+def _nacl_supercell(reps=2, jitter=0.0, seed=0):
+    from torchmd_tpu.ewald import madelung_nacl
+
+    pos, q, box = madelung_nacl()
+    pos2 = np.concatenate([
+        pos + np.array([i, j, k]) * box
+        for i in range(reps) for j in range(reps) for k in range(reps)
+    ])
+    q2 = np.tile(q, reps**3)
+    if jitter:
+        pos2 = pos2 + np.random.RandomState(seed).randn(*pos2.shape) * jitter
+    return pos2, q2, box * reps
+
+
+def test_pme_matches_ewald_energy_and_forces():
+    from torchmd_tpu.ewald import PmeRecip
+
+    pos, q, box = _nacl_supercell(jitter=0.3)
+    er = EwaldRecip(q, box, 5.0, tol=1e-6, dtype=jnp.float64)
+    pm = PmeRecip(q, box, 5.0, tol=1e-6, dtype=jnp.float64)
+    assert pm.cfg.alpha == er.cfg.alpha  # identical real-space split
+    p, b = jnp.asarray(pos), jnp.asarray(box)
+    e1, e2 = float(er.energy(p, b)), float(pm.energy(p, b))
+    assert abs(e1 - e2) / abs(e1) < 5e-5
+    g1 = jax.grad(lambda x: er.energy(x, b))(p)
+    g2 = jax.grad(lambda x: pm.energy(x, b))(p)
+    scale = float(jnp.max(jnp.abs(g1)))
+    assert float(jnp.max(jnp.abs(g1 - g2))) < 5e-4 * scale
+
+
+def test_pme_madelung():
+    """Full electrostatic energy through the PME path reproduces the NaCl
+    Madelung constant (jittered off the mesh knots: AD at exact B-spline
+    knot positions is a measure-zero artifact)."""
+    from torchmd_tpu.ewald import PmeRecip
+
+    pos, q, box = _nacl_supercell(reps=2)
+    a = box[0] / 2  # conventional cell edge
+    cutoff = 5.0
+    e_exact = -MADELUNG * ELEC_FACTOR * len(q) / (a / 2) / 2.0
+
+    pm = PmeRecip(q, box, cutoff, tol=1e-7, dtype=jnp.float64)
+    alpha = pm.cfg.alpha
+    p = jnp.asarray(pos, jnp.float64)
+    b = jnp.asarray(box, jnp.float64)
+
+    def e_real(x):
+        dv = x[:, None, :] - x[None, :, :]
+        dv = dv - b * jnp.round(dv / b)
+        d2 = jnp.sum(dv * dv, axis=-1)
+        n = x.shape[0]
+        mask = ~jnp.eye(n, dtype=bool)
+        d2 = jnp.where(mask, d2, 1.0)
+        d = jnp.sqrt(d2)
+        qq = ELEC_FACTOR * jnp.asarray(q)[:, None] * jnp.asarray(q)[None, :]
+        pot = ewald_real_pair_energy(qq, d, 1.0 / d, alpha)
+        return 0.5 * jnp.sum(jnp.where(mask & (d <= cutoff), pot, 0.0))
+
+    e_tot = float(e_real(p) + pm.energy(p, b))
+    np.testing.assert_allclose(e_tot, e_exact, rtol=2e-5)
+
+
+def test_forces_elec_pme_matches_ewald():
+    """Forces(elec='pme') reproduces Forces(elec='ewald') energies/forces
+    on alanine dipeptide (VERDICT: 'alanine Ewald energies unchanged')."""
+    import os as _os
+
+    from conftest import DATA_DIR
+    from common import ALL_TERMS, load_system
+    from torchmd_tpu.forces import Forces
+    from torchmd_tpu.parameters import Parameters
+
+    mol, ff, nbconf = load_system(
+        _os.path.join(DATA_DIR, "prod_alanine_dipeptide_amber")
+    )
+    par = Parameters(ff, mol, ALL_TERMS, precision="double")
+    pos = mol.coords[:, :, 0][None]
+    box = np.zeros((1, 3, 3))
+    np.fill_diagonal(box[0], mol.box[:, 0])
+
+    def run(mode):
+        f = Forces(par, terms=ALL_TERMS, precision="double", cutoff=9.0,
+                   switch_dist=7.5, elec=mode)
+        e = f.compute(pos, box, returnDetails=True)[0]
+        return e, np.asarray(f.last_forces)
+
+    e_w, f_w = run("ewald")
+    e_p, f_p = run("pme")
+    for k in e_w:
+        scale = max(1.0, abs(e_w[k]))
+        assert abs(e_w[k] - e_p[k]) < 2e-4 * scale, (k, e_w[k], e_p[k])
+    np.testing.assert_allclose(f_p, f_w, atol=2e-4 * np.abs(f_w).max())

@@ -120,12 +120,15 @@ class Forces:
         # Full Ewald electrostatics (new capability: the reference is
         # RFA-only for periodic systems). The reciprocal-space kernel needs
         # a concrete box, so it is built lazily like the cell list.
-        if elec not in ("auto", "ewald"):
+        # 'ewald' auto-upgrades to PME (B-spline mesh + FFT) above
+        # TMD_PME_N atoms; 'pme' forces the mesh method.
+        if elec not in ("auto", "ewald", "pme"):
             raise ValueError(f"Unknown elec mode: {elec}")
-        self.ewald_requested = elec == "ewald"
+        self.elec_mode = elec
+        self.ewald_requested = elec in ("ewald", "pme")
         self._ewald = None
         if self.ewald_requested and cutoff is None:
-            raise ValueError("elec='ewald' requires a cutoff")
+            raise ValueError(f"elec='{elec}' requires a cutoff")
 
         self.kernel = kernel
         self._build_evaluators()
@@ -308,14 +311,23 @@ class Forces:
 
     # ------------------------------------------------------------------
     def ensure_ewald(self, box, tol=1e-5):
-        """Build (once) the Ewald reciprocal kernel for a concrete box and
-        rebuild the evaluators with erfc-damped real-space electrostatics."""
+        """Build (once) the reciprocal-space kernel for a concrete box and
+        rebuild the evaluators with erfc-damped real-space electrostatics.
+        Small systems get the exact separable Ewald sum; above TMD_PME_N
+        atoms (default 4096, or elec='pme') the O(N + K^3 log K) smooth-PME
+        mesh replaces the O(N*K^3) sum."""
         if not self.ewald_requested or self._ewald is not None:
             return self._ewald
-        from .ewald import EwaldRecip
+        import os as _os
 
+        from .ewald import EwaldRecip, PmeRecip
+
+        use_pme = self.elec_mode == "pme" or (
+            self.natoms >= int(_os.environ.get("TMD_PME_N", "4096"))
+        )
+        cls = PmeRecip if use_pme else EwaldRecip
         excl = self.par.get_exclusions(types=self.exclusions)
-        self._ewald = EwaldRecip(
+        self._ewald = cls(
             self.ffparams.charges, np.asarray(box).reshape(-1)[:3],
             self.cutoff, excl_pairs=excl, tol=tol, dtype=self.dtype,
         )

@@ -82,7 +82,7 @@ def get_args(arguments=None):
     parser.add_argument("--pressure", default=None, type=float,
                         help="NPT target pressure in bar (MC barostat)")
     parser.add_argument("--elec", default="auto", type=str,
-                        help="Electrostatics: auto (Coulomb/RFA) | ewald")
+                        help="Electrostatics: auto (Coulomb/RFA) | ewald | pme")
     parser.add_argument("--nbfix", default=False, action="store_true",
                         help="Apply CHARMM NBFIX pair-specific LJ overrides")
     parser.add_argument("--profile", default=False, action="store_true",
