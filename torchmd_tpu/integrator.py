@@ -122,13 +122,13 @@ class Integrator:
         self.constraints = None
         self._dof_scale = 1.0
         if constraints:
-            from .constraints import build_constraints
+            from .constraints import build_constraint_spec
 
-            self.constraints = build_constraints(
+            self.constraints = build_constraint_spec(
                 forces.par, masses, mode=constraints
             )
             if self.constraints is not None and batch is None:
-                ncon = int(self.constraints.pairs.shape[0])
+                ncon = self.constraints.ncon
                 self._dof_scale = (3 * len(masses)) / max(
                     3 * len(masses) - ncon, 1
                 )
@@ -240,10 +240,17 @@ class Integrator:
 
         cs = self.constraints
         if cs is not None:
-            from .constraints import rattle_velocities, shake_positions
+            from .constraints import (
+                apply_position_constraints,
+                apply_velocity_constraints,
+            )
 
-            shake_v = jax.vmap(lambda pn, pr: shake_positions(cs, pn, pr))
-            rattle_v = jax.vmap(lambda p, v: rattle_velocities(cs, p, v))
+            shake_v = jax.vmap(
+                lambda pn, pr: apply_position_constraints(cs, pn, pr)
+            )
+            rattle_v = jax.vmap(
+                lambda p, v: apply_velocity_constraints(cs, p, v)
+            )
 
         @partial(jax.jit, static_argnames=("niter",))
         def run(state: SimState, box, niter: int):
@@ -324,10 +331,17 @@ class Integrator:
 
         cs = self.constraints
         if cs is not None:
-            from .constraints import rattle_velocities, shake_positions
+            from .constraints import (
+                apply_position_constraints,
+                apply_velocity_constraints,
+            )
 
-            shake_v = jax.vmap(lambda pn, pr: shake_positions(cs, pn, pr))
-            rattle_v = jax.vmap(lambda p, v: rattle_velocities(cs, p, v))
+            shake_v = jax.vmap(
+                lambda pn, pr: apply_position_constraints(cs, pn, pr)
+            )
+            rattle_v = jax.vmap(
+                lambda p, v: apply_velocity_constraints(cs, p, v)
+            )
 
         @partial(jax.jit, static_argnames=("niter",))
         def run(carry, box, niter: int):

@@ -78,7 +78,12 @@ def get_args(arguments=None):
     parser.add_argument("--npz_file", default=None, type=str,
                         help="Input file.npz with coord and z")
     parser.add_argument("--constraints", default=None, type=str,
-                        help="Bond constraints: hbonds | allbonds (SHAKE/RATTLE)")
+                        help="Bond constraints: hbonds | allbonds (SHAKE/"
+                             "RATTLE) | settle (analytic rigid waters + "
+                             "SHAKE on other H bonds)")
+    parser.add_argument("--hmr", default=None, type=float,
+                        help="Hydrogen mass repartitioning factor (e.g. 4.0;"
+                             " combine with --constraints for 4 fs steps)")
     parser.add_argument("--pressure", default=None, type=float,
                         help="NPT target pressure in bar (MC barostat)")
     parser.add_argument("--elec", default="auto", type=str,
@@ -179,6 +184,12 @@ def setup(args, batch_comp=False):
     parameters = Parameters(
         ff, mol, args.forceterms, precision=args.precision, device=args.device
     )
+    if getattr(args, "hmr", None):
+        from .constraints import repartition_hydrogen_masses
+
+        parameters.masses = repartition_hydrogen_masses(
+            parameters.masses, mol.bonds, factor=args.hmr
+        ).reshape(parameters.masses.shape)
 
     system = System(mol.numAtoms, args.replicas, args.precision, args.device)
     system.set_positions(mol.coords)
