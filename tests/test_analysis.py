@@ -1,0 +1,111 @@
+"""On-device trajectory analysis: RMSD (Kabsch), RDF, MSD, and the
+analysis-script integration on a short argon run."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import SYSTEMS_DIR
+
+from torchmd_tpu.analysis import kabsch_rotation, msd, rdf, rmsd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_rmsd_identity_and_rotation():
+    rs = np.random.RandomState(0)
+    ref = rs.randn(50, 3)
+    # identical frames -> 0
+    traj = np.stack([ref, ref])
+    np.testing.assert_allclose(rmsd(traj), 0.0, atol=1e-10)
+    # rigid rotation + translation -> 0 when aligned, > 0 unaligned
+    th = 0.7
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    moved = ref @ R.T + np.array([3.0, -1.0, 2.0])
+    traj = np.stack([ref, moved])
+    np.testing.assert_allclose(rmsd(traj, align=True), 0.0, atol=1e-8)
+    assert rmsd(traj, align=False)[1] > 0.5
+    # genuine distortion survives alignment
+    traj = np.stack([ref, moved + rs.randn(50, 3) * 0.5])
+    val = rmsd(traj, align=True)[1]
+    assert 0.3 < val < 1.5
+
+
+def test_kabsch_proper_rotation():
+    rs = np.random.RandomState(1)
+    P = rs.randn(20, 3)
+    # a reflected copy must still produce a PROPER rotation (det +1)
+    Q = P * np.array([-1.0, 1.0, 1.0])
+    R = np.asarray(kabsch_rotation(P - P.mean(0), Q - Q.mean(0)))
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-8)
+
+
+def test_rdf_ideal_gas_is_flat():
+    """Uniform random gas: g(r) ~ 1 away from r=0."""
+    rs = np.random.RandomState(2)
+    L = 30.0
+    traj = rs.rand(4, 500, 3) * L
+    r, g = rdf(traj, [L, L, L], nbins=40)
+    tail = g[r > 3.0]
+    assert abs(tail.mean() - 1.0) < 0.05
+    np.testing.assert_allclose(g[0], 0.0, atol=0.5)  # no self pairs
+
+
+def test_rdf_crystal_peaks():
+    """Simple cubic lattice: first RDF peak at the lattice constant."""
+    a, m = 3.0, 6
+    grid = np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"),
+                    axis=-1).reshape(-1, 3) * a
+    L = m * a
+    r, g = rdf(grid[None], [L, L, L], r_max=6.0, nbins=60)
+    # sharp peak at the lattice constant (exact distances land on a bin
+    # edge, so check the neighborhood), empty in between
+    assert g[np.abs(r - a) < 0.15].max() > 5.0
+    assert g[np.abs(r - 1.23 * a) < 0.15].max() < 0.2
+
+
+def test_msd_linear_for_ballistic():
+    """Constant-velocity motion: MSD(lag) = (v*lag)^2."""
+    v = np.array([0.1, 0.0, 0.0])
+    frames = np.stack([np.zeros((10, 3)) + v * k for k in range(6)])
+    vals = msd(frames)
+    np.testing.assert_allclose(
+        vals, (0.1 * np.arange(6)) ** 2, atol=1e-12
+    )
+
+
+def test_analysis_script_end_to_end(tmp_path):
+    """CLI run -> analysis script produces rmsd/rdf CSVs."""
+    out = tmp_path / "run"
+    cmd = [
+        sys.executable, "-m", "torchmd_tpu.run",
+        "--topology", os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"),
+        "--forcefield",
+        os.path.join(SYSTEMS_DIR, "argon", "argon_forcefield.yaml"),
+        "--forceterms", "LJ", "--cutoff", "9.0",
+        "--steps", "40", "--output-period", "10", "--save-period", "40",
+        "--temperature", "120", "--timestep", "5",
+        "--log-dir", str(out),
+    ]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.run(cmd, check=True, env=env, capture_output=True,
+                   cwd=REPO, timeout=600)
+    assert (out / "output_0.npy").exists()
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "analysis.py"),
+         str(out), "--traj", "output_0.npy",
+         "--rmsd", str(out / "rmsd.csv"),
+         "--rdf", str(out / "rdf.csv"), "--box", "77.395",
+         "--msd", str(out / "msd.csv")],
+        check=True, env=env, capture_output=True, timeout=600,
+    )
+    rm = np.loadtxt(out / "rmsd.csv", delimiter=",", skiprows=1)
+    assert rm.shape[1] == 2 and rm[0, 1] < 1e-8  # frame 0 vs itself
+    rg = np.loadtxt(out / "rdf.csv", delimiter=",", skiprows=1)
+    assert rg.shape[1] == 2 and np.all(np.isfinite(rg))

@@ -1,0 +1,138 @@
+"""On-device trajectory analysis: RMSD (Kabsch), RDF, MSD.
+
+Self-contained replacement for the reference's moleculekit-based
+trajectory viewing (reference scripts/analysis.py:18-24 views frames in
+moleculekit, which is unavailable here): the standard structural
+observables computed as batched jnp ops, so they run on the accelerator
+over whole trajectories at once.
+
+Trajectories are accepted in either the run.py save layout
+(natoms, 3, nframes) or frame-major (nframes, natoms, 3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _frames(traj):
+    """-> (nframes, natoms, 3) float array from either storage layout."""
+    traj = jnp.asarray(traj)
+    if traj.ndim == 2:
+        traj = traj[None]
+    if traj.shape[-1] == 3:
+        return traj
+    if traj.shape[1] == 3:
+        return jnp.transpose(traj, (2, 0, 1))
+    raise ValueError(f"Unrecognized trajectory shape {traj.shape}")
+
+
+def kabsch_rotation(P, Q, weights=None):
+    """Optimal rotation matrix aligning P onto Q (both centered, (N, 3)),
+    via SVD with the det-correction for proper rotations. Computed in
+    numpy float64: accelerator f32 SVD is too approximate for RMSD."""
+    P = np.asarray(P, np.float64)
+    Q = np.asarray(Q, np.float64)
+    if weights is None:
+        w = np.ones((P.shape[0], 1))
+    else:
+        w = np.asarray(weights, np.float64).reshape(-1, 1)
+    H = (w * P).T @ Q
+    U, _, Vt = np.linalg.svd(H)
+    d = np.sign(np.linalg.det(Vt.T @ U.T))
+    D = np.diag([1.0, 1.0, d])
+    return Vt.T @ D @ U.T
+
+
+def rmsd(traj, ref=None, weights=None, align=True, sel=None):
+    """Per-frame RMSD (Angstrom) to `ref` (default: the first frame).
+
+    align=True removes the optimal rigid-body transform per frame
+    (Kabsch); `weights` (e.g. masses) weight both the fit and the RMSD;
+    `sel` is an optional atom-index selection. Runs in numpy float64 (3x3
+    SVDs; accelerator f32 SVD is too approximate for this)."""
+    F = np.asarray(_frames(traj), np.float64)
+    if sel is not None:
+        F = F[:, np.asarray(sel)]
+    if ref is None:
+        ref = F[0]
+    else:
+        ref = np.asarray(_frames(ref), np.float64)[0]
+        if sel is not None:
+            ref = ref[np.asarray(sel)]
+    if weights is None:
+        w = np.ones((F.shape[1], 1))
+    else:
+        w = np.asarray(weights, np.float64).reshape(-1, 1)
+    wsum = w.sum()
+
+    refc = ref - (w * ref).sum(0) / wsum
+    out = []
+    for frame in F:
+        p = frame - (w * frame).sum(0) / wsum
+        if align:
+            R = kabsch_rotation(p, refc, w[:, 0])
+            p = p @ R.T
+        out.append(np.sqrt(((w * (p - refc) ** 2).sum()) / wsum))
+    return np.asarray(out)
+
+
+def rdf(traj, box, r_max=None, nbins=100, sel_a=None, sel_b=None):
+    """Radial distribution function g(r) averaged over frames.
+
+    box: (3,) rectangular box diagonal (required; minimum image applied).
+    sel_a / sel_b: index selections for partial RDFs (defaults: all atoms).
+    Returns (r_centers, g) numpy arrays."""
+    F = _frames(traj)
+    box = jnp.asarray(box, F.dtype).reshape(-1)[:3]
+    if r_max is None:
+        r_max = float(jnp.min(box)) / 2.0
+    a = jnp.arange(F.shape[1]) if sel_a is None else jnp.asarray(sel_a)
+    b = jnp.arange(F.shape[1]) if sel_b is None else jnp.asarray(sel_b)
+    same = sel_b is None and sel_a is None or (
+        sel_a is not None and sel_b is not None
+        and np.array_equal(np.asarray(a), np.asarray(b))
+    )
+    edges = jnp.linspace(0.0, r_max, nbins + 1)
+
+    def one(frame):
+        dv = frame[a][:, None, :] - frame[b][None, :, :]
+        dv = dv - box * jnp.round(dv / box)
+        d = jnp.sqrt(jnp.sum(dv * dv, axis=-1))
+        if same:
+            d = jnp.where(
+                jnp.eye(d.shape[0], dtype=bool), r_max * 2.0, d
+            )
+        hist = jnp.histogram(d.reshape(-1), bins=edges)[0]
+        return hist
+
+    hist = jnp.sum(jax.vmap(one)(F), axis=0).astype(jnp.float64)
+    nframes = F.shape[0]
+    vol = float(box[0] * box[1] * box[2])
+    na, nb = int(a.shape[0]), int(b.shape[0])
+    shell = (4.0 / 3.0) * np.pi * (
+        np.asarray(edges[1:]) ** 3 - np.asarray(edges[:-1]) ** 3
+    )
+    npairs = na * (nb - 1) if same else na * nb
+    ideal = npairs / vol * shell * nframes
+    r = 0.5 * (np.asarray(edges[1:]) + np.asarray(edges[:-1]))
+    return r, np.asarray(hist) / np.maximum(ideal, 1e-12)
+
+
+def msd(traj, sel=None):
+    """Mean-squared displacement vs frame lag 0..F-1 (simple FFT-free
+    direct average; suitable for the trajectory lengths the run loop
+    saves)."""
+    F = _frames(traj)
+    if sel is not None:
+        F = F[:, jnp.asarray(sel)]
+    nf = F.shape[0]
+
+    def one_lag(lag):
+        d = F[lag:] - F[: nf - lag]
+        return jnp.mean(jnp.sum(d * d, axis=-1))
+
+    lags = list(range(nf))
+    return np.asarray([float(one_lag(k)) for k in lags])
