@@ -47,8 +47,23 @@ class CharmmParameterSet:
         self.improper_periodic_types: dict[tuple, tuple] = {}
         self.nonbonded_types: dict[str, tuple] = {}  # (eps, rmin2, eps14, rmin14_2)
         self.nbfix_types: dict[tuple, tuple] = {}
+        self.cmap_types: dict[tuple, np.ndarray] = {}  # 8-type key -> (n, n)
+        self._cmap_key = None
+        self._cmap_n = 0
+        self._cmap_vals: list[float] = []
         for fn in filenames:
             self._parse(fn)
+            self._cmap_flush()
+
+    def _cmap_flush(self):
+        """Store a completed CMAP grid (phi-major: vals[i*n+j] = E(phi_i,
+        psi_j), both axes from -180 deg in 360/n steps)."""
+        if self._cmap_key is not None and len(self._cmap_vals) == self._cmap_n**2:
+            grid = np.asarray(self._cmap_vals, dtype=np.float64).reshape(
+                self._cmap_n, self._cmap_n
+            )
+            self.cmap_types[self._cmap_key] = grid
+        self._cmap_key, self._cmap_n, self._cmap_vals = None, 0, []
 
     # ------------------------------------------------------------------
     def _parse(self, filename: str):
@@ -136,6 +151,22 @@ class CharmmParameterSet:
                     else:
                         eps14, rmin14_2 = eps, rmin2
                     self.nonbonded_types[at] = (eps, rmin2, eps14, rmin14_2)
+                elif section == "CMAP":
+                    # Header: 8 atom types + grid resolution; body: floats
+                    # (5 per line in the CHARMM36 files), n*n per map.
+                    def _numeric(tok):
+                        try:
+                            float(tok)
+                            return True
+                        except ValueError:
+                            return False
+
+                    if len(parts) == 9 and not _numeric(parts[0]):
+                        self._cmap_flush()
+                        self._cmap_key = tuple(parts[:8])
+                        self._cmap_n = int(float(parts[8]))
+                    elif self._cmap_key is not None:
+                        self._cmap_vals.extend(float(x) for x in parts)
                 elif section == "NBFIX" and len(parts) >= 4:
                     key = (parts[0], parts[1])
                     val = (abs(float(parts[2])), float(parts[3]))
@@ -225,6 +256,18 @@ class CharmmForcefield(_ForceFieldBase):
         tests loosen tolerances with 'I don't have nbfix',
         tests/test_torchmd.py:325-326)."""
         return dict(self.prm.nbfix_types)
+
+    def get_cmap(self, *types8):
+        """(n, n) CMAP grid (kcal/mol) for an 8-type cross-term key, or
+        None when the parameter set carries no map for it. Tries the key
+        as given, then with each dihedral reversed (the equivalent
+        torsion orientation)."""
+        key = tuple(types8)
+        rev = tuple(reversed(key[:4])) + tuple(reversed(key[4:]))
+        for k in (key, rev):
+            if k in self.prm.cmap_types:
+                return self.prm.cmap_types[k]
+        return None
 
     def get_improper(self, at1, at2, at3, at4):
         types = np.array((at1, at2, at3, at4))

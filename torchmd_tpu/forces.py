@@ -227,6 +227,24 @@ class Forces:
                     return {}, jnp.zeros_like(pos)
                 return bonded_energy_forces(ffp_, plan, pos, box, config)
 
+        if "cmap" in self.energies and ffp_.cmap is not None:
+            # CMAP rides on the bonded stage in every path (fused, Pallas,
+            # cell, sharded): tiny term (one gather + degree-3 polynomial),
+            # forces via AD of the spline surface.
+            from .cmap import cmap_energy
+
+            inner_bonded = bonded_ef_one
+            cmt = ffp_.cmap
+
+            def bonded_ef_one(pos, box):
+                pot, frc = inner_bonded(pos, box)
+                ec, gc = jax.value_and_grad(
+                    lambda p: cmap_energy(cmt, p, box)
+                )(pos)
+                pot = dict(pot)
+                pot["cmap"] = pot.get("cmap", 0.0) + ec
+                return pot, frc - gc
+
         self.bonded_ef_one = bonded_ef_one
 
         if self.use_pallas:

@@ -34,6 +34,7 @@ class Molecule:
         self.angles = np.zeros((0, 3), dtype=np.int64)
         self.dihedrals = np.zeros((0, 4), dtype=np.int64)
         self.impropers = np.zeros((0, 4), dtype=np.int64)
+        self.crossterms = np.zeros((0, 8), dtype=np.int64)  # CMAP (PSF NCRTERM)
         self.coords = np.zeros((0, 3, 1), dtype=np.float64)
         self.box = np.zeros((3, 1), dtype=np.float64)
         self.crystalinfo = None
@@ -86,7 +87,8 @@ class Molecule:
         self.numAtoms = len(d["name"])
         for k in (
             "name", "resname", "resid", "segid", "atomtype", "charge",
-            "masses", "bonds", "angles", "dihedrals", "impropers", "element",
+            "masses", "bonds", "angles", "dihedrals", "impropers",
+            "crossterms", "element",
         ):
             setattr(self, k, d[k])
         if self.coords.shape[0] != self.numAtoms:

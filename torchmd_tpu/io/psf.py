@@ -28,6 +28,7 @@ def read_psf(path: str) -> dict:
         "!NTHETA": ("angles", 3),
         "!NPHI": ("dihedrals", 4),
         "!NIMPHI": ("impropers", 4),
+        "!NCRTERM": ("crossterms", 8),  # CMAP cross-terms (CHARMM36)
     }
 
     while i < len(lines):
@@ -71,7 +72,8 @@ def read_psf(path: str) -> dict:
                 break
         i += 1
 
-    for key, arity in (("bonds", 2), ("angles", 3), ("dihedrals", 4), ("impropers", 4)):
+    for key, arity in (("bonds", 2), ("angles", 3), ("dihedrals", 4),
+                       ("impropers", 4), ("crossterms", 8)):
         if key not in out:
             out[key] = np.zeros((0, arity), dtype=np.int64)
 

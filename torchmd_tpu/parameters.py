@@ -51,6 +51,7 @@ class Parameters:
         self.device = device
         self.nbfix = np.zeros((0, 4))  # rows: [type_i, type_j, eps, rmin]
         self.urey_bradley_params = None
+        self.cmap_params = None
 
         if terms is None:
             terms = ("bonds", "angles", "dihedrals", "impropers", "1-4", "lj")
@@ -111,6 +112,8 @@ class Parameters:
             self.improper_params = self._make_impropers(mol, ff)
         if "1-4" in terms and len(mol.dihedrals):
             self.nonbonded_14_params = self._make_14(mol, ff)
+        if "cmap" in terms and len(getattr(mol, "crossterms", [])):
+            self.cmap_params = self._make_cmap(mol, ff)
 
     # ------------------------------------------------------------------
     def _make_nonbonded(self, mol, ff, uqatomtypes):
@@ -251,6 +254,38 @@ class Parameters:
             "idx": uqimpropers.astype(np.int64),
             "map": np.array(mapping, dtype=np.int64),
             "params": np.array(rows, dtype=np.float64),
+        }
+
+    def _make_cmap(self, mol, ff):
+        """CHARMM36 CMAP cross-terms: one {idx, map, tables} entry per PSF
+        NCRTERM row (8 atoms = two dihedrals), deduplicated by the 8-type
+        key. `tables` holds one (n, n) grid per unique map (capability the
+        reference lacks)."""
+        getter = getattr(ff, "get_cmap", None)
+        if getter is None:
+            return None
+        at = np.asarray(mol.atomtype)
+        crossterms = np.asarray(mol.crossterms, dtype=np.int64)
+        param_idx: dict = {}
+        tables, mapping, idx = [], [], []
+        for ct in crossterms:
+            key = tuple(at[ct])
+            if key not in param_idx:
+                grid = getter(*key)
+                if grid is None:
+                    raise RuntimeError(
+                        f"Could not find CMAP parameters for types {key}"
+                    )
+                tables.append(np.asarray(grid, dtype=np.float64))
+                param_idx[key] = len(tables) - 1
+            mapping.append([len(idx), param_idx[key]])
+            idx.append(ct)
+        if not tables:
+            return None
+        return {
+            "idx": np.asarray(idx, dtype=np.int64),
+            "map": np.asarray(mapping, dtype=np.int64),
+            "tables": tables,
         }
 
     def _make_14(self, mol, ff):

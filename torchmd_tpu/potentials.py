@@ -39,7 +39,7 @@ import numpy as np
 from .units import ELEC_FACTOR
 
 BONDED_TERMS = ("bonds", "angles", "dihedrals", "impropers", "1-4",
-                "urey-bradley")
+                "urey-bradley", "cmap")
 NONBONDED_TERMS = ("electrostatics", "lj", "repulsion", "repulsioncg")
 TERMS = BONDED_TERMS + NONBONDED_TERMS
 
@@ -72,6 +72,8 @@ class FFParams(NamedTuple):
     # Optional pair-specific LJ override tables (ntypes, ntypes): set when
     # NBFIX handling is enabled (capability beyond the reference).
     lj_ab: Optional[tuple] = None   # (A_table, B_table)
+    # CHARMM36 CMAP cross-terms (capability beyond the reference):
+    cmap: Optional["CMapTable"] = None  # torchmd_tpu.cmap.CMapTable
 
 
 class ForceTermConfig(NamedTuple):
@@ -295,6 +297,10 @@ def compute_potentials(par: FFParams, pos, box, cfg: ForceTermConfig) -> dict:
         pot["impropers"] = torsion_energy(
             par.impropers, pos, box, cfg.impropers_amber
         )
+    if "cmap" in cfg.terms and par.cmap is not None:
+        from .cmap import cmap_energy
+
+        pot["cmap"] = cmap_energy(par.cmap, pos, box)
     if "1-4" in cfg.terms and par.nb14 is not None:
         e_lj, e_elec = nb14_energies(
             par.nb14, pos, box, par.charges,
@@ -549,8 +555,22 @@ def make_ffparams(parameters, exclusions=("bonds", "angles", "1-4"),
             B_tab[i, j] = B_tab[j, i] = b
         lj_ab = (jnp.asarray(A_tab, dtype), jnp.asarray(B_tab, dtype))
 
+    cmap = None
+    cmap_par = getattr(parameters, "cmap_params", None)
+    if cmap_par is not None and len(cmap_par.get("idx", [])):
+        from .cmap import CMapTable, build_cmap_coeff_table
+
+        cmap = CMapTable(
+            idx=jnp.asarray(cmap_par["idx"], dtype=jnp.int32),
+            type=jnp.asarray(cmap_par["map"][:, 1], dtype=jnp.int32),
+            coeffs=jnp.asarray(
+                build_cmap_coeff_table(cmap_par["tables"]), dtype=dtype
+            ),
+        )
+
     return FFParams(
         lj_ab=lj_ab,
+        cmap=cmap,
         charges=jnp.asarray(parameters.charges, dtype=dtype),
         masses=jnp.asarray(parameters.masses, dtype=dtype),
         mapped_atom_types=jnp.asarray(parameters.mapped_atom_types, jnp.int32),
