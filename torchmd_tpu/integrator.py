@@ -88,7 +88,8 @@ class Integrator:
 
     def __init__(self, systems, forces, timestep, device=None, gamma=None,
                  T=None, batch=None, seed=1, mesh=None, mesh_axis="dp",
-                 constraints=None, shard="replica"):
+                 constraints=None, shard="replica", thermostat=None,
+                 tau=None, nchain=3):
         self.dt = timestep / TIMEFACTOR
         self.systems = systems
         self.forces = forces
@@ -107,7 +108,7 @@ class Integrator:
         self.dtype = dtype
         self.masses = jnp.asarray(masses, dtype=dtype)
 
-        if T:
+        if T and gamma is not None:
             self.vcoeff = jnp.sqrt(
                 2.0 * gamma / self.masses * BOLTZMANN * T * self.dt
             ).astype(dtype)
@@ -132,6 +133,30 @@ class Integrator:
                 self._dof_scale = (3 * len(masses)) / max(
                     3 * len(masses) - ncon, 1
                 )
+
+        # Optional non-Langevin thermostat (NHC / CSVR -- capabilities the
+        # reference lacks). `thermostat` is a name ('nhc', 'csvr',
+        # 'langevin') or a thermostat object; `tau` its time constant in fs
+        # (default 100 * timestep). With one set, the Langevin kick is
+        # disabled and the scan carries the thermostat aux state.
+        self._thermostat = None
+        self._thermo_aux = {}
+        if thermostat is not None and not isinstance(thermostat, str):
+            self._thermostat = thermostat
+        elif thermostat and str(thermostat).lower() not in ("langevin", "none"):
+            from .thermostats import make_thermostat
+
+            if not T:
+                raise ValueError(f"thermostat='{thermostat}' requires T")
+            ncon = self.constraints.ncon if self.constraints is not None else 0
+            ndof = 3 * len(masses) - ncon
+            tau_fs = float(tau) if tau is not None else 100.0 * float(timestep)
+            self._thermostat = make_thermostat(
+                thermostat, T, tau_fs, ndof, nchain=nchain
+            )
+        if self._thermostat is not None:
+            self.gamma = None  # NHC/CSVR replaces the Langevin kick
+            self._thermo_aux = self._thermostat.init(systems.nreplicas, dtype)
 
         # Optional sharding over a device mesh:
         #   shard="replica" (default): the leading (nreplicas) axis of the
@@ -191,6 +216,11 @@ class Integrator:
             if self._host_path:
                 raise ValueError("spatial sharding needs a jittable force "
                                  "provider")
+            if self._thermostat is not None:
+                raise NotImplementedError(
+                    "NHC/CSVR + spatial sharding not yet supported "
+                    "(use gamma/T Langevin)"
+                )
             if self._use_cell:
                 raise NotImplementedError(
                     "kernel='cell' + spatial sharding not yet supported"
@@ -215,9 +245,23 @@ class Integrator:
         ext_energy = getattr(forces_obj.external, "energy_fn", None)
         dt = self.dt
         gamma = self.gamma
-        use_thermostat = bool(self.T)
+        use_thermostat = bool(self.T) and gamma is not None
         vcoeff = self.vcoeff if use_thermostat else None
         masses = self.masses
+        thermo = self._thermostat
+        nreplicas = self.systems.nreplicas
+        if thermo is not None:
+            thermo_pre = jax.vmap(
+                lambda v, a: thermo.pre(v, a, masses, dt)
+            )
+            if thermo.stochastic:
+                thermo_post = jax.vmap(
+                    lambda v, a, k: thermo.post(v, a, masses, dt, key=k)
+                )
+            else:
+                thermo_post = jax.vmap(
+                    lambda v, a: thermo.post(v, a, masses, dt)
+                )
 
         # Fused analytic (or Pallas) nonbonded + AD bonded: the hot path.
         fused_one = getattr(
@@ -253,9 +297,13 @@ class Integrator:
             )
 
         @partial(jax.jit, static_argnames=("niter",))
-        def run(state: SimState, box, niter: int):
-            def body(st, _):
-                pos, vel = _first_vv(st.pos, st.vel, st.forces, masses, dt)
+        def run(carry, box, niter: int):
+            def body(c, _):
+                st, aux = c
+                vel0 = st.vel
+                if thermo is not None:
+                    vel0, aux = thermo_pre(vel0, aux)
+                pos, vel = _first_vv(st.pos, vel0, st.forces, masses, dt)
                 if cs is not None:
                     pos_c = shake_v(pos, st.pos)
                     vel = vel + (pos_c - pos) / dt
@@ -269,10 +317,17 @@ class Integrator:
                 vel = _second_vv(vel, frc, masses, dt)
                 if cs is not None:
                     vel = rattle_v(pos, vel)
-                return SimState(pos, vel, frc, key), epot
+                if thermo is not None:
+                    if thermo.stochastic:
+                        key, sub = jax.random.split(key)
+                        subs = jax.random.split(sub, nreplicas)
+                        vel, aux = thermo_post(vel, aux, subs)
+                    else:
+                        vel, aux = thermo_post(vel, aux)
+                return (SimState(pos, vel, frc, key), aux), epot
 
-            state, epots = jax.lax.scan(body, state, None, length=niter)
-            return state, epots[-1]
+            carry, epots = jax.lax.scan(body, carry, None, length=niter)
+            return carry, epots[-1]
 
         return run
 
@@ -284,9 +339,23 @@ class Integrator:
         kern = self._cell_kernel
         dt = self.dt
         gamma = self.gamma
-        use_thermostat = bool(self.T)
+        use_thermostat = bool(self.T) and gamma is not None
         vcoeff = self.vcoeff if use_thermostat else None
         masses = self.masses
+        thermo = self._thermostat
+        nreplicas = self.systems.nreplicas
+        if thermo is not None:
+            thermo_pre = jax.vmap(
+                lambda v, a: thermo.pre(v, a, masses, dt)
+            )
+            if thermo.stochastic:
+                thermo_post = jax.vmap(
+                    lambda v, a, k: thermo.post(v, a, masses, dt, key=k)
+                )
+            else:
+                thermo_post = jax.vmap(
+                    lambda v, a: thermo.post(v, a, masses, dt)
+                )
         ext_energy = getattr(forces_obj.external, "energy_fn", None)
         # Ewald reciprocal/self/exclusion terms: the cell kernel only covers
         # the erfc-damped real-space part, so fold the rest in exactly as
@@ -346,8 +415,11 @@ class Integrator:
         @partial(jax.jit, static_argnames=("niter",))
         def run(carry, box, niter: int):
             def body(c, _):
-                st, cl = c
-                pos, vel = _first_vv(st.pos, st.vel, st.forces, masses, dt)
+                st, cl, aux = c
+                vel0 = st.vel
+                if thermo is not None:
+                    vel0, aux = thermo_pre(vel0, aux)
+                pos, vel = _first_vv(st.pos, vel0, st.forces, masses, dt)
                 if cs is not None:
                     pos_c = shake_v(pos, st.pos)
                     vel = vel + (pos_c - pos) / dt
@@ -362,7 +434,14 @@ class Integrator:
                 vel = _second_vv(vel, frc, masses, dt)
                 if cs is not None:
                     vel = rattle_v(pos, vel)
-                return (SimState(pos, vel, frc, key), cl), epot
+                if thermo is not None:
+                    if thermo.stochastic:
+                        key, sub = jax.random.split(key)
+                        subs = jax.random.split(sub, nreplicas)
+                        vel, aux = thermo_post(vel, aux, subs)
+                    else:
+                        vel, aux = thermo_post(vel, aux)
+                return (SimState(pos, vel, frc, key), cl, aux), epot
 
             carry, epots = jax.lax.scan(body, carry, None, length=niter)
             return carry, epots[-1]
@@ -638,6 +717,18 @@ class Integrator:
         ekin = aux[:, :nb]
         return ekin, aux[:, nb], bool(aux[0, nb + 1] != 0)
 
+    def thermostat_energy(self):
+        """Thermostat contribution to the conserved (extended) energy per
+        replica -- add to Ekin + Epot to monitor NHC drift (zero for
+        Langevin/CSVR/no thermostat)."""
+        nrep = self.systems.nreplicas
+        if self._thermostat is None:
+            return np.zeros(nrep)
+        e = np.asarray(
+            jnp.atleast_1d(self._thermostat.conserved(self._thermo_aux))
+        ).reshape(-1)
+        return np.broadcast_to(e, (nrep,)).copy() if e.size == 1 else e
+
     # kept for checkpoint/compat callers
     def _state_to_system(self, state: SimState):
         s = self.systems
@@ -696,13 +787,14 @@ class Integrator:
             state0 = self._state_from_system()
             for _attempt in range(4):
                 cl = jax.vmap(self._cell_kernel.build)(state0.pos)
-                (state, cl), epot_dev = self._scan_fn(
-                    (state0, cl), box, int(niter)
+                (state, cl, aux), epot_dev = self._scan_fn(
+                    (state0, cl, self._thermo_aux), box, int(niter)
                 )
                 ekin, epot, overflowed = self._sync_to_host(
                     state, epot_dev, jnp.any(cl.overflow)
                 )
                 if not overflowed:
+                    self._thermo_aux = aux
                     break
                 # a cell overflowed: grow capacity and redo this chunk
                 self._cell_kernel = self._cell_kernel.grow()
@@ -715,7 +807,9 @@ class Integrator:
                 raise RuntimeError("cell list capacity kept overflowing")
         else:
             state0 = self._state_from_system()
-            state, epot_dev = self._scan_fn(state0, box, int(niter))
+            (state, self._thermo_aux), epot_dev = self._scan_fn(
+                (state0, self._thermo_aux), box, int(niter)
+            )
             ekin, epot, _ = self._sync_to_host(state, epot_dev)
 
         Ekin = np.asarray(ekin, dtype=np.float64).flatten()

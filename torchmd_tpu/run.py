@@ -33,6 +33,14 @@ def get_args(arguments=None):
                         help="Temperature in K of the thermostat")
     parser.add_argument("--langevin-gamma", default=0.1, type=float,
                         help="Langevin relaxation ps^-1")
+    parser.add_argument("--thermostat", default="langevin",
+                        choices=["langevin", "nhc", "csvr"],
+                        help="NVT thermostat: langevin (reference numerics), "
+                             "nhc (Nose-Hoover chain), csvr (Bussi rescale); "
+                             "nhc/csvr use --langevin-temperature as target")
+    parser.add_argument("--thermostat-tau", default=None, type=float,
+                        help="NHC/CSVR time constant in fs "
+                             "(default 100 * timestep)")
     parser.add_argument("--device", default=None,
                         help="Device: cpu | tpu | None (jax default)")
     parser.add_argument("--structure", default=None, help="Deprecated: Input PDB")
@@ -226,6 +234,8 @@ def dynamics(args, mol, system, forces):
         system, forces, args.timestep, args.device,
         gamma=args.langevin_gamma, T=args.langevin_temperature, seed=args.seed,
         constraints=getattr(args, "constraints", None),
+        thermostat=getattr(args, "thermostat", "langevin"),
+        tau=getattr(args, "thermostat_tau", None),
     )
     wrapper = Wrapper(mol.numAtoms, mol.bonds if len(mol.bonds) else None,
                       args.device)
