@@ -1,5 +1,6 @@
-"""Monte Carlo barostat (isotropic NPT), new capability vs the reference
-(which is NVE/NVT only -- SURVEY.md §2.5 "no barostat").
+"""Monte Carlo barostats (isotropic, anisotropic, membrane NPT), new
+capability vs the reference (which is NVE/NVT only -- SURVEY.md §2.5
+"no barostat").
 
 Standard MC volume moves (the OpenMM MonteCarloBarostat scheme): every
 attempt proposes V' = V + dV with dV ~ U(-dVmax, +dVmax), scales molecule
@@ -55,9 +56,19 @@ class MonteCarloBarostat:
         return int(self.group_id.max()) + 1
 
     # ------------------------------------------------------------------
+    def _propose(self, system, k1):
+        """Per-replica (scale (R, 3), dV (R,), extra_work (R,)) for one MC
+        move. Subclasses override for anisotropic / membrane moves."""
+        box = system.box_diag
+        V = np.prod(box, axis=1)
+        nrep = system.nreplicas
+        dv = (np.asarray(jax.random.uniform(k1, (nrep,))) * 2 - 1) * self.dv_max
+        s = ((V + dv) / V) ** (1.0 / 3.0)
+        return np.repeat(s[:, None], 3, axis=1), dv, np.zeros(nrep)
+
     def attempt(self, system, forces):
-        """One MC volume move on a System (all replicas share the decision
-        of replica 0 is NOT done -- each replica moves independently)."""
+        """One MC volume move on a System; each replica accepts/rejects
+        independently. Acceptance: exp(-(dE + P dV + extra - N kT lnJ)/kT)."""
         box = system.box_diag
         if np.any(box <= 0):
             raise ValueError("Barostat requires a periodic box")
@@ -69,14 +80,13 @@ class MonteCarloBarostat:
 
         self.key, k1, k2 = jax.random.split(self.key, 3)
         nrep = system.nreplicas
-        dv = (np.asarray(jax.random.uniform(k1, (nrep,))) * 2 - 1) * self.dv_max
+        scale, dv, extra = self._propose(system, k1)  # (R,3), (R,), (R,)
         V_new = V + dv
-        scale = (V_new / V) ** (1.0 / 3.0)
 
         pos_new = self._scale_positions(
-            np.asarray(system.pos, np.float64), scale[:, None, None]
+            np.asarray(system.pos, np.float64), scale[:, None, :]
         )
-        box_new = box * scale[:, None]
+        box_new = box * scale
         box_mat = np.zeros((nrep, 3, 3))
         for r in range(nrep):
             np.fill_diagonal(box_mat[r], box_new[r])
@@ -87,6 +97,7 @@ class MonteCarloBarostat:
         w = (
             (e_new - e_old)
             + self.pressure * dv
+            + extra
             - n_units * kT * np.log(V_new / V)
         )
         u = np.asarray(jax.random.uniform(k2, (nrep,)))
@@ -109,3 +120,92 @@ class MonteCarloBarostat:
                 self.dv_max *= 1.1
                 self.n_attempted = self.n_accepted = 0
         return accept
+
+
+class MonteCarloAnisotropicBarostat(MonteCarloBarostat):
+    """Anisotropic NPT: each attempt scales ONE randomly chosen (enabled)
+    box axis, so the three box lengths relax independently (crystals,
+    interfaces). Same acceptance rule; the volume-change Jacobian term is
+    unchanged because only the total volume enters ln(V'/V)."""
+
+    def __init__(self, pressure_bar, temperature, group_id=None, seed=0,
+                 dv_max=None, scale_axes=(True, True, True)):
+        super().__init__(np.mean(np.atleast_1d(pressure_bar)), temperature,
+                         group_id=group_id, seed=seed, dv_max=dv_max)
+        p = np.broadcast_to(
+            np.atleast_1d(np.asarray(pressure_bar, np.float64)), (3,)
+        )
+        self.pressure_axes = p * BAR_A3_TO_KCALMOL  # per-axis, kcal/mol/A^3
+        self.scale_axes = np.asarray(scale_axes, bool)
+        if not self.scale_axes.any():
+            raise ValueError("at least one axis must be scalable")
+
+    def _propose(self, system, k1):
+        box = system.box_diag
+        V = np.prod(box, axis=1)
+        nrep = system.nreplicas
+        ka, kb = jax.random.split(k1)
+        enabled = np.flatnonzero(self.scale_axes)
+        pick = np.asarray(
+            jax.random.randint(ka, (nrep,), 0, len(enabled))
+        )
+        axis = enabled[pick]
+        dv = (np.asarray(jax.random.uniform(kb, (nrep,))) * 2 - 1) * self.dv_max
+        scale = np.ones((nrep, 3))
+        scale[np.arange(nrep), axis] = (V + dv) / V
+        # per-axis pressure: work term P_axis * dV
+        self._last_axis = axis
+        extra = (self.pressure_axes[axis] - self.pressure) * dv
+        return scale, dv, extra
+
+
+class MonteCarloMembraneBarostat(MonteCarloBarostat):
+    """Semi-isotropic NPT for membranes: x/y scale together (the membrane
+    plane), z scales independently, with a constant surface-tension term
+
+        w = dE + P dV - gamma dA - N kT ln(V'/V)
+
+    gamma in bar*Angstrom (1 bar*A = 10 mN/m); zmode:
+      'free'   -- z fluctuates under P (default),
+      'fixed'  -- z never scales (constant normal dimension),
+      'volume' -- z rescales to keep V constant (area/tension moves only).
+    """
+
+    def __init__(self, pressure_bar, temperature, surface_tension=0.0,
+                 group_id=None, seed=0, dv_max=None, zmode="free"):
+        super().__init__(pressure_bar, temperature, group_id=group_id,
+                         seed=seed, dv_max=dv_max)
+        if zmode not in ("free", "fixed", "volume"):
+            raise ValueError(f"Unknown zmode: {zmode}")
+        self.gamma = surface_tension * BAR_A3_TO_KCALMOL  # kcal/mol/A^2
+        self.zmode = zmode
+
+    def _propose(self, system, k1):
+        box = system.box_diag
+        V = np.prod(box, axis=1)
+        A = box[:, 0] * box[:, 1]
+        nrep = system.nreplicas
+        ka, kb = jax.random.split(k1)
+        dv = (np.asarray(jax.random.uniform(kb, (nrep,))) * 2 - 1) * self.dv_max
+        # unphysical proposals (V' <= 0) become identity moves -- symmetric,
+        # so detailed balance is preserved (dv_max self-tunes far below V)
+        dv = np.where(dv <= -0.9 * V, 0.0, dv)
+        scale = np.ones((nrep, 3))
+        if self.zmode == "volume":
+            # pure area move at constant volume: dV = 0, only -gamma dA
+            s_xy = (1.0 + dv / V) ** 0.5
+            scale[:, 0] = scale[:, 1] = s_xy
+            scale[:, 2] = 1.0 / (s_xy * s_xy)
+            dA = A * (s_xy * s_xy - 1.0)
+            return scale, np.zeros(nrep), -self.gamma * dA
+        # alternate xy-area and z-normal moves per replica
+        pick_xy = np.asarray(jax.random.uniform(ka, (nrep,))) < 0.5
+        if self.zmode == "fixed":
+            pick_xy[:] = True
+        s_xy = ((V + dv) / V) ** 0.5  # applied to x and y
+        s_z = (V + dv) / V
+        scale[:, 0] = np.where(pick_xy, s_xy, 1.0)
+        scale[:, 1] = np.where(pick_xy, s_xy, 1.0)
+        scale[:, 2] = np.where(pick_xy, 1.0, s_z)
+        dA = np.where(pick_xy, A * (s_xy * s_xy - 1.0), 0.0)
+        return scale, dv, -self.gamma * dA

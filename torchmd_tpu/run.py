@@ -94,6 +94,13 @@ def get_args(arguments=None):
                              " combine with --constraints for 4 fs steps)")
     parser.add_argument("--pressure", default=None, type=float,
                         help="NPT target pressure in bar (MC barostat)")
+    parser.add_argument("--barostat-mode", default="iso",
+                        choices=["iso", "aniso", "membrane"],
+                        help="MC barostat coupling: isotropic, per-axis "
+                             "anisotropic, or semi-isotropic membrane")
+    parser.add_argument("--surface-tension", default=0.0, type=float,
+                        help="Membrane barostat surface tension in "
+                             "bar*Angstrom (1 bar*A = 10 mN/m)")
     parser.add_argument("--elec", default="auto", type=str,
                         help="Electrostatics: auto (Coulomb/RFA) | ewald | pme")
     parser.add_argument("--nbfix", default=False, action="store_true",
@@ -242,12 +249,28 @@ def dynamics(args, mol, system, forces):
 
     barostat = None
     if getattr(args, "pressure", None) is not None:
-        from .barostat import MonteCarloBarostat
-
-        barostat = MonteCarloBarostat(
-            args.pressure, args.langevin_temperature or args.temperature,
-            group_id=wrapper.group_id, seed=args.seed,
+        from .barostat import (
+            MonteCarloAnisotropicBarostat,
+            MonteCarloBarostat,
+            MonteCarloMembraneBarostat,
         )
+
+        mode = getattr(args, "barostat_mode", "iso") or "iso"
+        T_b = args.langevin_temperature or args.temperature
+        if mode == "aniso":
+            barostat = MonteCarloAnisotropicBarostat(
+                args.pressure, T_b, group_id=wrapper.group_id, seed=args.seed,
+            )
+        elif mode == "membrane":
+            barostat = MonteCarloMembraneBarostat(
+                args.pressure, T_b,
+                surface_tension=getattr(args, "surface_tension", 0.0) or 0.0,
+                group_id=wrapper.group_id, seed=args.seed,
+            )
+        else:
+            barostat = MonteCarloBarostat(
+                args.pressure, T_b, group_id=wrapper.group_id, seed=args.seed,
+            )
 
     outputname, outputext = os.path.splitext(args.output)
     use_dcd = getattr(args, "traj_format", "npy") == "dcd"
