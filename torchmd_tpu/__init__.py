@@ -40,7 +40,7 @@ __all__ = [
     "external", "checkpoint", "profiling", "units", "run",
     # convenience re-exports (lazy)
     "Molecule", "ForceField", "Parameters", "System", "Forces", "Integrator",
-    "maxwell_boltzmann", "Wrapper",
+    "maxwell_boltzmann", "Wrapper", "make_alchemical", "AlchemicalCoupling",
 ]
 
 _LAZY = {
@@ -52,6 +52,8 @@ _LAZY = {
     "Integrator": ("torchmd_tpu.integrator", "Integrator"),
     "maxwell_boltzmann": ("torchmd_tpu.integrator", "maxwell_boltzmann"),
     "Wrapper": ("torchmd_tpu.wrapper", "Wrapper"),
+    "make_alchemical": ("torchmd_tpu.alchemy", "make_alchemical"),
+    "AlchemicalCoupling": ("torchmd_tpu.alchemy", "AlchemicalCoupling"),
 }
 
 
