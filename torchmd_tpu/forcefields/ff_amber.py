@@ -121,8 +121,9 @@ class AmberFrcmodParameterSet:
         key = tuple(t.strip() for t in parts[0].split("-"))
         if len(key) == ntypes and all(key):
             return key, parts[1:]
-        # classic fixed-width field with embedded spaces ("C -N -CT-C ")
-        width = 3 * ntypes - 2
+        # classic fixed-width field with embedded spaces ("C -N -CT-C "):
+        # ntypes 2-char fields joined by "-" -> 3*ntypes - 1 columns
+        width = 3 * ntypes - 1
         head = line[:width]
         key = tuple(t.strip() for t in head.split("-"))
         if len(key) == ntypes and all(key):
@@ -211,22 +212,208 @@ class AmberFrcmodParameterSet:
                 continue
 
 
+class AmberParmDatParameterSet:
+    """AMBER base parameter file (parm99.dat / gaff.dat layout).
+
+    The classic sequential format (no named sections): title line; atom
+    symbols + masses (blank-terminated); one hydrophilic-types line;
+    bonds; angles (deg); dihedrals (IDIVF PK PHASE PN, negative PN =
+    multi-term continuation, X wildcards); impropers (PK PHASE PN, X
+    wildcards, center third); H-bond 10-12 rows; vdW equivalence lines;
+    a KINDNB label line; vdW entries (Rmin/2, epsilon) closed by END.
+    Completes the reference's AMBER path, which could only modify
+    prmtop-derived tables via frcmod (ff_parmed.py:33-42)."""
+
+    def __init__(self, fname: str):
+        self.masses: dict[str, float] = {}
+        self.atom_types: dict[str, tuple] = {}   # name -> (sigma, eps)
+        self.bond_types: dict[tuple, tuple] = {}
+        self.angle_types: dict[tuple, tuple] = {}
+        self.dihedral_types: dict[tuple, list] = {}
+        self.improper_periodic_types: dict[tuple, tuple] = {}
+        self.improper_types: dict[tuple, tuple] = {}
+        self.equivalences: dict[str, str] = {}   # alias -> canonical vdW
+        self._parse(fname)
+
+    _split_types = staticmethod(AmberFrcmodParameterSet._split_types)
+
+    def _parse(self, fname):
+        import math
+        import re
+
+        with open(fname, "r", encoding="utf-8", errors="replace") as f:
+            lines = [ln.rstrip("\n") for ln in f.readlines()]
+
+        # sequential section cursor
+        i = 1  # skip title
+        # --- atom masses ---
+        while i < len(lines) and lines[i].strip():
+            parts = lines[i].split()
+            try:
+                self.masses[parts[0]] = float(parts[1])
+            except (ValueError, IndexError):
+                pass
+            i += 1
+        i += 1
+        # --- hydrophilic-types line (single, may be blank in some files) ---
+        if i < len(lines) and "-" not in lines[i][:5]:
+            i += 1
+        # --- bonds ---
+        while i < len(lines) and lines[i].strip():
+            try:
+                key, vals = self._split_types(lines[i], 2)
+                v = (float(vals[0]), float(vals[1]))
+                self.bond_types[key] = v
+                self.bond_types[key[::-1]] = v
+            except (ValueError, IndexError):
+                pass
+            i += 1
+        i += 1
+        # --- angles ---
+        while i < len(lines) and lines[i].strip():
+            try:
+                key, vals = self._split_types(lines[i], 3)
+                v = (float(vals[0]), math.radians(float(vals[1])))
+                self.angle_types[key] = v
+                self.angle_types[key[::-1]] = v
+            except (ValueError, IndexError):
+                pass
+            i += 1
+        i += 1
+        # --- proper dihedrals ---
+        pending_key = None
+        while i < len(lines) and lines[i].strip():
+            try:
+                key, vals = self._split_types(lines[i], 4)
+                idivf = float(vals[0])
+                pk = float(vals[1]) / idivf
+                phase = math.radians(float(vals[2]))
+                per = float(vals[3])
+                scee, scnb = 1.2, 2.0
+                m = re.search(r"SCEE\s*=?\s*([\d.]+)", lines[i], re.I)
+                if m:
+                    scee = float(m.group(1))
+                m = re.search(r"SCNB\s*=?\s*([\d.]+)", lines[i], re.I)
+                if m:
+                    scnb = float(m.group(1))
+                if key not in self.dihedral_types and key[::-1] in self.dihedral_types:
+                    key = key[::-1]
+                continuing = pending_key == key
+                if key in self.dihedral_types and not continuing:
+                    self.dihedral_types[key] = []
+                self.dihedral_types.setdefault(key, []).append(
+                    (pk, abs(per), phase, scee, scnb)
+                )
+                pending_key = key if per < 0 else None
+            except (ValueError, IndexError):
+                pending_key = None
+            i += 1
+        i += 1
+        # --- impropers (PK PHASE PN, no IDIVF; center is the third type) ---
+        while i < len(lines) and lines[i].strip():
+            try:
+                key, vals = self._split_types(lines[i], 4)
+                self.improper_periodic_types[key] = (
+                    float(vals[0]),
+                    float(vals[2]),
+                    math.radians(float(vals[1])),
+                )
+            except (ValueError, IndexError):
+                pass
+            i += 1
+        i += 1
+        # --- H-bond 10-12 rows (skip) ---
+        while i < len(lines) and lines[i].strip():
+            i += 1
+        i += 1
+        # --- vdW equivalence lines ---
+        while i < len(lines) and lines[i].strip():
+            parts = lines[i].split()
+            for alias in parts[1:]:
+                self.equivalences[alias] = parts[0]
+            i += 1
+        i += 1
+        # --- KINDNB label line ---
+        if i < len(lines):
+            i += 1
+        # --- vdW parameters ---
+        while i < len(lines) and lines[i].strip() and lines[i].strip().upper() != "END":
+            parts = lines[i].split()
+            try:
+                rmin2 = float(parts[1])
+                eps = abs(float(parts[2]))
+                self.atom_types[parts[0]] = (rmin2 * _SIGMA_PER_RMIN2, eps)
+            except (ValueError, IndexError):
+                pass
+            i += 1
+        # resolve equivalences
+        for alias, canon in self.equivalences.items():
+            if alias not in self.atom_types and canon in self.atom_types:
+                self.atom_types[alias] = self.atom_types[canon]
+
+    def lookup_dihedral(self, key):
+        """Exact, reversed, then CHARMM/AMBER-style (X, a2, a3, X)."""
+        for k in (key, key[::-1],
+                  ("X", key[1], key[2], "X"), ("X", key[2], key[1], "X")):
+            if k in self.dihedral_types:
+                return self.dihedral_types[k]
+        return None
+
+    def lookup_improper(self, key):
+        """Improper (r0, r1, center, r2) with one- and two-X wildcard
+        fallbacks, the tleap matching order."""
+        c = key[2]
+        rest = (key[0], key[1], key[3])
+        cands = [key]
+        from itertools import permutations as _perm
+
+        for a, b in _perm(rest, 2):
+            cands.append(("X", a, c, b))
+        for r in rest:
+            cands.append(("X", "X", c, r))
+        for k in cands:
+            if k in self.improper_periodic_types:
+                return self.improper_periodic_types[k]
+        return None
+
+
 class AmberForcefield(_ForceFieldBase):
+    """AMBER parameters from one or more sources: .prmtop (per-system
+    tables), .dat (base sets like parm99/gaff, with X wildcards), and
+    .frcmod overlays. Later files override earlier ones (the tleap
+    loadAmberParams convention)."""
+
     def __init__(self, mol, prm):
+        self.mol = mol
+        sources = prm if isinstance(prm, (list, tuple)) else [prm]
+        self.sets = [self._load_one(mol, p) for p in sources]
+        self.prm = self.sets[-1]  # backward-compatible attribute
+
+    @staticmethod
+    def _load_one(mol, prm):
         from ..io.prmtop import Prmtop
 
-        self.mol = mol
-        if isinstance(prm, (AmberParameterSet, AmberFrcmodParameterSet)):
-            self.prm = prm
-        elif isinstance(prm, str) and prm.endswith(".prmtop"):
+        if isinstance(prm, (AmberParameterSet, AmberFrcmodParameterSet,
+                            AmberParmDatParameterSet)):
+            return prm
+        if isinstance(prm, str) and prm.endswith(".prmtop"):
             top = getattr(mol, "prmtop", None)
-            if top is None:
+            if top is None or getattr(top, "filename", None) not in (None, prm):
                 top = Prmtop(prm)
-            self.prm = AmberParameterSet(top)
-        elif isinstance(prm, str) and prm.endswith(".frcmod"):
-            self.prm = AmberFrcmodParameterSet(prm)
-        else:
-            raise ValueError(f"Unsupported AMBER parameter source: {prm}")
+            return AmberParameterSet(top)
+        if isinstance(prm, str) and prm.endswith(".frcmod"):
+            return AmberFrcmodParameterSet(prm)
+        if isinstance(prm, str) and prm.endswith(".dat"):
+            return AmberParmDatParameterSet(prm)
+        raise ValueError(f"Unsupported AMBER parameter source: {prm}")
+
+    # -- merged lookups: later files win ------------------------------
+    def _table_get(self, table, key):
+        for s in reversed(self.sets):
+            t = getattr(s, table, None)
+            if t and key in t:
+                return t[key]
+        return None
 
     def get_atom_types(self):
         return np.unique(self.mol.atomtype)
@@ -236,22 +423,45 @@ class AmberForcefield(_ForceFieldBase):
         return self.mol.charge[idx]
 
     def get_mass(self, at):
+        for s in reversed(self.sets):
+            m = getattr(s, "masses", None)
+            if m and at in m:
+                return m[at]
         idx = np.where(self.mol.atomtype == at)[0][0]
         return self.mol.masses[idx]
 
     def get_LJ(self, at):
-        return self.prm.atom_types[at]
+        v = self._table_get("atom_types", at)
+        if v is None:
+            raise KeyError(f"No LJ parameters for atom type {at}")
+        return v
 
     def get_bond(self, at1, at2):
-        return self.prm.bond_types[(at1, at2)]
+        for key in ((at1, at2), (at2, at1)):
+            v = self._table_get("bond_types", key)
+            if v is not None:
+                return v
+        raise KeyError(f"No bond parameters for ({at1}, {at2})")
 
     def get_angle(self, at1, at2, at3):
-        return self.prm.angle_types[(at1, at2, at3)]
+        for key in ((at1, at2, at3), (at3, at2, at1)):
+            v = self._table_get("angle_types", key)
+            if v is not None:
+                return v
+        raise KeyError(f"No angle parameters for ({at1}, {at2}, {at3})")
 
     def _dihedral_terms(self, at1, at2, at3, at4):
-        for key in ((at1, at2, at3, at4), (at4, at3, at2, at1)):
-            if key in self.prm.dihedral_types:
-                return self.prm.dihedral_types[key]
+        key = (at1, at2, at3, at4)
+        for s in reversed(self.sets):
+            lookup = getattr(s, "lookup_dihedral", None)
+            if lookup is not None:
+                terms = lookup(key)
+                if terms:
+                    return terms
+            else:
+                for k in (key, key[::-1]):
+                    if k in s.dihedral_types:
+                        return s.dihedral_types[k]
         raise RuntimeError(
             f"Could not find dihedral parameters for ({at1}, {at2}, {at3}, {at4})"
         )
@@ -265,20 +475,27 @@ class AmberForcefield(_ForceFieldBase):
     def get_14(self, at1, at2, at3, at4):
         terms = self._dihedral_terms(at1, at2, at3, at4)
         _, _, _, scee, scnb = terms[0]
-        s1, e1 = self.prm.atom_types[at1]
-        s4, e4 = self.prm.atom_types[at4]
-        # AMBER prmtops have no distinct 1-4 LJ types: sigma_14 = sigma.
+        s1, e1 = self.get_LJ(at1)
+        s4, e4 = self.get_LJ(at4)
+        # AMBER has no distinct 1-4 LJ types: sigma_14 = sigma.
         return scnb, scee, s1, e1, s4, e4
 
     def get_improper(self, at1, at2, at3, at4):
         types = np.array((at1, at2, at3, at4))
         perms = [x for x in permutations((0, 1, 2, 3)) if x[2] == 2]
-        for p in perms:
-            key = tuple(types[list(p)])
-            if key in self.prm.improper_types:
-                k, phase = self.prm.improper_types[key]
-                return k, phase, 0
-            if key in self.prm.improper_periodic_types:
-                k, per, phase = self.prm.improper_periodic_types[key]
-                return k, phase, per
+        for s in reversed(self.sets):
+            lookup = getattr(s, "lookup_improper", None)
+            for p in perms:
+                key = tuple(types[list(p)])
+                if key in getattr(s, "improper_types", {}):
+                    k, phase = s.improper_types[key]
+                    return k, phase, 0
+                if lookup is not None:
+                    v = lookup(key)
+                    if v is not None:
+                        k, per, phase = v
+                        return k, phase, per
+                elif key in s.improper_periodic_types:
+                    k, per, phase = s.improper_periodic_types[key]
+                    return k, phase, per
         raise RuntimeError(f"Could not find improper parameters for key {types}")

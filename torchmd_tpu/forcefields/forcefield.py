@@ -99,6 +99,10 @@ class ForceField:
             # (e.g. npz + NNP with empty force terms)
             return NullForcefield(mol)
         if isinstance(prm, (list, tuple)):
+            exts = {os.path.splitext(str(p))[-1].lower() for p in prm}
+            if exts & {".prmtop", ".frcmod", ".dat"}:
+                # AMBER file set (base .dat + frcmod overlays, tleap-style)
+                return AmberForcefield(mol, prm)
             # CHARMM prm (+ rtf) file set
             return CharmmForcefield(mol, prm)
         ext = os.path.splitext(str(prm))[-1].lower()
@@ -106,6 +110,6 @@ class ForceField:
             return YamlForcefield(mol, prm)
         if ext == ".prm" or ext == ".rtf":
             return CharmmForcefield(mol, [prm])
-        if ext in (".prmtop", ".frcmod"):
+        if ext in (".prmtop", ".frcmod", ".dat"):
             return AmberForcefield(mol, prm)
         raise ValueError(f"Unrecognized force-field file: {prm}")
