@@ -108,10 +108,28 @@ class Integrator:
         self.dtype = dtype
         self.masses = jnp.asarray(masses, dtype=dtype)
 
-        if T and gamma is not None:
-            self.vcoeff = jnp.sqrt(
-                2.0 * gamma / self.masses * BOLTZMANN * T * self.dt
+        # T may be a scalar or a per-replica (nreplicas,) vector (replica
+        # ladders / REMD): the Langevin noise coefficient broadcasts as
+        # (R, 1, 1) * (natoms, 1) inside the scan.
+        self._use_langevin_T = T is not None and bool(
+            np.any(np.asarray(T) > 0)
+        )
+        if self._use_langevin_T and gamma is not None:
+            base = jnp.sqrt(
+                2.0 * gamma / self.masses * BOLTZMANN * self.dt
             ).astype(dtype)
+            if np.ndim(T) > 0:
+                t_arr = np.asarray(T, dtype=np.float64)
+                if t_arr.shape != (systems.nreplicas,):
+                    raise ValueError(
+                        f"T vector shape {t_arr.shape} != (nreplicas,)"
+                    )
+                self.vcoeff = (
+                    jnp.asarray(np.sqrt(t_arr), dtype)[:, None, None]
+                    * base[None]
+                )
+            else:
+                self.vcoeff = base * jnp.asarray(np.sqrt(float(T)), dtype)
         self.batch = batch
         if batch is not None:
             self.natoms = np.bincount(np.asarray(batch))
@@ -146,7 +164,7 @@ class Integrator:
         elif thermostat and str(thermostat).lower() not in ("langevin", "none"):
             from .thermostats import make_thermostat
 
-            if not T:
+            if not (T is not None and np.ndim(T) == 0 and T):
                 raise ValueError(f"thermostat='{thermostat}' requires T")
             ncon = self.constraints.ncon if self.constraints is not None else 0
             ndof = 3 * len(masses) - ncon
@@ -245,7 +263,7 @@ class Integrator:
         ext_energy = getattr(forces_obj.external, "energy_fn", None)
         dt = self.dt
         gamma = self.gamma
-        use_thermostat = bool(self.T) and gamma is not None
+        use_thermostat = self._use_langevin_T and gamma is not None
         vcoeff = self.vcoeff if use_thermostat else None
         masses = self.masses
         thermo = self._thermostat
@@ -339,7 +357,7 @@ class Integrator:
         kern = self._cell_kernel
         dt = self.dt
         gamma = self.gamma
-        use_thermostat = bool(self.T) and gamma is not None
+        use_thermostat = self._use_langevin_T and gamma is not None
         vcoeff = self.vcoeff if use_thermostat else None
         masses = self.masses
         thermo = self._thermostat
@@ -498,7 +516,7 @@ class Integrator:
 
         dt = self.dt
         gamma = self.gamma
-        use_thermostat = bool(self.T)
+        use_thermostat = self._use_langevin_T and self.gamma is not None
         use_pbc = bool(np.any(np.asarray(self.systems.box_diag) != 0))
 
         def pad_rows(a, value=0.0):
@@ -508,7 +526,12 @@ class Integrator:
         # padded masses (1.0 on padding: harmless divisor, zero velocity);
         # padded noise coefficient 0.0 (padding rows stay frozen)
         masses_pad = pad_rows(self.masses, 1.0)
-        vcoeff_pad = pad_rows(self.vcoeff, 0.0) if use_thermostat else None
+        vcoeff_pad = None
+        if use_thermostat:
+            vc = self.vcoeff
+            if vc.ndim == 3:  # per-replica vector T; spatial has R == 1
+                vc = vc[0]
+            vcoeff_pad = pad_rows(vc, 0.0)
         self._spatial_masses_pad = masses_pad
         self._spatial_sharding = NamedSharding(mesh, P(ax))
 
@@ -759,7 +782,7 @@ class Integrator:
                 systems.pos[:] += systems.vel * self.dt + 0.5 * accel * self.dt**2
                 systems.vel[:] += 0.5 * self.dt * accel
                 pot = self.forces.compute(systems.pos, systems.box, systems.forces)
-                if self.T:
+                if self._use_langevin_T and self.gamma is not None:
                     self.key, sub = jax.random.split(self.key)
                     noise = np.asarray(
                         jax.random.normal(sub, systems.vel.shape)
