@@ -314,7 +314,9 @@ class Integrator:
                 lambda p, v: apply_velocity_constraints(cs, p, v)
             )
 
-        @partial(jax.jit, static_argnames=("niter",))
+        # donate the carry: XLA aliases the state buffers across step()
+        # calls instead of copying pos/vel/forces at every chunk boundary
+        @partial(jax.jit, static_argnames=("niter",), donate_argnums=(0,))
         def run(carry, box, niter: int):
             def body(c, _):
                 st, aux = c

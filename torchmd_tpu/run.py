@@ -18,7 +18,13 @@ import os
 
 import numpy as np
 
-from .utils import LoadFromFile, LogWriter, save_argparse, xyz_writer
+from .utils import (
+    AsyncWriter,
+    LoadFromFile,
+    LogWriter,
+    save_argparse,
+    xyz_writer,
+)
 from .units import FS2NS
 
 
@@ -52,6 +58,10 @@ def get_args(arguments=None):
                         help="Store trajectory and print monitor.csv every period")
     parser.add_argument("--save-period", type=int, default=0,
                         help="Dump trajectory to npy; default 10x output-period")
+    parser.add_argument("--async-output", type=int, default=1,
+                        help="Stream trajectory/monitor writes from a "
+                             "background thread, overlapping IO with the "
+                             "next compiled chunk (0 = synchronous)")
     parser.add_argument("--checkpoint-period", type=int, default=0,
                         help="Write a restart checkpoint every N steps (0=off)")
     parser.add_argument("--resume", default=None,
@@ -332,18 +342,13 @@ def dynamics(args, mol, system, forces):
         profile_ctx = jax.profiler.trace(os.path.join(args.log_dir, "jax_trace"))
         profile_ctx.__enter__()
 
-    iterator = tqdm(range(start_iter, int(args.steps / args.output_period) + 1))
-    for i in iterator:
-        Ekin, Epot, T = integrator.step(niter=args.output_period)
-        if barostat is not None:
-            barostat.attempt(system, forces)
-        wrapper.wrap(system.pos, system.box)
-        currpos = system.pos.copy()
+    def emit(i, currpos, boxsnap, epot_arr, ekin_arr, t_arr):
+        """All per-output-period file writes for one iteration; runs on
+        the background writer thread (only it touches trajs/logs/dcd
+        after the loop starts), overlapping IO with the next chunk."""
         for k in range(args.replicas):
             if use_dcd:
-                dcd_writers[k].write_frame(
-                    currpos[k], np.diag(system.box[k])
-                )
+                dcd_writers[k].write_frame(currpos[k], np.diag(boxsnap[k]))
             else:
                 trajs[k].append(currpos[k])
                 if (i * args.output_period) % args.save_period == 0:
@@ -355,19 +360,42 @@ def dynamics(args, mol, system, forces):
                 {
                     "iter": i * args.output_period,
                     "ns": FS2NS * i * args.output_period * args.timestep,
-                    "epot": float(np.asarray(Epot).reshape(-1)[k]),
-                    "ekin": float(Ekin[k]),
-                    "etot": float(np.asarray(Epot).reshape(-1)[k] + Ekin[k]),
-                    "T": float(T[k]),
+                    "epot": float(epot_arr[k]),
+                    "ekin": float(ekin_arr[k]),
+                    "etot": float(epot_arr[k] + ekin_arr[k]),
+                    "T": float(t_arr[k]),
                 }
             )
-        if args.checkpoint_period and (
-            (i * args.output_period) % args.checkpoint_period == 0
-        ):
-            save_checkpoint(
-                os.path.join(args.log_dir, f"{outputname}.chk"),
-                system, integrator, i,
+
+    writer = AsyncWriter() if getattr(args, "async_output", 1) else None
+    iterator = tqdm(range(start_iter, int(args.steps / args.output_period) + 1))
+    try:
+        for i in iterator:
+            Ekin, Epot, T = integrator.step(niter=args.output_period)
+            if barostat is not None:
+                barostat.attempt(system, forces)
+            wrapper.wrap(system.pos, system.box)
+            payload = (
+                i, system.pos.copy(), system.box.copy(),
+                np.asarray(Epot, dtype=np.float64).reshape(-1).copy(),
+                np.asarray(Ekin, dtype=np.float64).reshape(-1).copy(),
+                np.asarray(T, dtype=np.float64).reshape(-1).copy(),
             )
+            if writer is not None:
+                writer.submit(lambda p=payload: emit(*p))
+            else:
+                emit(*payload)
+            if args.checkpoint_period and (
+                (i * args.output_period) % args.checkpoint_period == 0
+            ):
+                # checkpoints read live System state: keep them synchronous
+                save_checkpoint(
+                    os.path.join(args.log_dir, f"{outputname}.chk"),
+                    system, integrator, i,
+                )
+    finally:
+        if writer is not None:
+            writer.close()
 
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)

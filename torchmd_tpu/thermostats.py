@@ -51,8 +51,12 @@ class NoseHooverChain:
         self.Q = np.array([q1] + [qk] * (self.nchain - 1))
 
     def init(self, nreplicas, dtype):
-        z = jnp.zeros((nreplicas, self.nchain), dtype=dtype)
-        return {"xi": z, "vxi": z}
+        # distinct buffers: the scan carry is donated, and aliased leaves
+        # cannot both be donated
+        return {
+            "xi": jnp.zeros((nreplicas, self.nchain), dtype=dtype),
+            "vxi": jnp.zeros((nreplicas, self.nchain), dtype=dtype),
+        }
 
     def _chain_half(self, vel, xi, vxi, masses, dth):
         """Propagate the chain for dth and rescale velocities. Per replica;

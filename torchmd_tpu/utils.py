@@ -97,6 +97,57 @@ class LoadFromFile(argparse.Action):
                     type(current)(val) if current is not None else val)
 
 
+class AsyncWriter:
+    """Single background thread draining an ordered queue of write
+    closures: trajectory/monitor IO overlaps the next compiled device
+    chunk instead of serializing with it (matters when every device sync
+    rides a network tunnel). Ordering is preserved (one worker). Worker
+    exceptions surface on the next submit() or on close()."""
+
+    def __init__(self, maxsize=64):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=maxsize)
+        self._err = None
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name="tmd-async-writer"
+        )
+        self._thread.start()
+
+    def _loop(self):
+        while True:
+            fn = self._q.get()
+            try:
+                if fn is None:
+                    return
+                if self._err is None:
+                    fn()
+            except Exception as e:  # re-raised on the submitting thread
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def submit(self, fn):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+        self._q.put(fn)
+
+    def close(self):
+        self._q.put(None)
+        self._thread.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def save_argparse(args, filename, exclude=None):
     """Persist the resolved run configuration (the reference writes
     ``log_dir/input.yaml``) so a run is reproducible from its output dir."""
