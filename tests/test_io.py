@@ -92,3 +92,39 @@ def test_molecule_multiframe_dropframes():
     m.dropFrames(keep=0)
     assert m.nframes == 1
     np.testing.assert_array_equal(m.coords[:, :, 0], first)
+
+
+def test_molecule_write_roundtrip(tmp_path):
+    """Molecule.write dispatch: PDB single frame, XYZ multi-frame, DCD
+    round-trips through the bundled readers."""
+    import numpy as np
+
+    from torchmd_tpu.io import Molecule
+
+    rs = np.random.RandomState(0)
+    mol = Molecule()
+    mol.numAtoms = 5
+    mol.name = np.array(["C1", "C2", "C3", "C4", "C5"], dtype=object)
+    mol.resname = np.array(["LIG"] * 5, dtype=object)
+    mol.element = np.array(["C"] * 5, dtype=object)
+    mol.coords = rs.rand(5, 3, 3) * 10  # 3 frames
+    mol.box = np.tile(np.array([[20.0], [20.0], [20.0]]), (1, 3))
+
+    mol.write(tmp_path / "out.pdb", frame=1)
+    back = Molecule(str(tmp_path / "out.pdb"))
+    assert back.numAtoms == 5
+    np.testing.assert_allclose(
+        back.coords[:, :, 0], np.round(mol.coords[:, :, 1], 3), atol=1e-3
+    )
+    assert np.allclose(back.crystalinfo["a"], 20.0)
+
+    mol.write(tmp_path / "out.xyz")
+    text = (tmp_path / "out.xyz").read_text()
+    assert text.count("\n5\n") + text.startswith("5\n") == 3  # 3 frames
+
+    mol.write(tmp_path / "traj.dcd")
+    from torchmd_tpu.io.dcd import read_dcd
+
+    d = read_dcd(str(tmp_path / "traj.dcd"))
+    assert d["coords"].shape == (5, 3, 3)
+    np.testing.assert_allclose(d["coords"], mol.coords, atol=1e-5)

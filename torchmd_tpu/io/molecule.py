@@ -187,6 +187,46 @@ class Molecule:
         self.coords = coords
 
     # ------------------------------------------------------------------
+    def write(self, filename, frame=None):
+        """Write coordinates/topology, dispatching on extension
+        (.pdb single frame, .xyz / .dcd all frames or `frame`) --
+        the moleculekit `mol.write` surface the reference relies on."""
+        ext = os.path.splitext(str(filename))[-1].lower()
+        if ext == ".pdb":
+            from .pdb import write_pdb
+
+            write_pdb(filename, self, frame=frame or 0)
+        elif ext == ".xyz":
+            frames = (
+                range(self.nframes) if frame is None else [frame]
+            )
+            with open(filename, "w") as fh:
+                for fidx in frames:
+                    fh.write(f"{self.numAtoms}\n\n")
+                    el = (
+                        self.element
+                        if len(self.element) == self.numAtoms
+                        else ["X"] * self.numAtoms
+                    )
+                    for e, xyz in zip(el, self.coords[:, :, fidx]):
+                        fh.write(
+                            f"{e} {xyz[0]:.6f} {xyz[1]:.6f} {xyz[2]:.6f}\n"
+                        )
+        elif ext == ".dcd":
+            from .dcd import DCDWriter
+
+            frames = range(self.nframes) if frame is None else [frame]
+            with DCDWriter(str(filename), self.numAtoms) as w:
+                for fidx in frames:
+                    box = (
+                        self.box[:, min(fidx, self.box.shape[1] - 1)]
+                        if np.any(self.box) else None
+                    )
+                    w.write_frame(self.coords[:, :, fidx], box)
+        else:
+            raise ValueError(f"Unsupported output extension: {filename}")
+        return self
+
     @property
     def nframes(self) -> int:
         return self.coords.shape[2]

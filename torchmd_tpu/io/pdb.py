@@ -106,14 +106,14 @@ def write_pdb(path: str, mol, frame: int = 0) -> None:
                 f"CRYST1{b[0]:9.3f}{b[1]:9.3f}{b[2]:9.3f}"
                 f"{90.0:7.2f}{90.0:7.2f}{90.0:7.2f} P 1           1\n"
             )
+        def field(attr, i, default):
+            v = getattr(mol, attr, None)
+            return str(v[i]) if v is not None and len(v) > i else default
+
         for i in range(coords.shape[0]):
-            name = str(mol.name[i])[:4] if getattr(mol, "name", None) is not None else "X"
-            resname = (
-                str(mol.resname[i])[:4]
-                if getattr(mol, "resname", None) is not None
-                else "UNK"
-            )
-            el = str(mol.element[i])[:2] if getattr(mol, "element", None) is not None else ""
+            name = field("name", i, "X")[:4]
+            resname = field("resname", i, "UNK")[:4]
+            el = field("element", i, "")[:2]
             f.write(
                 f"ATOM  {min(i + 1, 99999):5d} {name:<4s}{resname:<4s} "
                 f"{1:4d}    {coords[i, 0]:8.3f}{coords[i, 1]:8.3f}{coords[i, 2]:8.3f}"
