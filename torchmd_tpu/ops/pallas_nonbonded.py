@@ -241,6 +241,98 @@ def _kernel(
         eel_ref[0, 0] = eel_ref[0, 0] + e_el
 
 
+def _kernel_tri(
+    # i-views (1, TILE)
+    xi_ref, yi_ref, zi_ref, qi_ref, si_ref, ei_ref,
+    # j-views (1, TILE)
+    xj_ref, yj_ref, zj_ref, qj_ref, sj_ref, ej_ref,
+    # mask tile (TILE, TILE) int8
+    mask_ref,
+    # box (1, 3) SMEM
+    box_ref,
+    # outputs: row forces (per-i blocks), col forces (one full block),
+    # energies
+    fx_ref, fy_ref, fz_ref, fcx_ref, fcy_ref, fcz_ref, elj_ref, eel_ref,
+    *, cfg, tile,
+):
+    """Triangular variant: Newton's third law halves the pair work.
+
+    Only tiles with j >= i compute. Diagonal tiles keep the symmetric
+    0.5-energy/row-sum treatment (both triangles are present in-tile);
+    off-diagonal tiles count each pair once (weight 2 on the 0.5 factor),
+    send row sums to the i force block and column sums (+g.dv = the force
+    on j) to a full-length accumulator block that is one constant output
+    block for the whole sequential grid (safe to revisit)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init():
+        fcx_ref[...] = jnp.zeros_like(fcx_ref)
+        fcy_ref[...] = jnp.zeros_like(fcy_ref)
+        fcz_ref[...] = jnp.zeros_like(fcz_ref)
+        elj_ref[0, 0] = jnp.float32(0.0)
+        eel_ref[0, 0] = jnp.float32(0.0)
+
+    @pl.when(j >= i)
+    def _compute():
+        xi = xi_ref[0, :][:, None]
+        yi = yi_ref[0, :][:, None]
+        zi = zi_ref[0, :][:, None]
+        xj = xj_ref[0, :][None, :]
+        yj = yj_ref[0, :][None, :]
+        zj = zj_ref[0, :][None, :]
+        dx = xi - xj
+        dy = yi - yj
+        dz = zi - zj
+        if cfg["pbc"]:
+            bx = box_ref[0, 0]
+            by = box_ref[0, 1]
+            bz = box_ref[0, 2]
+            dx = dx - bx * jnp.round(dx / bx)
+            dy = dy - by * jnp.round(dy / by)
+            dz = dz - bz * jnp.round(dz / bz)
+        mask = mask_ref[...] != 0
+        d2 = dx * dx + dy * dy + dz * dz
+
+        si = sj = ei = ej = qi = qj = None
+        if cfg["lj"] or cfg["repulsion"] or cfg["repulsioncg"]:
+            si = si_ref[0, :][:, None]
+            sj = sj_ref[0, :][None, :]
+            ei = ei_ref[0, :][:, None]
+            ej = ej_ref[0, :][None, :]
+        if cfg["elec"]:
+            qi = qi_ref[0, :][:, None]
+            qj = qj_ref[0, :][None, :]
+
+        e_lj, e_el, g = pair_terms(cfg, d2, mask, si, sj, ei, ej, qi, qj)
+        diag = i == j
+        wt = jnp.where(diag, jnp.float32(1.0), jnp.float32(2.0))
+        elj_ref[0, 0] = elj_ref[0, 0] + e_lj * wt
+        eel_ref[0, 0] = eel_ref[0, 0] + e_el * wt
+
+        fx = -jnp.sum(g * dx, axis=1)
+        fy = -jnp.sum(g * dy, axis=1)
+        fz = -jnp.sum(g * dz, axis=1)
+
+        @pl.when(diag)
+        def _init_rows():
+            fx_ref[0, :] = fx
+            fy_ref[0, :] = fy
+            fz_ref[0, :] = fz
+
+        @pl.when(jnp.logical_not(diag))
+        def _acc():
+            fx_ref[0, :] = fx_ref[0, :] + fx
+            fy_ref[0, :] = fy_ref[0, :] + fy
+            fz_ref[0, :] = fz_ref[0, :] + fz
+            # force ON the j atoms: +sum_i g . dv
+            sl = pl.ds(j * tile, tile)
+            fcx_ref[0, sl] = fcx_ref[0, sl] + jnp.sum(g * dx, axis=0)
+            fcy_ref[0, sl] = fcy_ref[0, sl] + jnp.sum(g * dy, axis=0)
+            fcz_ref[0, sl] = fcz_ref[0, sl] + jnp.sum(g * dz, axis=0)
+
+
 class PallasNBData(NamedTuple):
     """Padded per-atom arrays + mask prepared once per topology."""
 
@@ -313,6 +405,87 @@ def pallas_nonbonded_energy_forces(data: PallasNBData, cfg, pos, box,
     def jspec(tile):
         return pl.BlockSpec((1, tile), lambda i, j: (0, j),
                             memory_space=pltpu.VMEM)
+
+    triangular = (
+        TILE_I == TILE_J
+        and _os.environ.get("TMD_PALLAS_TRI", "1") != "0"
+    )
+    if triangular:
+        grid_spec = pl.GridSpec(
+            grid=(ni, nj),
+            in_specs=[
+                ispec(TILE_I), ispec(TILE_I), ispec(TILE_I),
+                ispec(TILE_I), ispec(TILE_I), ispec(TILE_I),
+                jspec(TILE_J), jspec(TILE_J), jspec(TILE_J),
+                jspec(TILE_J), jspec(TILE_J), jspec(TILE_J),
+                pl.BlockSpec((TILE_I, TILE_J), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, TILE_I), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TILE_I), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TILE_I), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                # column-force accumulators: ONE constant full-length block
+                pl.BlockSpec((1, npad), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, npad), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, npad), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+        )
+        flops_per_pair = 60
+        fx, fy, fz, fcx, fcy, fcz, e_lj, e_el = pl.pallas_call(
+            functools.partial(_kernel_tri, cfg=kcfg, tile=TILE_J),
+            out_shape=[
+                jax.ShapeDtypeStruct((1, npad), jnp.float32),
+                jax.ShapeDtypeStruct((1, npad), jnp.float32),
+                jax.ShapeDtypeStruct((1, npad), jnp.float32),
+                jax.ShapeDtypeStruct((1, npad), jnp.float32),
+                jax.ShapeDtypeStruct((1, npad), jnp.float32),
+                jax.ShapeDtypeStruct((1, npad), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ],
+            grid_spec=grid_spec,
+            cost_estimate=pl.CostEstimate(
+                flops=flops_per_pair * npad * npad * 11 // 20,
+                bytes_accessed=npad * npad + 12 * npad * 4,
+                transcendentals=npad * npad * 11 // 20,
+            ),
+            interpret=interpret,
+        )(
+            xp, yp, zp, data.q, data.sig, data.eps,
+            xp, yp, zp, data.q, data.sig, data.eps,
+            data.mask, box_in,
+        )
+        forces = jnp.stack(
+            [
+                fx[0, :n] + fcx[0, :n],
+                fy[0, :n] + fcy[0, :n],
+                fz[0, :n] + fcz[0, :n],
+            ],
+            axis=1,
+        )
+        out = {}
+        if kcfg["lj"]:
+            out["lj"] = e_lj[0, 0]
+        if kcfg["repulsion"]:
+            out["repulsion"] = e_lj[0, 0]
+        if kcfg["repulsioncg"]:
+            out["repulsioncg"] = e_lj[0, 0]
+        if kcfg["elec"]:
+            out["electrostatics"] = e_el[0, 0]
+        return out, forces
 
     grid_spec = pl.GridSpec(
         grid=(ni, nj),
