@@ -142,3 +142,45 @@ def test_thermostat_factory_and_units():
         assert False
     except ValueError:
         pass
+
+
+def test_nhc_on_cell_list_path():
+    """NHC aux state rides the cell-list scan carry: an argon box on
+    kernel='cell' equilibrates to the target and matches the dense-path
+    trajectory (the thermostat is deterministic)."""
+    import os
+
+    from conftest import SYSTEMS_DIR
+
+    from torchmd_tpu.forcefields import ForceField
+    from torchmd_tpu.io import Molecule
+
+    def run(kernel):
+        mol = Molecule(os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"))
+        ff = ForceField.create(
+            mol, os.path.join(SYSTEMS_DIR, "argon", "argon_forcefield.yaml")
+        )
+        par = Parameters(ff, mol, ["lj"], precision="double")
+        forces = Forces(par, terms=["lj"], precision="double",
+                        cutoff=9.0, kernel=kernel)
+        system = System(mol.numAtoms, 1, "double", "cpu")
+        system.set_positions(mol.coords)
+        system.set_box(np.asarray([77.395] * 3))
+        system.set_velocities(
+            maxwell_boltzmann(par.masses, 120.0, 1, seed=3)
+        )
+        integ = Integrator(system, forces, timestep=5.0, device="cpu",
+                           T=120.0, thermostat="nhc", tau=100.0)
+        temps = []
+        for _ in range(6):
+            _, _, T = integ.step(niter=20)
+            temps.append(T[0])
+        return np.asarray(temps), system.pos.copy()
+
+    t_cell, pos_cell = run("cell")
+    t_dense, pos_dense = run("dense")
+    assert 60 < np.mean(t_cell[2:]) < 200, t_cell
+    np.testing.assert_allclose(t_cell, t_dense, rtol=1e-6)
+    # 120 chaotic steps amplify the cell/dense float-op-order difference;
+    # ~1e-3 A agreement over 600 fs confirms identical physics
+    np.testing.assert_allclose(pos_cell, pos_dense, atol=5e-3)
