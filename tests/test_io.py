@@ -128,3 +128,86 @@ def test_molecule_write_roundtrip(tmp_path):
     d = read_dcd(str(tmp_path / "traj.dcd"))
     assert d["coords"].shape == (5, 3, 3)
     np.testing.assert_allclose(d["coords"], mol.coords, atol=1e-5)
+
+
+def test_xtc_writer_roundtrip(tmp_path):
+    """XTC writer -> both decoders (native C++ first, pure-Python forced)
+    reproduce coordinates to the storage precision (0.001 nm = 0.01 A)."""
+    import numpy as np
+
+    from torchmd_tpu.io.xtc import read_xtc, write_xtc
+
+    rs = np.random.RandomState(0)
+    natoms, nframes = 123, 4
+    coords = rs.rand(natoms, 3, nframes) * 60.0 - 10.0
+    box = np.tile(np.array([[40.0], [50.0], [60.0]]), (1, nframes))
+    p = tmp_path / "t.xtc"
+    write_xtc(str(p), coords, box, steps=range(0, 400, 100),
+              times=[0.0, 0.5, 1.0, 1.5])
+
+    d = read_xtc(str(p))
+    assert d["coords"].shape == (natoms, 3, nframes)
+    np.testing.assert_allclose(d["coords"], coords, atol=6e-3)
+    np.testing.assert_allclose(d["box"], box, atol=1e-3)
+    np.testing.assert_array_equal(d["step"], [0, 100, 200, 300])
+    np.testing.assert_allclose(d["time"], [0.0, 0.5, 1.0, 1.5], atol=1e-6)
+
+    # force the pure-Python decode path too
+    import torchmd_tpu.io.xtc as xtcmod
+
+    frames, boxes = [], []
+    import struct
+
+    with open(p, "rb") as f:
+        while True:
+            header = f.read(4)
+            if len(header) < 4:
+                break
+            (magic,) = struct.unpack(">i", header)
+            assert magic == 1995
+            na, step = struct.unpack(">2i", f.read(8))
+            f.read(4)
+            f.read(36)
+            c, ls = xtcmod._decompress_frame(f)
+            assert ls == na == natoms
+            frames.append(c * 10.0)
+    np.testing.assert_allclose(
+        np.stack(frames, axis=2), coords, atol=6e-3
+    )
+
+
+def test_xtc_writer_tiny_system(tmp_path):
+    """<= 9 atoms: uncompressed float storage branch."""
+    import numpy as np
+
+    from torchmd_tpu.io.xtc import read_xtc, write_xtc
+
+    coords = np.arange(5 * 3 * 2, dtype=np.float64).reshape(5, 3, 2)
+    write_xtc(str(tmp_path / "s.xtc"), coords)
+    d = read_xtc(str(tmp_path / "s.xtc"))
+    np.testing.assert_allclose(d["coords"], coords, atol=1e-4)
+
+
+def test_xtc_writer_matches_reference_file(tmp_path):
+    """Re-encode a reference-bundled trajectory and re-read it: coordinates
+    survive within one quantization step."""
+    import os
+
+    import numpy as np
+
+    from conftest import DATA_DIR
+    from torchmd_tpu.io.xtc import read_xtc, write_xtc
+
+    src = os.path.join(DATA_DIR, "waterbox", "output.xtc")
+    if not os.path.exists(src):
+        import glob
+
+        cands = glob.glob(os.path.join(DATA_DIR, "*", "*.xtc"))
+        assert cands, "no bundled xtc found"
+        src = cands[0]
+    d = read_xtc(src)
+    out = str(tmp_path / "re.xtc")
+    write_xtc(out, d["coords"], d["box"], steps=d["step"], times=d["time"])
+    d2 = read_xtc(out)
+    np.testing.assert_allclose(d2["coords"], d["coords"], atol=6e-3)
+    np.testing.assert_allclose(d2["box"], d["box"], atol=1e-3)

@@ -223,6 +223,15 @@ class Molecule:
                         if np.any(self.box) else None
                     )
                     w.write_frame(self.coords[:, :, fidx], box)
+        elif ext == ".xtc":
+            from .xtc import write_xtc
+
+            coords = (
+                self.coords if frame is None
+                else self.coords[:, :, frame:frame + 1]
+            )
+            write_xtc(str(filename), coords,
+                      self.box if np.any(self.box) else None)
         else:
             raise ValueError(f"Unsupported output extension: {filename}")
         return self

@@ -1,4 +1,4 @@
-"""GROMACS XTC trajectory reader (pure Python/numpy).
+"""GROMACS XTC trajectory reader + writer (pure Python/numpy).
 
 Implements the public XDR "xdr3dfcoord" compressed-coordinate format
 (magic 1995) so trajectory inputs used by the reference test systems
@@ -7,6 +7,10 @@ tests/test_torchmd.py:350-351) can be loaded without external deps.
 
 Returns coordinates in Angstrom (XTC stores nm) and the per-frame box
 diagonal in Angstrom.
+
+The writer emits each atom as a full-size integer triple with no
+small-number runs -- a valid (if not maximally compressed) xdr3dfcoord
+stream that GROMACS tooling and this module's own decoders accept.
 """
 
 from __future__ import annotations
@@ -186,6 +190,159 @@ def _decompress_frame(f) -> tuple[np.ndarray, int] | None:
         sizesmall = [_MAGICINTS[smallidx]] * 3
 
     return out, lsize
+
+
+class _BitWriter:
+    """Inverse of _BitReader (the xdrfile sendbits bit order)."""
+
+    __slots__ = ("out", "lastbits", "lastbyte")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.lastbits = 0
+        self.lastbyte = 0
+
+    def bits(self, num: int, nbits: int):
+        lastbits, lastbyte = self.lastbits, self.lastbyte
+        while nbits >= 8:
+            lastbyte = ((lastbyte << 8) | ((num >> (nbits - 8)) & 0xFF)) & 0xFFFFFFFF
+            self.out.append((lastbyte >> lastbits) & 0xFF)
+            nbits -= 8
+        if nbits > 0:
+            lastbyte = ((lastbyte << nbits) | (num & ((1 << nbits) - 1))) & 0xFFFFFFFF
+            lastbits += nbits
+            if lastbits >= 8:
+                lastbits -= 8
+                self.out.append((lastbyte >> lastbits) & 0xFF)
+        self.lastbits, self.lastbyte = lastbits, lastbyte
+
+    def ints(self, num_of_bits: int, sizes: list[int], nums: list[int]):
+        """Inverse of _BitReader.ints: little-endian multiprecision
+        accumulate nums into bytes, then emit."""
+        bytes_ = [0] * 32
+        num_of_bytes = 0
+        tmp = nums[0]
+        while tmp:
+            bytes_[num_of_bytes] = tmp & 0xFF
+            num_of_bytes += 1
+            tmp >>= 8
+        for i in (1, 2):
+            tmp = nums[i]
+            for bytecnt in range(num_of_bytes):
+                tmp = bytes_[bytecnt] * sizes[i] + tmp
+                bytes_[bytecnt] = tmp & 0xFF
+                tmp >>= 8
+            while tmp:
+                bytes_[num_of_bytes] = tmp & 0xFF
+                num_of_bytes += 1
+                tmp >>= 8
+        if num_of_bits >= num_of_bytes * 8:
+            for b in bytes_[:num_of_bytes]:
+                self.bits(b, 8)
+            self.bits(0, num_of_bits - num_of_bytes * 8)
+        else:
+            for b in bytes_[: num_of_bits // 8]:
+                self.bits(b, 8)
+            if num_of_bits % 8:
+                self.bits(bytes_[num_of_bits // 8], num_of_bits % 8)
+
+    def flush(self) -> bytes:
+        if self.lastbits > 0:
+            self.out.append((self.lastbyte << (8 - self.lastbits)) & 0xFF)
+            self.lastbits = 0
+        return bytes(self.out)
+
+
+def _compress_frame(coords_nm: np.ndarray, precision: float) -> bytes:
+    """Encode one (natoms, 3) nm coordinate block (after the frame
+    header). Every atom is a full-size triple followed by a 0 flag bit."""
+    lsize = coords_nm.shape[0]
+    if lsize <= 9:
+        return coords_nm.astype(">f4").tobytes()
+
+    ints = np.rint(coords_nm * precision).astype(np.int64)
+    if np.any(np.abs(ints) > 0x7FFFFFFF - 2):
+        raise ValueError("coordinates overflow XTC integer range")
+    minint = ints.min(axis=0)
+    maxint = ints.max(axis=0)
+    sizeint = [int(maxint[k] - minint[k] + 1) for k in range(3)]
+    if any(s > 0xFFFFFF for s in sizeint):
+        bitsizeint = [_sizeofint(s) for s in sizeint]
+        bitsize = 0
+    else:
+        bitsizeint = [0, 0, 0]
+        bitsize = _sizeofints(sizeint)
+
+    bw = _BitWriter()
+    rel = (ints - minint[None, :]).tolist()
+    for row in rel:
+        if bitsize == 0:
+            for k in range(3):
+                bw.bits(row[k], bitsizeint[k])
+        else:
+            bw.ints(bitsize, sizeint, row)
+        bw.bits(0, 1)  # flag: no small-number run
+    payload = bw.flush()
+
+    head = struct.pack(">f", precision)
+    head += struct.pack(">3i", *(int(m) for m in minint))
+    head += struct.pack(">3i", *(int(m) for m in maxint))
+    head += struct.pack(">i", _FIRSTIDX)  # smallidx (unused: no runs)
+    head += struct.pack(">i", len(payload))
+    pad = (-len(payload)) % 4
+    return head + payload + b"\x00" * pad
+
+
+class XTCWriter:
+    """Append frames to an XTC file. Coordinates in Angstrom (stored as
+    nm), box as the (3,) diagonal in Angstrom (or None), time in ps."""
+
+    def __init__(self, path: str, precision: float = 1000.0):
+        self._f = open(path, "wb")
+        self.precision = float(precision)
+        self.nframes = 0
+
+    def write_frame(self, coords, box=None, step=None, time=0.0):
+        coords = np.asarray(coords, dtype=np.float64)
+        if coords.ndim != 2 or coords.shape[1] != 3:
+            raise ValueError(f"coords must be (natoms, 3), got {coords.shape}")
+        natoms = coords.shape[0]
+        step = self.nframes if step is None else int(step)
+        boxm = np.zeros((3, 3))
+        if box is not None:
+            np.fill_diagonal(boxm, np.asarray(box, np.float64) * 0.1)
+        self._f.write(struct.pack(">3i", 1995, natoms, step))
+        self._f.write(struct.pack(">f", float(time)))
+        self._f.write(np.asarray(boxm, dtype=">f4").tobytes())
+        self._f.write(struct.pack(">i", natoms))  # lsize
+        self._f.write(_compress_frame(coords * 0.1, self.precision))
+        self.nframes += 1
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def write_xtc(path, coords, box=None, steps=None, times=None,
+              precision=1000.0):
+    """Write an (natoms, 3, nframes) Angstrom trajectory (+ optional
+    (3, nframes) box diagonals) to an XTC file."""
+    coords = np.asarray(coords, dtype=np.float64)
+    with XTCWriter(path, precision=precision) as w:
+        for f in range(coords.shape[2]):
+            b = None
+            if box is not None:
+                b = np.asarray(box)[:, min(f, np.asarray(box).shape[1] - 1)]
+            w.write_frame(
+                coords[:, :, f], b,
+                step=None if steps is None else int(steps[f]),
+                time=0.0 if times is None else float(times[f]),
+            )
 
 
 def read_xtc(path: str) -> dict:
