@@ -302,3 +302,48 @@ def test_cmap_in_dynamics(tmp_path):
     ekin, epot, _ = integ.step(niter=20)
     assert np.all(np.isfinite(np.asarray(ekin)))
     assert np.all(np.isfinite(np.asarray(epot)))
+
+
+def test_cmap_yaml_roundtrip(tmp_path):
+    """CMAP through the YAML schema: prm -> Parameters -> to_yaml_ff ->
+    YamlForcefield -> Parameters reproduces identical energies."""
+    import yaml
+
+    from torchmd_tpu.forcefields.ff_charmm import CharmmForcefield
+    from torchmd_tpu.forcefields.ff_yaml import YamlForcefield
+    from torchmd_tpu.forces import Forces
+    from torchmd_tpu.io import Molecule
+    from torchmd_tpu.parameters import Parameters, to_yaml_ff
+
+    n = 8
+    _write_prm(tmp_path / "t.prm", n=n)
+    rs = np.random.RandomState(11)
+    mol = Molecule()
+    mol.numAtoms = 5
+    mol.atomtype = np.array(["A1"] * 5, dtype=object)
+    mol.charge = np.zeros(5)
+    mol.masses = np.full(5, 12.011)
+    mol.bonds = np.array([[i, i + 1] for i in range(4)])
+    mol.angles = np.array([[i, i + 1, i + 2] for i in range(3)])
+    mol.dihedrals = np.array([[i, i + 1, i + 2, i + 3] for i in range(2)])
+    mol.crossterms = np.array([[0, 1, 2, 3, 1, 2, 3, 4]])
+    mol.coords = _chain_pos(rs)[:, :, None]
+
+    terms = ["bonds", "angles", "dihedrals", "cmap"]
+    ff1 = CharmmForcefield(mol, str(tmp_path / "t.prm"))
+    par1 = Parameters(ff1, mol, terms, precision="double")
+    f1 = Forces(par1, terms=terms, precision="double")
+
+    ffdict = to_yaml_ff(par1, mol)
+    assert "cmap" in ffdict and len(ffdict["cmap"]) == 1
+    # also exercise the file path through yaml serialization
+    (tmp_path / "ff.yaml").write_text(yaml.dump(ffdict))
+    ff2 = YamlForcefield(mol, str(tmp_path / "ff.yaml"))
+    par2 = Parameters(ff2, mol, terms, precision="double")
+    f2 = Forces(par2, terms=terms, precision="double")
+
+    pos = jnp.asarray(mol.coords[:, :, 0])
+    d1 = f1.compute(pos[None], None, returnDetails=True)[0]
+    d2 = f2.compute(pos[None], None, returnDetails=True)[0]
+    for k in d1:
+        assert abs(d1[k] - d2[k]) < 1e-10, (k, d1[k], d2[k])

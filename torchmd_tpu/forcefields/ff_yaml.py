@@ -144,3 +144,27 @@ class YamlForcefield(_ForceFieldBase):
     def get_improper(self, at1, at2, at3, at4):
         entry = self.get_parameters("impropers", [at1, at2, at3, at4])
         return entry["phi_k"], radians(entry["phase"]), entry["per"]
+
+    def get_cmap(self, *types8):
+        """(n, n) CMAP grid for an 8-type cross-term key, or None. Schema
+        extension (native; the reference YAML format has no CMAP):
+
+            cmap:
+              "(C, NH1, CA, C, NH1, CA, C, NH1)":
+                resolution: 24
+                values: [...]   # n*n kcal/mol, phi-major from -180 deg
+        """
+        table = self._table("cmap")
+        key = tuple(types8)
+        rev = tuple(reversed(key[:4])) + tuple(reversed(key[4:]))
+        for k in (key, rev):
+            entry = table.get(k)
+            if entry is not None:
+                n = int(entry["resolution"])
+                vals = np.asarray(entry["values"], dtype=np.float64)
+                if vals.size != n * n:
+                    raise ValueError(
+                        f"cmap {k}: {vals.size} values != {n}x{n}"
+                    )
+                return vals.reshape(n, n)
+        return None

@@ -558,6 +558,18 @@ def to_yaml_ff(parameters, mol) -> dict:
                  "per": float(p[2])},
             )
         out["impropers"] = d
+    cmap_par = getattr(parameters, "cmap_params", None)
+    if cmap_par is not None and len(cmap_par.get("idx", [])):
+        d = {}
+        for inst, prow in cmap_par["map"]:
+            types = at[cmap_par["idx"][inst]]
+            grid = np.asarray(cmap_par["tables"][prow])
+            d.setdefault(
+                key_of(types),
+                {"resolution": int(grid.shape[0]),
+                 "values": [float(v) for v in grid.reshape(-1)]},
+            )
+        out["cmap"] = d
     return out
 
 
