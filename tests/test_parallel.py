@@ -364,3 +364,55 @@ def test_sharded_energy_nbfix_tables():
         jax.vmap(lambda p, b: total_energy(ffp, p, b, forces.config))(pos, box)
     )
     np.testing.assert_allclose(e_sh, e_d, rtol=1e-12)
+
+
+def test_spatial_sharded_nhc_matches_single(alanine):
+    """NHC on the spatially sharded scan (psum-reduced chain KE) must
+    reproduce the single-device NHC trajectory exactly -- the thermostat
+    is deterministic, so this is a strict equality check."""
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.systems import System
+
+    mol, forces = alanine
+
+    def run(mesh):
+        system = System(mol.numAtoms, 1, "double", "cpu")
+        system.set_positions(mol.coords)
+        system.set_box(mol.box)
+        system.set_velocities(
+            maxwell_boltzmann(forces.par.masses, 300, 1, seed=11)
+        )
+        kw = {}
+        if mesh is not None:
+            kw = dict(mesh=mesh, mesh_axis="sp", shard="spatial")
+        integ = Integrator(system, forces, 1.0, seed=4, T=300.0,
+                           thermostat="nhc", tau=50.0, **kw)
+        epots = [integ.step(niter=5)[1][0] for _ in range(3)]
+        return system.pos.copy(), np.asarray(epots), integ.thermostat_energy()
+
+    pos_1, e_1, chain_1 = run(None)
+    mesh = make_mesh(8, axes=("sp",))
+    pos_8, e_8, chain_8 = run(mesh)
+    np.testing.assert_allclose(pos_8, pos_1, atol=1e-9)
+    np.testing.assert_allclose(e_8, e_1, rtol=1e-9)
+    np.testing.assert_allclose(chain_8, chain_1, rtol=1e-9)
+
+
+def test_spatial_sharded_csvr_controls_temperature(alanine):
+    """CSVR on the sharded scan: the replicated key draws one global
+    rescale factor; temperature stays in a sane band."""
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.systems import System
+
+    mol, forces = alanine
+    mesh = make_mesh(8, axes=("sp",))
+    system = System(mol.numAtoms, 1, "double", "cpu")
+    system.set_positions(mol.coords)
+    system.set_box(mol.box)
+    system.set_velocities(maxwell_boltzmann(forces.par.masses, 300, 1, seed=2))
+    integ = Integrator(system, forces, 1.0, T=300.0, thermostat="csvr",
+                       tau=20.0, seed=3, mesh=mesh, mesh_axis="sp",
+                       shard="spatial")
+    for _ in range(4):
+        _, _, T = integ.step(niter=25)
+    assert 150.0 < float(T[0]) < 450.0

@@ -235,9 +235,10 @@ class Integrator:
                 raise ValueError("spatial sharding needs a jittable force "
                                  "provider")
             if self._thermostat is not None:
-                raise NotImplementedError(
-                    "NHC/CSVR + spatial sharding not yet supported "
-                    "(use gamma/T Langevin)"
+                # spatial sharding: aux has no replica axis (nreplicas==1);
+                # the chain/rescale psums kinetic energy over the mesh axis
+                self._thermo_aux = jax.tree_util.tree_map(
+                    lambda a: a[0], self._thermo_aux
                 )
             if self._use_cell:
                 raise NotImplementedError(
@@ -536,16 +537,17 @@ class Integrator:
             vcoeff_pad = pad_rows(vc, 0.0)
         self._spatial_masses_pad = masses_pad
         self._spatial_sharding = NamedSharding(mesh, P(ax))
+        thermo = self._thermostat
 
         @_partial(jax.jit, static_argnames=("niter",))
-        def run(state: SimState, box, niter: int):
+        def run(state: SimState, thermo_aux, box, niter: int):
             @_partial(
                 shard_map, mesh=mesh,
-                in_specs=(P(ax), P(ax), P(ax), P(), P()),
-                out_specs=(P(ax), P(ax), P(ax), P(), P()),
+                in_specs=(P(ax), P(ax), P(ax), P(), P(), P()),
+                out_specs=(P(ax), P(ax), P(ax), P(), P(), P()),
                 check_vma=False,
             )
-            def inner(pos_l, vel_l, frc_l, key, boxv):
+            def inner(pos_l, vel_l, frc_l, key, aux, boxv):
                 row0 = jax.lax.axis_index(ax) * rows
                 m_l = jax.lax.dynamic_slice_in_dim(masses_pad, row0, rows, 0)
                 vc_l = (
@@ -590,7 +592,10 @@ class Integrator:
                     return e, f_rows
 
                 def body(carry, _):
-                    p_l, v_l, f_l, k = carry
+                    p_l, v_l, f_l, k, a = carry
+                    if thermo is not None:
+                        # psum-reduced KE; identical chain on every rank
+                        v_l, a = thermo.pre(v_l, a, m_l, dt, axis_name=ax)
                     p_l, v_l = _first_vv(p_l, v_l, f_l, m_l, dt)
                     e, f_l = ef_rows(p_l)
                     if use_thermostat:
@@ -600,19 +605,29 @@ class Integrator:
                                                   dtype=v_l.dtype)
                         v_l = v_l - gamma * v_l * dt + noise * vc_l
                     v_l = _second_vv(v_l, f_l, m_l, dt)
-                    return (p_l, v_l, f_l, k), e
+                    if thermo is not None:
+                        if thermo.stochastic:
+                            # UN-folded key: the same global rescale factor
+                            # must be drawn on every rank
+                            k, sub = jax.random.split(k)
+                            v_l, a = thermo.post(v_l, a, m_l, dt, key=sub,
+                                                 axis_name=ax)
+                        else:
+                            v_l, a = thermo.post(v_l, a, m_l, dt,
+                                                 axis_name=ax)
+                    return (p_l, v_l, f_l, k, a), e
 
                 carry, epots = jax.lax.scan(
-                    body, (pos_l, vel_l, frc_l, key), None, length=niter
+                    body, (pos_l, vel_l, frc_l, key, aux), None, length=niter
                 )
-                p_l, v_l, f_l, k = carry
-                return p_l, v_l, f_l, k, epots[-1]
+                p_l, v_l, f_l, k, a = carry
+                return p_l, v_l, f_l, k, a, epots[-1]
 
-            pos, vel, frc, key, epot = inner(
-                state.pos, state.vel, state.forces, state.key,
+            pos, vel, frc, key, aux_out, epot = inner(
+                state.pos, state.vel, state.forces, state.key, thermo_aux,
                 jnp.reshape(box, (-1,))[:3],
             )
-            return SimState(pos, vel, frc, key), epot
+            return SimState(pos, vel, frc, key), aux_out, epot
 
         return run
 
@@ -802,7 +817,9 @@ class Integrator:
 
         if self._spatial is not None:
             state0 = self._spatial_state_from_system()
-            state, epot_dev = self._scan_fn(state0, box, int(niter))
+            state, self._thermo_aux, epot_dev = self._scan_fn(
+                state0, self._thermo_aux, box, int(niter)
+            )
             ekin, epot = self._spatial_sync_to_host(state, epot_dev)
             Ekin = np.asarray(ekin, dtype=np.float64).flatten()
             T = kinetic_to_temp(Ekin, self.natoms) * self._dof_scale

@@ -58,9 +58,12 @@ class NoseHooverChain:
             "vxi": jnp.zeros((nreplicas, self.nchain), dtype=dtype),
         }
 
-    def _chain_half(self, vel, xi, vxi, masses, dth):
+    def _chain_half(self, vel, xi, vxi, masses, dth, axis_name=None):
         """Propagate the chain for dth and rescale velocities. Per replica;
-        the nchain loop is unrolled in Python (nchain is tiny and static)."""
+        the nchain loop is unrolled in Python (nchain is tiny and static).
+        With `axis_name`, `vel`/`masses` hold only this rank's atom rows
+        (spatial sharding) and the kinetic energy is psum-reduced, so every
+        rank advances an identical chain."""
         M = self.nchain
         kT = self.kT
         Q = self.Q
@@ -69,6 +72,8 @@ class NoseHooverChain:
         dt8 = 0.25 * dth
 
         K2 = jnp.sum(masses[:, 0] * jnp.sum(vel * vel, axis=1))  # 2*KE
+        if axis_name is not None:
+            K2 = jax.lax.psum(K2, axis_name)
         v = [vxi[k] for k in range(M)]
 
         def G(k, K2_now):
@@ -92,9 +97,10 @@ class NoseHooverChain:
         v[M - 1] = v[M - 1] + G(M - 1, K2) * dt4
         return vel * s, xi, jnp.stack(v)
 
-    def pre(self, vel, aux, masses, dt, key=None):
+    def pre(self, vel, aux, masses, dt, key=None, axis_name=None):
         vel, xi, vxi = self._chain_half(vel, aux["xi"], aux["vxi"],
-                                        masses, 0.5 * dt)
+                                        masses, 0.5 * dt,
+                                        axis_name=axis_name)
         return vel, {"xi": xi, "vxi": vxi}
 
     post = pre  # same half-propagator after the second VV half-kick
@@ -131,12 +137,17 @@ class CSVR:
     def init(self, nreplicas, dtype):
         return {}
 
-    def pre(self, vel, aux, masses, dt, key=None):
+    def pre(self, vel, aux, masses, dt, key=None, axis_name=None):
         return vel, aux
 
-    def post(self, vel, aux, masses, dt, key=None):
+    def post(self, vel, aux, masses, dt, key=None, axis_name=None):
+        """With `axis_name` (spatial sharding) the kinetic energy psums
+        over ranks; callers must pass the SAME (replicated, un-folded) key
+        on every rank so the global rescale factor is identical."""
         nf = self.ndof
         K = 0.5 * jnp.sum(masses[:, 0] * jnp.sum(vel * vel, axis=1))
+        if axis_name is not None:
+            K = jax.lax.psum(K, axis_name)
         K = jnp.maximum(K, 1e-12)
         kbar = 0.5 * nf * self.kT
         c = jnp.exp(-dt / self.tau).astype(vel.dtype)
