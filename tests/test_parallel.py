@@ -112,7 +112,9 @@ def test_replica_sharded_integration(alanine):
             box = jax.device_put(
                 jnp.asarray(system.box_diag, dtype=integ.dtype), sh
             )
-            state, epot = integ._scan_fn(state, box, 5)
+            (state, _aux), epot = integ._scan_fn(
+                (state, integ._thermo_aux), box, 5
+            )
             return np.asarray(state.pos)
         integ.step(niter=5)
         return system.pos.copy()
