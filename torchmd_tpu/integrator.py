@@ -241,8 +241,11 @@ class Integrator:
                     lambda a: a[0], self._thermo_aux
                 )
             if self._use_cell:
-                raise NotImplementedError(
-                    "kernel='cell' + spatial sharding not yet supported"
+                # slab-sharded cell path: each rank evaluates its own
+                # range of cell columns (see _build_scan_spatial)
+                self._cell_kernel = forces.ensure_cell_kernel(
+                    np.asarray(systems.box_diag)[0],
+                    pos0=np.asarray(systems.pos)[0],
                 )
             self._scan_fn = self._build_scan_spatial()
         elif self._use_cell:
@@ -539,12 +542,22 @@ class Integrator:
         self._spatial_sharding = NamedSharding(mesh, P(ax))
         thermo = self._thermostat
 
+        # slab-sharded cell path: rank r evaluates cell columns
+        # [r*nloc, r*nloc + nloc) along x of the shared cell grid
+        use_cell = bool(self._use_cell)
+        kern = self._cell_kernel if use_cell else None
+        if use_cell:
+            from .neighbors import cell_nonbonded_energy_forces
+
+            ncx = kern.clcfg.ncells[0]
+            nloc = min(-(-ncx // sp), ncx)
+
         @_partial(jax.jit, static_argnames=("niter",))
         def run(state: SimState, thermo_aux, box, niter: int):
             @_partial(
                 shard_map, mesh=mesh,
                 in_specs=(P(ax), P(ax), P(ax), P(), P(), P()),
-                out_specs=(P(ax), P(ax), P(ax), P(), P(), P()),
+                out_specs=(P(ax), P(ax), P(ax), P(), P(), P(), P()),
                 check_vma=False,
             )
             def inner(pos_l, vel_l, frc_l, key, aux, boxv):
@@ -555,6 +568,28 @@ class Integrator:
                     if use_thermostat else None
                 )
                 boxe = boxv if use_pbc else None
+
+                def e_replicated(p):
+                    er = jnp.zeros((), p.dtype)
+                    if ewald is not None:
+                        er = er + ewald.energy(p, boxv)
+                    if ext_energy is not None:
+                        er = er + ext_energy(p, boxv)
+                    return er
+
+                def bonded_part(pos_n):
+                    """Replicated bonded (+Ewald recip/external) energy and
+                    the local slice of its full-system forces."""
+                    pot_b, f_b = bonded_ef(pos_n, boxe)
+                    e = sum(jax.tree_util.tree_leaves(pot_b))
+                    f_full = f_b
+                    if ewald is not None or ext_energy is not None:
+                        er, eg = jax.value_and_grad(e_replicated)(pos_n)
+                        e = e + er
+                        f_full = f_full - eg
+                    return e, jax.lax.dynamic_slice_in_dim(
+                        pad_rows(f_full), row0, rows, 0
+                    )
 
                 def ef_rows(pos_loc):
                     pos_full = jax.lax.all_gather(pos_loc, ax, axis=0,
@@ -569,35 +604,39 @@ class Integrator:
                             sum(jax.tree_util.tree_leaves(pot_nb)), ax
                         )
                         f_rows = f_rows + f_nb
+                    eb, fb_rows = bonded_part(pos_full[:natoms])
+                    return e + eb, f_rows + fb_rows
+
+                def ef_rows_cell(pos_loc, cl):
+                    """Slab-sharded cell evaluation: this rank's cell
+                    columns only; psum combines slab forces/energies."""
+                    pos_full = jax.lax.all_gather(pos_loc, ax, axis=0,
+                                                  tiled=True)
                     pos_n = pos_full[:natoms]
-
-                    def e_replicated(p):
-                        er = jnp.zeros((), p.dtype)
-                        if ewald is not None:
-                            er = er + ewald.energy(p, boxv)
-                        if ext_energy is not None:
-                            er = er + ext_energy(p, boxv)
-                        return er
-
-                    pot_b, f_b = bonded_ef(pos_n, boxe)
-                    e = e + sum(jax.tree_util.tree_leaves(pot_b))
-                    f_full = f_b
-                    if ewald is not None or ext_energy is not None:
-                        er, eg = jax.value_and_grad(e_replicated)(pos_n)
-                        e = e + er
-                        f_full = f_full - eg
-                    f_rows = f_rows + jax.lax.dynamic_slice_in_dim(
-                        pad_rows(f_full), row0, rows, 0
+                    cl_n = kern.update(pos_n, cl)
+                    cl = cl_n._replace(overflow=cl_n.overflow | cl.overflow)
+                    cx0 = jax.lax.axis_index(ax).astype(jnp.int32) * nloc
+                    pot_nb, f_nb = cell_nonbonded_energy_forces(
+                        ffp, cfg, kern.clcfg, cl, kern.excl_table,
+                        pos_n, boxv, slab=(cx0, nloc),
                     )
-                    return e, f_rows
+                    e = jax.lax.psum(
+                        sum(jax.tree_util.tree_leaves(pot_nb)), ax
+                    )
+                    f_all = jax.lax.psum(pad_rows(f_nb), ax)
+                    f_rows = jax.lax.dynamic_slice_in_dim(
+                        f_all, row0, rows, 0
+                    )
+                    eb, fb_rows = bonded_part(pos_n)
+                    return e + eb, f_rows + fb_rows, cl
 
-                def body(carry, _):
-                    p_l, v_l, f_l, k, a = carry
+                def thermo_and_kicks(p_l, v_l, f_l, k, a, e_f):
+                    """Shared VV/thermostat sequence around a force eval."""
                     if thermo is not None:
                         # psum-reduced KE; identical chain on every rank
                         v_l, a = thermo.pre(v_l, a, m_l, dt, axis_name=ax)
                     p_l, v_l = _first_vv(p_l, v_l, f_l, m_l, dt)
-                    e, f_l = ef_rows(p_l)
+                    e, f_l, extra = e_f(p_l)
                     if use_thermostat:
                         k, sub = jax.random.split(k)
                         sub = jax.random.fold_in(sub, jax.lax.axis_index(ax))
@@ -615,19 +654,56 @@ class Integrator:
                         else:
                             v_l, a = thermo.post(v_l, a, m_l, dt,
                                                  axis_name=ax)
-                    return (p_l, v_l, f_l, k, a), e
+                    return p_l, v_l, f_l, k, a, e, extra
 
-                carry, epots = jax.lax.scan(
-                    body, (pos_l, vel_l, frc_l, key, aux), None, length=niter
-                )
-                p_l, v_l, f_l, k, a = carry
-                return p_l, v_l, f_l, k, a, epots[-1]
+                if use_cell:
+                    def body(carry, _):
+                        p_l, v_l, f_l, k, a, cl = carry
 
-            pos, vel, frc, key, aux_out, epot = inner(
+                        def e_f(p):
+                            e, f_r, cl_n = ef_rows_cell(p, cl)
+                            return e, f_r, cl_n
+
+                        p_l, v_l, f_l, k, a, e, cl = thermo_and_kicks(
+                            p_l, v_l, f_l, k, a, e_f
+                        )
+                        return (p_l, v_l, f_l, k, a, cl), e
+
+                    pos_full0 = jax.lax.all_gather(pos_l, ax, axis=0,
+                                                   tiled=True)
+                    cl0 = kern.build(pos_full0[:natoms])
+                    carry, epots = jax.lax.scan(
+                        body, (pos_l, vel_l, frc_l, key, aux, cl0),
+                        None, length=niter,
+                    )
+                    p_l, v_l, f_l, k, a, cl = carry
+                    overflow = cl.overflow | cl0.overflow
+                else:
+                    def body(carry, _):
+                        p_l, v_l, f_l, k, a = carry
+
+                        def e_f(p):
+                            e, f_r = ef_rows(p)
+                            return e, f_r, None
+
+                        p_l, v_l, f_l, k, a, e, _unused = thermo_and_kicks(
+                            p_l, v_l, f_l, k, a, e_f
+                        )
+                        return (p_l, v_l, f_l, k, a), e
+
+                    carry, epots = jax.lax.scan(
+                        body, (pos_l, vel_l, frc_l, key, aux),
+                        None, length=niter,
+                    )
+                    p_l, v_l, f_l, k, a = carry
+                    overflow = jnp.zeros((), jnp.bool_)
+                return p_l, v_l, f_l, k, a, epots[-1], overflow
+
+            pos, vel, frc, key, aux_out, epot, overflow = inner(
                 state.pos, state.vel, state.forces, state.key, thermo_aux,
                 jnp.reshape(box, (-1,))[:3],
             )
-            return SimState(pos, vel, frc, key), aux_out, epot
+            return SimState(pos, vel, frc, key), aux_out, epot, overflow
 
         return run
 
@@ -817,9 +893,20 @@ class Integrator:
 
         if self._spatial is not None:
             state0 = self._spatial_state_from_system()
-            state, self._thermo_aux, epot_dev = self._scan_fn(
-                state0, self._thermo_aux, box, int(niter)
-            )
+            for _attempt in range(4):
+                state, aux, epot_dev, overflow = self._scan_fn(
+                    state0, self._thermo_aux, box, int(niter)
+                )
+                if not bool(np.asarray(overflow)):
+                    self._thermo_aux = aux
+                    break
+                # a cell overflowed on the sharded cell path: grow + retry
+                self._cell_kernel = self._cell_kernel.grow()
+                self.forces._cell_kernel = self._cell_kernel
+                self.forces._build_evaluators()
+                self._scan_fn = self._build_scan_spatial()
+            else:
+                raise RuntimeError("cell list capacity kept overflowing")
             ekin, epot = self._spatial_sync_to_host(state, epot_dev)
             Ekin = np.asarray(ekin, dtype=np.float64).flatten()
             T = kinetic_to_temp(Ekin, self.natoms) * self._dof_scale

@@ -184,7 +184,7 @@ def build_exclusion_table(parameters, natoms, max_exclusions=0,
 
 def cell_nonbonded_energy_forces(
     ffp: FFParams, cfg: ForceTermConfig, clcfg: CellListConfig,
-    cl: CellList, excl_table, pos, box, cell_chunk=None,
+    cl: CellList, excl_table, pos, box, cell_chunk=None, slab=None,
 ):
     """Nonbonded energies + forces in cell-pair form, via ghost cells.
 
@@ -280,9 +280,57 @@ def cell_nonbonded_energy_forces(
         ext_SG = ghost(grid4(SG))
         ext_EP = ghost(grid4(EP))
 
-    ids_i = slots.reshape(ncells * cap)                # interior atom ids
+    # Optional slab restriction (spatial sharding): evaluate only cell
+    # columns [cx0, cx0+nloc) along x. `cx0` may be traced (derived from
+    # lax.axis_index); `nloc` is static. The dynamic_slice start is clamped
+    # at the grid edge, and intended-out-of-range columns (clamp overlap or
+    # cx0 beyond the grid) are masked out of every pair contribution, so
+    # summing over ranks counts each cell exactly once.
+    if slab is not None:
+        cx0, nloc = slab
+        cx0 = jnp.asarray(cx0, jnp.int32)
+        slab_start = jnp.clip(cx0, 0, max(ncx - nloc, 0))
+        col_valid = (
+            slab_start + jnp.arange(nloc, dtype=jnp.int32)
+        ) >= cx0
+
+        def islice(a):
+            g = a.reshape((ncx, ncy, ncz) + a.shape[1:])
+            starts = (slab_start,) + tuple(
+                jnp.zeros((), jnp.int32) for _ in range(g.ndim - 1)
+            )
+            sizes = (nloc, ncy, ncz) + g.shape[3:]
+            return jax.lax.dynamic_slice(g, starts, sizes).reshape(
+                (nloc * ncy * ncz,) + a.shape[1:]
+            )
+
+        P = islice(P)
+        Q = islice(Q)
+        if TY is not None:
+            TY = islice(TY)
+        else:
+            SG = islice(SG)
+            EP = islice(EP)
+        EX = islice(EX)
+        slots_i = islice(slots)
+        ncl = nloc * ncy * ncz
+        colmask = jnp.broadcast_to(
+            col_valid[:, None, None, None], (nloc, ncy, ncz, cap)
+        ).reshape(ncl * cap)
+        base_x = slab_start
+        nx_loc = nloc
+    else:
+        slots_i = slots
+        ncl = ncells
+        colmask = None
+        base_x = 0
+        nx_loc = ncx
+
+    ids_i = slots_i.reshape(ncl * cap)                 # interior atom ids
     valid_i = ids_i < n
-    rows = ncells * cap
+    if colmask is not None:
+        valid_i = valid_i & colmask
+    rows = ncl * cap
 
     offsets = jnp.asarray(
         [(dx, dy, dz)
@@ -296,22 +344,22 @@ def cell_nonbonded_energy_forces(
 
     def offset_block(carry, delta):
         f_acc, pot_acc = carry
-        start3 = (delta[0] + s, delta[1] + s, delta[2] + s)
+        start3 = (base_x + delta[0] + s, delta[1] + s, delta[2] + s)
 
         def nslice(a):
-            sizes = (ncx, ncy, ncz) + a.shape[3:]
+            sizes = (nx_loc, ncy, ncz) + a.shape[3:]
             zeros = tuple(
                 jnp.zeros((), jnp.int32) for _ in range(a.ndim - 3)
             )
             return jax.lax.dynamic_slice(
                 a, start3 + zeros, sizes
-            ).reshape((ncells,) + a.shape[3:])
+            ).reshape((ncl,) + a.shape[3:])
 
-        Pn = nslice(ext_P)                             # (ncells, cap, 3)
-        idn = nslice(ext_ids)                          # (ncells, cap)
+        Pn = nslice(ext_P)                             # (ncl, cap, 3)
+        idn = nslice(ext_ids)                          # (ncl, cap)
         dv = (P[:, :, None, :] - Pn[:, None, :, :]).reshape(rows, cap, 3)
         idn_b = jnp.broadcast_to(
-            idn[:, None, :], (ncells, cap, cap)
+            idn[:, None, :], (ncl, cap, cap)
         ).reshape(rows, cap)
 
         mask = valid_i[:, None] & (idn_b < n) & (ids_i[:, None] != idn_b)
@@ -332,10 +380,10 @@ def cell_nonbonded_energy_forces(
             if TY is not None:
                 TYn = nslice(ext_TY)
                 ti = jnp.broadcast_to(
-                    TY[:, :, None], (ncells, cap, cap)
+                    TY[:, :, None], (ncl, cap, cap)
                 ).reshape(rows, cap)
                 tj = jnp.broadcast_to(
-                    TYn[:, None, :], (ncells, cap, cap)
+                    TYn[:, None, :], (ncl, cap, cap)
                 ).reshape(rows, cap)
                 A_ij = ffp.lj_ab[0].astype(dtype)[ti, tj]
                 B_ij = ffp.lj_ab[1].astype(dtype)[ti, tj]
@@ -351,7 +399,7 @@ def cell_nonbonded_energy_forces(
         pot, f_rows = nonbonded_block_energy_forces(
             cfg, dv, mask, qq, A_ij, B_ij
         )
-        f_acc = f_acc + f_rows.reshape(ncells, cap, 3)
+        f_acc = f_acc + f_rows.reshape(ncl, cap, 3)
         pot_acc = {k: pot_acc[k] + pot[k] for k in pot_acc}
         return (f_acc, pot_acc), None
 
@@ -364,12 +412,12 @@ def cell_nonbonded_energy_forces(
         pot0["repulsioncg"] = jnp.zeros((), dtype)
     if qq_terms:
         pot0["electrostatics"] = jnp.zeros((), dtype)
-    f0 = jnp.zeros((ncells, cap, 3), dtype)
+    f0 = jnp.zeros((ncl, cap, 3), dtype)
     (f_slots, out), _ = jax.lax.scan(offset_block, (f0, pot0), offsets)
 
     # scatter slot forces back to atoms (padding rows land in the n-th bin)
     forces = jnp.zeros((n + 1, 3), dtype).at[
-        slots.reshape(-1)
+        slots_i.reshape(-1)
     ].add(f_slots.reshape(-1, 3))[:n]
     return out, forces
 
