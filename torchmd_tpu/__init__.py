@@ -41,6 +41,7 @@ __all__ = [
     # convenience re-exports (lazy)
     "Molecule", "ForceField", "Parameters", "System", "Forces", "Integrator",
     "maxwell_boltzmann", "Wrapper", "make_alchemical", "AlchemicalCoupling",
+    "ReplicaExchange", "MetaDynamics", "HarmonicBias", "wham",
 ]
 
 _LAZY = {
@@ -54,6 +55,10 @@ _LAZY = {
     "Wrapper": ("torchmd_tpu.wrapper", "Wrapper"),
     "make_alchemical": ("torchmd_tpu.alchemy", "make_alchemical"),
     "AlchemicalCoupling": ("torchmd_tpu.alchemy", "AlchemicalCoupling"),
+    "ReplicaExchange": ("torchmd_tpu.remd", "ReplicaExchange"),
+    "MetaDynamics": ("torchmd_tpu.metadynamics", "MetaDynamics"),
+    "HarmonicBias": ("torchmd_tpu.cv", "HarmonicBias"),
+    "wham": ("torchmd_tpu.cv", "wham"),
 }
 
 
