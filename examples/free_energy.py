@@ -19,6 +19,13 @@ import sys
 
 import numpy as np
 
+# the site hook may pre-import jax with the TPU plugin; force CPU
+# explicitly when requested (see CLAUDE.md)
+import jax  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax.numpy as jnp  # noqa: E402
