@@ -349,3 +349,189 @@ def test_pallas_cell_kernel_matches_xla(monkeypatch):
     for k in pot_x:
         assert abs(float(pot_x[k]) - float(pot_p[k])) < 1e-6, k
     np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), atol=1e-6)
+
+
+# ----------------------------------------------------------------------
+# Verlet (padded neighbor-list) path
+# ----------------------------------------------------------------------
+
+def test_verlet_matches_dense_pbc():
+    from torchmd_tpu.neighbors import VerletKernel
+
+    mol, par, forces = _argon()
+    pos = jnp.asarray(mol.coords[:, :, 0])
+    box = jnp.asarray([77.395] * 3)
+    pot_d, f_d = nonbonded_energy_forces(forces.ffparams, pos, box,
+                                         forces.config)
+    kern = VerletKernel(forces.ffparams, forces.config, box=np.asarray(box),
+                        pos0=np.asarray(pos))
+    nl = kern.build(pos)
+    assert not bool(nl.overflow)
+    pot_v, f_v = jax.jit(kern.energy_forces)(pos, box, nl)
+    for k in pot_d:
+        np.testing.assert_allclose(float(pot_v[k]), float(pot_d[k]),
+                                   rtol=1e-12, err_msg=k)
+    np.testing.assert_allclose(np.asarray(f_v), np.asarray(f_d), atol=1e-14)
+
+
+def test_verlet_matches_dense_open_boundary():
+    """No box at all (the headline thrombin configuration is unboxed):
+    the cell grid cannot run, the verlet list must."""
+    from torchmd_tpu.neighbors import VerletKernel
+
+    mol, par, forces = _argon()
+    pos = jnp.asarray(mol.coords[:, :, 0])
+    pot_d, f_d = nonbonded_energy_forces(forces.ffparams, pos, None,
+                                         forces.config)
+    kern = VerletKernel(forces.ffparams, forces.config, box=None,
+                        pos0=np.asarray(pos))
+    nl = kern.build(pos)
+    pot_v, f_v = kern.energy_forces(pos, None, nl)
+    for k in pot_d:
+        np.testing.assert_allclose(float(pot_v[k]), float(pot_d[k]),
+                                   rtol=1e-12, err_msg=k)
+    np.testing.assert_allclose(np.asarray(f_v), np.asarray(f_d), atol=1e-14)
+
+
+def test_verlet_rebuild_criterion_and_update():
+    from torchmd_tpu.neighbors import VerletKernel
+
+    mol, par, forces = _argon()
+    pos = jnp.asarray(mol.coords[:, :, 0])
+    kern = VerletKernel(forces.ffparams, forces.config,
+                        box=[77.395] * 3, skin=2.0, pos0=np.asarray(pos))
+    nl = kern.build(pos)
+    assert not bool(kern.needs_rebuild(nl, pos))
+    assert bool(kern.needs_rebuild(nl, pos + 1.5))  # > skin/2 = 1.0
+    # update() rebuilds under lax.cond when the criterion trips
+    nl2 = kern.update(pos + 1.5, nl)
+    assert bool(jnp.all(nl2.ref_pos == pos + 1.5))
+    nl3 = kern.update(pos + 0.1, nl)
+    assert bool(jnp.all(nl3.ref_pos == pos))
+
+
+def test_verlet_exclusions_respected():
+    from torchmd_tpu.neighbors import VerletKernel
+
+    mol = Molecule(os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"))
+    rs = np.random.RandomState(0)
+    mol.charge = rs.randn(mol.numAtoms) * 0.05
+    mol.bonds = np.array([[0, 1]])
+    ff = ForceField.create(
+        mol, os.path.join(SYSTEMS_DIR, "argon", "argon_forcefield.yaml")
+    )
+    par = Parameters(ff, mol, ["lj", "electrostatics", "bonds"],
+                     precision="double")
+    par.charges = mol.charge.copy()
+    forces = Forces(par, terms=["lj", "electrostatics", "bonds"],
+                    precision="double", cutoff=9.0, rfa=True)
+
+    pos = np.asarray(mol.coords[:, :, 0]).copy()
+    pos[1] = pos[0] + [3.0, 0, 0]  # within cutoff: exclusion matters
+    pos = jnp.asarray(pos)
+    box = jnp.asarray([77.395] * 3)
+
+    pot_d, f_d = nonbonded_energy_forces(forces.ffparams, pos, box,
+                                         forces.config)
+    kern = VerletKernel(forces.ffparams, forces.config, box=np.asarray(box),
+                        pos0=np.asarray(pos))
+    nl = kern.build(pos)
+    # the excluded pair must not appear in either neighbor row
+    assert 1 not in np.asarray(nl.nbr[0]).tolist()
+    assert 0 not in np.asarray(nl.nbr[1]).tolist()
+    pot_v, f_v = kern.energy_forces(pos, box, nl)
+    for k in pot_d:
+        np.testing.assert_allclose(float(pot_v[k]), float(pot_d[k]),
+                                   rtol=1e-12, err_msg=k)
+    np.testing.assert_allclose(np.asarray(f_v), np.asarray(f_d), atol=1e-13)
+
+
+def test_verlet_integration_matches_dense_path():
+    """Short trajectories via the verlet-list scan and the dense scan must
+    agree (lax.cond rebuilds included)."""
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.systems import System
+
+    def run(kernel):
+        mol, par, _ = _argon()
+        forces = Forces(par, terms=["lj", "electrostatics"],
+                        precision="double", cutoff=9.0, rfa=True,
+                        kernel=kernel)
+        system = System(mol.numAtoms, 1, "double", "cpu")
+        system.set_positions(mol.coords)
+        system.set_box(np.asarray([77.395] * 3))
+        system.set_velocities(
+            maxwell_boltzmann(par.masses, 300.0, 1, seed=3)
+        )
+        integ = Integrator(system, forces, timestep=5.0, device="cpu")
+        for _ in range(2):
+            integ.step(niter=15)
+        return system.pos.copy()
+
+    np.testing.assert_allclose(run("dense"), run("verlet"), atol=1e-6)
+
+
+def test_verlet_overflow_grows_capacity():
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.systems import System
+
+    mol, par, _ = _argon()
+    forces = Forces(par, terms=["lj", "electrostatics"], precision="double",
+                    cutoff=9.0, rfa=True, kernel="verlet")
+    system = System(mol.numAtoms, 1, "double", "cpu")
+    system.set_positions(mol.coords)
+    system.set_box(np.asarray([77.395] * 3))
+    system.set_velocities(maxwell_boltzmann(par.masses, 120.0, 1, seed=3))
+    integ = Integrator(system, forces, timestep=2.0, device="cpu")
+    # shrink capacity after construction to force the overflow path
+    integ._cell_kernel.vcfg = integ._cell_kernel.vcfg.with_capacity(1)
+    integ._scan_fn = integ._build_scan_cell()
+    integ.step(niter=2)
+    assert integ._cell_kernel.vcfg.capacity > 1
+
+
+def test_verlet_compute_api_and_auto_selection(monkeypatch):
+    """Forces.compute() honors kernel='verlet', and kernel='auto' selects
+    the verlet path above TMD_AUTO_VERLET_N when no cell grid fits."""
+    mol, par, _ = _argon()
+    pos = mol.coords[:, :, 0][None]
+
+    fd = Forces(par, terms=["lj", "electrostatics"], precision="double",
+                cutoff=9.0, rfa=True)
+    fv = Forces(par, terms=["lj", "electrostatics"], precision="double",
+                cutoff=9.0, rfa=True, kernel="verlet")
+    ed = fd.compute(pos, None, returnDetails=True)[0]
+    ev = fv.compute(pos, None, returnDetails=True)[0]
+    assert fv._verlet_kernel is not None
+    for k, v in ed.items():
+        np.testing.assert_allclose(ev[k], v, rtol=1e-12, err_msg=k)
+    np.testing.assert_allclose(
+        np.asarray(fv.last_forces), np.asarray(fd.last_forces), atol=1e-12
+    )
+
+    monkeypatch.setenv("TMD_AUTO_VERLET_N", "100")
+    fa = Forces(par, terms=["lj", "electrostatics"], precision="double",
+                cutoff=9.0, rfa=True, kernel="auto")
+    assert fa.verlet_auto and fa.wants_verlet(None)
+    ea = fa.compute(pos, None, returnDetails=True)[0]
+    assert fa._verlet_kernel is not None  # auto-selected + built lazily
+    for k, v in ed.items():
+        np.testing.assert_allclose(ea[k], v, rtol=1e-12, err_msg=k)
+
+
+def test_verlet_ewald_real_space_matches_dense():
+    from torchmd_tpu.neighbors import VerletKernel
+
+    mol, par, forces = _argon()
+    cfg = forces.config._replace(ewald_alpha=0.37)
+    ffp = forces.ffparams
+    pos = jnp.asarray(mol.coords[:, :, 0])
+    box = jnp.asarray([77.395] * 3)
+
+    pot_d, f_d = nonbonded_energy_forces(ffp, pos, box, cfg)
+    kern = VerletKernel(ffp, cfg, box=np.asarray(box), pos0=np.asarray(pos))
+    pot_v, f_v = kern.energy_forces(pos, box, kern.build(pos))
+    for k in pot_d:
+        np.testing.assert_allclose(float(pot_v[k]), float(pot_d[k]),
+                                   rtol=1e-11, err_msg=k)
+    np.testing.assert_allclose(np.asarray(f_v), np.asarray(f_d), atol=1e-13)

@@ -169,12 +169,31 @@ class Forces:
         )
         self.cell_skin = getattr(self, "cell_skin", 2.0)
         self._cell_kernel = getattr(self, "_cell_kernel", None)
+        # Verlet (padded neighbor-list) path: explicit kernel="verlet", or
+        # automatic for mid-size cutoff systems where the dense O(N^2)
+        # kernel wastes pair work but the box is too small (or absent) for
+        # a cell grid. See neighbors.VerletKernel.
+        self.verlet_requested = (
+            getattr(self, "verlet_requested", False)
+            or (self.kernel == "verlet" and has_nb)
+        )
+        self.verlet_auto = (
+            self.kernel == "auto"
+            and has_nb
+            and self.cutoff is not None
+            and not self.cell_auto
+            and self.natoms >= int(_os_sel.environ.get("TMD_AUTO_VERLET_N",
+                                                       "100000"))
+        )
+        self._verlet_kernel = getattr(self, "_verlet_kernel", None)
         kernel = self.kernel
         self.use_pallas = (
             kernel in ("auto", "pallas")
             and has_nb
             and not self.cell_auto        # large-N auto -> cell path; the
             and not self.cell_requested   # dense O(N^2) mask wouldn't fit
+            and not self.verlet_auto
+            and not self.verlet_requested
             and pallas_available()
             and self.dtype == jnp.float32
             and pallas_supported_terms(self.config)
@@ -286,6 +305,18 @@ class Forces:
                     pot[k] = pot.get(k, 0.0) + v
                 return pot, frc + nb_f
 
+        elif self.verlet_requested and self._verlet_kernel is not None and has_nb:
+            vkern = self._verlet_kernel
+
+            def ef_one(pos, box):  # noqa: F811 -- verlet-path override
+                pot, frc = bonded_ef_one(pos, box)
+                nlv = vkern.build(pos)
+                nb_pot, nb_f = vkern.energy_forces(pos, box, nlv)
+                pot = dict(pot)
+                for k, v in nb_pot.items():
+                    pot[k] = pot.get(k, 0.0) + v
+                return pot, frc + nb_f
+
         if self._ewald is not None:
             rec = self._ewald
             inner_ef = ef_one
@@ -350,6 +381,12 @@ class Forces:
             self.cutoff, excl_pairs=excl, tol=tol, dtype=self.dtype,
         )
         self.config = self.config._replace(ewald_alpha=self._ewald.cfg.alpha)
+        # neighbor kernels bake the term config at construction; refresh so
+        # a kernel built before ensure_ewald picks up the erfc damping
+        if self._cell_kernel is not None:
+            self._cell_kernel.cfg = self.config
+        if self._verlet_kernel is not None:
+            self._verlet_kernel.cfg = self.config
         self._build_evaluators()
         return self._ewald
 
@@ -369,6 +406,30 @@ class Forces:
             return False
         rc = float(self.cutoff) + float(self.cell_skin)
         return bool(np.min(b) // rc >= 3)  # feasible 27-stencil grid
+
+    def wants_verlet(self, box=None) -> bool:
+        """True when evaluation should run on the Verlet neighbor-list
+        path: explicitly requested, or auto-selected for a mid-size cutoff
+        system that the cell grid does not cover (no/too-small box)."""
+        if self.verlet_requested:
+            return True
+        if not getattr(self, "verlet_auto", False):
+            return False
+        return not self.wants_cell(box)
+
+    def ensure_verlet_kernel(self, box=None, pos0=None):
+        """Build (once) the Verlet-list kernel. `pos0` (optional starting
+        coordinates) sizes the neighbor capacity from real occupancy.
+        Marks the verlet path as the active kernel."""
+        if self._verlet_kernel is None:
+            from .neighbors import VerletKernel
+
+            self._verlet_kernel = VerletKernel(
+                self.ffparams, self.config, box=box, skin=self.cell_skin,
+                pos0=pos0,
+            )
+        self.verlet_requested = True
+        return self._verlet_kernel
 
     def ensure_cell_kernel(self, box, pos0=None):
         """Build (once) the cell-list kernel for a concrete box diagonal.
@@ -412,6 +473,30 @@ class Forces:
             self.ensure_cell_kernel(np.asarray(box_j)[0],
                                     pos0=np.asarray(pos_j)[0])
             self._build_evaluators()
+        if (
+            self._verlet_kernel is None
+            and not self.cell_requested
+            and self.wants_verlet(np.asarray(box_j)[0])
+        ):
+            self.ensure_verlet_kernel(np.asarray(box_j)[0],
+                                      pos0=np.asarray(pos_j)[0])
+            self._build_evaluators()
+        if (
+            self.verlet_requested
+            and self._verlet_kernel is not None
+            and not self.cell_requested
+        ):
+            # Same silent-overflow guard as the cell path: a clamped
+            # neighbor capacity drops pairs, so grow + rebuild until the
+            # list fits.
+            for _attempt in range(6):
+                nl = jax.vmap(self._verlet_kernel.build)(pos_j)
+                if not bool(np.any(np.asarray(nl.overflow))):
+                    break
+                self._verlet_kernel = self._verlet_kernel.grow()
+                self._build_evaluators()
+            else:
+                raise RuntimeError("verlet list capacity kept overflowing")
         if self.cell_requested and self._cell_kernel is not None:
             # Guard against silent cell-capacity overflow (which clamps atom
             # ranks and corrupts energies): grow + rebuild until it fits,

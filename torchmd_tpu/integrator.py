@@ -89,7 +89,7 @@ class Integrator:
     def __init__(self, systems, forces, timestep, device=None, gamma=None,
                  T=None, batch=None, seed=1, mesh=None, mesh_axis="dp",
                  constraints=None, shard="replica", thermostat=None,
-                 tau=None, nchain=3):
+                 tau=None, nchain=3, barostat=None):
         self.dt = timestep / TIMEFACTOR
         self.systems = systems
         self.forces = forces
@@ -176,6 +176,60 @@ class Integrator:
             self.gamma = None  # NHC/CSVR replaces the Langevin kick
             self._thermo_aux = self._thermostat.init(systems.nreplicas, dtype)
 
+        # Optional MTK extended-system barostat: TRUE NPT dynamics with the
+        # box in the compiled scan carry (vs the host-level MC barostats).
+        # The MC barostat objects are driven by the run loop between
+        # chunks; only dynamic (MTK) barostats change the scan here.
+        self._barostat = None
+        self._npt = None
+        if barostat is not None and getattr(barostat, "is_dynamic", False):
+            if np.any(np.asarray(systems.box_diag) <= 0):
+                raise ValueError("MTK barostat requires a periodic box")
+            if constraints:
+                raise NotImplementedError(
+                    "MTK barostat + constraints (ROLL) not implemented; "
+                    "use the MC barostat for constrained NPT"
+                )
+            if mesh is not None:
+                raise NotImplementedError("MTK barostat + mesh sharding")
+            if self._thermostat is None:
+                if self._use_langevin_T and gamma is not None:
+                    raise ValueError(
+                        "MTK barostat requires thermostat='nhc' or 'csvr' "
+                        "(Langevin piston is not implemented)"
+                    )
+                from .thermostats import make_thermostat
+
+                self._thermostat = make_thermostat(
+                    "nhc", barostat.T,
+                    float(tau) if tau is not None else 100.0 * float(timestep),
+                    3 * len(masses), nchain=nchain,
+                )
+                self._thermo_aux = self._thermostat.init(
+                    systems.nreplicas, dtype
+                )
+            from .thermostats import NoseHooverChain
+
+            ndof = 3 * len(masses)
+            kT = BOLTZMANN * barostat.T
+            taup_fs = barostat.tau_fs or 1000.0 * float(timestep)
+            taup = taup_fs / TIMEFACTOR
+            chain_b = NoseHooverChain(barostat.T, taup_fs, ndof=1,
+                                      nchain=barostat.nchain)
+            self._barostat = barostat
+            self._npt = {
+                "W": (ndof + 3) * kT * taup**2,
+                "alpha": 1.0 + 3.0 / ndof,
+                "P": barostat.pressure,
+                "chain_b": chain_b,
+            }
+            nrep = systems.nreplicas
+            self._npt_extra = (
+                jnp.zeros((nrep,), dtype),             # v_eps
+                chain_b.init(nrep, dtype),             # baro-chain aux
+                None,                                  # virial (lazy init)
+            )
+
         # Optional sharding over a device mesh:
         #   shard="replica" (default): the leading (nreplicas) axis of the
         #     state lives on a mesh axis; the compiled scan runs ensemble-
@@ -220,17 +274,27 @@ class Integrator:
             getattr(forces, "external", None) is not None
             and not hasattr(forces.external, "energy_fn")
         )
+        self._use_verlet = False
         if self._host_path:
             self._use_cell = False
         elif hasattr(forces, "wants_cell"):
             self._use_cell = forces.wants_cell(
                 np.asarray(systems.box_diag)[0]
             )
+            if not self._use_cell and hasattr(forces, "wants_verlet"):
+                self._use_verlet = forces.wants_verlet(
+                    np.asarray(systems.box_diag)[0]
+                )
         else:
             self._use_cell = getattr(forces, "cell_requested", False)
         if getattr(forces, "ewald_requested", False) and not self._host_path:
             forces.ensure_ewald(np.asarray(systems.box_diag)[0])
-        if self._spatial is not None:
+        if self._npt is not None:
+            if self._host_path:
+                raise ValueError("MTK barostat needs a jittable force "
+                                 "provider")
+            self._scan_fn = self._build_scan_npt()
+        elif self._spatial is not None:
             if self._host_path:
                 raise ValueError("spatial sharding needs a jittable force "
                                  "provider")
@@ -253,6 +317,17 @@ class Integrator:
             if not np.allclose(box_all, box_all[0]):
                 raise ValueError("cell-list kernel requires equal replica boxes")
             self._cell_kernel = forces.ensure_cell_kernel(
+                box_all[0], pos0=np.asarray(systems.pos)[0]
+            )
+            self._scan_fn = self._build_scan_cell()
+        elif self._use_verlet:
+            # `_cell_kernel` is the generic neighbor-kernel slot: the
+            # VerletKernel duck-types CellKernel, so the kernel-carrying
+            # scan and the overflow grow/retry machinery are shared.
+            box_all = np.asarray(systems.box_diag)
+            if not np.allclose(box_all, box_all[0]):
+                raise ValueError("verlet kernel requires equal replica boxes")
+            self._cell_kernel = forces.ensure_verlet_kernel(
                 box_all[0], pos0=np.asarray(systems.pos)[0]
             )
             self._scan_fn = self._build_scan_cell()
@@ -387,13 +462,11 @@ class Integrator:
         # kernel='cell' would integrate wrong energies AND forces).
         ewald = getattr(forces_obj, "_ewald", None)
 
-        from .neighbors import needs_rebuild
-
         build_v = jax.vmap(kern.build)
 
         def update_all(pos_b, cl_b):
             pred = jnp.any(
-                jax.vmap(lambda c, p: needs_rebuild(c, p, kern.clcfg))(cl_b, pos_b)
+                jax.vmap(lambda c, p: kern.needs_rebuild(c, p))(cl_b, pos_b)
             )
 
             def rebuild():
@@ -470,6 +543,136 @@ class Integrator:
             carry, epots = jax.lax.scan(body, carry, None, length=niter)
             return carry, epots[-1]
 
+        return run
+
+    def _build_scan_npt(self):
+        """MTK isotropic NPT scan: the box, the barostat velocity v_eps and
+        both Nose-Hoover chains live in the scan carry; each step advances
+        the explicit reversible MTK splitting (see barostat.MTKBarostat).
+
+        Forces AND the scaling virial come from ONE value_and_grad over
+        (pos, s) of E(s*pos, s*box) through the pure-jnp potential path --
+        exact for every term including the box-dependent Ewald reciprocal
+        sum; the virial is carried between steps so each step does a single
+        energy evaluation.
+        """
+        forces_obj = self.forces
+        ffp = forces_obj.ffparams
+        cfg = forces_obj.config
+        ewald = forces_obj._ewald
+        ext_energy = getattr(forces_obj.external, "energy_fn", None)
+        dt = self.dt
+        dt2 = 0.5 * dt
+        masses = self.masses
+        thermo = self._thermostat
+        npt = self._npt
+        W = npt["W"]
+        alpha = npt["alpha"]
+        P = npt["P"]
+        chain_b = npt["chain_b"]
+        nreplicas = self.systems.nreplicas
+
+        from .potentials import compute_potentials
+
+        def etot_pure(pos, box):
+            pot = compute_potentials(ffp, pos, box, cfg)
+            e = sum(jax.tree_util.tree_leaves(pot))
+            if ewald is not None:
+                e = e + ewald.energy(pos, box)
+            if ext_energy is not None:
+                e = e + ext_energy(pos, box)
+            return e
+
+        def ef_vir(pos, box):
+            def e2(p, s):
+                return etot_pure(p * s, box * s)
+
+            one = jnp.ones((), pos.dtype)
+            e, (gp, dUds) = jax.value_and_grad(e2, argnums=(0, 1))(pos, one)
+            return e, -gp, -dUds  # (epot, forces, scaling virial)
+
+        def phi(x):
+            # sinh(x)/x with the series for small arguments
+            x2 = x * x
+            small = jnp.abs(x) < 1e-3
+            safe = jnp.where(small, 1.0, x)
+            return jnp.where(
+                small, 1.0 + x2 / 6.0 + x2 * x2 / 120.0,
+                jnp.sinh(safe) / safe,
+            )
+
+        def baro_half(v_eps, aux_b):
+            vb = jnp.zeros((1, 3), v_eps.dtype).at[0, 0].set(v_eps)
+            mb = jnp.full((1, 1), W, v_eps.dtype)
+            vb, xi, vxi = chain_b._chain_half(
+                vb, aux_b["xi"], aux_b["vxi"], mb, 0.5 * dt
+            )
+            return vb[0, 0], {"xi": xi, "vxi": vxi}
+
+        def eps_kick(v_eps, vel, vir, box):
+            K2 = jnp.sum(masses[:, 0] * jnp.sum(vel * vel, axis=1))
+            V = box[0] * box[1] * box[2]
+            G = alpha * K2 + vir - 3.0 * V * P
+            return v_eps + dt2 * G / W
+
+        def step_one(pos, vel, frc, vir, box, v_eps, aux_p, aux_b, kr):
+            # (1) half chain updates: barostat DOF, then particles
+            v_eps, aux_b = baro_half(v_eps, aux_b)
+            vel, aux_p = thermo.pre(vel, aux_p, masses, dt)
+            # (2) barostat velocity half kick
+            v_eps = eps_kick(v_eps, vel, vir, box)
+            # (3) particle velocity update with box-coupling factors
+            x = alpha * v_eps * dt2
+            vel = (
+                vel * jnp.exp(-x)
+                + dt2 * (frc / masses) * jnp.exp(-0.5 * x) * phi(0.5 * x)
+            )
+            # (4) position + box update
+            u = v_eps * dt
+            pos = pos * jnp.exp(u) + dt * vel * jnp.exp(0.5 * u) * phi(0.5 * u)
+            box = box * jnp.exp(u)
+            # (5) energy / forces / virial at the new phase point
+            epot, frc, vir = ef_vir(pos, box)
+            # (6) mirror velocity update
+            vel = (
+                vel * jnp.exp(-x)
+                + dt2 * (frc / masses) * jnp.exp(-0.5 * x) * phi(0.5 * x)
+            )
+            # (7) mirror barostat kick, (8) half chain updates (reverse order)
+            v_eps = eps_kick(v_eps, vel, vir, box)
+            if thermo.stochastic:
+                vel, aux_p = thermo.post(vel, aux_p, masses, dt, key=kr)
+            else:
+                vel, aux_p = thermo.post(vel, aux_p, masses, dt)
+            v_eps, aux_b = baro_half(v_eps, aux_b)
+            return pos, vel, frc, vir, box, v_eps, aux_p, aux_b, epot
+
+        step_v = jax.vmap(step_one)
+
+        @partial(jax.jit, static_argnames=("niter",))
+        def run(carry, niter: int):
+            def body(c, _):
+                st, box, v_eps, aux_p, aux_b, vir = c
+                key = st.key
+                if thermo.stochastic:
+                    key, sub = jax.random.split(key)
+                    krs = jax.random.split(sub, nreplicas)
+                else:
+                    krs = jnp.zeros((nreplicas, 2), jnp.uint32)
+                pos, vel, frc, vir, box, v_eps, aux_p, aux_b, epot = step_v(
+                    st.pos, st.vel, st.forces, vir, box, v_eps, aux_p,
+                    aux_b, krs,
+                )
+                return (
+                    (SimState(pos, vel, frc, key), box, v_eps, aux_p,
+                     aux_b, vir),
+                    epot,
+                )
+
+            carry, epots = jax.lax.scan(body, carry, None, length=niter)
+            return carry, epots[-1]
+
+        self._npt_ef_vir = jax.jit(jax.vmap(ef_vir))
         return run
 
     def _build_scan_spatial(self):
@@ -845,6 +1048,25 @@ class Integrator:
         ).reshape(-1)
         return np.broadcast_to(e, (nrep,)).copy() if e.size == 1 else e
 
+    def npt_energy(self):
+        """Barostat contribution to the NPT conserved quantity per replica:
+        P_ext*V + W*v_eps^2/2 + barostat-chain terms. Add to Ekin + Epot +
+        thermostat_energy() to monitor MTK drift (zero without MTK)."""
+        nrep = self.systems.nreplicas
+        if self._npt is None:
+            return np.zeros(nrep)
+        v_eps, aux_b, _ = self._npt_extra
+        V = np.prod(np.asarray(self.systems.box_diag), axis=1)
+        e = (
+            self._npt["P"] * V
+            + 0.5 * self._npt["W"] * np.asarray(v_eps, np.float64) ** 2
+            + np.asarray(
+                jnp.atleast_1d(self._npt["chain_b"].conserved(aux_b)),
+                np.float64,
+            ).reshape(-1)
+        )
+        return e
+
     # kept for checkpoint/compat callers
     def _state_to_system(self, state: SimState):
         s = self.systems
@@ -891,6 +1113,29 @@ class Integrator:
             T = kinetic_to_temp(Ekin, self.natoms) * self._dof_scale
             return Ekin, epot, T
 
+        if self._npt is not None:
+            state0 = self._state_from_system()
+            box_d = jnp.asarray(np.asarray(systems.box_diag), self.dtype)
+            v_eps, aux_b, vir = self._npt_extra
+            if vir is None:
+                # lazy init: the caller seeds forces via compute(), but the
+                # scaling virial at the entry state is ours to compute
+                _, _, vir = self._npt_ef_vir(state0.pos, box_d)
+            carry = (state0, box_d, v_eps, self._thermo_aux, aux_b, vir)
+            (state, box_d, v_eps, aux_p, aux_b, vir), epot_dev = (
+                self._scan_fn(carry, int(niter))
+            )
+            self._thermo_aux = aux_p
+            self._npt_extra = (v_eps, aux_b, vir)
+            ekin, epot, _ = self._sync_to_host(state, epot_dev)
+            box_h = np.asarray(box_d, dtype=np.float64)
+            for r in range(systems.nreplicas):
+                np.fill_diagonal(systems.box[r], box_h[r])
+            self._box_snap = None  # box evolved on device
+            Ekin = np.asarray(ekin, dtype=np.float64).flatten()
+            T = kinetic_to_temp(Ekin, self.natoms) * self._dof_scale
+            return Ekin, np.asarray(epot, dtype=np.float64), T
+
         if self._spatial is not None:
             state0 = self._spatial_state_from_system()
             for _attempt in range(4):
@@ -912,7 +1157,7 @@ class Integrator:
             T = kinetic_to_temp(Ekin, self.natoms) * self._dof_scale
             return Ekin, np.asarray(epot, dtype=np.float64), T
 
-        if self._use_cell:
+        if self._use_cell or self._use_verlet:
             state0 = self._state_from_system()
             for _attempt in range(4):
                 cl = jax.vmap(self._cell_kernel.build)(state0.pos)
@@ -925,15 +1170,18 @@ class Integrator:
                 if not overflowed:
                     self._thermo_aux = aux
                     break
-                # a cell overflowed: grow capacity and redo this chunk
+                # capacity overflowed: grow the kernel and redo this chunk
                 self._cell_kernel = self._cell_kernel.grow()
-                self.forces._cell_kernel = self._cell_kernel
+                if self._use_cell:
+                    self.forces._cell_kernel = self._cell_kernel
+                else:
+                    self.forces._verlet_kernel = self._cell_kernel
                 # rebuild the Forces closures too, or compute()/ef_one keep
                 # referencing the old smaller-capacity kernel
                 self.forces._build_evaluators()
                 self._scan_fn = self._build_scan_cell()
             else:
-                raise RuntimeError("cell list capacity kept overflowing")
+                raise RuntimeError("neighbor kernel capacity kept overflowing")
         else:
             state0 = self._state_from_system()
             (state, self._thermo_aux), epot_dev = self._scan_fn(

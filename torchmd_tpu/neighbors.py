@@ -464,6 +464,9 @@ class CellKernel:
     def build(self, pos) -> CellList:
         return build_cell_list(pos, self.clcfg)
 
+    def needs_rebuild(self, cl: CellList, pos):
+        return needs_rebuild(cl, pos, self.clcfg)
+
     def update(self, pos, cl: CellList) -> CellList:
         return jax.lax.cond(
             needs_rebuild(cl, pos, self.clcfg),
@@ -503,6 +506,220 @@ class CellKernel:
 
         new = copy.copy(self)
         new.clcfg = self.clcfg.with_capacity(self.clcfg.capacity * 2)
+        return new
+
+
+# ----------------------------------------------------------------------
+# Verlet (padded per-atom) neighbor lists
+# ----------------------------------------------------------------------
+#
+# Mid-size systems (~3k-12k atoms) sit between the dense O(N^2) kernel
+# (whose pair work grows quadratically) and the cell grid (whose stencil
+# overhead needs a big periodic box to amortize, and which requires PBC at
+# all). The Verlet list is the classic answer: a fixed-capacity
+# (natoms, capacity) int32 table of each atom's neighbors within
+# cutoff + skin, rebuilt only when some atom moved skin/2.
+#
+# TPU-native formulation:
+#   - the list is FULL (each pair appears in both atoms' rows), so forces
+#     are pure row sums of the gathered neighbor block -- zero scatters in
+#     the hot path -- and energies carry the same 0.5 symmetric factor as
+#     the dense/cell paths (shared `nonbonded_block_energy_forces` math).
+#   - the rebuild ranks candidates with one stable argsort of the masked
+#     dense row (valid neighbors first, index order preserved), a static-
+#     shape operation that lives inside the integrator's lax.scan behind
+#     the same lax.cond displacement criterion as the cell path. For open
+#     boundaries the O(N^2) distance matrix comes from the |ri|^2 + |rj|^2
+#     - 2 ri.rj matmul identity (MXU work, no (N, N, 3) intermediate).
+#   - exclusions are baked into the list at build time via the dense
+#     nb_mask, so evaluation needs no per-pair exclusion compare.
+#
+# The reference has no equivalent (its nonbonded path is all-vs-all,
+# torchmd/forces.py:348-357); this realizes the neighbour-list design its
+# dead sketch gestures at (torchmd/neighbourlist.py:34-48) in fixed-shape
+# form.
+
+
+class VerletConfig(NamedTuple):
+    box: tuple            # concrete (lx, ly, lz); zeros = open boundary
+    cutoff: float
+    skin: float
+    capacity: int         # max neighbors per atom (padded width)
+
+    @property
+    def rc(self):
+        return self.cutoff + self.skin
+
+    @property
+    def pbc(self):
+        return min(self.box) > 0
+
+    def with_capacity(self, capacity: int) -> "VerletConfig":
+        return self._replace(capacity=capacity)
+
+
+class NeighborList(NamedTuple):
+    nbr: jnp.ndarray        # (natoms, capacity) int32 neighbor ids, N = pad
+    ref_pos: jnp.ndarray    # positions at build time
+    overflow: jnp.ndarray   # bool scalar
+
+
+def _verlet_d2(pos, vcfg: VerletConfig):
+    """Dense squared-distance matrix for list building."""
+    if vcfg.pbc:
+        box = jnp.asarray(vcfg.box, pos.dtype)
+        dv = pos[:, None, :] - pos[None, :, :]
+        dv = dv - box * jnp.round(dv / box)
+        return jnp.sum(dv * dv, axis=-1)
+    r2 = jnp.sum(pos * pos, axis=-1)
+    d2 = r2[:, None] + r2[None, :] - 2.0 * (pos @ pos.T)
+    return jnp.maximum(d2, 0.0)
+
+
+def build_verlet_list(pos, nb_mask, vcfg: VerletConfig) -> NeighborList:
+    n = pos.shape[0]
+    d2 = _verlet_d2(pos, vcfg)
+    mask = (d2 <= vcfg.rc * vcfg.rc) & nb_mask
+    count = jnp.sum(mask, axis=1)
+    overflow = jnp.any(count > vcfg.capacity)
+    # stable argsort: False (valid) keys first, original index order kept
+    idx = jnp.argsort(~mask, axis=1, stable=True)[:, : vcfg.capacity]
+    valid = jnp.take_along_axis(mask, idx, axis=1)
+    nbr = jnp.where(valid, idx, n).astype(jnp.int32)
+    return NeighborList(nbr, pos, overflow)
+
+
+def verlet_needs_rebuild(nl: NeighborList, pos, vcfg: VerletConfig):
+    """True when any atom moved further than skin/2 since the build."""
+    d = pos - nl.ref_pos
+    if vcfg.pbc:
+        box = jnp.asarray(vcfg.box, pos.dtype)
+        d = d - box * jnp.round(d / box)
+    return jnp.any(jnp.sum(d * d, axis=1) > (vcfg.skin * 0.5) ** 2)
+
+
+def verlet_nonbonded_energy_forces(
+    ffp: FFParams, cfg: ForceTermConfig, vcfg: VerletConfig,
+    nl: NeighborList, pos, box,
+):
+    """Nonbonded energies + forces from a full padded neighbor list.
+
+    One row gather of neighbor positions/attributes, then the shared
+    pair-block math (`potentials.nonbonded_block_energy_forces`) over the
+    (natoms, capacity) block -- LJ (incl. NBFIX A/B tables), switching,
+    RFA and Ewald real-space behave identically to the dense and cell
+    paths. Forces are complete row sums (full list); energies carry the
+    0.5 symmetric factor. Equivalence is tested against the dense path.
+    """
+    from .potentials import nonbonded_block_energy_forces, wrap_displacement
+
+    n = pos.shape[0]
+    dtype = pos.dtype
+    nbr = nl.nbr
+    mask = nbr < n
+
+    pos_pad = jnp.concatenate([pos, jnp.zeros((1, 3), dtype)])
+    dv = pos[:, None, :] - pos_pad[nbr]
+    dv = wrap_displacement(dv, box)
+
+    qq = None
+    if "electrostatics" in cfg.terms:
+        q = ffp.charges.astype(dtype)
+        q_pad = jnp.concatenate([q, jnp.zeros(1, dtype)])
+        qq = ELEC_FACTOR * q[:, None] * q_pad[nbr]
+
+    A_ij = B_ij = None
+    if any(t in cfg.terms for t in ("lj", "repulsion", "repulsioncg")):
+        ti = ffp.mapped_atom_types
+        if ffp.lj_ab is not None:
+            t_pad = jnp.concatenate([ti, jnp.zeros(1, ti.dtype)])
+            tj = t_pad[nbr]
+            A_ij = ffp.lj_ab[0].astype(dtype)[ti[:, None], tj]
+            B_ij = ffp.lj_ab[1].astype(dtype)[ti[:, None], tj]
+        else:
+            s_at = ffp.lj_params[:, 0].astype(dtype)[ti]
+            e_at = ffp.lj_params[:, 1].astype(dtype)[ti]
+            s_pad = jnp.concatenate([s_at, jnp.zeros(1, dtype)])
+            e_pad = jnp.concatenate([e_at, jnp.zeros(1, dtype)])
+            sig = 0.5 * (s_at[:, None] + s_pad[nbr])
+            eps = jnp.sqrt(jnp.abs(e_at[:, None] * e_pad[nbr]))
+            s6 = sig**6
+            B_ij = 4.0 * eps * s6
+            A_ij = B_ij * s6
+
+    return nonbonded_block_energy_forces(cfg, dv, mask, qq, A_ij, B_ij)
+
+
+class VerletKernel:
+    """Bundles a static Verlet-list configuration with build/update/
+    evaluate entry points for one topology; duck-type compatible with
+    `CellKernel` so the integrator's kernel-carrying scan and overflow
+    grow/retry machinery work unchanged.
+
+    Works with or without a periodic box (the cell grid requires PBC;
+    the headline thrombin system has none)."""
+
+    def __init__(self, ffp: FFParams, cfg: ForceTermConfig, box=None,
+                 skin=2.0, capacity=None, pos0=None):
+        if cfg.cutoff is None:
+            raise ValueError("Verlet lists require a cutoff")
+        if ffp.nb_mask is None:
+            raise ValueError("Verlet lists need the dense nonbonded mask")
+        self.ffp = ffp
+        self.cfg = cfg
+        natoms = int(ffp.charges.shape[0])
+        if box is None:
+            boxt = (0.0, 0.0, 0.0)
+        else:
+            boxt = tuple(float(b) for b in np.asarray(box).reshape(-1)[:3])
+        self.vcfg = VerletConfig(boxt, float(cfg.cutoff), float(skin),
+                                 int(capacity or 0))
+        if capacity is None:
+            if pos0 is not None:
+                # size from real occupancy; overflow growth covers later
+                # density fluctuations (pair work scales linearly with
+                # capacity, so a modest slack is cheap)
+                d2 = np.asarray(
+                    _verlet_d2(jnp.asarray(pos0, jnp.float64), self.vcfg)
+                )
+                occ = int(
+                    ((d2 <= self.vcfg.rc**2) & np.asarray(ffp.nb_mask))
+                    .sum(axis=1).max()
+                )
+            else:
+                occ = 128
+            cap = min(natoms, int(occ * 1.2) + 8)
+            self.vcfg = self.vcfg.with_capacity(max(8, cap))
+
+    def build(self, pos) -> NeighborList:
+        return build_verlet_list(pos, self.ffp.nb_mask, self.vcfg)
+
+    def needs_rebuild(self, nl: NeighborList, pos):
+        return verlet_needs_rebuild(nl, pos, self.vcfg)
+
+    def update(self, pos, nl: NeighborList) -> NeighborList:
+        return jax.lax.cond(
+            self.needs_rebuild(nl, pos),
+            lambda: build_verlet_list(pos, self.ffp.nb_mask, self.vcfg),
+            lambda: nl,
+        )
+
+    def energy_forces(self, pos, box, nl: NeighborList):
+        return verlet_nonbonded_energy_forces(
+            self.ffp, self.cfg, self.vcfg, nl, pos, box
+        )
+
+    def check_overflow(self, nl: NeighborList) -> bool:
+        return bool(np.asarray(nl.overflow))
+
+    def grow(self) -> "VerletKernel":
+        import copy
+
+        new = copy.copy(self)
+        natoms = int(self.ffp.charges.shape[0])
+        new.vcfg = self.vcfg.with_capacity(
+            min(natoms, self.vcfg.capacity * 2)
+        )
         return new
 
 
