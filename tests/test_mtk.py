@@ -1,0 +1,128 @@
+"""MTK extended-system barostat: true NPT dynamics in the compiled scan.
+
+New capability vs the reference (NVE/Langevin-NVT only, SURVEY.md §2.5) and
+vs the host-level MC barostats: the box is part of the scan carry and
+evolves continuously under the Martyna-Tobias-Klein equations of motion.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import SYSTEMS_DIR
+
+from torchmd_tpu.io import Molecule
+from torchmd_tpu.forcefields import ForceField
+from torchmd_tpu.forces import Forces
+from torchmd_tpu.parameters import Parameters
+from torchmd_tpu.systems import System
+from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+from torchmd_tpu.barostat import MTKBarostat
+from torchmd_tpu.observables import ideal_gas_pressure
+
+
+def _argon_npt(nrep=1, seed=2, T=120.0):
+    mol = Molecule(os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"))
+    ff = ForceField.create(
+        mol, os.path.join(SYSTEMS_DIR, "argon", "argon_forcefield.yaml")
+    )
+    par = Parameters(ff, mol, ["lj"], precision="double")
+    forces = Forces(par, terms=["lj"], precision="double", cutoff=9.0)
+    system = System(mol.numAtoms, nrep, "double", "cpu")
+    system.set_positions(mol.coords)
+    system.set_box(np.asarray([[77.395] * 3] * nrep).T)
+    system.set_velocities(maxwell_boltzmann(par.masses, T, nrep, seed=seed))
+    forces.compute(system.pos, system.box, system.forces)
+    return mol, par, forces, system
+
+
+def test_mtk_conserved_quantity_near_equilibrium():
+    """With P_ext at the gas's natural pressure, the MTK conserved quantity
+    H = K + U + thermostat + (P V + W v_eps^2/2 + baro chain) must be flat."""
+    mol, par, forces, system = _argon_npt()
+    P = ideal_gas_pressure(mol.numAtoms, 120.0, 77.395**3)
+    integ = Integrator(system, forces, timestep=2.0, T=120.0,
+                       thermostat="nhc",
+                       barostat=MTKBarostat(P, 120.0, tau_fs=2000.0))
+    hs = []
+    for _ in range(4):
+        ek, ep, T = integ.step(niter=100)
+        hs.append(
+            ek[0] + ep[0] + integ.thermostat_energy()[0]
+            + integ.npt_energy()[0]
+        )
+    drift = abs(hs[-1] - hs[0])
+    assert drift < 0.2, f"MTK conserved quantity drifted by {drift}"
+    # temperature stays controlled
+    assert 60.0 < T[0] < 220.0
+
+
+def test_mtk_volume_responds_to_pressure():
+    """High external pressure compresses the dilute argon box; the box
+    matrix written back to the System shrinks isotropically."""
+    mol, par, forces, system = _argon_npt()
+    V0 = float(np.prod(system.box_diag[0]))
+    integ = Integrator(system, forces, timestep=2.0, T=120.0,
+                       thermostat="nhc",
+                       barostat=MTKBarostat(200.0, 120.0, tau_fs=500.0))
+    integ.step(niter=200)
+    b = system.box_diag[0]
+    V1 = float(np.prod(b))
+    assert V1 < 0.8 * V0
+    np.testing.assert_allclose(b / b[0], 1.0, rtol=1e-10)  # isotropic
+
+
+def test_mtk_expands_under_negative_pressure():
+    mol, par, forces, system = _argon_npt()
+    V0 = float(np.prod(system.box_diag[0]))
+    integ = Integrator(system, forces, timestep=2.0, T=120.0,
+                       thermostat="nhc",
+                       barostat=MTKBarostat(-50.0, 120.0, tau_fs=500.0))
+    integ.step(niter=150)
+    assert float(np.prod(system.box_diag[0])) > V0
+
+
+def test_mtk_replicas_and_csvr():
+    """Replica boxes evolve independently; CSVR thermostat composes."""
+    mol, par, forces, system = _argon_npt(nrep=2, seed=5)
+    P = ideal_gas_pressure(mol.numAtoms, 120.0, 77.395**3)
+    integ = Integrator(system, forces, timestep=2.0, T=120.0,
+                       thermostat="csvr",
+                       barostat=MTKBarostat(P, 120.0))
+    ek, ep, T = integ.step(niter=50)
+    assert ek.shape == (2,) and ep.shape == (2,)
+    boxes = system.box_diag
+    assert np.all(boxes > 0)
+    # both replicas stay near the start volume at equilibrium pressure
+    np.testing.assert_allclose(boxes, 77.395, rtol=0.05)
+
+
+def test_mtk_validation_errors():
+    mol, par, forces, system = _argon_npt()
+    with pytest.raises(ValueError, match="thermostat"):
+        Integrator(system, forces, timestep=2.0, T=120.0, gamma=1.0,
+                   barostat=MTKBarostat(1.0, 120.0))
+    with pytest.raises(NotImplementedError, match="constraints"):
+        Integrator(system, forces, timestep=2.0, T=120.0,
+                   thermostat="nhc", constraints="hbonds",
+                   barostat=MTKBarostat(1.0, 120.0))
+    sys_nobox = System(mol.numAtoms, 1, "double", "cpu")
+    sys_nobox.set_positions(mol.coords)
+    with pytest.raises(ValueError, match="periodic box"):
+        Integrator(sys_nobox, forces, timestep=2.0, T=120.0,
+                   thermostat="nhc", barostat=MTKBarostat(1.0, 120.0))
+
+
+def test_mtk_auto_nhc_thermostat():
+    """With no thermostat given (and no Langevin), an NHC chain is created
+    automatically at the barostat temperature."""
+    mol, par, forces, system = _argon_npt()
+    P = ideal_gas_pressure(mol.numAtoms, 120.0, 77.395**3)
+    integ = Integrator(system, forces, timestep=2.0,
+                       barostat=MTKBarostat(P, 120.0))
+    assert integ._thermostat is not None
+    ek, ep, T = integ.step(niter=30)
+    assert np.isfinite(ep[0]) and np.isfinite(T[0])

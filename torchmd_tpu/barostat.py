@@ -122,6 +122,40 @@ class MonteCarloBarostat:
         return accept
 
 
+class MTKBarostat:
+    """Martyna-Tobias-Klein extended-system barostat (isotropic): TRUE NPT
+    dynamics with a continuously fluctuating box inside the compiled scan,
+    vs the MC barostats' NPT *sampling* between chunks.
+
+    The barostat degree of freedom eps = ln(V)/3 has velocity v_eps and
+    mass W = (Nf + 3) kT tau_p^2; its equation of motion is driven by
+
+        G_eps = (1 + 3/Nf) * 2K  +  W_vir  -  3 V P_ext
+
+    where the virial W_vir = -dU(s*pos, s*box)/ds|_{s=1} comes from
+    autodiff through a uniform scaling (exact for minimum-image pair
+    terms, switching, RFA and the box-dependent Ewald reciprocal sum --
+    same construction as observables.virial). Particles and the barostat
+    each couple to a Nose-Hoover chain; the integrator implements the
+    explicit reversible MTK splitting (Martyna et al., Mol. Phys. 87,
+    1117 (1996); Tuckerman et al., J. Phys. A 39, 5629 (2006)) with the
+    sinh(x)/x position/velocity factors.
+
+    This object only carries the static parameters; the dynamics live in
+    Integrator._build_scan_npt (the scan carries box, v_eps and both
+    chain states).
+    """
+
+    is_dynamic = True
+
+    def __init__(self, pressure_bar, temperature, tau_fs=None, nchain=3):
+        self.pressure = float(pressure_bar) * BAR_A3_TO_KCALMOL
+        self.pressure_bar = float(pressure_bar)
+        self.T = float(temperature)
+        self.tau_fs = None if tau_fs is None else float(tau_fs)
+        self.nchain = int(nchain)
+
+
 class MonteCarloAnisotropicBarostat(MonteCarloBarostat):
     """Anisotropic NPT: each attempt scales ONE randomly chosen (enabled)
     box axis, so the three box lengths relax independently (crystals,
