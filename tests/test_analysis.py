@@ -109,3 +109,24 @@ def test_analysis_script_end_to_end(tmp_path):
     assert rm.shape[1] == 2 and rm[0, 1] < 1e-8  # frame 0 vs itself
     rg = np.loadtxt(out / "rdf.csv", delimiter=",", skiprows=1)
     assert rg.shape[1] == 2 and np.all(np.isfinite(rg))
+
+
+def test_analyze_cli_subcommand(tmp_path):
+    """`torchmd-tpu analyze` == python -m torchmd_tpu.analysis: structural
+    CSVs from an existing trajectory without running a simulation."""
+    import subprocess
+    import sys
+
+    traj = np.random.RandomState(0).randn(10, 3, 5)  # (natoms, 3, nframes)
+    np.save(tmp_path / "output_0.npy", traj)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.run(
+        [sys.executable, "-m", "torchmd_tpu.analysis", str(tmp_path),
+         "--traj", "output_0.npy", "--rmsd", str(tmp_path / "r.csv"),
+         "--msd", str(tmp_path / "m.csv")],
+        check=True, env=env, capture_output=True, cwd=REPO, timeout=600,
+    )
+    rm = np.loadtxt(tmp_path / "r.csv", delimiter=",", skiprows=1)
+    assert rm.shape == (5, 2) and rm[0, 1] < 1e-8
+    ms = np.loadtxt(tmp_path / "m.csv", delimiter=",", skiprows=1)
+    assert ms.shape == (5, 2) and ms[0, 1] < 1e-12

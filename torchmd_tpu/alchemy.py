@@ -39,11 +39,19 @@ class AlchemicalCoupling:
     folds it into the jitted evaluation and forces come from AD."""
 
     def __init__(self, ffparams, cfg, alch_atoms, lam=1.0, alpha=0.5,
-                 softcore_power=1):
+                 softcore_power=1, env_atoms=None):
         natoms = int(ffparams.charges.shape[0])
         alch = np.zeros(natoms, dtype=bool)
         alch[np.asarray(alch_atoms, dtype=np.int64)] = True
-        env = ~alch
+        if env_atoms is None:
+            env = ~alch
+        else:
+            # explicit environment selection (multi-site lambda-dynamics:
+            # other sites' atoms are neither alch nor env for this site)
+            env = np.zeros(natoms, dtype=bool)
+            env[np.asarray(env_atoms, dtype=np.int64)] = True
+            if np.any(env & alch):
+                raise ValueError("env_atoms overlap alch_atoms")
         self.alch_idx = jnp.asarray(np.flatnonzero(alch), jnp.int32)
         self.env_idx = jnp.asarray(np.flatnonzero(env), jnp.int32)
         self.lam = float(lam)
