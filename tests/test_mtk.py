@@ -126,3 +126,34 @@ def test_mtk_auto_nhc_thermostat():
     assert integ._thermostat is not None
     ek, ep, T = integ.step(niter=30)
     assert np.isfinite(ep[0]) and np.isfinite(T[0])
+
+
+def test_mtk_cli_end_to_end(tmp_path):
+    """--pressure + --barostat-mode mtk runs NPT from the CLI; the box in
+    the final checkpointed state differs from the start (it's dynamic)."""
+    import subprocess
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    xsc = tmp_path / "box.xsc"  # the box comes from an extended-system file
+    xsc.write_text("# NAMD extended system\n"
+                   "0 77.395 0 0 0 77.395 0 0 0 77.395 0 0 0\n")
+    cmd = [
+        sys.executable, "-m", "torchmd_tpu.run",
+        "--topology", os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"),
+        "--forcefield",
+        os.path.join(SYSTEMS_DIR, "argon", "argon_forcefield.yaml"),
+        "--forceterms", "LJ", "--cutoff", "9.0",
+        "--extended_system", str(xsc),
+        "--steps", "60", "--output-period", "20", "--timestep", "2",
+        "--temperature", "120", "--thermostat", "nhc",
+        "--langevin-temperature", "120",
+        "--pressure", "200", "--barostat-mode", "mtk",
+        "--log-dir", str(tmp_path),
+    ]
+    r = subprocess.run(cmd, env=env, capture_output=True, cwd=REPO,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    mon = np.loadtxt(tmp_path / "monitor_0.csv", delimiter=",", skiprows=1)
+    assert mon.shape[0] == 3 and np.all(np.isfinite(mon))

@@ -826,9 +826,11 @@ class Integrator:
                     e = jax.lax.psum(
                         sum(jax.tree_util.tree_leaves(pot_nb)), ax
                     )
-                    f_all = jax.lax.psum(pad_rows(f_nb), ax)
-                    f_rows = jax.lax.dynamic_slice_in_dim(
-                        f_all, row0, rows, 0
+                    # reduce-scatter instead of all-reduce + slice: each
+                    # rank only needs ITS row block of the slab forces,
+                    # so psum_scatter moves half the bytes over the ring
+                    f_rows = jax.lax.psum_scatter(
+                        pad_rows(f_nb), ax, scatter_dimension=0, tiled=True
                     )
                     eb, fb_rows = bonded_part(pos_n)
                     return e + eb, f_rows + fb_rows, cl

@@ -105,9 +105,10 @@ def get_args(arguments=None):
     parser.add_argument("--pressure", default=None, type=float,
                         help="NPT target pressure in bar (MC barostat)")
     parser.add_argument("--barostat-mode", default="iso",
-                        choices=["iso", "aniso", "membrane"],
-                        help="MC barostat coupling: isotropic, per-axis "
-                             "anisotropic, or semi-isotropic membrane")
+                        choices=["iso", "aniso", "membrane", "mtk"],
+                        help="NPT barostat: iso/aniso/membrane MC volume "
+                             "moves, or mtk (Martyna-Tobias-Klein extended-"
+                             "system dynamics; needs --thermostat nhc|csvr)")
     parser.add_argument("--surface-tension", default=0.0, type=float,
                         help="Membrane barostat surface tension in "
                              "bar*Angstrom (1 bar*A = 10 mN/m)")
@@ -247,25 +248,42 @@ def dynamics(args, mol, system, forces):
     from .minimizers import minimize_bfgs
     from .checkpoint import load_checkpoint, save_checkpoint
 
+    mode = getattr(args, "barostat_mode", "iso") or "iso"
+    mtk = None
+    thermo_name = getattr(args, "thermostat", "langevin")
+    if getattr(args, "pressure", None) is not None and mode == "mtk":
+        from .barostat import MTKBarostat
+
+        T_b = args.langevin_temperature or args.temperature
+        mtk = MTKBarostat(args.pressure, T_b)
+        if (thermo_name or "langevin").lower() in ("langevin", "none"):
+            # MTK needs a deterministic/global thermostat (no Langevin
+            # piston); NHC is the canonical companion
+            print("MTK barostat: using NHC thermostat "
+                  "(Langevin piston is not implemented)")
+            thermo_name = "nhc"
+
     integrator = Integrator(
         system, forces, args.timestep, args.device,
-        gamma=args.langevin_gamma, T=args.langevin_temperature, seed=args.seed,
+        gamma=args.langevin_gamma,
+        T=args.langevin_temperature or (mtk.T if mtk is not None else None),
+        seed=args.seed,
         constraints=getattr(args, "constraints", None),
-        thermostat=getattr(args, "thermostat", "langevin"),
+        thermostat=thermo_name,
         tau=getattr(args, "thermostat_tau", None),
+        barostat=mtk,
     )
     wrapper = Wrapper(mol.numAtoms, mol.bonds if len(mol.bonds) else None,
                       args.device)
 
     barostat = None
-    if getattr(args, "pressure", None) is not None:
+    if getattr(args, "pressure", None) is not None and mode != "mtk":
         from .barostat import (
             MonteCarloAnisotropicBarostat,
             MonteCarloBarostat,
             MonteCarloMembraneBarostat,
         )
 
-        mode = getattr(args, "barostat_mode", "iso") or "iso"
         T_b = args.langevin_temperature or args.temperature
         if mode == "aniso":
             barostat = MonteCarloAnisotropicBarostat(
