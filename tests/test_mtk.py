@@ -157,3 +157,59 @@ def test_mtk_cli_end_to_end(tmp_path):
     assert r.returncode == 0, r.stderr.decode()[-2000:]
     mon = np.loadtxt(tmp_path / "monitor_0.csv", delimiter=",", skiprows=1)
     assert mon.shape[0] == 3 and np.all(np.isfinite(mon))
+
+
+def test_mtk_aniso_axes_relax_independently():
+    """Anisotropic mode: under high pressure all axes shrink; a frozen
+    axis (scale_axes) never moves."""
+    mol, par, forces, system = _argon_npt()
+    b0 = system.box_diag[0].copy()
+    integ = Integrator(system, forces, timestep=2.0, T=120.0,
+                       thermostat="nhc",
+                       barostat=MTKBarostat(200.0, 120.0, tau_fs=500.0,
+                                            mode="aniso",
+                                            scale_axes=(True, True, False)))
+    integ.step(niter=150)
+    b = system.box_diag[0]
+    assert b[0] < b0[0] and b[1] < b0[1]
+    np.testing.assert_allclose(b[2], b0[2], rtol=1e-12)  # frozen
+    # aniso axes move independently (not exactly tied)
+    assert abs(b[0] - b[1]) > 1e-9
+
+
+def test_mtk_aniso_conserved():
+    mol, par, forces, system = _argon_npt()
+    P = ideal_gas_pressure(mol.numAtoms, 120.0, 77.395**3)
+    integ = Integrator(system, forces, timestep=2.0, T=120.0,
+                       thermostat="nhc",
+                       barostat=MTKBarostat(P, 120.0, tau_fs=2000.0,
+                                            mode="aniso"))
+    hs = []
+    for _ in range(3):
+        ek, ep, T = integ.step(niter=100)
+        hs.append(ek[0] + ep[0] + integ.thermostat_energy()[0]
+                  + integ.npt_energy()[0])
+    assert abs(hs[-1] - hs[0]) < 0.3, hs
+
+
+def test_mtk_membrane_tension_grows_area():
+    """NPgammaT: the applied tension does +gamma dA work on the system
+    (H_ext = P V - gamma A, same convention as the MC membrane barostat),
+    so positive gamma stretches the x/y box relative to the gamma=0 run;
+    x and y stay tied."""
+    def run(gamma):
+        mol, par, forces, system = _argon_npt()
+        P = ideal_gas_pressure(mol.numAtoms, 120.0, 77.395**3)
+        integ = Integrator(system, forces, timestep=2.0, T=120.0,
+                           thermostat="nhc",
+                           barostat=MTKBarostat(
+                               P, 120.0, tau_fs=500.0, mode="membrane",
+                               surface_tension=gamma))
+        integ.step(niter=200)
+        b = system.box_diag[0]
+        np.testing.assert_allclose(b[0], b[1], rtol=1e-10)  # xy tied
+        return b
+
+    b_free = run(0.0)
+    b_tense = run(200.0)
+    assert b_tense[0] > b_free[0]  # applied tension stretches the plane

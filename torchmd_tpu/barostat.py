@@ -141,6 +141,16 @@ class MTKBarostat:
     1117 (1996); Tuckerman et al., J. Phys. A 39, 5629 (2006)) with the
     sinh(x)/x position/velocity factors.
 
+    Coupling modes (all share the per-axis formulation: eps_k = ln L_k
+    with G_k = 2K_k + 2K/Nf + W_vir,k - V P_ext [+ gamma A on x/y for
+    membranes], then mode-projected):
+      'iso'      -- all three axes tied (reproduces the scalar MTK
+                    equations exactly: summed G and W per DOF),
+      'aniso'    -- axes relax independently (crystals, interfaces);
+                    `scale_axes` freezes selected axes,
+      'membrane' -- x/y tied, z independent, constant surface tension
+                    gamma (bar*Angstrom) in the x/y work term (NPgammaT).
+
     This object only carries the static parameters; the dynamics live in
     Integrator._build_scan_npt (the scan carries box, v_eps and both
     chain states).
@@ -148,12 +158,21 @@ class MTKBarostat:
 
     is_dynamic = True
 
-    def __init__(self, pressure_bar, temperature, tau_fs=None, nchain=3):
+    def __init__(self, pressure_bar, temperature, tau_fs=None, nchain=3,
+                 mode="iso", surface_tension=0.0,
+                 scale_axes=(True, True, True)):
+        if mode not in ("iso", "aniso", "membrane"):
+            raise ValueError(f"Unknown MTK mode: {mode}")
         self.pressure = float(pressure_bar) * BAR_A3_TO_KCALMOL
         self.pressure_bar = float(pressure_bar)
         self.T = float(temperature)
         self.tau_fs = None if tau_fs is None else float(tau_fs)
         self.nchain = int(nchain)
+        self.mode = mode
+        self.gamma_st = float(surface_tension) * BAR_A3_TO_KCALMOL
+        self.scale_axes = tuple(bool(b) for b in scale_axes)
+        if mode == "aniso" and not any(self.scale_axes):
+            raise ValueError("at least one axis must be scalable")
 
 
 class MonteCarloAnisotropicBarostat(MonteCarloBarostat):

@@ -214,18 +214,29 @@ class Integrator:
             kT = BOLTZMANN * barostat.T
             taup_fs = barostat.tau_fs or 1000.0 * float(timestep)
             taup = taup_fs / TIMEFACTOR
-            chain_b = NoseHooverChain(barostat.T, taup_fs, ndof=1,
+            mode = getattr(barostat, "mode", "iso")
+            scale_axes = np.asarray(
+                getattr(barostat, "scale_axes", (True, True, True)), bool
+            )
+            nbdof = {"iso": 1, "membrane": 2}.get(mode,
+                                                  int(scale_axes.sum()))
+            chain_b = NoseHooverChain(barostat.T, taup_fs, ndof=nbdof,
                                       nchain=barostat.nchain)
             self._barostat = barostat
             self._npt = {
-                "W": (ndof + 3) * kT * taup**2,
-                "alpha": 1.0 + 3.0 / ndof,
+                # per-axis barostat mass: summed over tied axes this
+                # reproduces the scalar-MTK W = (Nf+3) kT taup^2
+                "W": (ndof + 3) * kT * taup**2 / 3.0,
+                "ndof": ndof,
                 "P": barostat.pressure,
                 "chain_b": chain_b,
+                "mode": mode,
+                "gamma_st": getattr(barostat, "gamma_st", 0.0),
+                "scale_axes": scale_axes,
             }
             nrep = systems.nreplicas
             self._npt_extra = (
-                jnp.zeros((nrep,), dtype),             # v_eps
+                jnp.zeros((nrep, 3), dtype),           # v_eps per axis
                 chain_b.init(nrep, dtype),             # baro-chain aux
                 None,                                  # virial (lazy init)
             )
@@ -566,10 +577,13 @@ class Integrator:
         masses = self.masses
         thermo = self._thermostat
         npt = self._npt
-        W = npt["W"]
-        alpha = npt["alpha"]
+        W = npt["W"]           # per-axis barostat mass
+        ndof = npt["ndof"]
         P = npt["P"]
         chain_b = npt["chain_b"]
+        mode = npt["mode"]
+        gamma_st = npt["gamma_st"]
+        axes_mask = jnp.asarray(npt["scale_axes"], self.dtype)
         nreplicas = self.systems.nreplicas
 
         from .potentials import compute_potentials
@@ -587,9 +601,9 @@ class Integrator:
             def e2(p, s):
                 return etot_pure(p * s, box * s)
 
-            one = jnp.ones((), pos.dtype)
+            one = jnp.ones((3,), pos.dtype)
             e, (gp, dUds) = jax.value_and_grad(e2, argnums=(0, 1))(pos, one)
-            return e, -gp, -dUds  # (epot, forces, scaling virial)
+            return e, -gp, -dUds  # (epot, forces, per-axis virial (3,))
 
         def phi(x):
             # sinh(x)/x with the series for small arguments
@@ -601,19 +615,33 @@ class Integrator:
                 jnp.sinh(safe) / safe,
             )
 
+        def project(g):
+            """Mode coupling of the per-axis barostat forces/velocities."""
+            if mode == "iso":
+                return jnp.full((3,), jnp.mean(g), g.dtype)
+            if mode == "membrane":
+                gxy = 0.5 * (g[0] + g[1])
+                return jnp.stack([gxy, gxy, g[2]])
+            return g * axes_mask  # aniso (+ frozen axes)
+
         def baro_half(v_eps, aux_b):
-            vb = jnp.zeros((1, 3), v_eps.dtype).at[0, 0].set(v_eps)
+            vb = v_eps[None, :]
             mb = jnp.full((1, 1), W, v_eps.dtype)
             vb, xi, vxi = chain_b._chain_half(
                 vb, aux_b["xi"], aux_b["vxi"], mb, 0.5 * dt
             )
-            return vb[0, 0], {"xi": xi, "vxi": vxi}
+            return vb[0], {"xi": xi, "vxi": vxi}
 
         def eps_kick(v_eps, vel, vir, box):
-            K2 = jnp.sum(masses[:, 0] * jnp.sum(vel * vel, axis=1))
+            K2ax = jnp.sum(masses * vel * vel, axis=0)     # (3,) 2K_k
             V = box[0] * box[1] * box[2]
-            G = alpha * K2 + vir - 3.0 * V * P
-            return v_eps + dt2 * G / W
+            G = K2ax + jnp.sum(K2ax) / ndof + vir - V * P
+            if mode == "membrane" and gamma_st != 0.0:
+                A = box[0] * box[1]
+                G = G + gamma_st * A * jnp.asarray(
+                    [1.0, 1.0, 0.0], v_eps.dtype
+                )
+            return project(v_eps + dt2 * project(G) / W)
 
         def step_one(pos, vel, frc, vir, box, v_eps, aux_p, aux_b, kr):
             # (1) half chain updates: barostat DOF, then particles
@@ -622,12 +650,12 @@ class Integrator:
             # (2) barostat velocity half kick
             v_eps = eps_kick(v_eps, vel, vir, box)
             # (3) particle velocity update with box-coupling factors
-            x = alpha * v_eps * dt2
+            x = (v_eps + jnp.sum(v_eps) / ndof) * dt2     # (3,)
             vel = (
                 vel * jnp.exp(-x)
                 + dt2 * (frc / masses) * jnp.exp(-0.5 * x) * phi(0.5 * x)
             )
-            # (4) position + box update
+            # (4) position + box update (component-wise)
             u = v_eps * dt
             pos = pos * jnp.exp(u) + dt * vel * jnp.exp(0.5 * u) * phi(0.5 * u)
             box = box * jnp.exp(u)
@@ -1052,21 +1080,26 @@ class Integrator:
 
     def npt_energy(self):
         """Barostat contribution to the NPT conserved quantity per replica:
-        P_ext*V + W*v_eps^2/2 + barostat-chain terms. Add to Ekin + Epot +
-        thermostat_energy() to monitor MTK drift (zero without MTK)."""
+        P_ext*V + sum_k W v_eps_k^2/2 [- gamma*A for membranes] +
+        barostat-chain terms. Add to Ekin + Epot + thermostat_energy() to
+        monitor MTK drift (zero without MTK)."""
         nrep = self.systems.nreplicas
         if self._npt is None:
             return np.zeros(nrep)
         v_eps, aux_b, _ = self._npt_extra
-        V = np.prod(np.asarray(self.systems.box_diag), axis=1)
+        boxd = np.asarray(self.systems.box_diag)
+        V = np.prod(boxd, axis=1)
         e = (
             self._npt["P"] * V
-            + 0.5 * self._npt["W"] * np.asarray(v_eps, np.float64) ** 2
+            + 0.5 * self._npt["W"]
+            * np.sum(np.asarray(v_eps, np.float64) ** 2, axis=-1)
             + np.asarray(
                 jnp.atleast_1d(self._npt["chain_b"].conserved(aux_b)),
                 np.float64,
             ).reshape(-1)
         )
+        if self._npt["mode"] == "membrane":
+            e = e - self._npt["gamma_st"] * boxd[:, 0] * boxd[:, 1]
         return e
 
     # kept for checkpoint/compat callers

@@ -105,10 +105,13 @@ def get_args(arguments=None):
     parser.add_argument("--pressure", default=None, type=float,
                         help="NPT target pressure in bar (MC barostat)")
     parser.add_argument("--barostat-mode", default="iso",
-                        choices=["iso", "aniso", "membrane", "mtk"],
+                        choices=["iso", "aniso", "membrane", "mtk",
+                                 "mtk-aniso", "mtk-membrane"],
                         help="NPT barostat: iso/aniso/membrane MC volume "
-                             "moves, or mtk (Martyna-Tobias-Klein extended-"
-                             "system dynamics; needs --thermostat nhc|csvr)")
+                             "moves, or mtk[-aniso|-membrane] (Martyna-"
+                             "Tobias-Klein extended-system dynamics; uses "
+                             "--thermostat nhc|csvr and, for mtk-membrane, "
+                             "--surface-tension)")
     parser.add_argument("--surface-tension", default=0.0, type=float,
                         help="Membrane barostat surface tension in "
                              "bar*Angstrom (1 bar*A = 10 mN/m)")
@@ -251,11 +254,16 @@ def dynamics(args, mol, system, forces):
     mode = getattr(args, "barostat_mode", "iso") or "iso"
     mtk = None
     thermo_name = getattr(args, "thermostat", "langevin")
-    if getattr(args, "pressure", None) is not None and mode == "mtk":
+    if getattr(args, "pressure", None) is not None and mode.startswith("mtk"):
         from .barostat import MTKBarostat
 
         T_b = args.langevin_temperature or args.temperature
-        mtk = MTKBarostat(args.pressure, T_b)
+        mtk = MTKBarostat(
+            args.pressure, T_b,
+            mode={"mtk": "iso", "mtk-aniso": "aniso",
+                  "mtk-membrane": "membrane"}[mode],
+            surface_tension=getattr(args, "surface_tension", 0.0) or 0.0,
+        )
         if (thermo_name or "langevin").lower() in ("langevin", "none"):
             # MTK needs a deterministic/global thermostat (no Langevin
             # piston); NHC is the canonical companion
@@ -277,7 +285,7 @@ def dynamics(args, mol, system, forces):
                       args.device)
 
     barostat = None
-    if getattr(args, "pressure", None) is not None and mode != "mtk":
+    if getattr(args, "pressure", None) is not None and mtk is None:
         from .barostat import (
             MonteCarloAnisotropicBarostat,
             MonteCarloBarostat,
