@@ -213,3 +213,36 @@ def test_mtk_membrane_tension_grows_area():
     b_free = run(0.0)
     b_tense = run(200.0)
     assert b_tense[0] > b_free[0]  # applied tension stretches the plane
+
+
+def test_mtk_checkpoint_resume_bit_exact(tmp_path):
+    """Checkpoint mid-run (incl. NHC chains + v_eps + baro chain) and
+    resume: the continued trajectory matches an uninterrupted one."""
+    from torchmd_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    def make():
+        mol, par, forces, system = _argon_npt()
+        P = ideal_gas_pressure(mol.numAtoms, 120.0, 77.395**3)
+        integ = Integrator(system, forces, timestep=2.0, T=120.0,
+                           thermostat="nhc",
+                           barostat=MTKBarostat(P, 120.0, tau_fs=800.0))
+        return system, integ
+
+    # straight run: 80 steps
+    sys_a, integ_a = make()
+    integ_a.step(niter=40)
+    integ_a.step(niter=40)
+
+    # interrupted run: 40 steps -> checkpoint -> fresh objects -> 40 more
+    sys_b, integ_b = make()
+    integ_b.step(niter=40)
+    ck = str(tmp_path / "state.npz")
+    save_checkpoint(ck, sys_b, integ_b, 40)
+    sys_c, integ_c = make()
+    it = load_checkpoint(ck, sys_c, integ_c)
+    assert it == 40
+    integ_c.step(niter=40)
+
+    np.testing.assert_array_equal(sys_c.pos, sys_a.pos)
+    np.testing.assert_array_equal(sys_c.vel, sys_a.vel)
+    np.testing.assert_allclose(sys_c.box, sys_a.box, rtol=0, atol=0)
