@@ -174,3 +174,46 @@ def test_drude_mass_partition_and_spring_table():
                              ForceTermConfig(terms=("bonds",)))
     np.testing.assert_allclose(float(pot["bonds"]), 500.0 * 0.01,
                                rtol=1e-10)
+
+
+def test_yaml_polarizabilities_to_drude(tmp_path):
+    """YAML FF `polarizabilities:` section -> Parameters.alpha ->
+    make_drude(forces) end-to-end, with a per-type Thole factor."""
+    import os
+
+    import yaml
+
+    from torchmd_tpu.io import Molecule
+    from torchmd_tpu.forcefields import ForceField
+    from torchmd_tpu.forces import Forces
+    from torchmd_tpu.parameters import Parameters
+    from conftest import SYSTEMS_DIR
+
+    with open(os.path.join(SYSTEMS_DIR, "argon",
+                           "argon_forcefield.yaml")) as fh:
+        ff_dict = yaml.safe_load(fh)
+    at = list(ff_dict["atomtypes"])[0]
+    ff_dict["polarizabilities"] = {at: {"alpha": 1.6, "thole": 1.3}}
+    ff_path = tmp_path / "polar.yaml"
+    ff_path.write_text(yaml.safe_dump(ff_dict))
+
+    mol = Molecule(os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"))
+    ff = ForceField.create(mol, str(ff_path))
+    par = Parameters(ff, mol, ["lj", "bonds"], precision="double")
+    assert par.alpha is not None
+    np.testing.assert_allclose(par.alpha, 1.6)
+    np.testing.assert_allclose(par.thole, 1.3)
+
+    forces = Forces(par, terms=["lj", "electrostatics", "bonds"],
+                    precision="double", cutoff=9.0)
+    from torchmd_tpu.drude import make_drude
+
+    ffp_ext, spec = make_drude(forces)
+    assert len(np.asarray(spec.core_idx)) == mol.numAtoms
+    np.testing.assert_allclose(np.asarray(spec.alpha), 1.6)
+    # per-atom thole combine: u coeff = (1.3 + 1.3)/(1.6*1.6)^(1/6)
+    if spec.thole_coeff is not None:
+        np.testing.assert_allclose(
+            np.asarray(spec.thole_coeff),
+            2.6 / (1.6 * 1.6) ** (1 / 6.0), rtol=1e-12,
+        )

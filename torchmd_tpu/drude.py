@@ -68,10 +68,13 @@ class DrudeSpec(NamedTuple):
 
 
 def make_drude_ffparams(ffp: FFParams, alpha, k_drude=500.0, m_drude=0.4,
-                        thole=2.6):
+                        thole=2.6, thole_atom=None):
     """Extend `ffp` with Drude particles for every atom with alpha > 0.
 
     alpha: (natoms,) polarizabilities in A^3 (0 = non-polarizable).
+    thole: default pair damping factor; `thole_atom` optionally gives
+    per-atom factors a_i (NaN = default/2) combined as
+    u = (a_i + a_j) r / (alpha_i alpha_j)^(1/6).
     Returns (ffp_ext, spec). Positions must be extended with
     `init_drude_positions`; energies evaluated with `drude_energy`.
     """
@@ -164,8 +167,13 @@ def make_drude_ffparams(ffp: FFParams, alpha, k_drude=500.0, m_drude=0.4,
     tp = np.argwhere(np.triu(sub, 1))
     ti_ = tp[:, 0].tolist()
     tj_ = tp[:, 1].tolist()
+    a_at = np.full(n, thole / 2.0)
+    if thole_atom is not None:
+        ta = np.asarray(thole_atom, np.float64).reshape(n)
+        a_at = np.where(np.isnan(ta), a_at, ta)
+    pair_a = a_at[pol[tp[:, 0]]] + a_at[pol[tp[:, 1]]]
     tc_ = (
-        thole / (alpha[pol[tp[:, 0]]] * alpha[pol[tp[:, 1]]]) ** (1.0 / 6.0)
+        pair_a / (alpha[pol[tp[:, 0]]] * alpha[pol[tp[:, 1]]]) ** (1.0 / 6.0)
     ).tolist()
     spec = DrudeSpec(
         core_idx=jnp.asarray(pol, jnp.int32),
@@ -190,6 +198,27 @@ def make_drude_ffparams(ffp: FFParams, alpha, k_drude=500.0, m_drude=0.4,
         nb_mask=jnp.asarray(mask_ext),
     )
     return ffp_ext, spec
+
+
+def make_drude(forces, alpha=None, k_drude=500.0, m_drude=0.4, thole=2.6):
+    """Extend a built `Forces` object's FFParams with Drude oscillators.
+
+    With `alpha=None` the polarizabilities come from the force field
+    (the YAML schema's `polarizabilities: {TYPE: {alpha, thole}}`
+    section, assembled onto `Parameters.alpha`/`.thole`)."""
+    thole_atom = None
+    if alpha is None:
+        alpha = getattr(forces.par, "alpha", None)
+        thole_atom = getattr(forces.par, "thole", None)
+        if alpha is None:
+            raise ValueError(
+                "no polarizabilities: pass alpha=... or use a force field "
+                "with a `polarizabilities:` section"
+            )
+    return make_drude_ffparams(
+        forces.ffparams, alpha, k_drude=k_drude, m_drude=m_drude,
+        thole=thole, thole_atom=thole_atom,
+    )
 
 
 def init_drude_positions(pos, spec: DrudeSpec):

@@ -114,6 +114,18 @@ class YamlForcefield(_ForceFieldBase):
         entry = self.get_parameters("lj", [at])
         return entry["sigma"], entry["epsilon"]
 
+    def get_polarizability(self, at):
+        """Optional Drude section `polarizabilities: {TYPE: {alpha: A^3,
+        thole: a}}` (or a bare alpha number per type). Returns
+        (alpha, thole_or_None); (0.0, None) for non-polarizable types."""
+        table = self.prm.get("polarizabilities") or {}
+        entry = table.get(at)
+        if entry is None:
+            return 0.0, None
+        if isinstance(entry, dict):
+            return float(entry.get("alpha", 0.0)), entry.get("thole")
+        return float(entry), None
+
     def get_bond(self, at1, at2):
         entry = self.get_parameters("bonds", [at1, at2])
         return entry["k0"], entry["req"]

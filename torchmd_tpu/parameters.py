@@ -83,6 +83,22 @@ class Parameters:
         self.mapped_atom_types = indexes.astype(np.int64)
         self.charges = np.asarray(mol.charge, dtype=np.float64)
 
+        # optional per-atom polarizabilities (Drude force fields): the
+        # YAML schema's `polarizabilities: {TYPE: {alpha, thole}}` section
+        self.alpha = None
+        self.thole = None
+        if hasattr(ff, "get_polarizability"):
+            al = np.zeros(self.natoms)
+            th = np.full(self.natoms, np.nan)
+            for i, at in enumerate(mol.atomtype):
+                a, t = ff.get_polarizability(at)
+                al[i] = a
+                if t is not None:
+                    th[i] = t
+            if np.any(al > 0):
+                self.alpha = al
+                self.thole = th
+
         mm = (
             np.asarray(mol.masses, dtype=np.float64)
             if mol.masses is not None
