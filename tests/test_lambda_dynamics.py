@@ -135,3 +135,35 @@ def test_site_validation():
 
     with pytest.raises(ValueError, match="disjoint"):
         make_lambda_sites(forces, [[0, 1], [1, 2]])
+
+
+def test_external_potential_included():
+    """A jittable external potential attached to Forces must act inside
+    LambdaDynamics (regression: the scan used to silently drop it)."""
+    import jax.numpy as jnp
+
+    mol, par, forces = _argon()
+
+    class Pull:
+        def energy_fn(self, pos, box):
+            return 10.0 * pos[0, 0]  # constant force -10 on atom 0 x
+
+    forces.external = Pull()
+    couplings = make_lambda_sites(forces, [[1]])
+    system = System(mol.numAtoms, 1, "double", "cpu")
+    system.set_positions(mol.coords)
+    system.set_box(np.asarray([77.395] * 3))
+    system.set_velocities(np.zeros((1, mol.numAtoms, 3)))
+    ld = LambdaDynamics(system, forces, couplings, timestep=2.0,
+                        T=0.0, gamma=0.0, lam0=1.0, seed=1)
+    e, f, fth = ld._ef_fn(
+        jnp.asarray(system.pos[0]), jnp.asarray([77.395] * 3), ld.theta
+    )
+    # the external gradient shows up in both energy and forces
+    base_forces = Forces(par, terms=["lj", "electrostatics"],
+                         precision="double", cutoff=9.0)
+    np.testing.assert_allclose(float(f[0, 0]),
+                               float(base_forces.ef_one(
+                                   jnp.asarray(system.pos[0]),
+                                   jnp.asarray([77.395] * 3))[1][0, 0])
+                               - 10.0, atol=1e-9)

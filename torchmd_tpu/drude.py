@@ -264,6 +264,13 @@ def drude_energy(ffp_ext: FFParams, spec: DrudeSpec, cfg, pos_ext, box):
             "Drude systems need 'bonds' in the force terms (the core-Drude "
             "springs live in the bonds table)"
         )
+    if cfg.ewald_alpha is not None:
+        raise NotImplementedError(
+            "Drude + Ewald/PME is not supported yet: the extended topology "
+            "only evaluates the erfc real-space part, which is not valid "
+            "electrostatics without the reciprocal/self terms. Build the "
+            "Forces object with elec='auto' (Coulomb/RFA)."
+        )
     pot = compute_potentials(ffp_ext, pos_ext, box, cfg)
     return sum(jax.tree_util.tree_leaves(pot)) + thole_energy(
         spec, pos_ext, box
@@ -325,6 +332,8 @@ class DrudeIntegrator:
         self.masses = jnp.asarray(ffp_ext.masses, dtype)
         self.key = jax.random.PRNGKey(seed)
         self.vel = jnp.zeros_like(self.pos)
+        self._last_frc = None
+        self._last_pos = None
         self.T = float(T)
         self.T_drude = float(T_drude)
         self.gamma = float(gamma) / PICOSEC2TIMEU
@@ -410,10 +419,18 @@ class DrudeIntegrator:
         """Returns (Ekin_physical, Epot, T_physical, T_drude_rel): the
         physical numbers use COM + non-polarizable DOFs; the last entry is
         the relative-coordinate temperature (should sit near T_drude)."""
-        _, f0 = self._ef(self.pos)
-        state = SimState(self.pos, self.vel, f0, self.key)
+        # pos/vel are owned by this object, so the forces carried out of
+        # the previous chunk stay valid; only the first chunk (or a
+        # direct mutation of self.pos) needs a fresh evaluation
+        if getattr(self, "_last_frc", None) is None or (
+            self._last_pos is not self.pos
+        ):
+            _, self._last_frc = self._ef(self.pos)
+        state = SimState(self.pos, self.vel, self._last_frc, self.key)
         state, epot = self._scan(state, int(niter))
         self.pos, self.vel, self.key = state.pos, state.vel, state.key
+        self._last_frc = state.forces
+        self._last_pos = self.pos
 
         spec = self.spec
         ci, di = spec.core_idx, spec.drude_idx

@@ -177,11 +177,14 @@ class Forces:
             getattr(self, "verlet_requested", False)
             or (self.kernel == "verlet" and has_nb)
         )
+        # NOTE: intentionally independent of cell_auto -- wants_verlet()
+        # defers to wants_cell(box) at selection time, so the cell grid
+        # wins when it is actually feasible and the verlet path catches
+        # large-N systems the grid cannot cover (no/too-small box).
         self.verlet_auto = (
             self.kernel == "auto"
             and has_nb
             and self.cutoff is not None
-            and not self.cell_auto
             and self.natoms >= int(_os_sel.environ.get("TMD_AUTO_VERLET_N",
                                                        "100000"))
         )

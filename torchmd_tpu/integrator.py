@@ -304,6 +304,16 @@ class Integrator:
             if self._host_path:
                 raise ValueError("MTK barostat needs a jittable force "
                                  "provider")
+            if self._use_cell or getattr(forces, "cell_requested", False):
+                # the NPT scan evaluates through the dense pure-jnp path
+                # (the virial needs a box-differentiable energy); at
+                # cell-list sizes that is an O(N^2) per-step cliff --
+                # refuse instead of silently running it
+                raise NotImplementedError(
+                    "MTK barostat + cell-list kernel not supported yet "
+                    "(dense evaluation only); use the MC barostat for "
+                    "large periodic systems"
+                )
             self._scan_fn = self._build_scan_npt()
         elif self._spatial is not None:
             if self._host_path:
@@ -1009,7 +1019,9 @@ class Integrator:
             and all(np.array_equal(a, b)
                     for a, b in zip(self._host_snap, snap))
         ):
+            self._state_was_cached = True
             return self._dev_state._replace(key=self.key)
+        self._state_was_cached = False
 
         if self._sharding is not None:
             def put(x):
@@ -1152,9 +1164,10 @@ class Integrator:
             state0 = self._state_from_system()
             box_d = jnp.asarray(np.asarray(systems.box_diag), self.dtype)
             v_eps, aux_b, vir = self._npt_extra
-            if vir is None:
-                # lazy init: the caller seeds forces via compute(), but the
-                # scaling virial at the entry state is ours to compute
+            if vir is None or not self._state_was_cached:
+                # (re)compute the scaling virial at the entry state: first
+                # chunk, resume, or host-side position edits between
+                # chunks (the carried virial would be stale)
                 _, _, vir = self._npt_ef_vir(state0.pos, box_d)
             carry = (state0, box_d, v_eps, self._thermo_aux, aux_b, vir)
             (state, box_d, v_eps, aux_p, aux_b, vir), epot_dev = (

@@ -132,13 +132,11 @@ class LambdaDynamics:
             raise ValueError("lam0 must be in [0, 1]")
         self.theta = jnp.asarray(np.arcsin(np.sqrt(lam0)), self.dtype)
         self.vtheta = jnp.zeros((ns,), self.dtype)
+        self._ef_fn = self._make_ef()
         self._scan = self._build_scan()
 
     # ------------------------------------------------------------------
     def _build_scan(self):
-        forces_obj = self.forces
-        couplings = self.couplings
-        biases = self.biases
         dt = self.dt
         gamma = self.gamma
         kT = BOLTZMANN * self.T
@@ -148,22 +146,7 @@ class LambdaDynamics:
         vc_atoms = jnp.sqrt(2.0 * gamma * kT * dt / masses).astype(self.dtype)
         vc_theta = jnp.sqrt(2.0 * gamma * kT * dt / m_th).astype(self.dtype)
 
-        def coupling_energy(pos, box, theta):
-            lam = jnp.sin(theta) ** 2
-            e = jnp.zeros((), pos.dtype)
-            for s, c in enumerate(couplings):
-                e = e + c.energy_lambda(pos, box, lam[s])
-                if biases[s] is not None:
-                    e = e + biases[s](lam[s])
-            return e
-
-        def ef(pos, box, theta):
-            pot, frc = forces_obj.ef_one(pos, box)
-            e_c, (g_pos, g_th) = jax.value_and_grad(
-                coupling_energy, argnums=(0, 2)
-            )(pos, box, theta)
-            e = sum(jax.tree_util.tree_leaves(pot)) + e_c
-            return e, frc - g_pos, -g_th
+        ef = self._ef_fn
 
         @partial(jax.jit, static_argnames=("niter",))
         def run(carry, box, niter: int):
@@ -210,7 +193,7 @@ class LambdaDynamics:
         # entry-state forces: always recomputed WITH the coupling terms (a
         # caller-seeded forces.compute() would lack the crossing pairs)
         if not hasattr(self, "_entry_jit"):
-            self._entry_jit = jax.jit(self._entry_ef)
+            self._entry_jit = jax.jit(self._ef_fn)
         del frc
         _, f0, fth = self._entry_jit(pos, box, self.theta)
         state = SimState(pos, vel, f0, self.key)
@@ -233,24 +216,36 @@ class LambdaDynamics:
             np.asarray(lams),
         )
 
-    def _entry_ef(self, pos, box, theta):
+    def _make_ef(self):
+        """The ONE energy/force function both the scan and the entry-state
+        seeding use: base force field (ef_one) + an external potential if
+        the Forces object carries a jittable one + coupling/bias terms,
+        with forces on atoms AND thetas from a single value_and_grad."""
         forces_obj = self.forces
-        pot, frc = forces_obj.ef_one(pos, box)
+        couplings = self.couplings
+        biases = self.biases
+        ext_energy = getattr(forces_obj.external, "energy_fn", None)
 
-        def ce(p, t):
-            lam = jnp.sin(t) ** 2
-            e = jnp.zeros((), p.dtype)
-            for s, c in enumerate(self.couplings):
-                e = e + c.energy_lambda(p, box, lam[s])
-                if self.biases[s] is not None:
-                    e = e + self.biases[s](lam[s])
+        def extra_energy(pos, box, theta):
+            lam = jnp.sin(theta) ** 2
+            e = jnp.zeros((), pos.dtype)
+            for s, c in enumerate(couplings):
+                e = e + c.energy_lambda(pos, box, lam[s])
+                if biases[s] is not None:
+                    e = e + biases[s](lam[s])
+            if ext_energy is not None:
+                e = e + ext_energy(pos, box)
             return e
 
-        e_c, (g_pos, g_th) = jax.value_and_grad(ce, argnums=(0, 1))(
-            pos, theta
-        )
-        e = sum(jax.tree_util.tree_leaves(pot)) + e_c
-        return e, frc - g_pos, -g_th
+        def ef(pos, box, theta):
+            pot, frc = forces_obj.ef_one(pos, box)
+            e_x, (g_pos, g_th) = jax.value_and_grad(
+                extra_energy, argnums=(0, 2)
+            )(pos, box, theta)
+            e = sum(jax.tree_util.tree_leaves(pot)) + e_x
+            return e, frc - g_pos, -g_th
+
+        return ef
 
     # ------------------------------------------------------------------
     @property
