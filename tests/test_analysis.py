@@ -130,3 +130,17 @@ def test_analyze_cli_subcommand(tmp_path):
     assert rm.shape == (5, 2) and rm[0, 1] < 1e-8
     ms = np.loadtxt(tmp_path / "m.csv", delimiter=",", skiprows=1)
     assert ms.shape == (5, 2) and ms[0, 1] < 1e-12
+
+
+def test_view_frame_png(tmp_path):
+    """torchmd_tpu.viz.view_frame renders atoms+bonds+forces to a PNG
+    (self-contained viewFrame substitute, reference run.py:20-25)."""
+    from torchmd_tpu.io import Molecule
+    from torchmd_tpu.viz import view_frame
+
+    mol = Molecule(os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"))
+    pos = mol.coords[:, :, 0]
+    f = np.random.RandomState(0).randn(*pos.shape)
+    out = tmp_path / "frame.png"
+    view_frame(mol, pos, f, out=str(out), title="argon")
+    assert out.exists() and out.stat().st_size > 10000

@@ -163,9 +163,22 @@ def main(argv=None):
     ap.add_argument("--box", type=float, nargs="+", default=None,
                     help="Box diagonal (1 or 3 values) for the RDF")
     ap.add_argument("--rdf-bins", type=int, default=100)
+    ap.add_argument("--view", default=None,
+                    help="Render the last trajectory frame to this PNG "
+                         "(the reference views frames in moleculekit; "
+                         "see torchmd_tpu.viz)")
     args = ap.parse_args(argv)
 
     if args.traj is not None:
+        if args.view:
+            from .viz import view_frame
+
+            frames = np.asarray(_frames(
+                np.load(os.path.join(args.log_dir, args.traj))
+            ))
+            view_frame(None, frames[-1], out=args.view,
+                       title=f"{args.traj} frame {len(frames) - 1}")
+            print("wrote", args.view)
         traj = np.load(os.path.join(args.log_dir, args.traj))
         if args.rmsd:
             vals = rmsd(traj)
@@ -187,7 +200,7 @@ def main(argv=None):
                        np.column_stack([np.arange(len(vals)), vals]),
                        delimiter=",", header="lag,msd", comments="")
             print("wrote", args.msd)
-        if not (args.rmsd or args.rdf or args.msd):
+        if not (args.rmsd or args.rdf or args.msd or args.view):
             raise SystemExit("--traj given but no analysis selected")
         return
 
