@@ -42,6 +42,9 @@ __all__ = [
     "Molecule", "ForceField", "Parameters", "System", "Forces", "Integrator",
     "maxwell_boltzmann", "Wrapper", "make_alchemical", "AlchemicalCoupling",
     "ReplicaExchange", "MetaDynamics", "HarmonicBias", "wham",
+    "MTKBarostat", "MonteCarloBarostat", "LambdaDynamics",
+    "make_lambda_sites", "ph_bias", "make_drude", "DrudeIntegrator",
+    "view_frame",
 ]
 
 _LAZY = {
@@ -59,6 +62,15 @@ _LAZY = {
     "MetaDynamics": ("torchmd_tpu.metadynamics", "MetaDynamics"),
     "HarmonicBias": ("torchmd_tpu.cv", "HarmonicBias"),
     "wham": ("torchmd_tpu.cv", "wham"),
+    "MTKBarostat": ("torchmd_tpu.barostat", "MTKBarostat"),
+    "MonteCarloBarostat": ("torchmd_tpu.barostat", "MonteCarloBarostat"),
+    "LambdaDynamics": ("torchmd_tpu.lambda_dynamics", "LambdaDynamics"),
+    "make_lambda_sites": ("torchmd_tpu.lambda_dynamics",
+                          "make_lambda_sites"),
+    "ph_bias": ("torchmd_tpu.lambda_dynamics", "ph_bias"),
+    "make_drude": ("torchmd_tpu.drude", "make_drude"),
+    "DrudeIntegrator": ("torchmd_tpu.drude", "DrudeIntegrator"),
+    "view_frame": ("torchmd_tpu.viz", "view_frame"),
 }
 
 
