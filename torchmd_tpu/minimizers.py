@@ -74,7 +74,7 @@ def minimize_bfgs(system, forces, fmax=0.5, steps=1000, verbose=True):
     x0 = np.asarray(system.pos, dtype=np.float64)[0].flatten()
     res = minimize(
         evalfunc, x0, method="L-BFGS-B", jac=True,
-        options={"gtol": fmax, "maxiter": steps, "disp": False},
+        options={"gtol": fmax, "maxiter": steps},
     )
     system.pos[:] = res.x.reshape(1, -1, 3).astype(system.pos.dtype)
     return res
