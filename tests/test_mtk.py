@@ -246,3 +246,41 @@ def test_mtk_checkpoint_resume_bit_exact(tmp_path):
     np.testing.assert_array_equal(sys_c.pos, sys_a.pos)
     np.testing.assert_array_equal(sys_c.vel, sys_a.vel)
     np.testing.assert_allclose(sys_c.box, sys_a.box, rtol=0, atol=0)
+
+
+def test_mtk_virial_matches_finite_difference():
+    """The per-axis scaling virial driving the barostat must equal the
+    numeric -dU/ds_k of the full potential (all terms, PBC wrap)."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchmd_tpu.potentials import compute_potentials
+
+    mol, par, forces, system = _argon_npt()
+    ffp, cfg = forces.ffparams, forces.config
+    pos = jnp.asarray(system.pos[0])
+    box = jnp.asarray(system.box_diag[0])
+
+    def etot(p, s):
+        pot = compute_potentials(ffp, p * s, box * s, cfg)
+        return sum(jax.tree_util.tree_leaves(pot))
+
+    one = jnp.ones((3,))
+    vir_ad = -jax.grad(etot, argnums=1)(pos, one)
+    h = 1e-6
+    for k in range(3):
+        sp = np.ones(3); sp[k] += h
+        sm = np.ones(3); sm[k] -= h
+        fd = -(float(etot(pos, jnp.asarray(sp)))
+               - float(etot(pos, jnp.asarray(sm)))) / (2 * h)
+        np.testing.assert_allclose(float(vir_ad[k]), fd, rtol=1e-5,
+                                   atol=1e-8)
+
+
+def test_mc_barostat_rejected_by_integrator():
+    from torchmd_tpu.barostat import MonteCarloBarostat
+
+    mol, par, forces, system = _argon_npt()
+    with pytest.raises(ValueError, match="run-loop"):
+        Integrator(system, forces, timestep=2.0, T=120.0,
+                   barostat=MonteCarloBarostat(1.0, 120.0))

@@ -182,6 +182,14 @@ class Integrator:
         # chunks; only dynamic (MTK) barostats change the scan here.
         self._barostat = None
         self._npt = None
+        if barostat is not None and not getattr(barostat, "is_dynamic",
+                                                False):
+            raise ValueError(
+                "Monte Carlo barostats attach at the run-loop level "
+                "(call barostat.attempt(system, forces) between chunks, "
+                "as run.py does); only dynamic barostats (MTKBarostat) "
+                "integrate inside the scan"
+            )
         if barostat is not None and getattr(barostat, "is_dynamic", False):
             if np.any(np.asarray(systems.box_diag) <= 0):
                 raise ValueError("MTK barostat requires a periodic box")
