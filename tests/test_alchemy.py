@@ -171,3 +171,71 @@ def test_fep_and_bar_estimators():
 
     dF_bar = bar(w_f, w_r, kT)
     assert abs(dF_bar - dF_true) < 0.02 * kT, (dF_bar, dF_true)
+
+
+def test_alchemy_nbfix_endpoint_consistency():
+    """With NBFIX A/B override tables active, masked base + coupling at
+    lam=1 must still reproduce the untouched force field (regression:
+    the coupling used to re-derive LJ from Lorentz-Berthelot)."""
+    import jax.numpy as jnp
+
+    from torchmd_tpu.potentials import FFParams, ForceTermConfig
+    from torchmd_tpu.alchemy import AlchemicalCoupling
+    from torchmd_tpu.potentials import nonbonded_energy_forces
+
+    rs = np.random.RandomState(1)
+    n = 8
+    pos = jnp.asarray(rs.rand(n, 3) * 6.0 + np.arange(n)[:, None] * 1.5)
+    # two atom types with an NBFIX-like asymmetric A/B table
+    types = jnp.asarray(rs.randint(0, 2, n), jnp.int32)
+    A = jnp.asarray([[5e4, 2e4], [2e4, 9e4]])
+    B = jnp.asarray([[60.0, 25.0], [25.0, 110.0]])
+    ffp = FFParams(
+        charges=jnp.asarray(rs.randn(n) * 0.1),
+        masses=jnp.full((n, 1), 10.0),
+        mapped_atom_types=types,
+        lj_params=jnp.asarray([[3.0, 0.1], [3.5, 0.2]]),
+        bonds=None, angles=None, dihedrals=None, impropers=None,
+        nb14=None, nb_mask=jnp.asarray(~np.eye(n, dtype=bool)),
+        lj_ab=(A, B),
+    )
+    cfg = ForceTermConfig(terms=("lj", "electrostatics"), cutoff=12.0)
+    pot0, f0 = nonbonded_energy_forces(ffp, pos, None, cfg)
+    e0 = sum(float(v) for v in pot0.values())
+
+    alch = [0, 3]
+    coupling = AlchemicalCoupling(ffp, cfg, alch)
+    mask = np.asarray(ffp.nb_mask).copy()
+    env = np.setdiff1d(np.arange(n), alch)
+    mask[np.ix_(alch, env)] = False
+    mask[np.ix_(env, alch)] = False
+    ffp_m = ffp._replace(nb_mask=jnp.asarray(mask))
+    pot1, f1 = nonbonded_energy_forces(ffp_m, pos, None, cfg)
+    e1 = sum(float(v) for v in pot1.values())
+    e_c = float(coupling.energy_lambda(pos, None, 1.0))
+    np.testing.assert_allclose(e1 + e_c, e0, rtol=1e-10)
+
+
+def test_make_alchemical_rejects_cell_path():
+    """Cell kernels mask pairs via the exclusion table, not nb_mask --
+    alchemical setups on that path must refuse instead of double-count."""
+    import os
+
+    import pytest
+
+    from conftest import SYSTEMS_DIR
+    from torchmd_tpu.io import Molecule
+    from torchmd_tpu.forcefields import ForceField
+    from torchmd_tpu.forces import Forces
+    from torchmd_tpu.parameters import Parameters
+    from torchmd_tpu.alchemy import make_alchemical
+
+    mol = Molecule(os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"))
+    ff = ForceField.create(
+        mol, os.path.join(SYSTEMS_DIR, "argon", "argon_forcefield.yaml")
+    )
+    par = Parameters(ff, mol, ["lj"], precision="double")
+    forces = Forces(par, terms=["lj"], precision="double", cutoff=9.0,
+                    kernel="cell")
+    with pytest.raises(NotImplementedError, match="cell"):
+        make_alchemical(forces, [0, 1])

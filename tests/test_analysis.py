@@ -144,3 +144,15 @@ def test_view_frame_png(tmp_path):
     out = tmp_path / "frame.png"
     view_frame(mol, pos, f, out=str(out), title="argon")
     assert out.exists() and out.stat().st_size > 10000
+
+
+def test_rdf_partial_selection_no_self_pairs():
+    """sel_a with defaulted sel_b (overlapping selections) must not count
+    identical-atom pairs (regression: g(r) spiked in bin 0)."""
+    from torchmd_tpu.analysis import rdf
+
+    rs = np.random.RandomState(0)
+    traj = rs.rand(3, 20, 3) * 10.0  # (frames, atoms, 3)
+    r, g = rdf(traj, [10.0] * 3, nbins=20, sel_a=np.arange(5))
+    assert np.all(np.isfinite(g))
+    assert g[0] < 5.0, g[0]  # no self-pair spike at r -> 0

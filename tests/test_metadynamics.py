@@ -94,3 +94,20 @@ def test_metad_rejects_host_external():
     with pytest.raises(ValueError):
         MetaDynamics(system, forces, lambda p, b=None: p[0, 0],
                      timestep=2.0, T=300.0)
+
+
+def test_chunked_runs_deposit_hills():
+    """Deposition cadence is global across run() calls: chunks smaller
+    than the stride must still deposit (regression: a chunk-local counter
+    deposited nothing for niter < stride)."""
+    par, forces, system = _setup(seed=3)
+    md = MetaDynamics(
+        system, forces, lambda pos, box=None: pos[0, 0],
+        timestep=2.0, T=300.0,
+        gamma=2.0, height=0.2, sigma=0.3, grid=(-4.0, 4.0, 101),
+        stride=50, seed=3,
+    )
+    for _ in range(10):
+        md.run(20)  # 200 steps in chunks of 20 < stride
+    assert md.nhills == 4  # 200 // 50
+    assert float(np.abs(np.asarray(md.bias)).max()) > 0.0

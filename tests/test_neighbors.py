@@ -535,3 +535,64 @@ def test_verlet_ewald_real_space_matches_dense():
         np.testing.assert_allclose(float(pot_v[k]), float(pot_d[k]),
                                    rtol=1e-11, err_msg=k)
     np.testing.assert_allclose(np.asarray(f_v), np.asarray(f_d), atol=1e-13)
+
+
+def test_cell_energies_track_box_changes():
+    """Barostat-style box changes: the cell path must track the runtime
+    box (binning follows the traced box; the grid reboxes when coverage
+    breaks). Regression: the grid used to bin by the construction box,
+    silently dropping boundary pairs after volume moves."""
+    mol, par, _ = _argon()
+
+    fd = Forces(par, terms=["lj", "electrostatics"], precision="double",
+                cutoff=9.0, rfa=True)
+    fc = Forces(par, terms=["lj", "electrostatics"], precision="double",
+                cutoff=9.0, rfa=True, kernel="cell")
+
+    for scale in (1.0, 0.9, 1.15, 0.62):
+        L = 77.395 * scale
+        box = np.zeros((1, 3, 3))
+        np.fill_diagonal(box[0], [L] * 3)
+        pos = (mol.coords[:, :, 0] * scale)[None]
+        ed = fd.compute(pos, box, returnDetails=True)[0]
+        ec = fc.compute(pos, box, returnDetails=True)[0]
+        for k, v in ed.items():
+            np.testing.assert_allclose(ec[k], v, rtol=1e-10,
+                                       err_msg=f"{k} at scale {scale}")
+        np.testing.assert_allclose(
+            np.asarray(fc.last_forces), np.asarray(fd.last_forces),
+            atol=1e-11, err_msg=f"forces at scale {scale}",
+        )
+
+
+def test_cell_dynamics_with_mc_barostat():
+    """MC barostat + cell path end-to-end: volume moves between chunks
+    keep integrating correct (finite, dense-consistent) energies."""
+    from torchmd_tpu.barostat import MonteCarloBarostat
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.systems import System
+
+    mol, par, _ = _argon()
+    forces = Forces(par, terms=["lj", "electrostatics"],
+                    precision="double", cutoff=9.0, rfa=True,
+                    kernel="cell")
+    system = System(mol.numAtoms, 1, "double", "cpu")
+    system.set_positions(mol.coords)
+    system.set_box(np.asarray([77.395] * 3))
+    system.set_velocities(maxwell_boltzmann(par.masses, 120.0, 1, seed=2))
+    integ = Integrator(system, forces, timestep=5.0, T=120.0, gamma=2.0,
+                       device="cpu")
+    baro = MonteCarloBarostat(500.0, 120.0, seed=1)
+    v0 = float(np.prod(system.box_diag[0]))
+    for _ in range(6):
+        integ.step(niter=20)
+        baro.attempt(system, forces)
+    assert baro.n_accepted + baro.n_attempted > 0
+    v1 = float(np.prod(system.box_diag[0]))
+    assert v1 < v0  # 500 bar on a dilute gas: compression
+    # post-move energies match the dense path exactly
+    fd = Forces(par, terms=["lj", "electrostatics"], precision="double",
+                cutoff=9.0, rfa=True)
+    ed = fd.compute(system.pos, system.box)
+    ec = forces.compute(system.pos, system.box)
+    np.testing.assert_allclose(ec, ed, rtol=1e-9)

@@ -70,17 +70,25 @@ class AlchemicalCoupling:
             * q[np.flatnonzero(env)][None, :]
         )
         ti = np.asarray(ffparams.mapped_atom_types)
-        lj = np.asarray(ffparams.lj_params)
-        s_at, e_at = lj[ti, 0], np.abs(lj[ti, 1])
-        sig = 0.5 * (
-            s_at[np.flatnonzero(alch)][:, None]
-            + s_at[np.flatnonzero(env)][None, :]
-        )
-        eps = np.sqrt(
-            e_at[np.flatnonzero(alch)][:, None]
-            * e_at[np.flatnonzero(env)][None, :]
-        )
-        self.sigma6 = jnp.asarray(sig**6)
+        ta = ti[np.flatnonzero(alch)]
+        te = ti[np.flatnonzero(env)]
+        if ffparams.lj_ab is not None:
+            # NBFIX override tables: recover per-pair sigma^6/eps from the
+            # A/B the base path would have used (A = 4 eps sig^12,
+            # B = 4 eps sig^6), so lam=1 reproduces the base system
+            # exactly even for NBFIX-affected crossing pairs
+            A = np.asarray(ffparams.lj_ab[0])[ta[:, None], te[None, :]]
+            B = np.asarray(ffparams.lj_ab[1])[ta[:, None], te[None, :]]
+            safe_B = np.where(B > 0, B, 1.0)
+            sig6 = np.where(B > 0, A / safe_B, 1.0)
+            eps = np.where(B > 0, B * B / np.maximum(4.0 * A, 1e-300), 0.0)
+        else:
+            lj = np.asarray(ffparams.lj_params)
+            s_at, e_at = lj[ti, 0], np.abs(lj[ti, 1])
+            sig = 0.5 * (s_at[ta][:, None] + s_at[te][None, :])
+            eps = np.sqrt(e_at[ta][:, None] * e_at[te][None, :])
+            sig6 = sig**6
+        self.sigma6 = jnp.asarray(sig6)
         self.eps = jnp.asarray(eps)
 
     # ------------------------------------------------------------------
@@ -149,6 +157,24 @@ class AlchemicalCoupling:
         )(frames, boxes)
 
 
+def _require_masked_nonbonded(forces):
+    """Alchemical constructions edit the dense nb_mask; the cell path
+    masks pairs only via the bonds/angles/1-4 exclusion table and would
+    silently double-count every crossing pair."""
+    if getattr(forces, "cell_requested", False) or getattr(
+        forces, "cell_auto", False
+    ):
+        raise NotImplementedError(
+            "alchemical coupling requires a nonbonded path driven by the "
+            "dense mask (dense/Pallas/verlet); the cell-list kernel does "
+            "not consult nb_mask and would double-count crossing pairs"
+        )
+    # any previously built verlet kernel holds the pre-edit FFParams;
+    # drop it so the masked pairs cannot reappear through a stale list
+    if getattr(forces, "_verlet_kernel", None) is not None:
+        forces._verlet_kernel = None
+
+
 def make_alchemical(forces, alch_atoms, lam=1.0, alpha=0.5,
                     softcore_power=1):
     """Turn a built `Forces` object into an alchemically coupled system.
@@ -157,6 +183,7 @@ def make_alchemical(forces, alch_atoms, lam=1.0, alpha=0.5,
     double-count), rebuilds the evaluators, attaches the coupling as the
     external potential, and returns it. The base intra-alchemical and
     intra-environment interactions are untouched."""
+    _require_masked_nonbonded(forces)
     coupling = AlchemicalCoupling(
         forces.ffparams, forces.config, alch_atoms, lam=lam, alpha=alpha,
         softcore_power=softcore_power,

@@ -91,20 +91,18 @@ def rdf(traj, box, r_max=None, nbins=100, sel_a=None, sel_b=None):
         r_max = float(jnp.min(box)) / 2.0
     a = jnp.arange(F.shape[1]) if sel_a is None else jnp.asarray(sel_a)
     b = jnp.arange(F.shape[1]) if sel_b is None else jnp.asarray(sel_b)
-    same = sel_b is None and sel_a is None or (
-        sel_a is not None and sel_b is not None
-        and np.array_equal(np.asarray(a), np.asarray(b))
-    )
+    # identical-ATOM pairs must never count, including partially
+    # overlapping selections (sel_a a subset of a defaulted sel_b)
+    self_pair = np.asarray(a)[:, None] == np.asarray(b)[None, :]
+    nself = int(self_pair.sum())
+    self_pair_j = jnp.asarray(self_pair)
     edges = jnp.linspace(0.0, r_max, nbins + 1)
 
     def one(frame):
         dv = frame[a][:, None, :] - frame[b][None, :, :]
         dv = dv - box * jnp.round(dv / box)
         d = jnp.sqrt(jnp.sum(dv * dv, axis=-1))
-        if same:
-            d = jnp.where(
-                jnp.eye(d.shape[0], dtype=bool), r_max * 2.0, d
-            )
+        d = jnp.where(self_pair_j, r_max * 2.0, d)  # drop self-pairs
         hist = jnp.histogram(d.reshape(-1), bins=edges)[0]
         return hist
 
@@ -115,7 +113,7 @@ def rdf(traj, box, r_max=None, nbins=100, sel_a=None, sel_b=None):
     shell = (4.0 / 3.0) * np.pi * (
         np.asarray(edges[1:]) ** 3 - np.asarray(edges[:-1]) ** 3
     )
-    npairs = na * (nb - 1) if same else na * nb
+    npairs = na * nb - nself
     ideal = npairs / vol * shell * nframes
     r = 0.5 * (np.asarray(edges[1:]) + np.asarray(edges[:-1]))
     return r, np.asarray(hist) / np.maximum(ideal, 1e-12)

@@ -113,13 +113,25 @@ class HarmonicBias:
         return self.cv_fn(pos, box)
 
     def calculate(self, pos, box=None):
-        """Batched host-protocol fallback (reference forces.py:321-326)."""
+        """Batched host-protocol fallback (reference forces.py:321-326).
+        The box threads through to the CV so minimum-image CVs behave
+        identically to the jitted path."""
         pos = jnp.asarray(pos)
-        e_and_g = jax.vmap(
-            jax.value_and_grad(lambda p: self.energy_fn(p, None))
-        )
-        e, g = e_and_g(pos)
-        return np.asarray(e), -np.asarray(g)
+        if box is None:
+            boxes = [None] * pos.shape[0]
+        else:
+            b = np.asarray(box, np.float64)
+            if b.ndim == 3:  # (R, 3, 3) -> diagonals
+                b = np.stack([np.diag(b[r]) for r in range(b.shape[0])])
+            b = np.broadcast_to(b.reshape(-1, 3), (pos.shape[0], 3))
+            boxes = [jnp.asarray(x) for x in b]
+        e_g = [
+            jax.value_and_grad(lambda p: self.energy_fn(p, bx))(pos[r])
+            for r, bx in enumerate(boxes)
+        ]
+        e = np.asarray([float(x[0]) for x in e_g])
+        g = np.stack([np.asarray(x[1]) for x in e_g])
+        return e, -g
 
 
 def wham(cv_series, centers, k, kT=None, T=300.0, nbins=60, bias_energies

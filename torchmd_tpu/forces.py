@@ -161,11 +161,17 @@ class Forces:
             getattr(self, "cell_requested", False)
             or (self.kernel == "cell" and has_nb)
         )
-        self.cell_auto = (
+        self.cell_auto_size = (
             self.kernel == "auto"
             and has_nb
             and self.natoms >= int(_os_sel.environ.get("TMD_AUTO_CELL_N",
                                                        "12000"))
+        )
+        # the size trigger is provisional: resolve_kernel_for_box drops it
+        # (re-enabling the dense Pallas kernel) once a concrete box shows
+        # no cell grid is feasible (open boundaries / tiny box)
+        self.cell_auto = self.cell_auto_size and not getattr(
+            self, "_cell_infeasible", False
         )
         self.cell_skin = getattr(self, "cell_skin", 2.0)
         self._cell_kernel = getattr(self, "_cell_kernel", None)
@@ -301,7 +307,7 @@ class Forces:
 
             def ef_one(pos, box):  # noqa: F811 -- cell-path override
                 pot, frc = bonded_ef_one(pos, box)
-                cl = kern.build(pos)
+                cl = kern.build(pos, box)
                 nb_pot, nb_f = kern.energy_forces(pos, box, cl)
                 pot = dict(pot)
                 for k, v in nb_pot.items():
@@ -313,7 +319,7 @@ class Forces:
 
             def ef_one(pos, box):  # noqa: F811 -- verlet-path override
                 pot, frc = bonded_ef_one(pos, box)
-                nlv = vkern.build(pos)
+                nlv = vkern.build(pos, box)
                 nb_pot, nb_f = vkern.energy_forces(pos, box, nlv)
                 pot = dict(pot)
                 for k, v in nb_pot.items():
@@ -394,21 +400,39 @@ class Forces:
         return self._ewald
 
     # ------------------------------------------------------------------
+    def _grid_feasible(self, box) -> bool:
+        """Can this concrete box host a 27-stencil cell grid?"""
+        if self.cutoff is None or box is None:
+            return False
+        b = np.asarray(box, dtype=np.float64).reshape(-1)[:3]
+        if not np.all(b > 0):
+            return False
+        rc = float(self.cutoff) + float(self.cell_skin)
+        return bool(np.min(b) // rc >= 3)
+
     def wants_cell(self, box) -> bool:
         """True when evaluation should run on the cell-list path for this
         concrete box: explicitly requested, or auto-selected for a large
         periodic system whose box can host a cell grid."""
         if self.cell_requested:
             return True
-        if not getattr(self, "cell_auto", False) or self.cutoff is None:
+        if not getattr(self, "cell_auto", False):
             return False
-        if box is None:
-            return False
-        b = np.asarray(box, dtype=np.float64).reshape(-1)[:3]
-        if not np.all(b > 0):
-            return False
-        rc = float(self.cutoff) + float(self.cell_skin)
-        return bool(np.min(b) // rc >= 3)  # feasible 27-stencil grid
+        return self._grid_feasible(box)
+
+    def resolve_kernel_for_box(self, box):
+        """Finalize auto kernel selection for a concrete box: the cell
+        veto on the dense Pallas kernel only stands while a grid is
+        actually feasible (a large open-boundary system must not fall to
+        the pure-jnp dense path)."""
+        infeasible = bool(
+            self.cell_auto_size
+            and not self.cell_requested
+            and not self._grid_feasible(box)
+        )
+        if infeasible != getattr(self, "_cell_infeasible", False):
+            self._cell_infeasible = infeasible
+            self._build_evaluators()
 
     def wants_verlet(self, box=None) -> bool:
         """True when evaluation should run on the Verlet neighbor-list
@@ -470,6 +494,7 @@ class Forces:
         pos_j = jnp.asarray(np.asarray(pos), dtype=self.dtype)
         nreplicas = pos_j.shape[0]
         box_j = _box_to_diag(box, nreplicas, self.dtype)
+        self.resolve_kernel_for_box(np.asarray(box_j)[0])
         if self.ewald_requested and self._ewald is None:
             self.ensure_ewald(np.asarray(box_j)[0])
         if self._cell_kernel is None and self.wants_cell(np.asarray(box_j)[0]):
@@ -493,7 +518,7 @@ class Forces:
             # neighbor capacity drops pairs, so grow + rebuild until the
             # list fits.
             for _attempt in range(6):
-                nl = jax.vmap(self._verlet_kernel.build)(pos_j)
+                nl = jax.vmap(self._verlet_kernel.build)(pos_j, box_j)
                 if not bool(np.any(np.asarray(nl.overflow))):
                     break
                 self._verlet_kernel = self._verlet_kernel.grow()
@@ -501,11 +526,20 @@ class Forces:
             else:
                 raise RuntimeError("verlet list capacity kept overflowing")
         if self.cell_requested and self._cell_kernel is not None:
+            # barostat-evolved boxes: rebox the grid when it no longer
+            # hosts rc-wide cells (binning itself follows the traced box)
+            if not self._cell_kernel.covers(np.asarray(box_j)):
+                self._cell_kernel = self._cell_kernel.with_box(
+                    np.asarray(box_j).min(axis=0), pos0=np.asarray(pos_j)[0]
+                )
+                self._build_evaluators()
             # Guard against silent cell-capacity overflow (which clamps atom
             # ranks and corrupts energies): grow + rebuild until it fits,
-            # mirroring Integrator.step's retry loop.
+            # mirroring Integrator.step's retry loop. (The guard build is
+            # separate from the one inside the jitted evaluator -- an
+            # accepted ~2x build cost on this non-scan entry point.)
             for _attempt in range(4):
-                cl = jax.vmap(self._cell_kernel.build)(pos_j)
+                cl = jax.vmap(self._cell_kernel.build)(pos_j, box_j)
                 if not bool(np.any(np.asarray(cl.overflow))):
                     break
                 self._cell_kernel = self._cell_kernel.grow()

@@ -249,6 +249,19 @@ class Integrator:
                 None,                                  # virial (lazy init)
             )
 
+        # T given with nothing coupling to it would silently integrate
+        # NVE (the reference fails with a TypeError in the noise-coeff
+        # sqrt; be explicit instead)
+        if (
+            self._use_langevin_T
+            and self.gamma is None
+            and self._thermostat is None
+        ):
+            raise ValueError(
+                "T (thermostat temperature) set but no coupling: pass "
+                "gamma (Langevin friction, ps^-1) or thermostat='nhc'|'csvr'"
+            )
+
         # Optional sharding over a device mesh:
         #   shard="replica" (default): the leading (nreplicas) axis of the
         #     state lives on a mesh axis; the compiled scan runs ensemble-
@@ -297,6 +310,10 @@ class Integrator:
         if self._host_path:
             self._use_cell = False
         elif hasattr(forces, "wants_cell"):
+            if hasattr(forces, "resolve_kernel_for_box"):
+                forces.resolve_kernel_for_box(
+                    np.asarray(systems.box_diag)[0]
+                )
             self._use_cell = forces.wants_cell(
                 np.asarray(systems.box_diag)[0]
             )
@@ -493,13 +510,15 @@ class Integrator:
 
         build_v = jax.vmap(kern.build)
 
-        def update_all(pos_b, cl_b):
+        def update_all(pos_b, cl_b, box_b):
             pred = jnp.any(
-                jax.vmap(lambda c, p: kern.needs_rebuild(c, p))(cl_b, pos_b)
+                jax.vmap(
+                    lambda c, p, b: kern.needs_rebuild(c, p, b)
+                )(cl_b, pos_b, box_b)
             )
 
             def rebuild():
-                new = build_v(pos_b)
+                new = build_v(pos_b, box_b)
                 # keep the overflow flag sticky across rebuilds
                 return new._replace(overflow=new.overflow | cl_b.overflow)
 
@@ -550,7 +569,7 @@ class Integrator:
                     pos_c = shake_v(pos, st.pos)
                     vel = vel + (pos_c - pos) / dt
                     pos = pos_c
-                cl = update_all(pos, cl)
+                cl = update_all(pos, cl, box)
                 epot, frc = e_and_f(pos, box, cl)
                 key = st.key
                 if use_thermostat:
@@ -862,7 +881,7 @@ class Integrator:
                     pos_full = jax.lax.all_gather(pos_loc, ax, axis=0,
                                                   tiled=True)
                     pos_n = pos_full[:natoms]
-                    cl_n = kern.update(pos_n, cl)
+                    cl_n = kern.update(pos_n, cl, boxv)
                     cl = cl_n._replace(overflow=cl_n.overflow | cl.overflow)
                     cx0 = jax.lax.axis_index(ax).astype(jnp.int32) * nloc
                     pot_nb, f_nb = cell_nonbonded_energy_forces(
@@ -922,7 +941,7 @@ class Integrator:
 
                     pos_full0 = jax.lax.all_gather(pos_l, ax, axis=0,
                                                    tiled=True)
-                    cl0 = kern.build(pos_full0[:natoms])
+                    cl0 = kern.build(pos_full0[:natoms], boxv)
                     carry, epots = jax.lax.scan(
                         body, (pos_l, vel_l, frc_l, key, aux, cl0),
                         None, length=niter,
@@ -1141,6 +1160,20 @@ class Integrator:
                 box = jax.device_put(box, self._sharding)
             self._dev_box = box
             self._box_snap = box_np.copy()
+            # barostat box changes: the cell grid bins by the traced box,
+            # so only a box that no longer hosts rc-wide cells forces a
+            # kernel rebuild (rare -- large cumulative volume drift)
+            if (
+                self._use_cell
+                and self._cell_kernel is not None
+                and not self._cell_kernel.covers(box_np)
+            ):
+                self._cell_kernel = self._cell_kernel.with_box(
+                    box_np.min(axis=0), pos0=np.asarray(systems.pos)[0]
+                )
+                self.forces._cell_kernel = self._cell_kernel
+                self.forces._build_evaluators()
+                self._scan_fn = self._build_scan_cell()
         box = self._dev_box
 
         if self._host_path:
@@ -1216,7 +1249,7 @@ class Integrator:
         if self._use_cell or self._use_verlet:
             state0 = self._state_from_system()
             for _attempt in range(4):
-                cl = jax.vmap(self._cell_kernel.build)(state0.pos)
+                cl = jax.vmap(self._cell_kernel.build)(state0.pos, box)
                 (state, cl, aux), epot_dev = self._scan_fn(
                     (state0, cl, self._thermo_aux), box, int(niter)
                 )

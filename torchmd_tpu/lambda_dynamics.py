@@ -50,6 +50,9 @@ def make_lambda_sites(forces, site_atoms_list, alpha=0.5, softcore_power=1):
     slot of `forces` is left untouched -- LambdaDynamics evaluates the
     couplings itself at the current lambdas.
     """
+    from .alchemy import _require_masked_nonbonded
+
+    _require_masked_nonbonded(forces)
     natoms = int(forces.ffparams.charges.shape[0])
     in_any = np.zeros(natoms, dtype=bool)
     for atoms in site_atoms_list:

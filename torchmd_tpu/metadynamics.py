@@ -121,7 +121,7 @@ class MetaDynamics:
             return e + eb, frc - gb
 
         @partial(jax.jit, static_argnames=("niter",))
-        def run(state, bias, key, box, niter: int):
+        def run(state, bias, key, box, step0, niter: int):
             def body(carry, i):
                 pos, vel, frc, bias, key = carry
                 pos, vel = _first_vv(pos, vel, frc, masses, dt)
@@ -148,9 +148,12 @@ class MetaDynamics:
                 s_now = cv_fn(pos, box)
                 return (pos, vel, frc, bias, key), (epot, s_now)
 
+            # global step index: the deposition cadence must survive
+            # chunked run() calls (a chunk-local counter would deposit
+            # nothing for niter < stride)
             carry, (epots, cvs) = jax.lax.scan(
                 body, (state[0], state[1], state[2], bias, key),
-                jnp.arange(niter), length=niter,
+                step0 + jnp.arange(niter), length=niter,
             )
             pos, vel, frc, bias, key = carry
             return pos, vel, frc, bias, key, epots[-1], cvs
@@ -165,13 +168,18 @@ class MetaDynamics:
         pos = jnp.asarray(s.pos[0], self.dtype)
         vel = jnp.asarray(s.vel[0], self.dtype)
         frc = jnp.asarray(s.forces[0], self.dtype)
+        step0 = getattr(self, "_step_count", 0)
         pos, vel, frc, self.bias, self.key, epot, cvs = self._scan(
-            (pos, vel, frc), self.bias, self.key, box, int(niter)
+            (pos, vel, frc), self.bias, self.key, box,
+            jnp.asarray(step0, jnp.int32), int(niter)
         )
         s.pos[0] = np.asarray(pos, dtype=s.pos.dtype)
         s.vel[0] = np.asarray(vel, dtype=s.vel.dtype)
         s.forces[0] = np.asarray(frc, dtype=s.forces.dtype)
-        self.nhills += int(niter) // self.stride
+        self._step_count = step0 + int(niter)
+        self.nhills += (
+            self._step_count // self.stride - step0 // self.stride
+        )
         return np.asarray(cvs)
 
     def free_energy(self):

@@ -61,9 +61,11 @@ class CellListConfig(NamedTuple):
 def make_cell_config(box, cutoff, skin=2.0, capacity=None,
                      natoms=None, max_exclusions=16,
                      split=1) -> CellListConfig:
-    """split=2 (half-size cells, 125-stencil) keeps the per-cell capacity
-    small, which bounds both the padded candidate count and the memory of
-    the dense cell-pair evaluation; split=1 is the classic 27-stencil."""
+    """split=1 (the default and what the Pallas ghost-column kernel
+    assumes) is the classic 27-stencil with edge >= rc; split=2 halves
+    the cell edge (125-stencil, smaller per-cell capacity) and remains
+    available for the jnp evaluation path. `max_exclusions` is only a
+    minimum width hint for build_exclusion_table."""
     box = tuple(float(b) for b in np.asarray(box).reshape(-1)[:3])
     if min(box) <= 0:
         raise ValueError("Cell lists require a periodic box")
@@ -96,8 +98,13 @@ class CellList(NamedTuple):
     overflow: jnp.ndarray   # bool scalar
 
 
-def _cell_ids(pos, cfg: CellListConfig):
-    box = jnp.asarray(cfg.box, pos.dtype)
+def _cell_ids(pos, cfg: CellListConfig, box=None):
+    """Cell ids with the grid RESOLUTION static but the binning box
+    traced: a barostat-evolved box keeps binning consistent with the
+    pair math (which always wraps by the runtime box) without a
+    recompile, as long as box/ncells still covers rc (the kernel's
+    `covers` check guards that host-side)."""
+    box = jnp.asarray(cfg.box if box is None else box, pos.dtype).reshape(3)
     nc = jnp.asarray(cfg.ncells, jnp.int32)
     frac = pos / box - jnp.floor(pos / box)  # wrap into [0, 1)
     cid3 = jnp.minimum(
@@ -127,10 +134,10 @@ def neighbor_cell_table(cfg: CellListConfig) -> np.ndarray:
     return ((nx * ncy + ny) * ncz + nz).astype(np.int32)
 
 
-def build_cell_list(pos, cfg: CellListConfig) -> CellList:
+def build_cell_list(pos, cfg: CellListConfig, box=None) -> CellList:
     n = pos.shape[0]
     ncells = cfg.ncells[0] * cfg.ncells[1] * cfg.ncells[2]
-    cid = _cell_ids(pos, cfg)
+    cid = _cell_ids(pos, cfg, box)
     order = jnp.argsort(cid)
     sorted_cid = cid[order]
     # rank of each atom within its cell
@@ -146,17 +153,17 @@ def build_cell_list(pos, cfg: CellListConfig) -> CellList:
     return CellList(slots, counts, pos, overflow)
 
 
-def needs_rebuild(cl: CellList, pos, cfg: CellListConfig):
+def needs_rebuild(cl: CellList, pos, cfg: CellListConfig, box=None):
     """True when any atom moved further than skin/2 since the build."""
     d = pos - cl.ref_pos
-    box = jnp.asarray(cfg.box, pos.dtype)
+    box = jnp.asarray(cfg.box if box is None else box, pos.dtype).reshape(3)
     d = d - box * jnp.round(d / box)
     return jnp.any(jnp.sum(d * d, axis=1) > (cfg.skin * 0.5) ** 2)
 
 
-def candidate_matrix(cl: CellList, pos, cfg: CellListConfig):
+def candidate_matrix(cl: CellList, pos, cfg: CellListConfig, box=None):
     """(natoms, stencil^3 * capacity) int32 candidate ids (n = padding)."""
-    cid = _cell_ids(pos, cfg)
+    cid = _cell_ids(pos, cfg, box)
     table = jnp.asarray(neighbor_cell_table(cfg))
     cands = cl.slots[table[cid]]  # (N, S3, capacity)
     return cands.reshape(pos.shape[0], -1)
@@ -184,7 +191,7 @@ def build_exclusion_table(parameters, natoms, max_exclusions=0,
 
 def cell_nonbonded_energy_forces(
     ffp: FFParams, cfg: ForceTermConfig, clcfg: CellListConfig,
-    cl: CellList, excl_table, pos, box, cell_chunk=None, slab=None,
+    cl: CellList, excl_table, pos, box, slab=None,
 ):
     """Nonbonded energies + forces in cell-pair form, via ghost cells.
 
@@ -461,18 +468,44 @@ class CellKernel:
             parameters, natoms, 0, exclusions
         )
 
-    def build(self, pos) -> CellList:
-        return build_cell_list(pos, self.clcfg)
+    def build(self, pos, box=None) -> CellList:
+        return build_cell_list(pos, self.clcfg, box)
 
-    def needs_rebuild(self, cl: CellList, pos):
-        return needs_rebuild(cl, pos, self.clcfg)
+    def needs_rebuild(self, cl: CellList, pos, box=None):
+        return needs_rebuild(cl, pos, self.clcfg, box)
 
-    def update(self, pos, cl: CellList) -> CellList:
+    def update(self, pos, cl: CellList, box=None) -> CellList:
         return jax.lax.cond(
-            needs_rebuild(cl, pos, self.clcfg),
-            lambda: build_cell_list(pos, self.clcfg),
+            needs_rebuild(cl, pos, self.clcfg, box),
+            lambda: build_cell_list(pos, self.clcfg, box),
             lambda: cl,
         )
+
+    def covers(self, box) -> bool:
+        """True while box/ncells still hosts rc-wide cells: binning by a
+        traced box stays valid under modest (barostat) volume changes;
+        when this trips the kernel must be rebuilt via with_box."""
+        b = np.asarray(box, np.float64).reshape(-1, 3)
+        edges = b.min(axis=0) / np.asarray(self.clcfg.ncells)
+        return bool(np.all(edges >= self.clcfg.rc * (1.0 - 1e-9)))
+
+    def with_box(self, box, pos0=None):
+        """New kernel for a materially different box (same topology)."""
+        import copy
+
+        new = copy.copy(self)
+        new.clcfg = make_cell_config(
+            box, self.cfg.cutoff, skin=self.clcfg.skin,
+            capacity=self.clcfg.capacity,
+            natoms=int(self.ffp.charges.shape[0]),
+            split=self.clcfg.split,
+        )
+        if pos0 is not None:
+            probe = new.clcfg.with_capacity(1)
+            cid = np.asarray(_cell_ids(jnp.asarray(pos0), probe))
+            occ = int(np.bincount(cid).max()) if len(cid) else 1
+            new.clcfg = new.clcfg.with_capacity(max(4, int(occ * 1.15) + 2))
+        return new
 
     def energy_forces(self, pos, box, cl: CellList):
         import os as _os
@@ -564,10 +597,12 @@ class NeighborList(NamedTuple):
     overflow: jnp.ndarray   # bool scalar
 
 
-def _verlet_d2(pos, vcfg: VerletConfig):
+def _verlet_d2(pos, vcfg: VerletConfig, box=None):
     """Dense squared-distance matrix for list building."""
     if vcfg.pbc:
-        box = jnp.asarray(vcfg.box, pos.dtype)
+        box = jnp.asarray(
+            vcfg.box if box is None else box, pos.dtype
+        ).reshape(3)
         dv = pos[:, None, :] - pos[None, :, :]
         dv = dv - box * jnp.round(dv / box)
         return jnp.sum(dv * dv, axis=-1)
@@ -576,9 +611,10 @@ def _verlet_d2(pos, vcfg: VerletConfig):
     return jnp.maximum(d2, 0.0)
 
 
-def build_verlet_list(pos, nb_mask, vcfg: VerletConfig) -> NeighborList:
+def build_verlet_list(pos, nb_mask, vcfg: VerletConfig,
+                      box=None) -> NeighborList:
     n = pos.shape[0]
-    d2 = _verlet_d2(pos, vcfg)
+    d2 = _verlet_d2(pos, vcfg, box)
     mask = (d2 <= vcfg.rc * vcfg.rc) & nb_mask
     count = jnp.sum(mask, axis=1)
     overflow = jnp.any(count > vcfg.capacity)
@@ -589,11 +625,14 @@ def build_verlet_list(pos, nb_mask, vcfg: VerletConfig) -> NeighborList:
     return NeighborList(nbr, pos, overflow)
 
 
-def verlet_needs_rebuild(nl: NeighborList, pos, vcfg: VerletConfig):
+def verlet_needs_rebuild(nl: NeighborList, pos, vcfg: VerletConfig,
+                         box=None):
     """True when any atom moved further than skin/2 since the build."""
     d = pos - nl.ref_pos
     if vcfg.pbc:
-        box = jnp.asarray(vcfg.box, pos.dtype)
+        box = jnp.asarray(
+            vcfg.box if box is None else box, pos.dtype
+        ).reshape(3)
         d = d - box * jnp.round(d / box)
     return jnp.any(jnp.sum(d * d, axis=1) > (vcfg.skin * 0.5) ** 2)
 
@@ -691,18 +730,25 @@ class VerletKernel:
             cap = min(natoms, int(occ * 1.2) + 8)
             self.vcfg = self.vcfg.with_capacity(max(8, cap))
 
-    def build(self, pos) -> NeighborList:
-        return build_verlet_list(pos, self.ffp.nb_mask, self.vcfg)
+    def build(self, pos, box=None) -> NeighborList:
+        return build_verlet_list(pos, self.ffp.nb_mask, self.vcfg, box)
 
-    def needs_rebuild(self, nl: NeighborList, pos):
-        return verlet_needs_rebuild(nl, pos, self.vcfg)
+    def needs_rebuild(self, nl: NeighborList, pos, box=None):
+        return verlet_needs_rebuild(nl, pos, self.vcfg, box)
 
-    def update(self, pos, nl: NeighborList) -> NeighborList:
+    def update(self, pos, nl: NeighborList, box=None) -> NeighborList:
         return jax.lax.cond(
-            self.needs_rebuild(nl, pos),
-            lambda: build_verlet_list(pos, self.ffp.nb_mask, self.vcfg),
+            self.needs_rebuild(nl, pos, box),
+            lambda: build_verlet_list(pos, self.ffp.nb_mask, self.vcfg,
+                                      box),
             lambda: nl,
         )
+
+    def covers(self, box) -> bool:
+        """Lists bin by the traced box directly; any box is coverable
+        (min-image validity box/2 > cutoff is the caller's invariant, as
+        on the dense path)."""
+        return True
 
     def energy_forces(self, pos, box, nl: NeighborList):
         return verlet_nonbonded_energy_forces(
