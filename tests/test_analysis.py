@@ -95,7 +95,7 @@ def test_analysis_script_end_to_end(tmp_path):
     ]
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     subprocess.run(cmd, check=True, env=env, capture_output=True,
-                   cwd=REPO, timeout=600)
+                   cwd=REPO, timeout=1200)
     assert (out / "output_0.npy").exists()
     subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "analysis.py"),
@@ -103,7 +103,7 @@ def test_analysis_script_end_to_end(tmp_path):
          "--rmsd", str(out / "rmsd.csv"),
          "--rdf", str(out / "rdf.csv"), "--box", "77.395",
          "--msd", str(out / "msd.csv")],
-        check=True, env=env, capture_output=True, timeout=600,
+        check=True, env=env, capture_output=True, timeout=1200,
     )
     rm = np.loadtxt(out / "rmsd.csv", delimiter=",", skiprows=1)
     assert rm.shape[1] == 2 and rm[0, 1] < 1e-8  # frame 0 vs itself
@@ -124,7 +124,7 @@ def test_analyze_cli_subcommand(tmp_path):
         [sys.executable, "-m", "torchmd_tpu.analysis", str(tmp_path),
          "--traj", "output_0.npy", "--rmsd", str(tmp_path / "r.csv"),
          "--msd", str(tmp_path / "m.csv")],
-        check=True, env=env, capture_output=True, cwd=REPO, timeout=600,
+        check=True, env=env, capture_output=True, cwd=REPO, timeout=1200,
     )
     rm = np.loadtxt(tmp_path / "r.csv", delimiter=",", skiprows=1)
     assert rm.shape == (5, 2) and rm[0, 1] < 1e-8

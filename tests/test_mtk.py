@@ -153,7 +153,7 @@ def test_mtk_cli_end_to_end(tmp_path):
         "--log-dir", str(tmp_path),
     ]
     r = subprocess.run(cmd, env=env, capture_output=True, cwd=REPO,
-                       timeout=600)
+                       timeout=1200)
     assert r.returncode == 0, r.stderr.decode()[-2000:]
     mon = np.loadtxt(tmp_path / "monitor_0.csv", delimiter=",", skiprows=1)
     assert mon.shape[0] == 3 and np.all(np.isfinite(mon))

@@ -165,7 +165,18 @@ def main(argv=None):
                     help="Render the last trajectory frame to this PNG "
                          "(the reference views frames in moleculekit; "
                          "see torchmd_tpu.viz)")
+    ap.add_argument("--device", default="cpu",
+                    help="Device for the structural analysis (default "
+                         "cpu: post-processing must not depend on a live "
+                         "accelerator tunnel)")
     args = ap.parse_args(argv)
+
+    if args.device == "cpu":
+        # the site hook may pre-select the TPU platform; the env var
+        # alone is too late (see CLAUDE.md), force it via the config
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
 
     if args.traj is not None:
         if args.view:
