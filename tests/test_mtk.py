@@ -284,3 +284,38 @@ def test_mc_barostat_rejected_by_integrator():
     with pytest.raises(ValueError, match="run-loop"):
         Integrator(system, forces, timestep=2.0, T=120.0,
                    barostat=MonteCarloBarostat(1.0, 120.0))
+
+
+def test_mtk_with_ewald_reciprocal():
+    """MTK + full Ewald: the reciprocal sum is box-dependent, so the
+    scaling virial must include it; the NPT run stays finite and the
+    conserved quantity bounded on a charged argon gas."""
+    mol = Molecule(os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"))
+    rs = np.random.RandomState(0)
+    q = rs.randn(mol.numAtoms) * 0.05
+    q -= q.mean()  # neutral
+    mol.charge = q
+    ff = ForceField.create(
+        mol, os.path.join(SYSTEMS_DIR, "argon", "argon_forcefield.yaml")
+    )
+    par = Parameters(ff, mol, ["lj", "electrostatics"], precision="double")
+    par.charges = mol.charge.copy()
+    forces = Forces(par, terms=["lj", "electrostatics"],
+                    precision="double", cutoff=9.0, elec="ewald")
+    system = System(mol.numAtoms, 1, "double", "cpu")
+    system.set_positions(mol.coords)
+    system.set_box(np.asarray([77.395] * 3))
+    system.set_velocities(maxwell_boltzmann(par.masses, 120.0, 1, seed=2))
+    forces.compute(system.pos, system.box, system.forces)
+    P = ideal_gas_pressure(mol.numAtoms, 120.0, 77.395**3)
+    integ = Integrator(system, forces, timestep=2.0, T=120.0,
+                       thermostat="nhc",
+                       barostat=MTKBarostat(P, 120.0, tau_fs=2000.0))
+    hs = []
+    for _ in range(3):
+        ek, ep, T = integ.step(niter=60)
+        hs.append(ek[0] + ep[0] + integ.thermostat_energy()[0]
+                  + integ.npt_energy()[0])
+    assert np.all(np.isfinite(hs))
+    assert abs(hs[-1] - hs[0]) < 0.5, hs
+    assert np.all(system.box_diag[0] > 0)
