@@ -217,3 +217,29 @@ def test_yaml_polarizabilities_to_drude(tmp_path):
             np.asarray(spec.thole_coeff),
             2.6 / (1.6 * 1.6) ** (1 / 6.0), rtol=1e-12,
         )
+
+
+def test_drude_forces_match_finite_difference():
+    """AD forces through the full Drude energy (springs + Coulomb +
+    Thole) against central finite differences."""
+    mask = np.zeros((3, 3), bool)
+    mask[0, 2] = mask[2, 0] = True  # one real nonbonded pair
+    ffp = _bare_ffparams([0.1, -0.2, 0.1], mask=mask)
+    ffp_ext, spec = make_drude_ffparams(ffp, [1.0, 0.8, 0.0])
+    pos = jnp.asarray([[0.0, 0.0, 0.0], [3.5, 0.2, -0.1],
+                       [7.1, -0.3, 0.4]])
+    p = init_drude_positions(pos, spec)
+    p = p.at[3, 0].add(0.05).at[4, 1].add(-0.04)  # displaced Drudes
+
+    def e(q):
+        return drude_energy(ffp_ext, spec, CFG, q, None)
+
+    g = np.asarray(jax.grad(e)(p))
+    h = 1e-6
+    rs = np.random.RandomState(0)
+    for _ in range(6):
+        i, k = rs.randint(p.shape[0]), rs.randint(3)
+        dp = np.zeros_like(np.asarray(p))
+        dp[i, k] = h
+        fd = (float(e(p + dp)) - float(e(p - dp))) / (2 * h)
+        np.testing.assert_allclose(g[i, k], fd, rtol=1e-6, atol=1e-9)

@@ -167,3 +167,32 @@ def test_external_potential_included():
                                    jnp.asarray(system.pos[0]),
                                    jnp.asarray([77.395] * 3))[1][0, 0])
                                - 10.0, atol=1e-9)
+
+
+def test_theta_forces_match_finite_difference():
+    """The theta force (-dE/dtheta through sin^2 and the soft-core
+    coupling) against central finite differences."""
+    import jax
+
+    mol, par, forces = _argon()
+    couplings = make_lambda_sites(forces, [[0], [3]])
+    system = System(mol.numAtoms, 1, "double", "cpu")
+    system.set_positions(mol.coords)
+    system.set_box(np.asarray([77.395] * 3))
+    ld = LambdaDynamics(system, forces, couplings,
+                        biases=[lambda lam: 3.0 * lam, None],
+                        timestep=2.0, T=120.0, gamma=1.0,
+                        lam0=[0.3, 0.7], seed=1)
+    pos = jnp.asarray(system.pos[0])
+    box = jnp.asarray([77.395] * 3)
+
+    def e(th):
+        ee, _, _ = ld._ef_fn(pos, box, th)
+        return ee
+
+    _, _, fth = ld._ef_fn(pos, box, ld.theta)
+    h = 1e-6
+    for s in range(2):
+        dt_ = jnp.zeros(2).at[s].set(h)
+        fd = -(float(e(ld.theta + dt_)) - float(e(ld.theta - dt_))) / (2 * h)
+        np.testing.assert_allclose(float(fth[s]), fd, rtol=1e-6, atol=1e-10)
