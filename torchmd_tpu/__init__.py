@@ -44,7 +44,7 @@ __all__ = [
     "ReplicaExchange", "MetaDynamics", "HarmonicBias", "wham",
     "MTKBarostat", "MonteCarloBarostat", "LambdaDynamics",
     "make_lambda_sites", "ph_bias", "make_drude", "DrudeIntegrator",
-    "view_frame",
+    "view_frame", "make_multipoles",
 ]
 
 _LAZY = {
@@ -71,6 +71,7 @@ _LAZY = {
     "make_drude": ("torchmd_tpu.drude", "make_drude"),
     "DrudeIntegrator": ("torchmd_tpu.drude", "DrudeIntegrator"),
     "view_frame": ("torchmd_tpu.viz", "view_frame"),
+    "make_multipoles": ("torchmd_tpu.multipoles", "make_multipoles"),
 }
 
 
