@@ -170,3 +170,131 @@ def test_rides_integrator_scan():
     integ = Integrator(system, forces, timestep=2.0, T=120.0, gamma=2.0)
     ek, ep, T = integ.step(niter=30)
     assert np.isfinite(ep[0]) and np.isfinite(T[0])
+
+
+# ----------------------------------------------------------------------
+# Quadrupole tier
+# ----------------------------------------------------------------------
+
+def _linear_quad(q, d):
+    """Charges (+q at +-d z, -2q at origin): Q = diag(-2,-2,4) q d^2."""
+    return np.diag([-2.0, -2.0, 4.0]) * q * d * d
+
+
+def _coulomb(charges_pos):
+    e = 0.0
+    for i in range(len(charges_pos)):
+        for j in range(i + 1, len(charges_pos)):
+            qi, pi = charges_pos[i]
+            qj, pj = charges_pos[j]
+            e += ELEC_FACTOR * qi * qj / np.linalg.norm(pi - pj)
+    return e
+
+
+def test_charge_quadrupole_point_vs_array():
+    """Point quadrupole-charge energy == closed form EF q Qzz/(2 r^3)
+    AND the far-field limit of the explicit 3-charge array."""
+    qq, d, r, qj = 0.8, 0.05, 9.0, 1.0
+    Q = _linear_quad(qq, d)
+    ffp = _ffp([0.0, qj])
+    mp = make_multipoles(ffp, [{"atom": 0, "quad": Q, "frame": "none"}])
+    pos = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, r]])
+    e_point = float(mp.energy_fn(pos))
+    np.testing.assert_allclose(
+        e_point, ELEC_FACTOR * qj * Q[2, 2] / (2.0 * r**3), rtol=1e-12,
+    )
+    # explicit array (pair energy with the external charge only)
+    arr = [(qq, np.array([0, 0, d])), (qq, np.array([0, 0, -d])),
+           (-2 * qq, np.zeros(3))]
+    e_arr = sum(
+        ELEC_FACTOR * qa * qj / np.linalg.norm(np.array([0, 0, r]) - pa)
+        for qa, pa in arr
+    )
+    np.testing.assert_allclose(e_point, e_arr, rtol=2 * (d / r) ** 2)
+
+
+def test_quad_quad_and_quad_dipole_vs_arrays():
+    """Point-model Q-Q and Q-mu energies match explicit charge arrays in
+    the far field (convention-proof: no hand-derived T-tensors to get
+    wrong -- everything comes from AD of one potential)."""
+    qq, d, r = 0.8, 0.04, 10.0
+    Q = _linear_quad(qq, d)
+
+    # Q-Q, both linear quadrupoles along z, separated along z
+    ffp = _ffp([0.0, 0.0])
+    mp = make_multipoles(ffp, [
+        {"atom": 0, "quad": Q, "frame": "none"},
+        {"atom": 1, "quad": Q, "frame": "none"},
+    ])
+    pos = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, r]])
+    e_point = float(mp.energy_fn(pos))
+    arr_i = [(qq, np.array([0, 0, d])), (qq, np.array([0, 0, -d])),
+             (-2 * qq, np.zeros(3))]
+    arr_j = [(qa, pa + np.array([0, 0, r])) for qa, pa in arr_i]
+    e_arr = sum(
+        ELEC_FACTOR * qa * qb / np.linalg.norm(pa - pb)
+        for qa, pa in arr_i for qb, pb in arr_j
+    )
+    np.testing.assert_allclose(e_point, e_arr, rtol=20 * (d / r) ** 2)
+
+    # Q-mu: quadrupole at origin, small physical dipole at z = r
+    m_d = 0.3
+    dd = 0.05
+    mp2 = make_multipoles(ffp, [
+        {"atom": 0, "quad": Q, "frame": "none"},
+        {"atom": 1, "mu": [0, 0, m_d], "frame": "none"},
+    ])
+    e_point2 = float(mp2.energy_fn(pos))
+    # dipole as +-q pair: q = m_d / (2 dd) at z = r +- dd
+    qd = m_d / (2 * dd)
+    arr_dip = [(qd, np.array([0, 0, r + dd])),
+               (-qd, np.array([0, 0, r - dd]))]
+    e_arr2 = sum(
+        ELEC_FACTOR * qa * qb / np.linalg.norm(pa - pb)
+        for qa, pa in arr_i for qb, pb in arr_dip
+    )
+    np.testing.assert_allclose(e_point2, e_arr2,
+                               rtol=20 * max(d / r, dd / r) ** 2)
+
+
+def test_quadrupole_frame_rotation_and_fd_forces():
+    """Frame-rotated quadrupole: Q_lab = R Q_local R^T stays traceless;
+    forces (incl. frame torque transfer) match finite differences."""
+    from torchmd_tpu.multipoles import lab_quadrupoles
+
+    rs = np.random.RandomState(4)
+    Q = _linear_quad(0.6, 0.05)
+    ffp = _ffp(rs.randn(4) * 0.3)
+    mp = make_multipoles(ffp, [
+        {"atom": 0, "mu": [0.05, 0.0, 0.2], "quad": Q,
+         "frame": "z-then-x", "z": 1, "x": 2},
+    ])
+    pos = jnp.asarray(rs.rand(4, 3) * 3.0 + np.arange(4)[:, None] * 2.5)
+    Q_lab = np.asarray(lab_quadrupoles(mp.spec, pos, None))[0]
+    np.testing.assert_allclose(np.trace(Q_lab), 0.0, atol=1e-12)
+    np.testing.assert_allclose(Q_lab, Q_lab.T, atol=1e-12)
+    # eigenvalues preserved under rotation
+    np.testing.assert_allclose(
+        np.sort(np.linalg.eigvalsh(Q_lab)), np.sort(np.linalg.eigvalsh(Q)),
+        atol=1e-10,
+    )
+
+    g = np.asarray(jax.grad(mp.energy_fn)(pos))
+    h = 1e-6
+    for _ in range(6):
+        i, k = rs.randint(4), rs.randint(3)
+        dp = np.zeros((4, 3))
+        dp[i, k] = h
+        fd = (
+            float(mp.energy_fn(pos + dp)) - float(mp.energy_fn(pos - dp))
+        ) / (2 * h)
+        np.testing.assert_allclose(g[i, k], fd, rtol=5e-6, atol=1e-9)
+
+
+def test_quadrupole_validation():
+    ffp = _ffp([0.0, 0.0])
+    with pytest.raises(ValueError, match="traceless"):
+        make_multipoles(ffp, [{"atom": 0, "quad": np.eye(3)}])
+    with pytest.raises(ValueError, match="symmetric"):
+        bad = np.zeros((3, 3)); bad[0, 1] = 1.0
+        make_multipoles(ffp, [{"atom": 0, "quad": bad}])

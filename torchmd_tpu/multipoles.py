@@ -49,6 +49,9 @@ class MultipoleSpec(NamedTuple):
     x_atom: jnp.ndarray      # (ns,) int32 second neighbor (or site)
     nb_mask: jnp.ndarray     # (natoms, natoms) bool nonbonded pair mask
     cutoff: Optional[float]
+    # optional traceless quadrupoles (Jackson convention:
+    # Q_ab = sum q (3 r_a r_b - r^2 d_ab)), local frame, (ns, 3, 3)
+    quad_local: Optional[jnp.ndarray] = None
 
 
 def make_multipoles(ffparams, dipoles, cutoff=None):
@@ -57,14 +60,17 @@ def make_multipoles(ffparams, dipoles, cutoff=None):
     dipoles: list of dicts with keys
         atom (int), mu (3-seq, e*A, local frame),
         frame ('none' | 'z-then-x' | 'bisector'),
-        z (int, required unless frame='none'), x (int, optional).
+        z (int, required unless frame='none'), x (int, optional),
+        quad (optional 3x3 traceless quadrupole, e*A^2, local frame,
+              Jackson convention Q_ab = sum q (3 r_a r_b - r^2 d_ab)).
     The nonbonded mask (exclusions) comes from `ffparams.nb_mask`.
     """
     if ffparams.nb_mask is None:
         raise ValueError("multipoles need the dense nonbonded mask")
     kinds = {"none": FRAME_NONE, "z-then-x": FRAME_Z_THEN_X,
              "bisector": FRAME_BISECTOR}
-    sites, mus, fks, za, xa = [], [], [], [], []
+    sites, mus, fks, za, xa, quads = [], [], [], [], [], []
+    any_quad = False
     for d in dipoles:
         a = int(d["atom"])
         k = kinds[d.get("frame", "none")]
@@ -73,10 +79,19 @@ def make_multipoles(ffparams, dipoles, cutoff=None):
         if k == FRAME_BISECTOR and "x" not in d:
             raise ValueError(f"site {a}: bisector frame needs z and x")
         sites.append(a)
-        mus.append(np.asarray(d["mu"], np.float64).reshape(3))
+        mus.append(np.asarray(d.get("mu", [0.0, 0.0, 0.0]),
+                              np.float64).reshape(3))
         fks.append(k)
         za.append(int(d.get("z", a)))
         xa.append(int(d.get("x", d.get("z", a))))
+        Q = np.asarray(d.get("quad", np.zeros((3, 3))),
+                       np.float64).reshape(3, 3)
+        if not np.allclose(Q, Q.T):
+            raise ValueError(f"site {a}: quadrupole must be symmetric")
+        if abs(np.trace(Q)) > 1e-10 * max(1.0, np.abs(Q).max()):
+            raise ValueError(f"site {a}: quadrupole must be traceless")
+        any_quad = any_quad or np.any(Q != 0)
+        quads.append(Q)
     spec = MultipoleSpec(
         sites=jnp.asarray(sites, jnp.int32),
         mu_local=jnp.asarray(np.stack(mus)),
@@ -85,6 +100,7 @@ def make_multipoles(ffparams, dipoles, cutoff=None):
         x_atom=jnp.asarray(xa, jnp.int32),
         nb_mask=ffparams.nb_mask,
         cutoff=None if cutoff is None else float(cutoff),
+        quad_local=jnp.asarray(np.stack(quads)) if any_quad else None,
     )
     return Multipoles(spec, ffparams.charges)
 
@@ -93,9 +109,8 @@ def _normalize(v, eps=1e-12):
     return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + eps)
 
 
-def lab_dipoles(spec: MultipoleSpec, pos, box):
-    """Rotate local dipoles into the lab frame: (ns, 3)."""
-    dtype = pos.dtype
+def lab_frames(spec: MultipoleSpec, pos, box):
+    """Local->lab rotation matrices R (ns, 3, 3), columns (ex, ey, ez)."""
     p_s = pos[spec.sites]
     vz = wrap_displacement(pos[spec.z_atom] - p_s, box)
     vx = wrap_displacement(pos[spec.x_atom] - p_s, box)
@@ -119,13 +134,28 @@ def lab_dipoles(spec: MultipoleSpec, pos, box):
         vx_eff - jnp.sum(vx_eff * ez, axis=-1, keepdims=True) * ez
     )
     ey = jnp.cross(ez, ex)
+    return jnp.stack([ex, ey, ez], axis=-1)
 
+
+def lab_dipoles(spec: MultipoleSpec, pos, box):
+    """Rotate local dipoles into the lab frame: (ns, 3)."""
+    dtype = pos.dtype
+    R = lab_frames(spec, pos, box)
     mu = spec.mu_local.astype(dtype)
-    mu_lab = (
-        mu[:, 0:1] * ex + mu[:, 1:2] * ey + mu[:, 2:3] * ez
-    )
+    mu_lab = jnp.einsum("sab,sb->sa", R, mu)
     # lab-frame sites keep their literal vector
-    return jnp.where(kind == FRAME_NONE, mu, mu_lab)
+    return jnp.where(spec.frame_kind[:, None] == FRAME_NONE, mu, mu_lab)
+
+
+def lab_quadrupoles(spec: MultipoleSpec, pos, box):
+    """Rotate local traceless quadrupoles into the lab: (ns, 3, 3)."""
+    dtype = pos.dtype
+    R = lab_frames(spec, pos, box)
+    Q = spec.quad_local.astype(dtype)
+    Q_lab = jnp.einsum("sab,sbc,sdc->sad", R, Q, R)
+    return jnp.where(
+        spec.frame_kind[:, None, None] == FRAME_NONE, Q, Q_lab
+    )
 
 
 class Multipoles:
@@ -182,7 +212,76 @@ class Multipoles:
                 0.0,
             )
         )
-        return e_qd + e_dd
+
+        e_quad = jnp.zeros((), dtype)
+        if spec.quad_local is not None:
+            # All quadrupole cross terms derive from ONE potential
+            # definition via AD (no hand-derived T-tensors):
+            #   phi_Q(x; Q at origin) = EF * (x^T Q x) / (2 |x|^5)
+            # charge:   q_j phi_Q(r_ij)
+            # dipole:   mu_j . grad phi_Q(r_ij)
+            # quad:     (1/6) Q_j : hess phi_Q(r_ij)   (pairs once)
+            Qs = lab_quadrupoles(spec, pos, box)       # (ns, 3, 3)
+
+            def phi_Q(r, Q):
+                r2 = jnp.sum(r * r)
+                return (
+                    ELEC_FACTOR * 0.5 * jnp.dot(r, Q @ r) * r2 ** (-2.5)
+                )
+
+            # quad x charge: every masked (site, atom) pair
+            rq = wrap_displacement(pos[None, :, :] - pos[s][:, None, :],
+                                   box)
+            mq = spec.nb_mask[s]
+            if spec.cutoff is not None:
+                mq = mq & (jnp.sum(rq * rq, -1) <= spec.cutoff**2)
+            rq_safe = jnp.where(mq[..., None], rq, 1.0)
+            phi_sa = jax.vmap(
+                lambda Qi, rows: jax.vmap(lambda r: phi_Q(r, Qi))(rows)
+            )(Qs, rq_safe)
+            e_quad = e_quad + jnp.sum(jnp.where(mq, q[None, :] * phi_sa,
+                                                0.0))
+
+            # quad x dipole (ordered site pairs i != j) and quad x quad
+            # (unordered): evaluated on the (ns, ns) site block
+            r_ss = wrap_displacement(
+                pos[s][None, :, :] - pos[s][:, None, :], box
+            )
+            m_ss = spec.nb_mask[s[:, None], s[None, :]]
+            if spec.cutoff is not None:
+                m_ss = m_ss & (jnp.sum(r_ss * r_ss, -1) <= spec.cutoff**2)
+            r_safe = jnp.where(m_ss[..., None], r_ss, 1.0)
+
+            grad_phi = jax.vmap(
+                lambda Qi, rows: jax.vmap(
+                    lambda r: jax.grad(phi_Q)(r, Qi)
+                )(rows)
+            )(Qs, r_safe)                               # (ns, ns, 3)
+            e_qmu = jnp.sum(
+                jnp.where(
+                    m_ss,
+                    jnp.sum(mu[None, :, :] * grad_phi, axis=-1),
+                    0.0,
+                )
+            )
+
+            hess_phi = jax.vmap(
+                lambda Qi, rows: jax.vmap(
+                    lambda r: jax.hessian(phi_Q)(r, Qi)
+                )(rows)
+            )(Qs, r_safe)                               # (ns, ns, 3, 3)
+            m_once = m_ss & (
+                jnp.arange(ns)[:, None] < jnp.arange(ns)[None, :]
+            )
+            e_qq = jnp.sum(
+                jnp.where(
+                    m_once,
+                    jnp.einsum("jab,ijab->ij", Qs, hess_phi) / 6.0,
+                    0.0,
+                )
+            )
+            e_quad = e_quad + e_qmu + e_qq
+        return e_qd + e_dd + e_quad
 
     def calculate(self, pos, box=None):
         """Batched host-protocol fallback (reference forces.py:321-326)."""
