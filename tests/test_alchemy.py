@@ -239,3 +239,38 @@ def test_make_alchemical_rejects_cell_path():
                     kernel="cell")
     with pytest.raises(NotImplementedError, match="cell"):
         make_alchemical(forces, [0, 1])
+
+
+def test_alchemy_on_verlet_path_consistent():
+    """kernel='verlet' + make_alchemical: the pre-edit neighbor kernel is
+    dropped, the rebuilt list honors the masked crossing pairs, and the
+    total (masked base + coupling at lam=1) matches the dense alchemical
+    setup exactly."""
+    import os
+
+    from conftest import SYSTEMS_DIR
+    from torchmd_tpu.io import Molecule
+    from torchmd_tpu.forcefields import ForceField
+    from torchmd_tpu.forces import Forces
+    from torchmd_tpu.parameters import Parameters
+    from torchmd_tpu.alchemy import make_alchemical
+
+    mol = Molecule(os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"))
+    ff = ForceField.create(
+        mol, os.path.join(SYSTEMS_DIR, "argon", "argon_forcefield.yaml")
+    )
+    par = Parameters(ff, mol, ["lj"], precision="double")
+
+    def build(kernel):
+        forces = Forces(par, terms=["lj"], precision="double", cutoff=9.0,
+                        kernel=kernel)
+        pos = mol.coords[:, :, 0][None]
+        box = np.zeros((1, 3, 3))
+        np.fill_diagonal(box[0], [77.395] * 3)
+        forces.compute(pos, box)  # builds the kernel (if any)
+        make_alchemical(forces, [0, 1], lam=1.0)
+        return forces.compute(pos, box)[0]
+
+    e_dense = build("dense")
+    e_verlet = build("verlet")
+    np.testing.assert_allclose(e_verlet, e_dense, rtol=1e-11)
