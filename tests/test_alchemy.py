@@ -274,3 +274,33 @@ def test_alchemy_on_verlet_path_consistent():
     e_dense = build("dense")
     e_verlet = build("verlet")
     np.testing.assert_allclose(e_verlet, e_dense, rtol=1e-11)
+
+
+def test_alchemical_guard_survives_box_resolution(monkeypatch):
+    """Regression: with kernel='auto' above the cell size trigger, the
+    guard must hold even if the first evaluation (no box) would have
+    marked the cell grid infeasible -- a later periodic box must not
+    re-enable the cell path over the edited mask."""
+    import os
+
+    import pytest
+
+    from conftest import SYSTEMS_DIR
+    from torchmd_tpu.io import Molecule
+    from torchmd_tpu.forcefields import ForceField
+    from torchmd_tpu.forces import Forces
+    from torchmd_tpu.parameters import Parameters
+    from torchmd_tpu.alchemy import make_alchemical
+
+    monkeypatch.setenv("TMD_AUTO_CELL_N", "1")  # everything size-triggers
+    mol = Molecule(os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"))
+    ff = ForceField.create(
+        mol, os.path.join(SYSTEMS_DIR, "argon", "argon_forcefield.yaml")
+    )
+    par = Parameters(ff, mol, ["lj"], precision="double")
+    forces = Forces(par, terms=["lj"], precision="double", cutoff=9.0,
+                    kernel="auto")
+    pos = mol.coords[:, :, 0][None]
+    forces.compute(pos, None)  # no box: cell marked infeasible
+    with pytest.raises(NotImplementedError, match="cell"):
+        make_alchemical(forces, [0, 1])

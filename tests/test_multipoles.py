@@ -298,3 +298,46 @@ def test_quadrupole_validation():
     with pytest.raises(ValueError, match="symmetric"):
         bad = np.zeros((3, 3)); bad[0, 1] = 1.0
         make_multipoles(ffp, [{"atom": 0, "quad": bad}])
+
+
+def test_z_then_x_requires_x_for_transverse_moments():
+    """Regression: transverse mu/quad components in a z-then-x frame
+    without an x atom used to vanish silently; axial-only moments remain
+    allowed."""
+    ffp = _ffp([0.0, 0.0])
+    with pytest.raises(ValueError, match="x atom"):
+        make_multipoles(ffp, [
+            {"atom": 0, "mu": [0.4, 0.0, 0.2], "frame": "z-then-x",
+             "z": 1},
+        ])
+    # axial dipole + axially symmetric quadrupole: fine without x
+    mp = make_multipoles(ffp, [
+        {"atom": 0, "mu": [0, 0, 0.2], "quad": _linear_quad(0.5, 0.05),
+         "frame": "z-then-x", "z": 1},
+    ])
+    pos = jnp.asarray([[0.0, 0.0, 0.0], [2.0, 0.0, 0.0]])
+    assert np.isfinite(float(mp.energy_fn(pos)))
+
+
+def test_switching_removes_cutoff_discontinuity():
+    """With switch_dist the pair energy tapers continuously to zero at
+    the cutoff (no energy jump when a pair crosses it)."""
+    m = 0.4
+    ffp = _ffp([0.0, 0.0])
+    mp = make_multipoles(ffp, [
+        {"atom": 0, "mu": [0, 0, m], "frame": "none"},
+        {"atom": 1, "mu": [0, 0, m], "frame": "none"},
+    ], cutoff=8.0, switch_dist=6.0)
+
+    def e(r):
+        return float(mp.energy_fn(
+            jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, r]])
+        ))
+
+    assert abs(e(7.999)) < 1e-5      # continuous to zero at the cutoff
+    assert abs(e(8.001)) == 0.0
+    np.testing.assert_allclose(      # untouched below the switch
+        e(5.0), -2.0 * ELEC_FACTOR * m * m / 5.0**3, rtol=1e-12,
+    )
+    # monotone taper inside the switching window
+    assert abs(e(6.5)) < abs(e(6.0)) and abs(e(7.5)) < abs(e(6.5))

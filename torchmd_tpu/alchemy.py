@@ -160,17 +160,22 @@ class AlchemicalCoupling:
 def _require_masked_nonbonded(forces):
     """Alchemical constructions edit the dense nb_mask; the cell path
     masks pairs only via the bonds/angles/1-4 exclusion table and would
-    silently double-count every crossing pair."""
+    silently double-count every crossing pair. Guard on the raw size
+    trigger (cell_auto_size), not the current cell_auto — the box
+    resolver can re-enable the cell path later — and mark the mask as
+    authoritative so auto-selection never flips back."""
     if getattr(forces, "cell_requested", False) or getattr(
-        forces, "cell_auto", False
+        forces, "cell_auto_size", getattr(forces, "cell_auto", False)
     ):
         raise NotImplementedError(
             "alchemical coupling requires a nonbonded path driven by the "
             "dense mask (dense/Pallas/verlet); the cell-list kernel does "
             "not consult nb_mask and would double-count crossing pairs"
         )
-    # any previously built verlet kernel holds the pre-edit FFParams;
-    # drop it so the masked pairs cannot reappear through a stale list
+    # the edited mask is now load-bearing: forbid any later switch to
+    # the cell path, and drop a previously built verlet kernel (it holds
+    # the pre-edit FFParams)
+    forces._nb_mask_authoritative = True
     if getattr(forces, "_verlet_kernel", None) is not None:
         forces._verlet_kernel = None
 

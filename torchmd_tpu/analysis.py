@@ -179,16 +179,14 @@ def main(argv=None):
         _jax.config.update("jax_platforms", "cpu")
 
     if args.traj is not None:
+        traj = np.load(os.path.join(args.log_dir, args.traj))
         if args.view:
             from .viz import view_frame
 
-            frames = np.asarray(_frames(
-                np.load(os.path.join(args.log_dir, args.traj))
-            ))
+            frames = np.asarray(_frames(traj))
             view_frame(None, frames[-1], out=args.view,
                        title=f"{args.traj} frame {len(frames) - 1}")
             print("wrote", args.view)
-        traj = np.load(os.path.join(args.log_dir, args.traj))
         if args.rmsd:
             vals = rmsd(traj)
             np.savetxt(args.rmsd,

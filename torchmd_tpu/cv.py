@@ -29,6 +29,17 @@ __all__ = [
 ]
 
 
+def _boxes_to_diag(box, nreplicas):
+    """Accept (R,3,3), (R,3), (3,3), (3,) -> (R,3) diagonals (the same
+    shapes Forces._box_to_diag takes on the jitted path)."""
+    b = np.asarray(box, np.float64)
+    if b.ndim == 3:
+        b = np.stack([np.diag(b[r]) for r in range(b.shape[0])])
+    elif b.ndim == 2 and b.shape == (3, 3):
+        b = np.diag(b)[None]
+    return np.broadcast_to(b.reshape(-1, 3), (nreplicas, 3))
+
+
 def distance_cv(i, j):
     """CV: distance between atoms i and j (minimum image when boxed)."""
     i, j = int(i), int(j)
@@ -118,20 +129,15 @@ class HarmonicBias:
         identically to the jitted path."""
         pos = jnp.asarray(pos)
         if box is None:
-            boxes = [None] * pos.shape[0]
+            e, g = jax.vmap(
+                jax.value_and_grad(lambda p: self.energy_fn(p, None))
+            )(pos)
         else:
-            b = np.asarray(box, np.float64)
-            if b.ndim == 3:  # (R, 3, 3) -> diagonals
-                b = np.stack([np.diag(b[r]) for r in range(b.shape[0])])
-            b = np.broadcast_to(b.reshape(-1, 3), (pos.shape[0], 3))
-            boxes = [jnp.asarray(x) for x in b]
-        e_g = [
-            jax.value_and_grad(lambda p: self.energy_fn(p, bx))(pos[r])
-            for r, bx in enumerate(boxes)
-        ]
-        e = np.asarray([float(x[0]) for x in e_g])
-        g = np.stack([np.asarray(x[1]) for x in e_g])
-        return e, -g
+            boxes = jnp.asarray(_boxes_to_diag(box, pos.shape[0]))
+            e, g = jax.vmap(
+                jax.value_and_grad(self.energy_fn), in_axes=(0, 0)
+            )(pos, boxes)
+        return np.asarray(e), -np.asarray(g)
 
 
 def wham(cv_series, centers, k, kT=None, T=300.0, nbins=60, bias_energies

@@ -169,9 +169,13 @@ class Forces:
         )
         # the size trigger is provisional: resolve_kernel_for_box drops it
         # (re-enabling the dense Pallas kernel) once a concrete box shows
-        # no cell grid is feasible (open boundaries / tiny box)
-        self.cell_auto = self.cell_auto_size and not getattr(
-            self, "_cell_infeasible", False
+        # no cell grid is feasible (open boundaries / tiny box). A mask
+        # edited by alchemy is authoritative: the cell path (which never
+        # consults nb_mask) stays off for good.
+        self.cell_auto = (
+            self.cell_auto_size
+            and not getattr(self, "_cell_infeasible", False)
+            and not getattr(self, "_nb_mask_authoritative", False)
         )
         self.cell_skin = getattr(self, "cell_skin", 2.0)
         self._cell_kernel = getattr(self, "_cell_kernel", None)
@@ -462,6 +466,11 @@ class Forces:
         """Build (once) the cell-list kernel for a concrete box diagonal.
         `pos0` (optional starting coordinates) sizes the cell capacity from
         real occupancy. Marks the cell path as the active kernel."""
+        if getattr(self, "_nb_mask_authoritative", False):
+            raise NotImplementedError(
+                "the nonbonded mask carries alchemical edits the cell "
+                "kernel cannot honor; use the dense/Pallas/verlet path"
+            )
         if self._cell_kernel is None:
             from .neighbors import CellKernel
 

@@ -1173,7 +1173,13 @@ class Integrator:
                 )
                 self.forces._cell_kernel = self._cell_kernel
                 self.forces._build_evaluators()
-                self._scan_fn = self._build_scan_cell()
+                # rebuild the scan matching this integrator's dispatch
+                # (the spatial scan also re-derives its slab split from
+                # the new grid)
+                if self._spatial is not None:
+                    self._scan_fn = self._build_scan_spatial()
+                else:
+                    self._scan_fn = self._build_scan_cell()
         box = self._dev_box
 
         if self._host_path:

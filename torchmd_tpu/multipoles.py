@@ -52,9 +52,13 @@ class MultipoleSpec(NamedTuple):
     # optional traceless quadrupoles (Jackson convention:
     # Q_ab = sum q (3 r_a r_b - r^2 d_ab)), local frame, (ns, 3, 3)
     quad_local: Optional[jnp.ndarray] = None
+    # optional switching: energies taper smoothly to zero between
+    # switch_dist and cutoff (same cubic switch as the LJ term), so a
+    # truncated multipole term does not inject energy at the cutoff
+    switch_dist: Optional[float] = None
 
 
-def make_multipoles(ffparams, dipoles, cutoff=None):
+def make_multipoles(ffparams, dipoles, cutoff=None, switch_dist=None):
     """Build a `Multipoles` evaluator.
 
     dipoles: list of dicts with keys
@@ -79,13 +83,29 @@ def make_multipoles(ffparams, dipoles, cutoff=None):
         if k == FRAME_BISECTOR and "x" not in d:
             raise ValueError(f"site {a}: bisector frame needs z and x")
         sites.append(a)
-        mus.append(np.asarray(d.get("mu", [0.0, 0.0, 0.0]),
-                              np.float64).reshape(3))
+        mu = np.asarray(d.get("mu", [0.0, 0.0, 0.0]), np.float64).reshape(3)
+        mus.append(mu)
         fks.append(k)
         za.append(int(d.get("z", a)))
         xa.append(int(d.get("x", d.get("z", a))))
         Q = np.asarray(d.get("quad", np.zeros((3, 3))),
                        np.float64).reshape(3, 3)
+        if k == FRAME_Z_THEN_X and "x" not in d:
+            # without an x atom the transverse directions are undefined
+            # (the default x==z is collinear): only axially symmetric
+            # moments are representable -- refuse anything else instead
+            # of silently zeroing its transverse part
+            axial_mu = abs(mu[0]) < 1e-12 and abs(mu[1]) < 1e-12
+            axial_q = (
+                abs(Q[0, 0] - Q[1, 1]) < 1e-12
+                and abs(Q[0, 1]) < 1e-12 and abs(Q[0, 2]) < 1e-12
+                and abs(Q[1, 2]) < 1e-12
+            )
+            if not (axial_mu and axial_q):
+                raise ValueError(
+                    f"site {a}: z-then-x frame with transverse moment "
+                    "components needs an x atom"
+                )
         if not np.allclose(Q, Q.T):
             raise ValueError(f"site {a}: quadrupole must be symmetric")
         if abs(np.trace(Q)) > 1e-10 * max(1.0, np.abs(Q).max()):
@@ -101,7 +121,10 @@ def make_multipoles(ffparams, dipoles, cutoff=None):
         nb_mask=ffparams.nb_mask,
         cutoff=None if cutoff is None else float(cutoff),
         quad_local=jnp.asarray(np.stack(quads)) if any_quad else None,
+        switch_dist=None if switch_dist is None else float(switch_dist),
     )
+    if switch_dist is not None and cutoff is None:
+        raise ValueError("switch_dist needs a cutoff")
     return Multipoles(spec, ffparams.charges)
 
 
@@ -158,6 +181,17 @@ def lab_quadrupoles(spec: MultipoleSpec, pos, box):
     )
 
 
+def _switch_factor(d2, cutoff, switch_dist):
+    """Cubic taper (same polynomial as the LJ switch) on r in
+    [switch_dist, cutoff]; 1 below, continuous to 0 at the cutoff."""
+    if switch_dist is None or cutoff is None:
+        return 1.0
+    t = jnp.clip(
+        (jnp.sqrt(d2) - switch_dist) / (cutoff - switch_dist), 0.0, 1.0
+    )
+    return 1.0 + t * t * t * (-10.0 + t * (15.0 - t * 6.0))
+
+
 class Multipoles:
     """External-potential protocol object for permanent point dipoles."""
 
@@ -172,6 +206,8 @@ class Multipoles:
         mu = lab_dipoles(spec, pos, box)          # (ns, 3)
         s = spec.sites
         ns = s.shape[0]
+        sw = lambda d2: _switch_factor(d2, spec.cutoff,  # noqa: E731
+                                       spec.switch_dist)
 
         # charge-dipole over all (site, atom) pairs allowed by the mask
         dv = wrap_displacement(pos[None, :, :] - pos[s][:, None, :], box)
@@ -183,8 +219,11 @@ class Multipoles:
         inv_r3 = d2s ** (-1.5)
         mudotr = jnp.sum(mu[:, None, :] * dv, axis=-1)
         e_qd = jnp.sum(
-            jnp.where(mask_qd, ELEC_FACTOR * q[None, :] * mudotr * inv_r3,
-                      0.0)
+            jnp.where(
+                mask_qd,
+                ELEC_FACTOR * q[None, :] * mudotr * inv_r3 * sw(d2s),
+                0.0,
+            )
         )
 
         # dipole-dipole over site pairs (each pair once)
@@ -208,7 +247,7 @@ class Multipoles:
             jnp.where(
                 mask_dd,
                 ELEC_FACTOR * (mui_muj * inv_r3 - 3.0 * mui_r * muj_r
-                               * inv_r5),
+                               * inv_r5) * sw(d2s),
                 0.0,
             )
         )
@@ -239,8 +278,10 @@ class Multipoles:
             phi_sa = jax.vmap(
                 lambda Qi, rows: jax.vmap(lambda r: phi_Q(r, Qi))(rows)
             )(Qs, rq_safe)
-            e_quad = e_quad + jnp.sum(jnp.where(mq, q[None, :] * phi_sa,
-                                                0.0))
+            sw_q = sw(jnp.sum(rq_safe * rq_safe, -1))
+            e_quad = e_quad + jnp.sum(
+                jnp.where(mq, q[None, :] * phi_sa * sw_q, 0.0)
+            )
 
             # quad x dipole (ordered site pairs i != j) and quad x quad
             # (unordered): evaluated on the (ns, ns) site block
@@ -257,10 +298,11 @@ class Multipoles:
                     lambda r: jax.grad(phi_Q)(r, Qi)
                 )(rows)
             )(Qs, r_safe)                               # (ns, ns, 3)
+            sw_ss = sw(jnp.sum(r_safe * r_safe, -1))
             e_qmu = jnp.sum(
                 jnp.where(
                     m_ss,
-                    jnp.sum(mu[None, :, :] * grad_phi, axis=-1),
+                    jnp.sum(mu[None, :, :] * grad_phi, axis=-1) * sw_ss,
                     0.0,
                 )
             )
@@ -276,7 +318,7 @@ class Multipoles:
             e_qq = jnp.sum(
                 jnp.where(
                     m_once,
-                    jnp.einsum("jab,ijab->ij", Qs, hess_phi) / 6.0,
+                    jnp.einsum("jab,ijab->ij", Qs, hess_phi) / 6.0 * sw_ss,
                     0.0,
                 )
             )
@@ -285,20 +327,16 @@ class Multipoles:
 
     def calculate(self, pos, box=None):
         """Batched host-protocol fallback (reference forces.py:321-326)."""
+        from .cv import _boxes_to_diag
+
         pos = jnp.asarray(pos)
-        nrep = pos.shape[0]
         if box is None:
-            boxes = [None] * nrep
+            e, g = jax.vmap(
+                jax.value_and_grad(lambda p: self.energy_fn(p, None))
+            )(pos)
         else:
-            b = np.asarray(box, np.float64)
-            if b.ndim == 3:
-                b = np.stack([np.diag(b[r]) for r in range(nrep)])
-            boxes = [jnp.asarray(x) for x in
-                     np.broadcast_to(b.reshape(-1, 3), (nrep, 3))]
-        out = [
-            jax.value_and_grad(lambda p: self.energy_fn(p, bx))(pos[r])
-            for r, bx in enumerate(boxes)
-        ]
-        e = np.asarray([float(x[0]) for x in out])
-        f = -np.stack([np.asarray(x[1]) for x in out])
-        return e, f
+            boxes = jnp.asarray(_boxes_to_diag(box, pos.shape[0]))
+            e, g = jax.vmap(
+                jax.value_and_grad(self.energy_fn), in_axes=(0, 0)
+            )(pos, boxes)
+        return np.asarray(e), -np.asarray(g)

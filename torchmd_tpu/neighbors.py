@@ -482,12 +482,14 @@ class CellKernel:
         )
 
     def covers(self, box) -> bool:
-        """True while box/ncells still hosts rc-wide cells: binning by a
-        traced box stays valid under modest (barostat) volume changes;
-        when this trips the kernel must be rebuilt via with_box."""
+        """True while box/ncells still hosts rc/split-wide cells (the
+        (2*split+1)-stencil invariant): binning by a traced box stays
+        valid under modest (barostat) volume changes; when this trips
+        the kernel must be rebuilt via with_box."""
         b = np.asarray(box, np.float64).reshape(-1, 3)
         edges = b.min(axis=0) / np.asarray(self.clcfg.ncells)
-        return bool(np.all(edges >= self.clcfg.rc * (1.0 - 1e-9)))
+        need = self.clcfg.rc / self.clcfg.split
+        return bool(np.all(edges >= need * (1.0 - 1e-9)))
 
     def with_box(self, box, pos0=None):
         """New kernel for a materially different box (same topology)."""
