@@ -341,3 +341,37 @@ def test_switching_removes_cutoff_discontinuity():
     )
     # monotone taper inside the switching window
     assert abs(e(6.5)) < abs(e(6.0)) and abs(e(7.5)) < abs(e(6.5))
+
+
+def test_parse_tinker_multipole_records():
+    """TINKER multipole record parsing: axis-sign frame decoding and the
+    lower-triangular quadrupole mirror (values verbatim, file units)."""
+    from torchmd_tpu.multipoles import parse_tinker_multipoles
+
+    text = """
+# AMOEBA water (amoeba09-style records)
+multipole   401 -402 -402          -0.51966
+                                    0.00000  0.00000  0.14279
+                                    0.37928
+                                    0.00000 -0.41809
+                                    0.00000  0.00000  0.03881
+multipole   402  401  402           0.25983
+                                   -0.03859  0.00000 -0.05818
+                                   -0.03673
+                                    0.00000 -0.10739
+                                   -0.00203  0.00000  0.14412
+"""
+    recs = parse_tinker_multipoles(text)
+    assert set(recs) == {401, 402}
+    o = recs[401]
+    assert o["frame"] == "bisector"
+    assert o["z_type"] == 402 and o["x_type"] == 402
+    np.testing.assert_allclose(o["monopole"], -0.51966)
+    np.testing.assert_allclose(o["dipole"], [0.0, 0.0, 0.14279])
+    np.testing.assert_allclose(np.trace(o["quad"]), 0.0, atol=1e-10)
+    np.testing.assert_allclose(o["quad"], o["quad"].T)
+    h = recs[402]
+    assert h["frame"] == "z-then-x"
+    assert h["z_type"] == 401 and h["x_type"] == 402
+    np.testing.assert_allclose(h["quad"][0, 2], -0.00203)
+    np.testing.assert_allclose(h["quad"][2, 0], -0.00203)

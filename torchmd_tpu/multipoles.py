@@ -181,6 +181,69 @@ def lab_quadrupoles(spec: MultipoleSpec, pos, box):
     )
 
 
+def parse_tinker_multipoles(text):
+    """Parse TINKER/AMOEBA `multipole` records into structural dicts.
+
+    Each record:
+        multipole  k  z  x  [y]   M
+                                  Dx Dy Dz
+                                  Qxx
+                                  Qxy Qyy
+                                  Qxz Qyz Qzz
+    Returns {atom_type: {"monopole", "dipole" (3,), "quad" (3,3 symmetric,
+    file values mirrored), "frame" ('z-then-x'|'bisector'|'none'),
+    "z_type", "x_type"}} with axis conventions decoded from the signs
+    (negative z/x = bisector; zero = no axis).
+
+    Values are returned VERBATIM in the file's units (TINKER stores
+    dipoles in e*Bohr and quadrupoles in e*Bohr^2): unit conversion and
+    any traceless-convention rescaling are the caller's explicit choice
+    when mapping onto `make_multipoles` -- this container has no AMOEBA
+    ground truth to validate conversion constants against, so none are
+    baked in.
+    """
+    out = {}
+    lines = [ln.split("#")[0].rstrip() for ln in text.splitlines()]
+    i = 0
+    while i < len(lines):
+        parts = lines[i].split()
+        if not parts or parts[0].lower() != "multipole":
+            i += 1
+            continue
+        head = [float(x) for x in parts[1:]]
+        # (k, z, x[, y], monopole): 3-5 axis ints then the monopole
+        axes = [int(x) for x in head[:-1]]
+        mono = head[-1]
+        k = axes[0]
+        z_t = axes[1] if len(axes) > 1 else 0
+        x_t = axes[2] if len(axes) > 2 else 0
+        if z_t < 0 and x_t < 0:
+            frame = "bisector"
+        elif z_t == 0:
+            frame = "none"
+        else:
+            frame = "z-then-x"
+        dip = [float(x) for x in lines[i + 1].split()]
+        qxx = [float(x) for x in lines[i + 2].split()]
+        qxy = [float(x) for x in lines[i + 3].split()]
+        qxz = [float(x) for x in lines[i + 4].split()]
+        Q = np.array([
+            [qxx[0], qxy[0], qxz[0]],
+            [qxy[0], qxy[1], qxz[1]],
+            [qxz[0], qxz[1], qxz[2]],
+        ])
+        out[k] = {
+            "monopole": mono,
+            "dipole": np.asarray(dip),
+            "quad": Q,
+            "frame": frame,
+            "z_type": abs(z_t),
+            "x_type": abs(x_t),
+        }
+        i += 5
+    return out
+
+
 def _switch_factor(d2, cutoff, switch_dist):
     """Cubic taper (same polynomial as the LJ switch) on r in
     [switch_dist, cutoff]; 1 below, continuous to 0 at the cutoff."""
