@@ -351,6 +351,76 @@ def test_pallas_cell_kernel_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), atol=1e-6)
 
 
+def test_cell_boundary_crossing_between_rebuilds():
+    """An atom drifting across a periodic face between rebuilds (less than
+    skin/2, so no rebuild triggers) must keep exact dense-path parity.
+
+    Regression: a plain per-eval wrap teleported such atoms to the far
+    side of the box, breaking the pre-shifted ghost-cell distance math
+    (missed pairs, ~box-magnitude displacement errors). Evaluation now
+    anchors positions to the build frame (neighbors.anchored_positions)."""
+    mol, par, forces = _argon()
+    box = jnp.asarray([77.395] * 3)
+    pos0 = np.asarray(mol.coords[:, :, 0]).copy()
+    # park three atoms just inside three different faces, with partners
+    # within cutoff on the wrapped side
+    pos0[0] = [20.0, 20.0, 0.4]
+    pos0[1] = [20.0, 20.0, 77.395 - 4.0]   # 4.4 A from atom 0 via the face
+    pos0[2] = [0.3, 50.0, 40.0]
+    pos0[3] = [77.395 - 5.0, 50.0, 40.0]
+    pos0 = jnp.asarray(pos0)
+
+    kern = CellKernel(forces.ffparams, forces.config, par, np.asarray(box))
+    cl = kern.build(pos0)
+
+    # drift atoms 0 and 2 across their faces by < skin/2
+    pos1 = pos0.at[0, 2].add(-0.8).at[2, 0].add(-0.6)
+    assert not bool(kern.needs_rebuild(cl, pos1))
+
+    pot_c, f_c = jax.jit(kern.energy_forces)(pos1, box, cl)
+    pot_d, f_d = nonbonded_energy_forces(
+        forces.ffparams, pos1, box, forces.config
+    )
+    for k in pot_d:
+        np.testing.assert_allclose(float(pot_c[k]), float(pot_d[k]),
+                                   rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_d), atol=1e-10)
+
+
+def test_pallas_cell_boundary_crossing_between_rebuilds():
+    """Same regression through the Pallas ghost-column kernel (interpret
+    mode, f32): build-frame anchoring must match the dense path for
+    boundary-crossing drift."""
+    from torchmd_tpu.ops.pallas_cell import pallas_cell_energy_forces
+
+    mol = Molecule(os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"))
+    ff = ForceField.create(
+        mol, os.path.join(SYSTEMS_DIR, "argon", "argon_forcefield.yaml")
+    )
+    par = Parameters(ff, mol, ["lj"], precision="single")
+    forces = Forces(par, terms=["lj"], precision="single", cutoff=9.0)
+    box = np.asarray([77.395] * 3)
+    pos0 = np.asarray(mol.coords[:, :, 0], np.float32).copy()
+    pos0[0] = [20.0, 20.0, 0.4]
+    pos0[1] = [20.0, 20.0, 77.395 - 4.0]
+    pos0 = jnp.asarray(pos0)
+    kern = CellKernel(forces.ffparams, forces.config, par, box)
+    cl = kern.build(pos0)
+    pos1 = pos0.at[0, 2].add(-0.8)
+    assert not bool(kern.needs_rebuild(cl, pos1))
+    boxj = jnp.asarray(box, jnp.float32)
+    pot_p, f_p = pallas_cell_energy_forces(
+        forces.ffparams, forces.config, kern.clcfg, cl, kern.excl_table,
+        pos1, boxj, interpret=True,
+    )
+    pot_d, f_d = nonbonded_energy_forces(
+        forces.ffparams, pos1, boxj, forces.config
+    )
+    for k in pot_d:
+        assert abs(float(pot_p[k]) - float(pot_d[k])) < 1e-4, k
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_d), atol=1e-4)
+
+
 # ----------------------------------------------------------------------
 # Verlet (padded neighbor-list) path
 # ----------------------------------------------------------------------

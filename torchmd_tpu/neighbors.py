@@ -153,6 +153,27 @@ def build_cell_list(pos, cfg: CellListConfig, box=None) -> CellList:
     return CellList(slots, counts, pos, overflow)
 
 
+def anchored_positions(pos, ref, box):
+    """Build-frame evaluation positions: the build-time reference wrapped
+    into the primary box image plus the minimum-image displacement since
+    the build.
+
+    The ghost-cell pair math evaluates raw coordinate differences against
+    pre-shifted ghost copies (no per-pair minimum-image wrap), so each
+    atom must stay spatially continuous with the cell it was binned into.
+    A plain per-eval wrap teleports an atom that drifted across a
+    periodic face to the far side of the box (~L error in every pair it
+    participates in) even though the skin/2 rebuild criterion has not
+    tripped; anchoring to the build frame keeps it just outside [0, L)
+    where the pre-shifted ghosts see it correctly."""
+    b = jnp.asarray(box, pos.dtype).reshape(3)
+    safe = jnp.where(b > 0, b, 1.0)
+    ref_w = jnp.where(b > 0, ref - safe * jnp.floor(ref / safe), ref)
+    d = pos - ref
+    d = d - jnp.where(b > 0, safe * jnp.round(d / safe), 0.0)
+    return ref_w + d
+
+
 def needs_rebuild(cl: CellList, pos, cfg: CellListConfig, box=None):
     """True when any atom moved further than skin/2 since the build."""
     d = pos - cl.ref_pos
@@ -224,13 +245,12 @@ def cell_nonbonded_energy_forces(
 
     # slot-layout attribute tables (single cheap gathers per evaluation;
     # attributes are per-rebuild constants, positions change every step).
-    # Positions are wrapped into [0, box) first: ghost shifts assume each
-    # atom sits in its own cell's primary image (trajectories may be
-    # unwrapped), and the wrap matches _cell_ids' floor-fraction binning.
-    boxw = jnp.asarray(box, dtype)
-    pos_w = pos - jnp.where(
-        boxw > 0, boxw * jnp.floor(pos / jnp.where(boxw > 0, boxw, 1.0)), 0.0
-    )
+    # Positions are anchored to the build frame (wrapped build reference +
+    # minimum-image displacement since the build): ghost shifts assume
+    # each atom sits spatially with the cell it was binned into, which a
+    # plain per-eval wrap violates for atoms that crossed a periodic face
+    # between rebuilds (see anchored_positions).
+    pos_w = anchored_positions(pos, cl.ref_pos, box)
     pos_pad = jnp.concatenate([pos_w, jnp.zeros((1, 3), dtype)])
     P = pos_pad[slots]                                 # (ncells, cap, 3)
     q_pad = jnp.concatenate([ffp.charges.astype(dtype), jnp.zeros(1, dtype)])

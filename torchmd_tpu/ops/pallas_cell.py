@@ -129,9 +129,13 @@ def pallas_cell_energy_forces(ffp, cfg, clcfg, cl, excl_table, pos, box,
 
     boxv = jnp.asarray(box, f32)
     pos = jnp.asarray(pos, f32)
-    # wrap into the primary image (ghost shifts assume in-cell coordinates)
-    safe = jnp.where(boxv > 0, boxv, 1.0)
-    pos_w = pos - jnp.where(boxv > 0, safe * jnp.floor(pos / safe), 0.0)
+    # anchor to the build frame: wrapped build reference + minimum-image
+    # displacement since the build (a plain wrap teleports atoms that
+    # crossed a periodic face between rebuilds; see
+    # neighbors.anchored_positions)
+    from ..neighbors import anchored_positions
+
+    pos_w = anchored_positions(pos, jnp.asarray(cl.ref_pos, f32), boxv)
 
     # ---- slot-layout attribute rows (XLA prep, one gather each) ----
     pos_pad = jnp.concatenate([pos_w, jnp.zeros((1, 3), f32)])
