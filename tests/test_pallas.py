@@ -81,3 +81,50 @@ def test_pallas_kernel_ewald_real_space():
     )
     scale = float(jnp.abs(f_d).max())
     assert float(jnp.abs(f_p - f_d).max()) < 1e-4 * max(scale, 1.0)
+
+
+def test_pallas_kernel_nbfix_tables(monkeypatch):
+    """NBFIX pair-specific A/B tables ride the Pallas kernel via the
+    one-hot MXU gather (exact in f32): parity with the dense jnp path
+    on tables that really differ from Lorentz-Berthelot."""
+    mol, ff, nbconf = load_system(os.path.join(DATA_DIR, "waterbox"))
+    par = Parameters(ff, mol, ALL_TERMS, precision="single")
+    forces = Forces(par, terms=ALL_TERMS, precision="single", **nbconf)
+    ffp, cfg = forces.ffparams, forces.config
+
+    sig = np.asarray(ffp.lj_params[:, 0], np.float64)
+    eps = np.abs(np.asarray(ffp.lj_params[:, 1], np.float64))
+    sig_ij = 0.5 * (sig[:, None] + sig[None, :])
+    eps_ij = np.sqrt(eps[:, None] * eps[None, :])
+    s6 = sig_ij ** 6
+    B = 4.0 * eps_ij * s6
+    A = B * s6
+    # perturb one off-diagonal pair so the tables really matter
+    A[0, 1] = A[1, 0] = A[0, 1] * 1.35 + 10.0
+    B[0, 1] = B[1, 0] = B[0, 1] * 0.8 + 1.0
+    ffp2 = ffp._replace(
+        lj_ab=(jnp.asarray(A, jnp.float32), jnp.asarray(B, jnp.float32))
+    )
+
+    pos = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+    box = jnp.asarray(mol.box[:, 0], jnp.float32)
+    pot_d, f_d = nonbonded_energy_forces(ffp2, pos, box, cfg)
+    scale = float(jnp.abs(f_d).max())
+
+    for tri in ("1", "0"):
+        monkeypatch.setenv("TMD_PALLAS_TRI", tri)
+        data = prepare_nb_data(ffp2)
+        assert data.arow is not None and data.onehot is not None
+        pot_p, f_p = pallas_nonbonded_energy_forces(
+            data, cfg, pos, box, interpret=True
+        )
+        for k in pot_d:
+            np.testing.assert_allclose(
+                float(pot_p[k]), float(pot_d[k]), rtol=2e-5, atol=2e-3,
+                err_msg=f"{k} tri={tri}",
+            )
+        assert float(jnp.abs(f_p - f_d).max()) < 5e-5 * max(scale, 1.0)
+
+    # sanity: the perturbed tables changed the answer vs plain LB
+    pot_lb, _ = nonbonded_energy_forces(ffp, pos, box, cfg)
+    assert abs(float(pot_lb["lj"]) - float(pot_d["lj"])) > 1e-3

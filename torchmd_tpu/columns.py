@@ -1,0 +1,509 @@
+"""z-sorted column neighbor structure for the large-N nonbonded path.
+
+Build-side companion of ops/pallas_column.py (see its docstring for the
+kernel design). This module owns the static configuration, the jittable
+(re)build that produces the slot layout + window table, and the
+`ColumnKernel` class that duck-types `neighbors.CellKernel` so the
+integrator's kernel-carrying scan, rebuild `lax.cond` and overflow
+grow/retry machinery work unchanged.
+
+Layout produced by `build_columns`:
+
+  - `islot`  (ncol, C)  int32: atoms of each (x, y) column, z-sorted
+    (N = padding). C is a multiple of IBLK.
+  - `jslot`  (ncol, CE) int32: the same atoms plus z-ghost duplicates
+    (entries within cutoff+skin of a z face appear again shifted by
+    +-Lz), all z-sorted; `jzshift` carries the per-slot z shift.
+  - `wstart` (ncol, 9, NB) int32: for every IBLK-wide i block and every
+    3x3 neighbour column, the start of the contiguous extended-slot
+    window of static width W that covers all partners within
+    cutoff+skin in z (computed from a per-column cumulative z
+    histogram; -1 marks all-padding blocks).
+  - `iattr`/`jattr`: per-slot q/sigma/epsilon/id (+ exclusion-id rows on
+    the i side), gathered once per rebuild.
+
+Validity between rebuilds follows the standard skin/2 displacement
+criterion, identical to the cell path; evaluation positions are anchored
+to the build frame (neighbors.anchored_positions) so atoms that cross a
+periodic face between rebuilds stay continuous with their slots.
+
+The reference has no neighbor structure at all (all-vs-all,
+torchmd/forces.py:348-357); this realizes the design its dead sketch
+gestures at (torchmd/neighbourlist.py:4-48) in TPU-native form.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .potentials import FFParams, ForceTermConfig
+from .neighbors import anchored_positions, build_exclusion_table
+
+
+class ColumnConfig(NamedTuple):
+    box: tuple          # concrete (lx, ly, lz)
+    cutoff: float
+    skin: float
+    ncols: tuple        # (ncx, ncy)
+    C: int              # main column capacity (multiple of IBLK)
+    CE: int             # ghost-extended capacity (multiple of 128, >= W)
+    W: int              # window width (multiple of 128)
+    IBLK: int = 32      # i-block rows per window lookup
+    nbins: int = 512    # z-histogram resolution for window starts
+    nexcl: int = 0      # exclusion-list width (i-side attr rows)
+
+    @property
+    def rc(self):
+        return self.cutoff + self.skin
+
+    @property
+    def NB(self):
+        return self.C // self.IBLK
+
+    @property
+    def ncol(self):
+        return self.ncols[0] * self.ncols[1]
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-int(n) // m) * m
+
+
+def column_grid_feasible(box, cutoff, skin=2.0) -> bool:
+    b = np.asarray(box, np.float64).reshape(-1)[:3]
+    if not np.all(b > 0):
+        return False
+    rc = float(cutoff) + float(skin)
+    return bool(b[0] // rc >= 3 and b[1] // rc >= 3 and b[2] >= 2 * rc)
+
+
+def make_column_config(box, cutoff, skin=2.0, pos0=None, natoms=None,
+                       nexcl=0, IBLK=32, nbins=512) -> ColumnConfig:
+    """Derive the static column configuration. `pos0` (recommended) sizes
+    the capacities and window width from the real starting occupancies;
+    without it a uniform-density estimate is used. The overflow
+    grow/retry machinery covers later density fluctuations."""
+    box = tuple(float(b) for b in np.asarray(box).reshape(-1)[:3])
+    if not column_grid_feasible(box, cutoff, skin):
+        raise ValueError(
+            f"Box {box} cannot host a 3x3 column grid with "
+            f"rc={cutoff + skin}"
+        )
+    rc = float(cutoff) + float(skin)
+    ncx = max(3, int(box[0] // rc))
+    ncy = max(3, int(box[1] // rc))
+    cfg = ColumnConfig(box, float(cutoff), float(skin), (ncx, ncy),
+                       IBLK, 128, 128, IBLK, nbins, int(nexcl))
+    if pos0 is not None:
+        pos0 = np.asarray(pos0, np.float64).reshape(-1, 3)
+        occ, occ_e, wneed = _occupancy_probe(pos0, cfg)
+        C = _round_up(max(IBLK, occ * 1.15 + 8), IBLK)
+        CE = _round_up(max(128, occ_e * 1.12 + 8), 128)
+        # +127: window starts are rounded down to the 128-aligned panel
+        W = _round_up(max(128, wneed * 1.15 + 8 + 127), 128)
+    else:
+        n = natoms or 1000
+        dens = n / (box[0] * box[1] * box[2])
+        col = dens * (box[0] / ncx) * (box[1] / ncy) * box[2]
+        C = _round_up(max(IBLK, col * 1.2 + 4 * np.sqrt(max(col, 1.0))),
+                      IBLK)
+        CE = _round_up(C * (1.0 + 2 * rc / box[2]) + 8, 128)
+        zfrac = (2 * rc + IBLK / max(col / box[2], 1e-9)) / (
+            box[2] + 2 * rc
+        )
+        W = _round_up(
+            max(128, CE * min(zfrac, 1.0) + 4 * np.sqrt(max(col, 1.0))
+                + 127),
+            128,
+        )
+    CE = max(CE, W)
+    return cfg._replace(C=int(C), CE=int(CE), W=int(W))
+
+
+def _occupancy_probe(pos0, cfg: ColumnConfig):
+    """Host-side numpy probe of per-column occupancy, extended occupancy
+    and worst-case window need for the starting configuration."""
+    b = np.asarray(cfg.box)
+    rc = cfg.rc
+    ncx, ncy = cfg.ncols
+    p = pos0 - b * np.floor(pos0 / b)
+    cx = np.clip((p[:, 0] / b[0] * ncx).astype(int), 0, ncx - 1)
+    cy = np.clip((p[:, 1] / b[1] * ncy).astype(int), 0, ncy - 1)
+    col = cx * ncy + cy
+    z = p[:, 2]
+    occ = np.bincount(col, minlength=cfg.ncol).max() if len(col) else 1
+    # extended entries
+    ghost_hi = z < rc
+    ghost_lo = z > b[2] - rc
+    cole = np.concatenate([col, col[ghost_hi], col[ghost_lo]])
+    ze = np.concatenate([z, z[ghost_hi] + b[2], z[ghost_lo] - b[2]])
+    occ_e = np.bincount(cole, minlength=cfg.ncol).max() if len(cole) else 1
+    # worst window need: per column, sort z; for IBLK-chunks find count of
+    # extended entries within [zlo-rc, zhi+rc] in each neighbour column
+    wneed = 1
+    ncol = cfg.ncol
+    ze_by_col = [np.sort(ze[cole == c]) for c in range(ncol)]
+    nbr = column_neighbor_table(cfg)
+    for c in range(ncol):
+        zc = np.sort(z[col == c])
+        for s in range(0, len(zc), cfg.IBLK):
+            chunk = zc[s:s + cfg.IBLK]
+            lo, hi = chunk[0] - rc, chunk[-1] + rc
+            for c2 in nbr[c]:
+                arr = ze_by_col[c2]
+                need = np.searchsorted(arr, hi, side="right") - \
+                    np.searchsorted(arr, lo, side="left")
+                wneed = max(wneed, int(need))
+    return int(occ), int(occ_e), int(wneed)
+
+
+def column_neighbor_table(cfg: ColumnConfig) -> np.ndarray:
+    """(ncol, 9) static table of 3x3 neighbour column ids (periodic)."""
+    ncx, ncy = cfg.ncols
+    cx, cy = np.meshgrid(np.arange(ncx), np.arange(ncy), indexing="ij")
+    cx, cy = cx.ravel()[:, None], cy.ravel()[:, None]
+    offs = np.array([(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    nx = (cx + offs[None, :, 0]) % ncx
+    ny = (cy + offs[None, :, 1]) % ncy
+    return (nx * ncy + ny).astype(np.int32)
+
+
+def column_shift_table(cfg: ColumnConfig) -> np.ndarray:
+    """(ncol, 9, 2) f32 static x/y position shifts for wrapped neighbour
+    columns (the shift the j coordinates need when the 3x3 stencil
+    crosses a periodic face as seen from column c)."""
+    ncx, ncy = cfg.ncols
+    lx, ly = cfg.box[0], cfg.box[1]
+    cx, cy = np.meshgrid(np.arange(ncx), np.arange(ncy), indexing="ij")
+    cx, cy = cx.ravel()[:, None], cy.ravel()[:, None]
+    offs = np.array([(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    tx = cx + offs[None, :, 0]
+    ty = cy + offs[None, :, 1]
+    sx = np.where(tx < 0, -lx, np.where(tx >= ncx, lx, 0.0))
+    sy = np.where(ty < 0, -ly, np.where(ty >= ncy, ly, 0.0))
+    return np.stack([sx, sy], axis=-1).astype(np.float32)
+
+
+class ColumnState(NamedTuple):
+    islot: jnp.ndarray     # (ncol, C) int32, N = padding
+    jslot: jnp.ndarray     # (ncol, CE) int32, N = padding
+    jzshift: jnp.ndarray   # (ncol, CE) f32
+    wstart: jnp.ndarray    # (ncol, 9, NB) int32, -1 = skip
+    iattr: jnp.ndarray     # (ncol, 4 + nexcl, C) f32: q,sig,eps,id,excl..
+    jattr: jnp.ndarray     # (ncol, 4, CE) f32: q,sig,eps,id
+    ref_pos: jnp.ndarray   # (N, 3) build-time positions
+    overflow: jnp.ndarray  # bool scalar (capacity or window overflow)
+
+
+def _rank_in_group(sorted_keys):
+    n = sorted_keys.shape[0]
+    first = jnp.searchsorted(sorted_keys, sorted_keys, side="left")
+    return jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+
+
+def build_columns(pos, cfg: ColumnConfig, ffp: FFParams, excl_table,
+                  box=None) -> ColumnState:
+    """Jittable (vmap-compatible) rebuild: sort, slot, window, attrs."""
+    n = pos.shape[0]
+    dtype = pos.dtype
+    b = jnp.asarray(cfg.box if box is None else box, dtype).reshape(3)
+    rc = cfg.rc
+    ncx, ncy = cfg.ncols
+    ncol = cfg.ncol
+    C, CE, W, IBLK, NB = cfg.C, cfg.CE, cfg.W, cfg.IBLK, cfg.NB
+
+    pos_w = pos - b * jnp.floor(pos / b)
+    x, y, z = pos_w[:, 0], pos_w[:, 1], pos_w[:, 2]
+    cx = jnp.clip((x / b[0] * ncx).astype(jnp.int32), 0, ncx - 1)
+    cy = jnp.clip((y / b[1] * ncy).astype(jnp.int32), 0, ncy - 1)
+    col = cx * ncy + cy
+    ids = jnp.arange(n, dtype=jnp.int32)
+
+    # ---- i side: sort by (column, z) --------------------------------
+    order_i = jnp.lexsort((z, col))
+    col_s = col[order_i]
+    rank = _rank_in_group(col_s)
+    overflow_i = jnp.any(rank >= C)
+    islot = jnp.full((ncol, C), n, jnp.int32).at[
+        col_s, jnp.minimum(rank, C - 1)
+    ].set(order_i.astype(jnp.int32), mode="drop")
+
+    # ---- j side: main + z-ghost duplicates --------------------------
+    ghost_hi = z < rc               # duplicated above the top face
+    ghost_lo = z > b[2] - rc        # duplicated below z = 0
+    colj = jnp.concatenate([
+        col,
+        jnp.where(ghost_hi, col, ncol),
+        jnp.where(ghost_lo, col, ncol),
+    ])
+    zj = jnp.concatenate([z, z + b[2], z - b[2]])
+    shiftj = jnp.concatenate([
+        jnp.zeros(n, dtype), jnp.full((n,), 1.0, dtype) * b[2],
+        jnp.full((n,), -1.0, dtype) * b[2],
+    ])
+    idj = jnp.concatenate([ids, ids, ids])
+    order_j = jnp.lexsort((zj, colj))
+    colj_s = colj[order_j]
+    rankj = _rank_in_group(colj_s)
+    validj = colj_s < ncol
+    overflow_j = jnp.any(validj & (rankj >= CE))
+    rowj = jnp.where(validj, colj_s, ncol)
+    rj = jnp.minimum(rankj, CE - 1)
+    jslot = jnp.full((ncol + 1, CE), n, jnp.int32).at[rowj, rj].set(
+        idj[order_j], mode="drop"
+    )[:ncol]
+    jzshift = jnp.zeros((ncol + 1, CE), dtype).at[rowj, rj].set(
+        shiftj[order_j], mode="drop"
+    )[:ncol]
+
+    # ---- per-column cumulative z histogram over extended entries ----
+    span = b[2] + 2 * rc
+    nbins = cfg.nbins
+    zbin = jnp.clip(((zj + rc) / span * nbins).astype(jnp.int32),
+                    0, nbins - 1)
+    key = jnp.minimum(colj, ncol) * nbins + zbin
+    hist = jax.ops.segment_sum(
+        jnp.ones(3 * n, jnp.int32), key, num_segments=(ncol + 1) * nbins
+    ).reshape(ncol + 1, nbins)[:ncol]
+    cum = jnp.concatenate(
+        [jnp.zeros((ncol, 1), jnp.int32), jnp.cumsum(hist, axis=1)], axis=1
+    )                                           # (ncol, nbins + 1)
+
+    # ---- i-block z ranges + window starts ---------------------------
+    big = jnp.asarray(np.finfo(np.float32).max / 4, dtype)
+    z_lo_pad = jnp.concatenate([z, jnp.full((1,), big, dtype)])
+    z_hi_pad = jnp.concatenate([z, jnp.full((1,), -big, dtype)])
+    isl3 = islot.reshape(ncol, NB, IBLK)
+    zlo = z_lo_pad[isl3].min(axis=2) - rc       # (ncol, NB)
+    zhi = z_hi_pad[isl3].max(axis=2) + rc
+    block_valid = jnp.any(isl3 < n, axis=2)
+
+    lob = jnp.clip(((zlo + rc) / span * nbins).astype(jnp.int32),
+                   0, nbins - 1)
+    hib = jnp.clip(((zhi + rc) / span * nbins).astype(jnp.int32),
+                   0, nbins - 1)
+    nbr = jnp.asarray(column_neighbor_table(cfg))      # (ncol, 9)
+    cum_n = cum[nbr]                                   # (ncol, 9, nbins+1)
+    lob_b = jnp.broadcast_to(lob[:, None, :], (ncol, 9, NB))
+    hib_b = jnp.broadcast_to(hib[:, None, :], (ncol, 9, NB))
+    start = jnp.take_along_axis(cum_n, lob_b, axis=2)
+    end_need = jnp.take_along_axis(cum_n, hib_b + 1, axis=2)
+    # Mosaic requires lane-dimension dynamic-slice starts to be 128-
+    # aligned: round starts down one panel (W carries the extra panel of
+    # slack, sized in make_column_config / grow)
+    start = (start // 128) * 128
+    overflow_w = jnp.any(
+        block_valid[:, None, :] & ((end_need - start) > W)
+    )
+    start_c = jnp.minimum(start, CE - W)
+    wstart = jnp.where(block_valid[:, None, :], start_c, -1).astype(
+        jnp.int32
+    )
+
+    # ---- per-slot attributes (rebuild-constant) ---------------------
+    f32pad = lambda v: jnp.concatenate(
+        [jnp.asarray(v, dtype), jnp.zeros((1,), dtype)]
+    )
+    q = f32pad(ffp.charges)
+    if ffp.lj_params is not None:
+        sig = f32pad(ffp.lj_params[:, 0][ffp.mapped_atom_types])
+        eps = f32pad(ffp.lj_params[:, 1][ffp.mapped_atom_types])
+    else:
+        sig = f32pad(jnp.zeros(n))
+        eps = f32pad(jnp.zeros(n))
+    idf = jnp.concatenate(
+        [jnp.arange(n, dtype=dtype), jnp.full((1,), float(n), dtype)]
+    )
+
+    irows = [q[islot], sig[islot], eps[islot], idf[islot]]
+    if cfg.nexcl:
+        excl_pad = jnp.concatenate(
+            [jnp.asarray(excl_table, dtype),
+             jnp.full((1, cfg.nexcl), float(n), dtype)]
+        )
+        EX = excl_pad[islot]                    # (ncol, C, nexcl)
+        irows += [EX[..., e] for e in range(cfg.nexcl)]
+    iattr = jnp.stack(irows, axis=1)            # (ncol, 4+nexcl, C)
+    jattr = jnp.stack(
+        [q[jslot], sig[jslot], eps[jslot], idf[jslot]], axis=1
+    )                                           # (ncol, 4, CE)
+
+    return ColumnState(
+        islot, jslot, jzshift, wstart, iattr, jattr, pos,
+        overflow_i | overflow_j | overflow_w,
+    )
+
+
+def column_needs_rebuild(st: ColumnState, pos, cfg: ColumnConfig,
+                         box=None):
+    d = pos - st.ref_pos
+    b = jnp.asarray(cfg.box if box is None else box, pos.dtype).reshape(3)
+    d = d - b * jnp.round(d / b)
+    return jnp.any(jnp.sum(d * d, axis=1) > (cfg.skin * 0.5) ** 2)
+
+
+def column_energy_forces(ffp: FFParams, cfg: ForceTermConfig,
+                         ccfg: ColumnConfig, st: ColumnState, pos, box,
+                         shifts=None, interpret=False):
+    """Nonbonded energies + forces via the column pair kernel."""
+    from .ops.pallas_column import column_pair_call
+    from .ops.pallas_nonbonded import make_kernel_cfg
+
+    n = pos.shape[0]
+    f32 = jnp.float32
+    kcfg = make_kernel_cfg(cfg, False)  # wrap handled by shifts/ghosts
+    boxv = jnp.asarray(box, f32)
+    pos_e = anchored_positions(
+        jnp.asarray(pos, f32), jnp.asarray(st.ref_pos, f32), boxv
+    )
+    pos_pad = jnp.concatenate([pos_e, jnp.zeros((1, 3), f32)])
+
+    Pi = pos_pad[st.islot]                      # (ncol, C, 3)
+    Pj = pos_pad[st.jslot]                      # (ncol, CE, 3)
+    jz = Pj[..., 2] + st.jzshift.astype(f32)
+
+    i_data = jnp.concatenate(
+        [Pi.transpose(0, 2, 1), st.iattr.astype(f32)], axis=1
+    )                                           # (ncol, Ri, C)
+    Ri = i_data.shape[1]
+    i_data = i_data.reshape(
+        i_data.shape[0], Ri, ccfg.NB, ccfg.IBLK
+    ).transpose(0, 2, 1, 3)                     # (ncol, NB, Ri, IBLK)
+    j_data = jnp.concatenate(
+        [Pj[..., 0][:, None, :], Pj[..., 1][:, None, :],
+         jz[:, None, :], st.jattr.astype(f32)], axis=1
+    )
+    if shifts is None:
+        shifts = jnp.asarray(column_shift_table(ccfg))
+
+    e_lj, e_el, f_out = column_pair_call(
+        kcfg, ccfg.ncols[0], ccfg.ncols[1], i_data, j_data,
+        st.wstart, shifts, IBLK=ccfg.IBLK, W=ccfg.W, NB=ccfg.NB,
+        nexcl=ccfg.nexcl, nfloat=n, interpret=interpret,
+    )
+
+    f_slots = f_out.transpose(0, 1, 3, 2).reshape(-1, 3)
+    forces = jnp.zeros((n + 1, 3), f32).at[
+        st.islot.reshape(-1)
+    ].add(f_slots)[:n]
+
+    out = {}
+    if kcfg["lj"]:
+        out["lj"] = e_lj
+    if kcfg["repulsion"]:
+        out["repulsion"] = e_lj
+    if kcfg["repulsioncg"]:
+        out["repulsioncg"] = e_lj
+    if kcfg["elec"]:
+        out["electrostatics"] = e_el
+    return out, forces
+
+
+def column_supported(cfg: ForceTermConfig, ffp: FFParams, box,
+                     skin=2.0) -> bool:
+    """Can the column kernel serve this system? Requires a feasible 3x3
+    column grid, Lorentz-Berthelot LJ (no NBFIX tables) and the Pallas
+    term set (one LJ-family term)."""
+    from .ops.pallas_nonbonded import pallas_supported_terms
+
+    return (
+        cfg.cutoff is not None
+        and box is not None
+        and ffp.lj_ab is None
+        and pallas_supported_terms(cfg)
+        and column_grid_feasible(box, cfg.cutoff, skin)
+    )
+
+
+class ColumnKernel:
+    """Large-N nonbonded kernel on the z-sorted column structure;
+    duck-type compatible with `neighbors.CellKernel` (build / update /
+    needs_rebuild / energy_forces / covers / with_box / check_overflow /
+    grow) so the integrator's kernel-carrying scan works unchanged."""
+
+    def __init__(self, ffp: FFParams, cfg: ForceTermConfig, parameters,
+                 box, skin=2.0, exclusions=("bonds", "angles", "1-4"),
+                 capacity=None, pos0=None, interpret=False):
+        if cfg.cutoff is None:
+            raise ValueError("Column lists require a cutoff")
+        natoms = int(ffp.charges.shape[0])
+        self.ffp = ffp
+        self.cfg = cfg
+        self.interpret = interpret
+        self.excl_table = build_exclusion_table(
+            parameters, natoms, 0, exclusions
+        )
+        self.ccfg = make_column_config(
+            box, cfg.cutoff, skin=skin, pos0=pos0, natoms=natoms,
+            nexcl=int(self.excl_table.shape[1]),
+        )
+        self._shifts = jnp.asarray(column_shift_table(self.ccfg))
+
+    # -- CellKernel duck-type ------------------------------------------
+    @property
+    def clcfg(self):
+        return self.ccfg
+
+    def build(self, pos, box=None) -> ColumnState:
+        return build_columns(pos, self.ccfg, self.ffp, self.excl_table,
+                             box)
+
+    def needs_rebuild(self, st: ColumnState, pos, box=None):
+        return column_needs_rebuild(st, pos, self.ccfg, box)
+
+    def update(self, pos, st: ColumnState, box=None) -> ColumnState:
+        return jax.lax.cond(
+            column_needs_rebuild(st, pos, self.ccfg, box),
+            lambda: build_columns(pos, self.ccfg, self.ffp,
+                                  self.excl_table, box),
+            lambda: st,
+        )
+
+    def covers(self, box) -> bool:
+        """True while the concrete box still hosts rc-wide columns and a
+        2*rc-tall z extent (binning follows the traced box)."""
+        b = np.asarray(box, np.float64).reshape(-1, 3).min(axis=0)
+        rc = self.ccfg.rc
+        edges_ok = (
+            b[0] / self.ccfg.ncols[0] >= rc * (1 - 1e-9)
+            and b[1] / self.ccfg.ncols[1] >= rc * (1 - 1e-9)
+        )
+        return bool(edges_ok and b[2] >= 2 * rc * (1 - 1e-9))
+
+    def with_box(self, box, pos0=None):
+        import copy
+
+        new = copy.copy(self)
+        new.ccfg = make_column_config(
+            box, self.cfg.cutoff, skin=self.ccfg.skin, pos0=pos0,
+            natoms=int(self.ffp.charges.shape[0]),
+            nexcl=self.ccfg.nexcl,
+        )
+        new._shifts = jnp.asarray(column_shift_table(new.ccfg))
+        return new
+
+    def energy_forces(self, pos, box, st: ColumnState):
+        return column_energy_forces(
+            self.ffp, self.cfg, self.ccfg, st, pos, box,
+            shifts=self._shifts, interpret=self.interpret,
+        )
+
+    def check_overflow(self, st: ColumnState) -> bool:
+        return bool(np.asarray(st.overflow))
+
+    def grow(self) -> "ColumnKernel":
+        import copy
+
+        new = copy.copy(self)
+        c = self.ccfg
+        new.ccfg = c._replace(
+            C=_round_up(c.C * 3 // 2, c.IBLK),
+            CE=max(_round_up(c.CE * 3 // 2, 128), c.W + 128),
+            W=c.W + 128,
+        )
+        new.ccfg = new.ccfg._replace(CE=max(new.ccfg.CE, new.ccfg.W))
+        return new

@@ -210,7 +210,12 @@ class Forces:
             and pallas_available()
             and self.dtype == jnp.float32
             and pallas_supported_terms(self.config)
-            and self.ffparams.lj_ab is None  # NBFIX tables: dense path
+            # NBFIX A/B tables ride the kernel's one-hot MXU gather up
+            # to a practical type-count cap (VMEM blocks scale with Tp)
+            and (
+                self.ffparams.lj_ab is None
+                or int(self.ffparams.lj_ab[0].shape[0]) <= 512
+            )
             # below ~2k atoms the fixed kernel cost loses to XLA's fused
             # dense path (measured on v5e); "pallas" forces it on
             and (kernel == "pallas" or self.natoms >= 2048)
@@ -462,23 +467,61 @@ class Forces:
         self.verlet_requested = True
         return self._verlet_kernel
 
-    def ensure_cell_kernel(self, box, pos0=None):
-        """Build (once) the cell-list kernel for a concrete box diagonal.
-        `pos0` (optional starting coordinates) sizes the cell capacity from
-        real occupancy. Marks the cell path as the active kernel."""
+    def ensure_cell_kernel(self, box, pos0=None, allow_column=True):
+        """Build (once) the large-N neighbor kernel for a concrete box
+        diagonal. On TPU/f32 this prefers the z-sorted column kernel
+        (torchmd_tpu.columns) -- ~4x less padded pair work than the
+        27-stencil cell grid at gas density, full 128-lane tiles --
+        falling back to the ghost-cell `CellKernel` when the column
+        kernel cannot serve the system (NBFIX tables, f64/CPU, grids the
+        column layout cannot host, or the slab-sharded spatial path which
+        needs the cell structure). `pos0` (optional starting coordinates)
+        sizes the capacities from real occupancy. Marks the cell path as
+        the active kernel."""
         if getattr(self, "_nb_mask_authoritative", False):
             raise NotImplementedError(
                 "the nonbonded mask carries alchemical edits the cell "
                 "kernel cannot honor; use the dense/Pallas/verlet path"
             )
-        if self._cell_kernel is None:
-            from .neighbors import CellKernel
+        if self._cell_kernel is not None and not allow_column:
+            from .columns import ColumnKernel as _CK
 
-            self._cell_kernel = CellKernel(
-                self.ffparams, self.config, self.par, np.asarray(box),
-                skin=self.cell_skin, exclusions=self.exclusions,
-                pos0=pos0,
-            )
+            if isinstance(self._cell_kernel, _CK):
+                self._cell_kernel = None  # caller needs the cell structure
+        if self._cell_kernel is None:
+            import os as _os
+
+            from .ops import pallas_available
+
+            use_column = False
+            if (
+                allow_column
+                and _os.environ.get("TMD_COLUMN", "1") != "0"
+                and self.dtype == jnp.float32
+                and pallas_available()
+            ):
+                from .columns import column_supported
+
+                use_column = column_supported(
+                    self.config, self.ffparams, np.asarray(box),
+                    skin=self.cell_skin,
+                )
+            if use_column:
+                from .columns import ColumnKernel
+
+                self._cell_kernel = ColumnKernel(
+                    self.ffparams, self.config, self.par, np.asarray(box),
+                    skin=self.cell_skin, exclusions=self.exclusions,
+                    pos0=pos0,
+                )
+            else:
+                from .neighbors import CellKernel
+
+                self._cell_kernel = CellKernel(
+                    self.ffparams, self.config, self.par, np.asarray(box),
+                    skin=self.cell_skin, exclusions=self.exclusions,
+                    pos0=pos0,
+                )
         self.cell_requested = True
         return self._cell_kernel
 

@@ -356,6 +356,9 @@ class Integrator:
                 self._cell_kernel = forces.ensure_cell_kernel(
                     np.asarray(systems.box_diag)[0],
                     pos0=np.asarray(systems.pos)[0],
+                    # the slab split drives cell_nonbonded_energy_forces
+                    # directly; the column kernel has no slab form yet
+                    allow_column=False,
                 )
             self._scan_fn = self._build_scan_spatial()
         elif self._use_cell:

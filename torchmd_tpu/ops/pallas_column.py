@@ -1,0 +1,204 @@
+"""Pallas TPU kernel: z-sorted column nonbonded evaluation (large-N path).
+
+The ghost-column cell kernel (ops/pallas_cell.py) pays the classic
+27-stencil padding tax: every cell evaluates 27 * capacity^2 pair slots,
+and at gas density only ~2% of them are real pairs (docs/PERF.md). This
+kernel replaces the z cell dimension entirely with the standard
+sorted-column design (the same idea GROMACS' cluster pair search is built
+on), laid out for the TPU's (8, 128) vector registers:
+
+  - the box is gridded in x, y only (column edge >= cutoff + skin); atoms
+    are sorted by (column, z) into per-column slot arrays,
+  - for PBC in z each column also carries a ghost-extended copy: entries
+    within rc of a z face are duplicated once, shifted by +-Lz, and the
+    whole extended array is z-sorted -- so every i atom's neighbourhood
+    is one CONTIGUOUS slot range,
+  - at (re)build time, each block of IBLK consecutive i slots gets a
+    precomputed window start into each of its 9 (3x3) neighbour columns'
+    extended arrays, via a per-column cumulative z histogram. Windows have
+    a static width W (multiple of 128), so the kernel's unit of work is a
+    dense (IBLK, W) pair tile with full 128-lane occupancy -- vs the cell
+    kernel's (nz, cap, cap) tiles at cap/128 lane utilization,
+  - x/y periodic wrap is handled by per-(column, offset) static position
+    shifts; z wrap by the pre-shifted ghost entries. The pair math never
+    wraps (same trick as the cell kernels) and reuses pair_terms, so
+    LJ/switching/RFA/Ewald-real-space behave identically to the dense
+    kernel.
+
+Work per atom is ~9 * W candidate slots vs the cell kernel's
+27 * capacity^2 / occupancy; at argon-gas density (24k atoms) that is
+~4x fewer padded slots AND ~2.7x better lane occupancy.
+
+Forces come from i-side row sums only (every pair is seen from both
+sides; energies carry the 0.5 symmetric factor), so there is no scatter
+in the kernel. Reference point: this realizes the neighbour-list design
+sketched (dead) in torchmd/neighbourlist.py:4-48, in fixed-shape form.
+
+Requires Lorentz-Berthelot LJ (NBFIX A/B tables fall back) and at least
+a 3x3 column grid.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+from .pallas_nonbonded import make_kernel_cfg, pair_terms
+
+
+def _kernel(w_ref, s_ref, i_ref, j_ref, f_ref, elj_ref, eel_ref,
+            *, cfg, IBLK, W, NB, nexcl, nfloat):
+    # w_ref (ncol, 9, NB) int32 and s_ref (ncol, 9, 2) f32 are scalar-
+    # prefetch SMEM arrays (whole-array, not blocked: TPU block shapes
+    # must be 8/128-divisible, which a (1, 1, NB) block is not)
+    c = pl.program_id(0)
+    o = pl.program_id(1)
+    f32 = jnp.float32
+
+    @pl.when(o == 0)
+    def _init_f():
+        f_ref[...] = jnp.zeros(f_ref.shape, f_ref.dtype)
+
+    sx = s_ref[c, o, 0]
+    sy = s_ref[c, o, 1]
+
+    def block(bi, carry):
+        elj, eel = carry
+        st = w_ref[c, o, bi]
+
+        def do(carry2):
+            elj, eel = carry2
+            # i blocks live on an untiled leading dim (dynamic index is
+            # unconstrained there); the j window is a lane-dim dynamic
+            # slice whose start is panel-aligned at build time
+            iw = i_ref[0, bi]                    # (Ri, IBLK)
+            jw = j_ref[0, :, pl.ds(pl.multiple_of(st, 128), W)]
+
+            def ri(r):
+                return iw[r][:, None]            # (IBLK, 1)
+
+            def rj(r):
+                return jw[r][None, :]            # (1, W)
+
+            dx = ri(0) - (rj(0) + sx)
+            dy = ri(1) - (rj(1) + sy)
+            dz = ri(2) - rj(2)
+            d2 = dx * dx + dy * dy + dz * dz
+
+            idi = ri(6)
+            idj = rj(6)
+            mask = (idi < nfloat) & (idj < nfloat) & (idi != idj)
+            for e in range(nexcl):
+                mask = mask & (ri(7 + e) != idj)
+
+            si = sj = ei = ej = qi = qj = None
+            if cfg["lj"] or cfg["repulsion"] or cfg["repulsioncg"]:
+                si, sj = ri(4), rj(4)
+                ei, ej = ri(5), rj(5)
+            if cfg["elec"]:
+                qi, qj = ri(3), rj(3)
+
+            e_lj, e_el, g = pair_terms(cfg, d2, mask, si, sj, ei, ej,
+                                       qi, qj)
+
+            f_ref[0, bi, 0] = f_ref[0, bi, 0] - jnp.sum(g * dx, axis=1)
+            f_ref[0, bi, 1] = f_ref[0, bi, 1] - jnp.sum(g * dy, axis=1)
+            f_ref[0, bi, 2] = f_ref[0, bi, 2] - jnp.sum(g * dz, axis=1)
+            return elj + e_lj, eel + e_el
+
+        return jax.lax.cond(st >= 0, do, lambda c2: c2, (elj, eel))
+
+    e_lj, e_el = jax.lax.fori_loop(
+        0, NB, block, (jnp.zeros((), f32), jnp.zeros((), f32))
+    )
+
+    first = jnp.logical_and(c == 0, o == 0)
+
+    @pl.when(first)
+    def _init_e():
+        elj_ref[0, 0] = e_lj
+        eel_ref[0, 0] = e_el
+
+    @pl.when(jnp.logical_not(first))
+    def _acc_e():
+        elj_ref[0, 0] = elj_ref[0, 0] + e_lj
+        eel_ref[0, 0] = eel_ref[0, 0] + e_el
+
+
+def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
+                     *, IBLK, W, NB, nexcl, nfloat, interpret=False):
+    """Run the column pair kernel.
+
+    i_data:  (ncol, NB, Ri, IBLK) rows 0..6 = x,y,z,q,sig,eps,id;
+             7.. = excl ids (block axis leading: untiled dynamic index)
+    j_data:  (ncol, Rj, CE) rows 0..6 as above (z ghost-shifted)
+    wstart:  (ncol, 9, NB) int32 window starts into the extended arrays
+             (128-aligned; -1 = skip block)
+    shifts:  (ncol, 9, 2) f32 static x/y periodic position shifts
+    Returns (e_lj, e_el scalars, f (ncol, NB, 3, IBLK)).
+    """
+    ncol = ncx * ncy
+    Ri = i_data.shape[2]
+    Rj = j_data.shape[1]
+    CE = j_data.shape[2]
+    f32 = jnp.float32
+
+    def j_index(c, o, *prefetch):
+        dx = o // 3 - 1
+        dy = jnp.mod(o, 3) - 1
+        cx = c // ncy
+        cy = jnp.mod(c, ncy)
+        nx = jnp.mod(cx + dx, ncx)
+        ny = jnp.mod(cy + dy, ncy)
+        return (nx * ncy + ny, 0, 0)
+
+    kern = functools.partial(
+        _kernel, cfg=cfg, IBLK=IBLK, W=W, NB=NB, nexcl=nexcl,
+        nfloat=float(nfloat),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,      # wstart + shifts, whole-array SMEM
+        grid=(ncol, 9),
+        in_specs=[
+            pl.BlockSpec((1, NB, Ri, IBLK),
+                         lambda c, o, *p: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rj, CE), j_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, NB, 3, IBLK),
+                         lambda c, o, *p: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda c, o, *p: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda c, o, *p: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+    )
+    f_out, e_lj, e_el = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ncol, NB, 3, IBLK), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=60 * ncol * 9 * NB * IBLK * W,
+            bytes_accessed=ncol * 9 * (Ri * NB * IBLK + Rj * CE) * 4,
+            transcendentals=ncol * 9 * NB * IBLK * W,
+        ),
+        interpret=interpret,
+    )(wstart, shifts.astype(f32), i_data, j_data)
+    return e_lj[0, 0], e_el[0, 0], f_out

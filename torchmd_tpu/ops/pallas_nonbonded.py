@@ -62,11 +62,15 @@ def _erfc_approx(x):
     return poly * jnp.exp(-x * x)
 
 
-def pair_terms(cfg, d2, mask, si, sj, ei, ej, qi, qj):
+def pair_terms(cfg, d2, mask, si, sj, ei, ej, qi, qj, A=None, B=None):
     """Shape-agnostic per-pair term math shared by the dense and cell-list
     Pallas kernels: given squared distances and a validity mask (any
     broadcast-compatible block shapes), returns (e_lj, e_el scalars with
-    the 0.5 symmetric factor, g = (dE/dr)/r block)."""
+    the 0.5 symmetric factor, g = (dE/dr)/r block).
+
+    LJ coefficients come from Lorentz-Berthelot mixing of per-atom
+    sigma/epsilon (si/sj/ei/ej) unless explicit per-pair A/B blocks are
+    given (the NBFIX path: tables gathered via one-hot matmul)."""
     f32 = jnp.float32
     d2 = jnp.where(mask, d2, 1.0)
     rinv = jax.lax.rsqrt(d2)
@@ -81,12 +85,13 @@ def pair_terms(cfg, d2, mask, si, sj, ei, ej, qi, qj):
     g = jnp.zeros_like(d2)  # (dE/dr)/r accumulated
 
     if cfg["lj"] or cfg["repulsion"] or cfg["repulsioncg"]:
-        sig = 0.5 * (si + sj)
-        eps = jnp.sqrt(jnp.abs(ei * ej))
-        s2 = sig * sig
-        s6 = s2 * s2 * s2
-        B = 4.0 * eps * s6
-        A = B * s6
+        if A is None:
+            sig = 0.5 * (si + sj)
+            eps = jnp.sqrt(jnp.abs(ei * ej))
+            s2 = sig * sig
+            s6 = s2 * s2 * s2
+            B = 4.0 * eps * s6
+            A = B * s6
         rinv2 = rinv * rinv
         rinv6 = rinv2 * rinv2 * rinv2
         rinv12 = rinv6 * rinv6
@@ -151,6 +156,7 @@ def make_kernel_cfg(cfg, pbc):
         "pbc": bool(pbc),
         "krf": 0.0,
         "crf": 0.0,
+        "nbfix": False,
     }
     if kcfg["rfa"] and kcfg["cutoff"]:
         denom = 2.0 * cfg.solvent_dielectric + 1.0
@@ -163,19 +169,18 @@ def make_kernel_cfg(cfg, pbc):
     return kcfg
 
 
-def _kernel(
-    # i-views (1, TILE_I)
-    xi_ref, yi_ref, zi_ref, qi_ref, si_ref, ei_ref,
-    # j-views (1, TILE_J)
-    xj_ref, yj_ref, zj_ref, qj_ref, sj_ref, ej_ref,
-    # mask tile (TILE_I, TILE_J) int8
-    mask_ref,
-    # box (1, 3) SMEM
-    box_ref,
-    # outputs
-    fx_ref, fy_ref, fz_ref, elj_ref, eel_ref,
-    *, cfg,
-):
+def _kernel(*refs, cfg):
+    if cfg["nbfix"]:
+        (xi_ref, yi_ref, zi_ref, qi_ref, si_ref, ei_ref,
+         xj_ref, yj_ref, zj_ref, qj_ref, sj_ref, ej_ref,
+         ar_ref, br_ref, oj_ref,
+         mask_ref, box_ref,
+         fx_ref, fy_ref, fz_ref, elj_ref, eel_ref) = refs
+    else:
+        (xi_ref, yi_ref, zi_ref, qi_ref, si_ref, ei_ref,
+         xj_ref, yj_ref, zj_ref, qj_ref, sj_ref, ej_ref,
+         mask_ref, box_ref,
+         fx_ref, fy_ref, fz_ref, elj_ref, eel_ref) = refs
     j = pl.program_id(1)
     i = pl.program_id(0)
 
@@ -200,8 +205,16 @@ def _kernel(
     mask = mask_ref[...] != 0
     d2 = dx * dx + dy * dy + dz * dz
 
-    si = sj = ei = ej = qi = qj = None
-    if cfg["lj"] or cfg["repulsion"] or cfg["repulsioncg"]:
+    si = sj = ei = ej = qi = qj = A_t = B_t = None
+    if cfg["nbfix"]:
+        # per-pair A/B via one-hot matmul: ar rows are A[type_i] (exact
+        # row gathers done once in XLA); oj columns select type_j on the
+        # MXU. One-hot selection in f32 is exact.
+        A_t = jnp.dot(ar_ref[...], oj_ref[...],
+                      preferred_element_type=jnp.float32)
+        B_t = jnp.dot(br_ref[...], oj_ref[...],
+                      preferred_element_type=jnp.float32)
+    elif cfg["lj"] or cfg["repulsion"] or cfg["repulsioncg"]:
         si = si_ref[0, :][:, None]
         sj = sj_ref[0, :][None, :]
         ei = ei_ref[0, :][:, None]
@@ -210,7 +223,8 @@ def _kernel(
         qi = qi_ref[0, :][:, None]
         qj = qj_ref[0, :][None, :]
 
-    e_lj, e_el, g = pair_terms(cfg, d2, mask, si, sj, ei, ej, qi, qj)
+    e_lj, e_el, g = pair_terms(cfg, d2, mask, si, sj, ei, ej, qi, qj,
+                               A=A_t, B=B_t)
 
     fx = -jnp.sum(g * dx, axis=1)
     fy = -jnp.sum(g * dy, axis=1)
@@ -241,20 +255,7 @@ def _kernel(
         eel_ref[0, 0] = eel_ref[0, 0] + e_el
 
 
-def _kernel_tri(
-    # i-views (1, TILE)
-    xi_ref, yi_ref, zi_ref, qi_ref, si_ref, ei_ref,
-    # j-views (1, TILE)
-    xj_ref, yj_ref, zj_ref, qj_ref, sj_ref, ej_ref,
-    # mask tile (TILE, TILE) int8
-    mask_ref,
-    # box (1, 3) SMEM
-    box_ref,
-    # outputs: row forces (per-i blocks), col forces (one full block),
-    # energies
-    fx_ref, fy_ref, fz_ref, fcx_ref, fcy_ref, fcz_ref, elj_ref, eel_ref,
-    *, cfg, tile,
-):
+def _kernel_tri(*refs, cfg, tile):
     """Triangular variant: Newton's third law halves the pair work.
 
     Only tiles with j >= i compute. Diagonal tiles keep the symmetric
@@ -263,6 +264,19 @@ def _kernel_tri(
     send row sums to the i force block and column sums (+g.dv = the force
     on j) to a full-length accumulator block that is one constant output
     block for the whole sequential grid (safe to revisit)."""
+    if cfg["nbfix"]:
+        (xi_ref, yi_ref, zi_ref, qi_ref, si_ref, ei_ref,
+         xj_ref, yj_ref, zj_ref, qj_ref, sj_ref, ej_ref,
+         ar_ref, br_ref, oj_ref,
+         mask_ref, box_ref,
+         fx_ref, fy_ref, fz_ref, fcx_ref, fcy_ref, fcz_ref,
+         elj_ref, eel_ref) = refs
+    else:
+        (xi_ref, yi_ref, zi_ref, qi_ref, si_ref, ei_ref,
+         xj_ref, yj_ref, zj_ref, qj_ref, sj_ref, ej_ref,
+         mask_ref, box_ref,
+         fx_ref, fy_ref, fz_ref, fcx_ref, fcy_ref, fcz_ref,
+         elj_ref, eel_ref) = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -295,8 +309,13 @@ def _kernel_tri(
         mask = mask_ref[...] != 0
         d2 = dx * dx + dy * dy + dz * dz
 
-        si = sj = ei = ej = qi = qj = None
-        if cfg["lj"] or cfg["repulsion"] or cfg["repulsioncg"]:
+        si = sj = ei = ej = qi = qj = A_t = B_t = None
+        if cfg["nbfix"]:
+            A_t = jnp.dot(ar_ref[...], oj_ref[...],
+                          preferred_element_type=jnp.float32)
+            B_t = jnp.dot(br_ref[...], oj_ref[...],
+                          preferred_element_type=jnp.float32)
+        elif cfg["lj"] or cfg["repulsion"] or cfg["repulsioncg"]:
             si = si_ref[0, :][:, None]
             sj = sj_ref[0, :][None, :]
             ei = ei_ref[0, :][:, None]
@@ -305,7 +324,8 @@ def _kernel_tri(
             qi = qi_ref[0, :][:, None]
             qj = qj_ref[0, :][None, :]
 
-        e_lj, e_el, g = pair_terms(cfg, d2, mask, si, sj, ei, ej, qi, qj)
+        e_lj, e_el, g = pair_terms(cfg, d2, mask, si, sj, ei, ej, qi, qj,
+                                   A=A_t, B=B_t)
         diag = i == j
         wt = jnp.where(diag, jnp.float32(1.0), jnp.float32(2.0))
         elj_ref[0, 0] = elj_ref[0, 0] + e_lj * wt
@@ -342,6 +362,12 @@ class PallasNBData(NamedTuple):
     eps: jnp.ndarray     # (1, Np)
     mask: jnp.ndarray    # (Np, Np) int8
     natoms: int
+    # NBFIX (pair-specific A/B tables): per-atom table ROWS (exact XLA
+    # row gathers, step-invariant) + a one-hot type matrix so the kernel
+    # selects type_j columns on the MXU. None for Lorentz-Berthelot.
+    arow: jnp.ndarray = None    # (Np, Tp) A[type_i] rows
+    brow: jnp.ndarray = None    # (Np, Tp)
+    onehot: jnp.ndarray = None  # (Tp, Np) one-hot of type_j
 
 
 def prepare_nb_data(ffp) -> PallasNBData:
@@ -353,7 +379,25 @@ def prepare_nb_data(ffp) -> PallasNBData:
         v = jnp.asarray(v, f32)
         return jnp.pad(v, (0, npad - n))[None, :]
 
-    if ffp.lj_params is not None:
+    arow = brow = onehot = None
+    if ffp.lj_ab is not None:
+        types = ffp.mapped_atom_types
+        ntypes = int(ffp.lj_ab[0].shape[0])
+        tpad = _round_up(max(ntypes, 128), 128)
+        A = jnp.zeros((ntypes, tpad), f32).at[:, :ntypes].set(
+            jnp.asarray(ffp.lj_ab[0], f32)
+        )
+        B = jnp.zeros((ntypes, tpad), f32).at[:, :ntypes].set(
+            jnp.asarray(ffp.lj_ab[1], f32)
+        )
+        arow = jnp.zeros((npad, tpad), f32).at[:n].set(A[types])
+        brow = jnp.zeros((npad, tpad), f32).at[:n].set(B[types])
+        onehot = jnp.zeros((tpad, npad), f32).at[
+            types, jnp.arange(n)
+        ].set(1.0)
+        sig = jnp.zeros(n)
+        eps = jnp.zeros(n)
+    elif ffp.lj_params is not None:
         sig = ffp.lj_params[:, 0][ffp.mapped_atom_types]
         eps = ffp.lj_params[:, 1][ffp.mapped_atom_types]
     else:
@@ -363,7 +407,7 @@ def prepare_nb_data(ffp) -> PallasNBData:
     mask = jnp.pad(mask, ((0, npad - n), (0, npad - n)))
     return PallasNBData(
         x_pad=npad, q=pad1(ffp.charges), sig=pad1(sig), eps=pad1(eps),
-        mask=mask, natoms=n,
+        mask=mask, natoms=n, arow=arow, brow=brow, onehot=onehot,
     )
 
 
@@ -381,6 +425,9 @@ def pallas_nonbonded_energy_forces(data: PallasNBData, cfg, pos, box,
     (natoms, 3) f32."""
     npad, n = data.x_pad, data.natoms
     kcfg = make_kernel_cfg(cfg, box is not None)
+    nbfix = data.arow is not None
+    kcfg["nbfix"] = nbfix
+    tpad = int(data.arow.shape[1]) if nbfix else 0
 
     pos = jnp.asarray(pos, jnp.float32)
     if box is None:
@@ -406,6 +453,20 @@ def pallas_nonbonded_energy_forces(data: PallasNBData, cfg, pos, box,
         return pl.BlockSpec((1, tile), lambda i, j: (0, j),
                             memory_space=pltpu.VMEM)
 
+    # NBFIX operands slot in between the j views and the mask tile
+    ab_specs = []
+    ab_args = ()
+    if nbfix:
+        ab_specs = [
+            pl.BlockSpec((TILE_I, tpad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_I, tpad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tpad, TILE_J), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        ab_args = (data.arow, data.brow, data.onehot)
+
     triangular = (
         TILE_I == TILE_J
         and _os.environ.get("TMD_PALLAS_TRI", "1") != "0"
@@ -418,6 +479,7 @@ def pallas_nonbonded_energy_forces(data: PallasNBData, cfg, pos, box,
                 ispec(TILE_I), ispec(TILE_I), ispec(TILE_I),
                 jspec(TILE_J), jspec(TILE_J), jspec(TILE_J),
                 jspec(TILE_J), jspec(TILE_J), jspec(TILE_J),
+                *ab_specs,
                 pl.BlockSpec((TILE_I, TILE_J), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 3), lambda i, j: (0, 0),
@@ -466,6 +528,7 @@ def pallas_nonbonded_energy_forces(data: PallasNBData, cfg, pos, box,
         )(
             xp, yp, zp, data.q, data.sig, data.eps,
             xp, yp, zp, data.q, data.sig, data.eps,
+            *ab_args,
             data.mask, box_in,
         )
         forces = jnp.stack(
@@ -494,6 +557,7 @@ def pallas_nonbonded_energy_forces(data: PallasNBData, cfg, pos, box,
             ispec(TILE_I), ispec(TILE_I), ispec(TILE_I),
             jspec(TILE_J), jspec(TILE_J), jspec(TILE_J),
             jspec(TILE_J), jspec(TILE_J), jspec(TILE_J),
+            *ab_specs,
             pl.BlockSpec((TILE_I, TILE_J), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3), lambda i, j: (0, 0),
@@ -533,6 +597,7 @@ def pallas_nonbonded_energy_forces(data: PallasNBData, cfg, pos, box,
     )(
         xp, yp, zp, data.q, data.sig, data.eps,
         xp, yp, zp, data.q, data.sig, data.eps,
+        *ab_args,
         data.mask, box_in,
     )
 
