@@ -74,6 +74,57 @@ def pallas_parity_gate(forces, mol):
     assert g_err < 1e-3, f"on-TPU Pallas force parity failed: {g_err}"
 
 
+def measure_vpu_peak_tflops():
+    """Empirical f32 VPU FMA peak on this chip: a scan of dependent
+    elementwise multiply-adds on a VMEM-resident block (nothing for XLA
+    to fold or fuse away). This is the roofline the pair kernels run
+    against -- the nonbonded stage is elementwise VPU math, not MXU."""
+    import jax
+    import jax.numpy as jnp
+
+    K = 4000
+    x = jnp.ones((1024, 512), jnp.float32) * 0.999999
+
+    @jax.jit
+    def chain(x):
+        def body(c, _):
+            return c * 1.0000001 + 1e-7, None
+
+        y, _ = jax.lax.scan(body, x, None, length=K)
+        return y
+
+    r = chain(x)
+    jax.block_until_ready(r)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(x))
+        best = min(best, time.perf_counter() - t0)
+    return 2.0 * K * x.size / best / 1e12
+
+
+def pair_flop_accounting(forces, niter_steps_per_sec):
+    """Counted FLOPs actually executed by the nonbonded pair stage per
+    step (padded slots x ~60 f32 ops/slot, the per-pair cost of the
+    LJ+RFA term math incl. displacement and force reduction), and the
+    all-pairs 'useful' pair count for reference."""
+    n = forces.natoms
+    FLOPS_PER_SLOT = 60
+    if forces.use_pallas:
+        from torchmd_tpu.ops.pallas_nonbonded import TILE_I, TILE_J
+        npad = -(-n // max(TILE_I, TILE_J)) * max(TILE_I, TILE_J)
+        ni = npad // TILE_I
+        triangular = TILE_I == TILE_J and os.environ.get(
+            "TMD_PALLAS_TRI", "1") != "0"
+        if triangular:
+            slots = (ni * (ni + 1) // 2) * TILE_I * TILE_J
+        else:
+            slots = npad * npad
+    else:
+        slots = n * n
+    return slots, slots * FLOPS_PER_SLOT * niter_steps_per_sec
+
+
 def measure_mine(niter=100, rounds=3):
     import jax
 
@@ -103,7 +154,15 @@ def measure_mine(niter=100, rounds=3):
         dt = time.perf_counter() - t0
         best = max(best, niter / dt)
     dev = jax.devices()[0]
-    return best, f"{dev.platform}:{dev.device_kind}"
+    slots, flops_per_sec = pair_flop_accounting(forces, best)
+    vpu_peak = measure_vpu_peak_tflops()
+    perf = {
+        "pair_slots_per_step": int(slots),
+        "tflops": round(flops_per_sec / 1e12, 3),
+        "vpu_peak_tflops": round(vpu_peak, 2),
+        "mfu": round(flops_per_sec / 1e12 / vpu_peak, 4),
+    }
+    return best, f"{dev.platform}:{dev.device_kind}", perf
 
 
 def measure_baseline(niter=3):
@@ -142,7 +201,7 @@ def measure_baseline(niter=3):
 
 
 def main():
-    mine, device = measure_mine()
+    mine, device, perf = measure_mine()
     baseline, basesrc = measure_baseline()
     print(
         json.dumps(
@@ -156,6 +215,10 @@ def main():
                 "device": device,
                 "baseline_steps_per_sec": round(baseline, 4),
                 "baseline_source": basesrc,
+                # chip-utilization accounting: executed pair-stage FLOPs
+                # per second vs this chip's measured f32 VPU FMA peak
+                # (the pair stage is elementwise VPU math, not MXU)
+                **perf,
             }
         )
     )

@@ -193,11 +193,6 @@ class Integrator:
         if barostat is not None and getattr(barostat, "is_dynamic", False):
             if np.any(np.asarray(systems.box_diag) <= 0):
                 raise ValueError("MTK barostat requires a periodic box")
-            if constraints:
-                raise NotImplementedError(
-                    "MTK barostat + constraints (ROLL) not implemented; "
-                    "use the MC barostat for constrained NPT"
-                )
             if mesh is not None:
                 raise NotImplementedError("MTK barostat + mesh sharding")
             if self._thermostat is None:
@@ -208,17 +203,21 @@ class Integrator:
                     )
                 from .thermostats import make_thermostat
 
+                ncon_npt = (self.constraints.ncon
+                            if self.constraints is not None else 0)
                 self._thermostat = make_thermostat(
                     "nhc", barostat.T,
                     float(tau) if tau is not None else 100.0 * float(timestep),
-                    3 * len(masses), nchain=nchain,
+                    3 * len(masses) - ncon_npt, nchain=nchain,
                 )
                 self._thermo_aux = self._thermostat.init(
                     systems.nreplicas, dtype
                 )
             from .thermostats import NoseHooverChain
 
-            ndof = 3 * len(masses)
+            ncon_npt = (self.constraints.ncon
+                        if self.constraints is not None else 0)
+            ndof = 3 * len(masses) - ncon_npt
             kT = BOLTZMANN * barostat.T
             taup_fs = barostat.tau_fs or 1000.0 * float(timestep)
             taup = taup_fs / TIMEFACTOR
@@ -683,6 +682,13 @@ class Integrator:
                 )
             return project(v_eps + dt2 * project(G) / W)
 
+        cs = self.constraints
+        if cs is not None:
+            from .constraints import (
+                apply_position_constraints,
+                apply_velocity_constraints,
+            )
+
         def step_one(pos, vel, frc, vir, box, v_eps, aux_p, aux_b, kr):
             # (1) half chain updates: barostat DOF, then particles
             v_eps, aux_b = baro_half(v_eps, aux_b)
@@ -697,10 +703,28 @@ class Integrator:
             )
             # (4) position + box update (component-wise)
             u = v_eps * dt
-            pos = pos * jnp.exp(u) + dt * vel * jnp.exp(0.5 * u) * phi(0.5 * u)
+            drift = dt * jnp.exp(0.5 * u) * phi(0.5 * u)   # (3,)
+            pos_prev = pos
+            pos = pos * jnp.exp(u) + vel * drift
             box = box * jnp.exp(u)
+            if cs is not None:
+                # SHAKE/SETTLE-ROLL: project the barostat-scaled drift
+                # back onto the constraint manifold (gradients from the
+                # scaled previous geometry), fold the projection into the
+                # velocities through the drift factor, and account the
+                # implied constraint force in the virial (without it the
+                # barostat sees a biased internal pressure and the
+                # density drifts).
+                ref = pos_prev * jnp.exp(u)
+                pos_c = apply_position_constraints(cs, pos, ref)
+                delta = pos_c - pos
+                vel = vel + delta / drift
+                pos = pos_c
             # (5) energy / forces / virial at the new phase point
             epot, frc, vir = ef_vir(pos, box)
+            if cs is not None:
+                f_con = 2.0 * masses * delta / (drift * drift)
+                vir = vir + jnp.sum(f_con * pos, axis=0)
             # (6) mirror velocity update
             vel = (
                 vel * jnp.exp(-x)
@@ -713,6 +737,10 @@ class Integrator:
             else:
                 vel, aux_p = thermo.post(vel, aux_p, masses, dt)
             v_eps, aux_b = baro_half(v_eps, aux_b)
+            if cs is not None:
+                # RATTLE-ROLL: project all velocity modifications (mirror
+                # kick, thermostat noise) back onto the manifold
+                vel = apply_velocity_constraints(cs, pos, vel)
             return pos, vel, frc, vir, box, v_eps, aux_p, aux_b, epot
 
         step_v = jax.vmap(step_one)
