@@ -1172,6 +1172,55 @@ class Integrator:
             e = e - self._npt["gamma_st"] * boxd[:, 0] * boxd[:, 1]
         return e
 
+    def compiled_collective_counts(self, niter=1):
+        """Cross-device collective ops in the COMPILED step, by op kind
+        (lowered without executing). The DCN-safety property SURVEY §2.9
+        demands: replica (dp) sharding must show ZERO per-step
+        collectives -- ensemble members never talk during MD stepping,
+        so the dp axis can ride a slow DCN link; spatial (sp) sharding
+        shows the all-gather/psum pattern and must stay on ICI.
+        dryrun_multichip prints and asserts these counts."""
+        import re
+
+        box = jnp.asarray(np.asarray(self.systems.box_diag), self.dtype)
+        if self._sharding is not None:
+            box = jax.device_put(box, self._sharding)
+        if self._spatial is not None:
+            state0 = self._spatial_state_from_system()
+            lowered = self._scan_fn.lower(
+                state0, self._thermo_aux, box, int(niter)
+            )
+        elif self._npt is not None:
+            state0 = self._state_from_system()
+            box_d = jnp.asarray(np.asarray(self.systems.box_diag),
+                                self.dtype)
+            v_eps, aux_b, vir = self._npt_extra
+            if vir is None:
+                _, _, vir = self._npt_ef_vir(state0.pos, box_d)
+            lowered = self._scan_fn.lower(
+                (state0, box_d, v_eps, self._thermo_aux, aux_b, vir),
+                int(niter),
+            )
+        elif self._use_cell or self._use_verlet:
+            state0 = self._state_from_system()
+            cl = jax.vmap(self._cell_kernel.build)(state0.pos, box)
+            lowered = self._scan_fn.lower(
+                (state0, cl, self._thermo_aux), box, int(niter)
+            )
+        else:
+            state0 = self._state_from_system()
+            lowered = self._scan_fn.lower(
+                (state0, self._thermo_aux), box, int(niter)
+            )
+        txt = lowered.compile().as_text()
+        counts = {}
+        for op in ("all-reduce", "all-gather", "reduce-scatter",
+                   "collective-permute", "all-to-all"):
+            n = len(re.findall(rf"{op}(?:-start)?\(", txt))
+            if n:
+                counts[op] = n
+        return counts
+
     # kept for checkpoint/compat callers
     def _state_to_system(self, state: SimState):
         s = self.systems

@@ -59,9 +59,10 @@ from .pallas_nonbonded import make_kernel_cfg, pair_terms
 
 def _kernel(w_ref, s_ref, i_ref, j_ref, f_ref, elj_ref, eel_ref,
             *, cfg, IBLK, W, NB, nexcl, nfloat):
-    # w_ref (ncol, 9, NB) int32 and s_ref (ncol, 9, 2) f32 are scalar-
-    # prefetch SMEM arrays (whole-array, not blocked: TPU block shapes
-    # must be 8/128-divisible, which a (1, 1, NB) block is not)
+    # w_ref (ncol*9*NB,) int32 and s_ref (ncol*9*2,) f32 are scalar-
+    # prefetch SMEM arrays, kept 1-D deliberately: multi-dim SMEM arrays
+    # are tile-padded per trailing 2-D slice ((9, NB) -> (16, 128), a
+    # 13x blow-up that OOMs the 1 MB SMEM at 24k atoms)
     c = pl.program_id(0)
     o = pl.program_id(1)
     f32 = jnp.float32
@@ -70,12 +71,13 @@ def _kernel(w_ref, s_ref, i_ref, j_ref, f_ref, elj_ref, eel_ref,
     def _init_f():
         f_ref[...] = jnp.zeros(f_ref.shape, f_ref.dtype)
 
-    sx = s_ref[c, o, 0]
-    sy = s_ref[c, o, 1]
+    co = c * 9 + o
+    sx = s_ref[co * 2]
+    sy = s_ref[co * 2 + 1]
 
     def block(bi, carry):
         elj, eel = carry
-        st = w_ref[c, o, bi]
+        st = w_ref[co * NB + bi]
 
         def do(carry2):
             elj, eel = carry2
@@ -200,5 +202,5 @@ def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
             transcendentals=ncol * 9 * NB * IBLK * W,
         ),
         interpret=interpret,
-    )(wstart, shifts.astype(f32), i_data, j_data)
+    )(wstart.reshape(-1), shifts.astype(f32).reshape(-1), i_data, j_data)
     return e_lj[0, 0], e_el[0, 0], f_out
