@@ -367,3 +367,129 @@ def test_dimer_rides_forces_and_integrator():
     integ = Integrator(system, forces, 0.5, gamma=1.0, T=50.0, seed=4)
     ekin, epot, T = integ.step(niter=10)
     assert np.isfinite(epot).all() and np.isfinite(np.asarray(system.pos)).all()
+
+
+WATER03_VDW = WATER03_PRM + """
+vdw           1               3.4050     0.1100
+vdw           2               2.6550     0.0135      0.910
+"""
+
+
+def test_vdw_records_and_pair_minimum():
+    """Buffered 14-7 analytic pin: the pair energy minimum sits exactly
+    at rho = 1 with depth -eps_ij (Halgren's functional form)."""
+    from torchmd_tpu.amoeba import AmoebaVdw
+
+    prm = parse_tinker_prm(WATER03_VDW)
+    assert prm["vdw"][1]["rmin"] == pytest.approx(3.405)
+    assert prm["vdw"][2]["reduction"] == pytest.approx(0.91)
+
+    # two lone O sites (reduction 1): scan the pair distance
+    types = np.array([1, 1])
+    bonds = np.zeros((0, 2), int)
+    mask = jnp.asarray(np.array([[False, True], [True, False]]))
+    ffp = _ffp(2, nb_mask=mask)
+    vdw = AmoebaVdw(ffp, types, bonds, prm)
+    rmin, eps = 3.405, 0.110
+
+    def e(r):
+        pos = jnp.asarray([[0.0, 0, 0], [r, 0, 0]])
+        return float(vdw.energy_fn(pos, None))
+
+    # designed property: the curve passes through (rmin, -eps) exactly
+    assert e(rmin) == pytest.approx(-eps, rel=1e-12)
+    # the analytic slope at rho=1 is (7/1.07 - 7/1.12) * eps / rmin --
+    # the buffered form's true minimum sits slightly BELOW rmin
+    h = 1e-5
+    slope = (e(rmin + h) - e(rmin - h)) / (2 * h)
+    assert slope == pytest.approx(
+        (7 / 1.07 - 7 / 1.12) * eps / rmin, rel=1e-4
+    )
+    rs = np.linspace(0.9 * rmin, 1.1 * rmin, 201)
+    es = np.array([e(r) for r in rs])
+    i = int(np.argmin(es))
+    assert abs(rs[i] - rmin) < 0.05 * rmin
+    assert -1.1 * eps < es[i] <= -eps
+
+
+def test_vdw_hydrogen_reduction_site():
+    """H vdw sites sit at heavy + lam*(H-heavy): moving the O shifts the
+    effective H site, and AD transfers the force accordingly."""
+    from torchmd_tpu.amoeba import AmoebaVdw
+
+    prm = parse_tinker_prm(WATER03_VDW)
+    coords, types, bonds, _ = read_tinker_xyz(WATER_DIMER_XYZ)
+    N = len(types)
+    mask = np.ones((N, N), bool) & ~np.eye(N, dtype=bool)
+    for m in (0, 3):
+        for a in (m, m + 1, m + 2):
+            for b in (m, m + 1, m + 2):
+                mask[a, b] = False
+    ffp = _ffp(N, nb_mask=jnp.asarray(mask))
+    vdw = AmoebaVdw(ffp, types, bonds, prm)
+    assert vdw.parent[1] == 0 and vdw.parent[4] == 3   # H -> O
+    pos = jnp.asarray(coords)
+    e0 = float(vdw.energy_fn(pos, None))
+    assert np.isfinite(e0)
+    g = jax.grad(lambda p: vdw.energy_fn(p, None))(pos)
+    h = 1e-6
+    for a, d in [(0, 2), (1, 2), (4, 0)]:
+        pp = coords.copy(); pp[a, d] += h
+        pm = coords.copy(); pm[a, d] -= h
+        fd = (vdw.energy_fn(jnp.asarray(pp), None)
+              - vdw.energy_fn(jnp.asarray(pm), None)) / (2 * h)
+        assert float(g[a, d]) == pytest.approx(float(fd), abs=1e-6)
+
+
+def _hbond_dimer(d_oo, accept_tilt_deg=57.0, r_oh=0.9572,
+                 theta=np.deg2rad(104.52)):
+    """Smith-type hydrogen-bonded dimer: the donor's O-H points along
+    the O..O axis; the acceptor's bisector is tilted away by ~57 deg
+    (the experimental acceptor tilt)."""
+    O_b = np.array([d_oo, 0, 0])
+    h1 = O_b + r_oh * np.array([-1.0, 0, 0])
+    dir2 = np.array([np.cos(np.pi - theta), 0, np.sin(np.pi - theta)])
+    h2 = O_b + r_oh * dir2
+    t = np.deg2rad(accept_tilt_deg)
+    bis = np.array([-np.cos(t), 0, -np.sin(t)])
+    perp = np.array([0, 1.0, 0])
+    ha1 = r_oh * (np.cos(theta / 2) * bis + np.sin(theta / 2) * perp)
+    ha2 = r_oh * (np.cos(theta / 2) * bis - np.sin(theta / 2) * perp)
+    return np.stack([np.zeros(3), ha1, ha2, O_b, h1, h2])
+
+
+def test_full_amoeba_water_dimer_binding_curve():
+    """Full file-loaded AMOEBA water (multipoles + monopole Coulomb +
+    mutual polarization + 14-7 vdW): the hydrogen-bonded dimer binds
+    with a minimum at a physical O-O separation. Rigid monomers at the
+    published geometry with only the distance scanned give -3.5 kcal/mol
+    at 2.90 A here; AMOEBA's fully relaxed dimer is -4.96 kcal/mol at
+    2.89 A (Ren & Ponder 2003), so the window asserts the same well at
+    the same place, somewhat shallower."""
+    from torchmd_tpu.amoeba import make_amoeba_potential
+
+    prm = parse_tinker_prm(WATER03_VDW)
+    types = np.array([1, 2, 2, 1, 2, 2])
+    bonds = np.array([[0, 1], [0, 2], [3, 4], [3, 5]])
+    N = 6
+    mask = np.ones((N, N), bool) & ~np.eye(N, dtype=bool)
+    for m in (0, 3):
+        for a in range(m, m + 3):
+            for b in range(m, m + 3):
+                mask[a, b] = False
+    ffp = _ffp(N, nb_mask=jnp.asarray(mask))
+    pot, charges = make_amoeba_potential(ffp, types, bonds, prm,
+                                         charge_charge=True)
+    assert len(pot.parts) == 3   # multipoles+pol, charge-charge, vdw
+
+    e_inf = float(pot.energy_fn(jnp.asarray(_hbond_dimer(60.0)), None))
+    ds = np.linspace(2.5, 3.4, 19)
+    es = np.array([
+        float(pot.energy_fn(jnp.asarray(_hbond_dimer(d)), None)) - e_inf
+        for d in ds
+    ])
+    i = int(np.argmin(es))
+    assert -6.0 < es[i] < -2.5, f"dimer minimum {es[i]} kcal/mol"
+    assert 2.7 < ds[i] < 3.1, f"O-O minimum at {ds[i]} A"
+    assert es[0] > es[i] + 2.0  # climbing the short-range vdW wall
+    assert es[-1] > es[i]       # attractive well shape

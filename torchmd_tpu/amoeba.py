@@ -96,14 +96,22 @@ def parse_tinker_prm(text):
       "atoms":      {type: {"class": int, "name": str, "mass": float}}
     """
     out = {"multipoles": parse_tinker_multipoles(text),
-           "polarize": {}, "atoms": {}}
+           "polarize": {}, "atoms": {}, "vdw": {}}
     for raw in text.splitlines():
         ln = raw.split("#")[0].strip()
         if not ln:
             continue
         parts = ln.split()
         key = parts[0].lower()
-        if key == "polarize":
+        if key == "vdw":
+            # vdw  class  rmin-diameter(A)  epsilon(kcal/mol)  [reduction]
+            cls = int(parts[1])
+            out["vdw"][cls] = {
+                "rmin": float(parts[2]),
+                "eps": float(parts[3]),
+                "reduction": float(parts[4]) if len(parts) > 4 else 1.0,
+            }
+        elif key == "polarize":
             t = int(parts[1])
             alpha = float(parts[2])
             thole = float(parts[3])
@@ -495,6 +503,104 @@ class AmoebaPolarization:
         return np.asarray(e), -np.asarray(g)
 
 
+class AmoebaVdw:
+    """AMOEBA buffered 14-7 van der Waals (Halgren) as an external term.
+
+    E = eps_ij * (1.07 / (rho + 0.07))^7 * (1.12 / (rho^7 + 0.12) - 2),
+    rho = r / rmin_ij, with AMOEBA's combination rules: cubic-mean
+    rmin_ij = (r_i^3 + r_j^3) / (r_i^2 + r_j^2) and HHG epsilon
+    eps_ij = 4 e_i e_j / (sqrt(e_i) + sqrt(e_j))^2. Hydrogen sites are
+    displaced along the H->heavy bond by the `reduction` factor
+    (site = heavy + lam * (r_H - r_heavy)), differentiable, so the
+    chain-rule force transfer to the heavy atom comes from AD for free.
+    Analytic property used as the test pin: the pair energy minimum sits
+    exactly at rho = 1 with depth -eps_ij."""
+
+    def __init__(self, ffparams, atom_types, bonds, prm, cutoff=None,
+                 switch_dist=None):
+        if ffparams.nb_mask is None:
+            raise ValueError("AMOEBA vdW needs the dense nonbonded mask")
+        atom_types = np.asarray(atom_types).reshape(-1)
+        natoms = len(atom_types)
+        rec = prm["vdw"]
+        atoms = prm.get("atoms", {})
+        rmin = np.zeros(natoms)
+        eps = np.zeros(natoms)
+        lam = np.ones(natoms)
+        parent = np.arange(natoms)
+        n12 = _neighbor_lists(natoms, bonds)
+        for a, t in enumerate(atom_types):
+            cls = atoms.get(int(t), {}).get("class", int(t))
+            if cls not in rec:
+                raise KeyError(
+                    f"atom {a}: no vdw record for class {cls} (type {t})"
+                )
+            r = rec[cls]
+            rmin[a] = r["rmin"]
+            eps[a] = r["eps"]
+            lam[a] = r["reduction"]
+            if r["reduction"] != 1.0:
+                if len(n12[a]) != 1:
+                    raise ValueError(
+                        f"atom {a}: vdw reduction needs exactly one bonded "
+                        f"heavy neighbour"
+                    )
+                parent[a] = n12[a][0]
+        self.rmin = jnp.asarray(rmin)
+        self.eps = jnp.asarray(eps)
+        self.lam = jnp.asarray(lam)
+        self.parent = jnp.asarray(parent, jnp.int32)
+        self.nb_mask = ffparams.nb_mask
+        self.cutoff = None if cutoff is None else float(cutoff)
+        self.switch_dist = (
+            None if switch_dist is None else float(switch_dist)
+        )
+
+    def energy_fn(self, pos, box=None):
+        dtype = pos.dtype
+        lam = self.lam.astype(dtype)[:, None]
+        sites = pos[self.parent] + lam * (pos - pos[self.parent])
+        dv = wrap_displacement(
+            sites[None, :, :] - sites[:, None, :], box
+        )
+        d2 = jnp.sum(dv * dv, axis=-1)
+        n = pos.shape[0]
+        mask = self.nb_mask & (
+            jnp.arange(n)[:, None] < jnp.arange(n)[None, :]
+        )
+        if self.cutoff is not None:
+            mask = mask & (d2 <= self.cutoff ** 2)
+        d2 = jnp.where(mask, d2, 1.0)
+        r = jnp.sqrt(d2)
+        ri = self.rmin.astype(dtype)
+        ei = self.eps.astype(dtype)
+        r2s = ri * ri
+        rmin_ij = (ri[:, None] ** 3 + ri[None, :] ** 3) / (
+            r2s[:, None] + r2s[None, :]
+        )
+        se = jnp.sqrt(ei)
+        eps_ij = 4.0 * ei[:, None] * ei[None, :] / (
+            (se[:, None] + se[None, :]) ** 2 + 1e-300
+        )
+        rho = r / rmin_ij
+        rho7 = rho ** 7
+        e = eps_ij * (1.07 / (rho + 0.07)) ** 7 * (
+            1.12 / (rho7 + 0.12) - 2.0
+        )
+        if self.switch_dist is not None and self.cutoff is not None:
+            from .multipoles import _switch_factor
+
+            e = e * _switch_factor(d2, self.cutoff, self.switch_dist)
+        return jnp.sum(jnp.where(mask, e, 0.0))
+
+    def calculate(self, pos, box=None):
+        pos = jnp.asarray(pos)
+        e, g = jax.vmap(
+            jax.value_and_grad(lambda p: self.energy_fn(p, box))
+        )(pos)
+        return np.asarray(e), -np.asarray(g)
+
+
 class AmoebaElectrostatics:
     """Permanent multipoles + induced polarization as one external term."""
 
@@ -515,6 +621,80 @@ class AmoebaElectrostatics:
             jax.value_and_grad(lambda p: self.energy_fn(p, box))
         )(pos)
         return np.asarray(e), -np.asarray(g)
+
+
+class AmoebaPotential:
+    """Sum of AMOEBA external terms (electrostatics + vdW) behind the
+    external-potential protocol."""
+
+    def __init__(self, parts):
+        self.parts = parts
+
+    def energy_fn(self, pos, box=None):
+        e = self.parts[0].energy_fn(pos, box)
+        for p in self.parts[1:]:
+            e = e + p.energy_fn(pos, box)
+        return e
+
+    def calculate(self, pos, box=None):
+        pos = jnp.asarray(pos)
+        e, g = jax.vmap(
+            jax.value_and_grad(lambda p: self.energy_fn(p, box))
+        )(pos)
+        return np.asarray(e), -np.asarray(g)
+
+
+class ChargeCharge:
+    """Plain Coulomb over the nonbonded mask. The engine normally owns
+    this term (assign the returned monopole charges onto the
+    `electrostatics` point-charge term, which rides the Pallas pair
+    kernel); this part exists for STANDALONE AmoebaPotential use."""
+
+    def __init__(self, charges, nb_mask, cutoff=None):
+        self.q = jnp.asarray(charges)
+        self.nb_mask = nb_mask
+        self.cutoff = None if cutoff is None else float(cutoff)
+
+    def energy_fn(self, pos, box=None):
+        dtype = pos.dtype
+        q = self.q.astype(dtype)
+        dv = wrap_displacement(pos[None, :, :] - pos[:, None, :], box)
+        d2 = jnp.sum(dv * dv, axis=-1)
+        n = pos.shape[0]
+        mask = self.nb_mask & (
+            jnp.arange(n)[:, None] < jnp.arange(n)[None, :]
+        )
+        if self.cutoff is not None:
+            mask = mask & (d2 <= self.cutoff ** 2)
+        d2 = jnp.where(mask, d2, 1.0)
+        e = ELEC_FACTOR * q[:, None] * q[None, :] * d2 ** -0.5
+        return jnp.sum(jnp.where(mask, e, 0.0))
+
+
+def make_amoeba_potential(ffparams, atom_types, bonds, prm, cutoff=None,
+                          switch_dist=None, mutual=True, vdw=True,
+                          charge_charge=False, cg_iters=40, cg_tol=1e-6):
+    """Full AMOEBA nonbonded stack from parsed .prm data: permanent
+    multipoles + Thole mutual polarization + buffered 14-7 vdW, as one
+    external-potential object. Returns (AmoebaPotential, charges).
+
+    charge_charge=False (default) leaves the monopole Coulomb term to
+    the engine: assign the returned charges onto the point-charge
+    `electrostatics` term (fast path). True folds it into this object
+    for standalone evaluation."""
+    elec, charges = make_amoeba_electrostatics(
+        ffparams, atom_types, bonds, prm, cutoff=cutoff,
+        switch_dist=switch_dist, mutual=mutual, cg_iters=cg_iters,
+        cg_tol=cg_tol,
+    )
+    parts = [elec]
+    if charge_charge:
+        parts.append(ChargeCharge(charges, ffparams.nb_mask,
+                                  cutoff=cutoff))
+    if vdw and prm.get("vdw"):
+        parts.append(AmoebaVdw(ffparams, atom_types, bonds, prm,
+                               cutoff=cutoff, switch_dist=switch_dist))
+    return AmoebaPotential(parts), charges
 
 
 def make_amoeba_electrostatics(ffparams, atom_types, bonds, prm,
