@@ -1,0 +1,182 @@
+"""Halo-exchange slab MD (parallel/halo.py): rank-count invariance,
+dense-path energy parity, migration across slab faces and the
+surface-vs-volume comm accounting. Runs on the virtual 8-device CPU
+mesh from conftest."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from torchmd_tpu.forcefields.ff_yaml import YamlForcefield
+from torchmd_tpu.forces import Forces
+from torchmd_tpu.io import Molecule
+from torchmd_tpu.parameters import Parameters
+from torchmd_tpu.parallel.halo import HaloMD, make_halo_spec
+from torchmd_tpu.potentials import nonbonded_energy_forces
+
+
+def _gas(natoms=2000, L=90.0, charges=True, seed=0):
+    rs = np.random.RandomState(seed)
+    mol = Molecule()
+    mol.numAtoms = natoms
+    mol.atomtype = np.array(["AR"] * natoms, dtype=object)
+    mol.charge = rs.randn(natoms) * 0.03 if charges else np.zeros(natoms)
+    mol.masses = np.full(natoms, 39.948)
+    mol.bonds = np.zeros((0, 2), dtype=np.int64)
+    m = int(np.ceil(natoms ** (1 / 3)))
+    grid = np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"),
+                    axis=-1).reshape(-1, 3)[:natoms]
+    mol.coords = ((grid + 0.5) * (L / m)
+                  + rs.randn(natoms, 3) * 0.3)[:, :, None]
+    mol.box = np.full((3, 1), L)
+    ffd = {"atomtypes": ["AR"],
+           "lj": {"AR": {"sigma": 3.405, "epsilon": 0.238}},
+           "electrostatics": {"AR": {"charge": 0.0}},
+           "masses": {"AR": 39.948}}
+    ff = YamlForcefield(mol, ffd)
+    terms = ["lj", "electrostatics"] if charges else ["lj"]
+    par = Parameters(ff, mol, terms, precision="single")
+    if charges:
+        par.charges = mol.charge.copy()
+    forces = Forces(par, terms=terms, precision="single", cutoff=9.0,
+                    rfa=charges)
+    return mol, par, forces, L
+
+
+def _mesh(r):
+    return Mesh(np.array(jax.devices()[:r]), ("sp",))
+
+
+def test_halo_spec_validation():
+    spec = make_halo_spec([90.0] * 3, 9.0, 8, 2000)
+    assert spec.slab_w >= spec.band_w
+    assert spec.comm_bytes_per_step() > 0
+    with pytest.raises(ValueError, match="too many ranks"):
+        make_halo_spec([40.0] * 3, 9.0, 8, 2000)
+
+
+def test_halo_energy_matches_dense():
+    """Step with zero velocities: positions stay put, so the reported
+    potential must equal the dense path's nonbonded energy."""
+    mol, par, forces, L = _gas()
+    pos = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+    box = jnp.asarray([L] * 3, jnp.float32)
+    pot_d, f_d = nonbonded_energy_forces(forces.ffparams, pos, box,
+                                         forces.config)
+    e_dense = float(sum(jax.tree_util.tree_leaves(pot_d)))
+
+    h = HaloMD(forces.ffparams, forces.config, _mesh(8), np.asarray([L] * 3),
+               timestep=1.0)
+    h.init(pos, jnp.zeros_like(pos))
+    ekin, epot, T = h.step(niter=1)
+    assert epot == pytest.approx(e_dense, rel=1e-5)
+    # velocities only pick up the trailing half-kick from fresh forces
+    assert 0.0 <= ekin < 1e-4
+
+
+def test_halo_rank_count_invariance_nve():
+    """The same NVE trajectory must come out of 1, 2 and 8 slabs
+    (migration, ghost wrap shifts and the symmetric evaluation all
+    cancel across rank counts)."""
+    mol, par, forces, L = _gas(seed=3)
+    from torchmd_tpu.integrator import maxwell_boltzmann
+
+    vel0 = np.asarray(maxwell_boltzmann(par.masses, 120.0, 1, seed=2))[0]
+    pos0 = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+
+    results = {}
+    for r in (1, 2, 8):
+        h = HaloMD(forces.ffparams, forces.config, _mesh(r),
+                   np.asarray([L] * 3), timestep=5.0)
+        h.init(pos0, jnp.asarray(vel0, jnp.float32))
+        es = []
+        for _ in range(3):
+            ekin, epot, T = h.step(niter=8)
+            es.append(epot)
+        pos, vel = h.gather()
+        results[r] = (np.asarray(es), pos, vel)
+
+    e1, p1, v1 = results[1]
+    for r in (2, 8):
+        er, pr, vr = results[r]
+        np.testing.assert_allclose(er, e1, rtol=5e-5)
+        np.testing.assert_allclose(pr, p1, atol=2e-3)
+        np.testing.assert_allclose(vr, v1, atol=2e-3)
+
+
+def test_halo_migration_conserves_atoms():
+    """A hot run that triggers rebuilds/migrations must keep every atom
+    owned by exactly one rank."""
+    mol, par, forces, L = _gas(seed=4)
+    from torchmd_tpu.integrator import maxwell_boltzmann
+
+    vel0 = np.asarray(maxwell_boltzmann(par.masses, 300.0, 1, seed=5))[0]
+    h = HaloMD(forces.ffparams, forces.config, _mesh(8),
+               np.asarray([L] * 3), timestep=5.0, T=120.0, gamma=0.5)
+    h.init(jnp.asarray(mol.coords[:, :, 0], jnp.float32),
+           jnp.asarray(vel0, jnp.float32))
+    for _ in range(3):
+        ekin, epot, T = h.step(niter=10)
+        assert np.isfinite(epot) and np.isfinite(ekin)
+    t = np.asarray(h._tables).reshape(-1, h._tables.shape[-1])
+    ids = t[:, 0].astype(int)
+    real = np.sort(ids[ids < mol.numAtoms])
+    assert np.array_equal(real, np.arange(mol.numAtoms))
+    # the thermostat held the temperature in a sane band
+    assert 40.0 < T < 400.0
+
+
+def test_halo_comm_scales_with_surface():
+    """Per-step halo bytes scale with the slab FACE (the ghost band =
+    band_w x Ly x Lz), independent of the slab depth: doubling the box
+    along the slab axis (and N with it, constant density) leaves halo
+    bytes unchanged while the all_gather's O(N) bytes double. At large
+    enough slab depth the halo undercuts the all_gather."""
+    spec = make_halo_spec([260.0, 90.0, 90.0], 9.0, 8, 50_000)
+    allgather = 50_000 * 3 * 4       # every rank receives ~all positions
+    assert spec.comm_bytes_per_step() < allgather
+
+    spec2 = make_halo_spec([520.0, 90.0, 90.0], 9.0, 8, 100_000)
+    # same face, same band occupancy -> same halo bytes (within the
+    # sqrt-fluctuation slack term)
+    ratio = spec2.comm_bytes_per_step() / spec.comm_bytes_per_step()
+    assert ratio < 1.05
+    assert 100_000 * 3 * 4 == 2 * allgather   # all_gather doubles
+
+
+def test_halo_exclusions_respected():
+    """Excluded pairs must drop from the halo evaluation exactly as the
+    dense mask drops them (fabricated bond between nearby atoms)."""
+    mol, par, forces, L = _gas(natoms=1000, seed=6)
+    pos = np.asarray(mol.coords[:, :, 0], np.float32)
+    pos[1] = pos[0] + [3.0, 0.0, 0.0]
+    mol.bonds = np.array([[0, 1]])
+    ff = YamlForcefield(mol, {
+        "atomtypes": ["AR"],
+        "lj": {"AR": {"sigma": 3.405, "epsilon": 0.238}},
+        "electrostatics": {"AR": {"charge": 0.0}},
+        "bonds": {"(AR, AR)": {"k0": 10.0, "req": 3.0}},
+        "masses": {"AR": 39.948},
+    })
+    par = Parameters(ff, mol, ["lj", "electrostatics", "bonds"],
+                     precision="single")
+    par.charges = mol.charge.copy()
+    forces = Forces(par, terms=["lj", "electrostatics"],
+                    precision="single", cutoff=9.0, rfa=True)
+    from torchmd_tpu.neighbors import build_exclusion_table
+
+    excl = build_exclusion_table(par, mol.numAtoms, 0)
+    posj = jnp.asarray(pos)
+    box = jnp.asarray([L] * 3, jnp.float32)
+    pot_d, _ = nonbonded_energy_forces(forces.ffparams, posj, box,
+                                       forces.config)
+    e_dense = float(sum(jax.tree_util.tree_leaves(pot_d)))
+    h = HaloMD(forces.ffparams, forces.config, _mesh(8),
+               np.asarray([L] * 3), excl_table=excl, timestep=1.0)
+    h.init(posj, jnp.zeros_like(posj))
+    _, epot, _ = h.step(niter=1)
+    assert epot == pytest.approx(e_dense, rel=1e-5)

@@ -292,15 +292,16 @@ def build_columns(pos, cfg: ColumnConfig, ffp: FFParams, excl_table,
     hib_b = jnp.broadcast_to(hib[:, None, :], (ncol, 9, NB))
     start = jnp.take_along_axis(cum_n, lob_b, axis=2)
     end_need = jnp.take_along_axis(cum_n, hib_b + 1, axis=2)
-    # Mosaic requires lane-dimension dynamic-slice starts to be 128-
-    # aligned: round starts down one panel (W carries the extra panel of
-    # slack, sized in make_column_config / grow)
-    start = (start // 128) * 128
+    # windows are whole 128-slot PANELS (the kernel's j layout is
+    # panel-major so the window select is a free leading-dim dynamic
+    # slice): round starts down one panel; W carries the extra panel of
+    # slack, sized in make_column_config / grow
+    startq = start // 128
     overflow_w = jnp.any(
-        block_valid[:, None, :] & ((end_need - start) > W)
+        block_valid[:, None, :] & ((end_need - startq * 128) > W)
     )
-    start_c = jnp.minimum(start, CE - W)
-    wstart = jnp.where(block_valid[:, None, :], start_c, -1).astype(
+    startq = jnp.minimum(startq, (CE - W) // 128)
+    wstart = jnp.where(block_valid[:, None, :], startq, -1).astype(
         jnp.int32
     )
 
@@ -376,7 +377,12 @@ def column_energy_forces(ffp: FFParams, cfg: ForceTermConfig,
     j_data = jnp.concatenate(
         [Pj[..., 0][:, None, :], Pj[..., 1][:, None, :],
          jz[:, None, :], st.jattr.astype(f32)], axis=1
-    )
+    )                                           # (ncol, Rj, CE)
+    Rj = j_data.shape[1]
+    ncol = j_data.shape[0]
+    j_data = j_data.reshape(
+        ncol, Rj, ccfg.CE // 128, 128
+    ).transpose(0, 2, 1, 3)                     # (ncol, CE/128, Rj, 128)
     if shifts is None:
         shifts = jnp.asarray(column_shift_table(ccfg))
 

@@ -14,20 +14,23 @@ on), laid out for the TPU's (8, 128) vector registers:
     whole extended array is z-sorted -- so every i atom's neighbourhood
     is one CONTIGUOUS slot range,
   - at (re)build time, each block of IBLK consecutive i slots gets a
-    precomputed window start into each of its 9 (3x3) neighbour columns'
-    extended arrays, via a per-column cumulative z histogram. Windows have
-    a static width W (multiple of 128), so the kernel's unit of work is a
-    dense (IBLK, W) pair tile with full 128-lane occupancy -- vs the cell
-    kernel's (nz, cap, cap) tiles at cap/128 lane utilization,
-  - x/y periodic wrap is handled by per-(column, offset) static position
-    shifts; z wrap by the pre-shifted ghost entries. The pair math never
-    wraps (same trick as the cell kernels) and reuses pair_terms, so
-    LJ/switching/RFA/Ewald-real-space behave identically to the dense
-    kernel.
+    precomputed window PANEL index into each of its 9 (3x3) neighbour
+    columns' extended arrays, via a per-column cumulative z histogram.
 
-Work per atom is ~9 * W candidate slots vs the cell kernel's
-27 * capacity^2 / occupancy; at argon-gas density (24k atoms) that is
-~4x fewer padded slots AND ~2.7x better lane occupancy.
+Layouts are chosen so no dynamic lane/sublane slicing ever happens:
+
+  - j data is stored panel-major, (ncol, CE/128, Rj, 128): a window is
+    Wq consecutive PANELS selected by a dynamic index on the leading
+    (untiled) dimension -- free on TPU,
+  - i data is block-major, (ncol, NB, Ri, IBLK): one i block is a
+    leading-dim index too; the pair tile is (Wq, IBLK, 128) whose
+    last two dims are exact (8k, 128) register tiles,
+  - per-block windows (int32 panel starts) and per-(column, offset)
+    x/y wrap shifts ride as 1-D scalar-prefetch SMEM arrays (1-D
+    deliberately: multi-dim SMEM gets tile-padded ~13x).
+
+Work per atom is ~9 * W candidate slots at full lane occupancy vs the
+cell kernel's 27 * capacity^2 / occupancy at capacity/128 lanes.
 
 Forces come from i-side row sums only (every pair is seen from both
 sides; energies carry the 0.5 symmetric factor), so there is no scatter
@@ -58,11 +61,9 @@ from .pallas_nonbonded import make_kernel_cfg, pair_terms
 
 
 def _kernel(w_ref, s_ref, i_ref, j_ref, f_ref, elj_ref, eel_ref,
-            *, cfg, IBLK, W, NB, nexcl, nfloat):
-    # w_ref (ncol*9*NB,) int32 and s_ref (ncol*9*2,) f32 are scalar-
-    # prefetch SMEM arrays, kept 1-D deliberately: multi-dim SMEM arrays
-    # are tile-padded per trailing 2-D slice ((9, NB) -> (16, 128), a
-    # 13x blow-up that OOMs the 1 MB SMEM at 24k atoms)
+            *, cfg, IBLK, Wq, NB, nexcl, nfloat):
+    # w_ref (ncol*9*NB,) int32 panel starts (-1 = skip block) and
+    # s_ref (ncol*9*2,) f32 x/y shifts are 1-D scalar-prefetch SMEM
     c = pl.program_id(0)
     o = pl.program_id(1)
     f32 = jnp.float32
@@ -71,27 +72,28 @@ def _kernel(w_ref, s_ref, i_ref, j_ref, f_ref, elj_ref, eel_ref,
     def _init_f():
         f_ref[...] = jnp.zeros(f_ref.shape, f_ref.dtype)
 
+    @pl.when(jnp.logical_and(c == 0, o == 0))
+    def _init_e():
+        elj_ref[0, 0] = jnp.zeros((), f32)
+        eel_ref[0, 0] = jnp.zeros((), f32)
+
     co = c * 9 + o
     sx = s_ref[co * 2]
     sy = s_ref[co * 2 + 1]
 
-    def block(bi, carry):
-        elj, eel = carry
-        st = w_ref[co * NB + bi]
+    for bi in range(NB):                       # static unroll
+        stq = w_ref[co * NB + bi]
 
-        def do(carry2):
-            elj, eel = carry2
-            # i blocks live on an untiled leading dim (dynamic index is
-            # unconstrained there); the j window is a lane-dim dynamic
-            # slice whose start is panel-aligned at build time
-            iw = i_ref[0, bi]                    # (Ri, IBLK)
-            jw = j_ref[0, :, pl.ds(pl.multiple_of(st, 128), W)]
+        @pl.when(stq >= 0)
+        def _block(bi=bi, stq=stq):
+            iw = i_ref[0, bi]                  # (Ri, IBLK)
+            jw = j_ref[0, pl.ds(stq, Wq)]      # (Wq, Rj, IBLK... no: (Wq, Rj, 128))
 
             def ri(r):
-                return iw[r][:, None]            # (IBLK, 1)
+                return iw[r][None, :, None]    # (1, IBLK, 1)
 
             def rj(r):
-                return jw[r][None, :]            # (1, W)
+                return jw[:, r, :][:, None, :]  # (Wq, 1, 128)
 
             dx = ri(0) - (rj(0) + sx)
             dy = ri(1) - (rj(1) + sy)
@@ -114,28 +116,14 @@ def _kernel(w_ref, s_ref, i_ref, j_ref, f_ref, elj_ref, eel_ref,
             e_lj, e_el, g = pair_terms(cfg, d2, mask, si, sj, ei, ej,
                                        qi, qj)
 
-            f_ref[0, bi, 0] = f_ref[0, bi, 0] - jnp.sum(g * dx, axis=1)
-            f_ref[0, bi, 1] = f_ref[0, bi, 1] - jnp.sum(g * dy, axis=1)
-            f_ref[0, bi, 2] = f_ref[0, bi, 2] - jnp.sum(g * dz, axis=1)
-            return elj + e_lj, eel + e_el
-
-        return jax.lax.cond(st >= 0, do, lambda c2: c2, (elj, eel))
-
-    e_lj, e_el = jax.lax.fori_loop(
-        0, NB, block, (jnp.zeros((), f32), jnp.zeros((), f32))
-    )
-
-    first = jnp.logical_and(c == 0, o == 0)
-
-    @pl.when(first)
-    def _init_e():
-        elj_ref[0, 0] = e_lj
-        eel_ref[0, 0] = e_el
-
-    @pl.when(jnp.logical_not(first))
-    def _acc_e():
-        elj_ref[0, 0] = elj_ref[0, 0] + e_lj
-        eel_ref[0, 0] = eel_ref[0, 0] + e_el
+            fx = -jnp.sum(g * dx, axis=(0, 2))   # (IBLK,)
+            fy = -jnp.sum(g * dy, axis=(0, 2))
+            fz = -jnp.sum(g * dz, axis=(0, 2))
+            f_ref[0, bi, 0] = f_ref[0, bi, 0] + fx
+            f_ref[0, bi, 1] = f_ref[0, bi, 1] + fy
+            f_ref[0, bi, 2] = f_ref[0, bi, 2] + fz
+            elj_ref[0, 0] = elj_ref[0, 0] + e_lj
+            eel_ref[0, 0] = eel_ref[0, 0] + e_el
 
 
 def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
@@ -144,16 +132,17 @@ def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
 
     i_data:  (ncol, NB, Ri, IBLK) rows 0..6 = x,y,z,q,sig,eps,id;
              7.. = excl ids (block axis leading: untiled dynamic index)
-    j_data:  (ncol, Rj, CE) rows 0..6 as above (z ghost-shifted)
-    wstart:  (ncol, 9, NB) int32 window starts into the extended arrays
-             (128-aligned; -1 = skip block)
-    shifts:  (ncol, 9, 2) f32 static x/y periodic position shifts
+    j_data:  (ncol, CE/128, Rj, 128) panel-major extended columns
+             (z ghost-shifted)
+    wstart:  (ncol*9*NB,) int32 window PANEL starts (-1 = skip block)
+    shifts:  (ncol*9*2,) f32 static x/y periodic position shifts
     Returns (e_lj, e_el scalars, f (ncol, NB, 3, IBLK)).
     """
     ncol = ncx * ncy
     Ri = i_data.shape[2]
-    Rj = j_data.shape[1]
-    CE = j_data.shape[2]
+    CEq = j_data.shape[1]
+    Rj = j_data.shape[2]
+    Wq = W // 128
     f32 = jnp.float32
 
     def j_index(c, o, *prefetch):
@@ -163,10 +152,10 @@ def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
         cy = jnp.mod(c, ncy)
         nx = jnp.mod(cx + dx, ncx)
         ny = jnp.mod(cy + dy, ncy)
-        return (nx * ncy + ny, 0, 0)
+        return (nx * ncy + ny, 0, 0, 0)
 
     kern = functools.partial(
-        _kernel, cfg=cfg, IBLK=IBLK, W=W, NB=NB, nexcl=nexcl,
+        _kernel, cfg=cfg, IBLK=IBLK, Wq=Wq, NB=NB, nexcl=nexcl,
         nfloat=float(nfloat),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -176,7 +165,8 @@ def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
             pl.BlockSpec((1, NB, Ri, IBLK),
                          lambda c, o, *p: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Rj, CE), j_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CEq, Rj, 128), j_index,
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, NB, 3, IBLK),
@@ -198,9 +188,11 @@ def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
         ],
         cost_estimate=pl.CostEstimate(
             flops=60 * ncol * 9 * NB * IBLK * W,
-            bytes_accessed=ncol * 9 * (Ri * NB * IBLK + Rj * CE) * 4,
+            bytes_accessed=ncol * 9 * (Ri * NB * IBLK + Rj * CEq * 128)
+            * 4,
             transcendentals=ncol * 9 * NB * IBLK * W,
         ),
         interpret=interpret,
-    )(wstart.reshape(-1), shifts.astype(f32).reshape(-1), i_data, j_data)
+    )(wstart.reshape(-1), shifts.astype(f32).reshape(-1),
+      i_data, j_data)
     return e_lj[0, 0], e_el[0, 0], f_out

@@ -1,0 +1,457 @@
+"""Halo-exchange MD: slab-owned atoms with surface-proportional comm.
+
+The row-block spatial scan (integrator._build_scan_spatial) all_gathers
+EVERY position over the mesh each step -- O(N_total) bytes per chip per
+step, which caps strong scaling. This module owns atoms spatially
+instead:
+
+  - the box is split along x into one slab per rank (slab width must be
+    >= cutoff + skin so neighbours live only in adjacent slabs),
+  - each rank carries a fixed-capacity padded table of the atoms it
+    OWNS (id, position, velocity, force, ref position, charge, LJ
+    params, exclusion ids packed as rows),
+  - per step each rank sends only its boundary band (atoms within
+    cutoff + skin of a slab face, capacity-padded) to its two
+    neighbours via `lax.ppermute` -- comm scales with the slab SURFACE,
+    not the volume,
+  - evaluation is symmetric (local rows vs local + both ghost bands
+    with the 0.5 pair factor), so per-atom forces are complete row sums
+    and no force-return leg is needed,
+  - at the standard skin/2 rebuild criterion (psum-OR over ranks) atoms
+    that drifted across a slab face MIGRATE to the neighbour rank via a
+    second fixed-capacity ppermute, inside the jitted scan
+    (lax.cond); ref positions reset. Capacity overflows (owned /
+    ghost / migration) raise a sticky flag that the host-side retry
+    loop turns into a grow + redo, mirroring the cell path.
+
+Scope (v1): single replica, Lorentz-Berthelot LJ (+ plain/RFA
+electrostatics, Ewald real-space NOT included), Langevin or NVE,
+orthorhombic static box. Larger term sets fall back to the row-block
+spatial scan.
+
+The reference has no distributed code at all (SURVEY.md §2.9); this is
+the TPU-native halo-exchange design its O(N^2) single-device engine
+could never express.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..potentials import FFParams, ForceTermConfig
+from ..units import BOLTZMANN, TIMEFACTOR
+from ..ops.pallas_nonbonded import make_kernel_cfg
+
+
+def _round_up(n, m):
+    return -(-int(n) // m) * m
+
+
+class HaloSpec(NamedTuple):
+    R: int              # ranks along the slab axis
+    box: tuple          # (lx, ly, lz) static
+    cutoff: float
+    skin: float
+    Acap: int           # owned-atom capacity per rank
+    Gcap: int           # ghost-band capacity per direction
+    Mcap: int           # migration capacity per direction per rebuild
+    nexcl: int
+
+    @property
+    def slab_w(self):
+        return self.box[0] / self.R
+
+    @property
+    def band_w(self):
+        return self.cutoff + self.skin
+
+    def comm_bytes_per_step(self):
+        """Per-chip per-step halo traffic (send+recv, both directions):
+        2 directions x (rows x Gcap) x 4 bytes, twice (send and the
+        mirrored receive land on this chip's links)."""
+        rows = 7 + self.nexcl          # id,x,y,z,q,sig,eps + exclusions
+        return 2 * 2 * rows * self.Gcap * 4
+
+
+def make_halo_spec(box, cutoff, R, natoms, skin=2.0, nexcl=0,
+                   slack=1.35) -> HaloSpec:
+    box = tuple(float(b) for b in np.asarray(box).reshape(-1)[:3])
+    if min(box) <= 0:
+        raise ValueError("halo exchange requires a periodic box")
+    slab_w = box[0] / R
+    if slab_w < cutoff + skin:
+        raise ValueError(
+            f"slab width {slab_w:.2f} < cutoff+skin {cutoff + skin:.2f}: "
+            f"too many ranks for this box"
+        )
+    per = natoms / R
+    Acap = _round_up(per * slack + 4 * np.sqrt(per) + 8, 8)
+    band_frac = min(1.0, (cutoff + skin) / slab_w)
+    Gcap = _round_up(per * band_frac * (slack + 0.3)
+                     + 4 * np.sqrt(max(per * band_frac, 1)) + 8, 8)
+    mig_frac = min(1.0, skin / slab_w)
+    Mcap = _round_up(per * mig_frac * (slack + 0.3)
+                     + 4 * np.sqrt(max(per * mig_frac, 1)) + 8, 8)
+    return HaloSpec(int(R), box, float(cutoff), float(skin),
+                    int(Acap), int(Gcap), int(Mcap), int(nexcl))
+
+
+# Row layout of the packed per-atom table (columns of `atoms`):
+# 0 id (float; natoms = padding), 1:4 pos, 4:7 vel, 7:10 force,
+# 10:13 ref pos, 13 q, 14 sig, 15 eps, 16: exclusion ids.
+_ID, _POS, _VEL, _FRC, _REF, _Q, _SIG, _EPS, _EXCL = (
+    0, slice(1, 4), slice(4, 7), slice(7, 10), slice(10, 13), 13, 14, 15, 16
+)
+
+
+def _atom_rows(ffp: FFParams, excl_table, pos, vel, frc, box=None):
+    """(natoms, 16 + nexcl) packed float rows (f32); positions wrapped
+    into the primary image when a box is given (the slab band/owner
+    tests work on in-box coordinates)."""
+    n = pos.shape[0]
+    f32 = jnp.float32
+    pos = jnp.asarray(pos, f32)
+    if box is not None:
+        b = jnp.asarray(box, f32).reshape(3)
+        pos = pos - b * jnp.floor(pos / b)
+    sig = ffp.lj_params[:, 0].astype(f32)[ffp.mapped_atom_types]
+    eps = ffp.lj_params[:, 1].astype(f32)[ffp.mapped_atom_types]
+    cols = [
+        jnp.arange(n, dtype=f32)[:, None],
+        pos, jnp.asarray(vel, f32),
+        jnp.asarray(frc, f32), pos,
+        ffp.charges.astype(f32)[:, None], sig[:, None], eps[:, None],
+    ]
+    if excl_table is not None and excl_table.shape[1]:
+        cols.append(jnp.asarray(excl_table, f32))
+    return jnp.concatenate(cols, axis=1)
+
+
+def _pack(mask, rows, cap, pad_row):
+    """Take up to `cap` rows where mask (valid-first, stable order).
+    Returns (packed (cap, D), overflow bool)."""
+    order = jnp.argsort(~mask, stable=True)[:cap]
+    sel = mask[order]
+    out = jnp.where(sel[:, None], rows[order], pad_row[None, :])
+    return out, jnp.sum(mask) > cap
+
+
+def distribute(spec: HaloSpec, rows):
+    """Host-side initial distribution: global packed rows ->
+    (R, Acap, D) slab tables. Returns (tables, overflow)."""
+    x = np.asarray(rows[:, 1])
+    lx = spec.box[0]
+    xw = x - lx * np.floor(x / lx)
+    owner = np.clip((xw / lx * spec.R).astype(int), 0, spec.R - 1)
+    n, D = rows.shape
+    pad = np.zeros(D, np.float32)
+    pad[_ID] = n
+    out = np.tile(pad, (spec.R, spec.Acap, 1))
+    overflow = False
+    for r in range(spec.R):
+        ids = np.where(owner == r)[0]
+        if len(ids) > spec.Acap:
+            overflow = True
+            ids = ids[: spec.Acap]
+        out[r, : len(ids)] = np.asarray(rows)[ids]
+    return jnp.asarray(out), overflow
+
+
+class HaloMD:
+    """Slab-owned halo-exchange MD stepper over one mesh axis.
+
+    Usage:
+        h = HaloMD(ffp, cfg, mesh, box, excl_table, timestep, T, gamma)
+        h.init(pos, vel)
+        ekin, epot, T = h.step(niter)
+        pos, vel = h.gather()          # global arrays (host order)
+    """
+
+    def __init__(self, ffp: FFParams, cfg: ForceTermConfig, mesh: Mesh,
+                 box, excl_table=None, timestep=1.0, T=None, gamma=None,
+                 axis="sp", seed=1, slack=1.35):
+        if cfg.cutoff is None:
+            raise ValueError("halo exchange requires a cutoff")
+        if cfg.ewald_alpha is not None:
+            raise NotImplementedError("halo path: Ewald reciprocal terms "
+                                      "are not distributed yet")
+        if ffp.lj_ab is not None:
+            raise NotImplementedError("halo path: NBFIX tables not "
+                                      "supported (LB mixing only)")
+        self.ffp = ffp
+        self.cfg = cfg
+        self.mesh = mesh
+        self.axis = axis
+        self.R = mesh.shape[axis]
+        natoms = int(ffp.charges.shape[0])
+        self.natoms = natoms
+        nexcl = int(excl_table.shape[1]) if excl_table is not None else 0
+        self.excl_table = excl_table
+        self.spec = make_halo_spec(box, cfg.cutoff, self.R, natoms,
+                                   skin=2.0, nexcl=nexcl, slack=slack)
+        self.kcfg = make_kernel_cfg(cfg, True)
+        self.dt = float(timestep) / TIMEFACTOR
+        self.T = T
+        self.gamma = None if gamma is None else float(gamma) * TIMEFACTOR / 1000.0
+        self.masses = ffp.masses  # (natoms, 1)
+        self.key = jax.random.PRNGKey(seed)
+        self._tables = None
+        self._step_fn = self._build_step()
+
+    # ------------------------------------------------------------------
+    def init(self, pos, vel):
+        frc = jnp.zeros_like(jnp.asarray(pos, jnp.float32))
+        rows = _atom_rows(self.ffp, self.excl_table, pos, vel, frc,
+                          box=self.spec.box)
+        tables, overflow = distribute(self.spec, rows)
+        if overflow:
+            raise RuntimeError("halo Acap overflow at distribution; "
+                               "raise slack")
+        self._tables = jax.device_put(
+            tables,
+            jax.sharding.NamedSharding(self.mesh, P(self.axis)),
+        )
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        spec = self.spec
+        kcfg = self.kcfg
+        R = spec.R
+        axis = self.axis
+        Acap, Gcap, Mcap = spec.Acap, spec.Gcap, spec.Mcap
+        nexcl = spec.nexcl
+        n = self.natoms
+        lx, ly, lz = spec.box
+        box3 = jnp.asarray(spec.box, jnp.float32)
+        dt = self.dt
+        masses_pad = jnp.concatenate(
+            [self.masses.astype(jnp.float32).reshape(-1),
+             jnp.ones((1,), jnp.float32)]
+        )
+        use_langevin = self.T is not None and self.gamma is not None
+        if use_langevin:
+            gamma = self.gamma
+            vcoeff_pad = jnp.sqrt(
+                2.0 * gamma * BOLTZMANN * float(self.T) * dt / masses_pad
+            ).astype(jnp.float32)
+        band = spec.band_w
+        fwd = [(i, (i + 1) % R) for i in range(R)]
+        bwd = [(i, (i - 1) % R) for i in range(R)]
+
+        from ..ops.pallas_nonbonded import pair_terms
+
+        def ghost_exchange(atoms, rank):
+            """Send boundary bands to both neighbours; returns
+            (ghost_rows (2*Gcap, D), overflow)."""
+            x = atoms[:, 1]
+            valid = atoms[:, _ID] < n
+            lo = rank * (lx / R)
+            hi = (rank + 1) * (lx / R)
+            pad_row = jnp.zeros((atoms.shape[1],), jnp.float32).at[
+                _ID
+            ].set(float(n))
+            # band near my HIGH face -> right neighbour's LEFT ghosts
+            m_hi = valid & (x > hi - band)
+            send_r, of_r = _pack(m_hi, atoms, Gcap, pad_row)
+            # wrap shift for the rank that crosses the periodic face
+            send_r = send_r.at[:, 1].add(
+                jnp.where(rank == R - 1, -lx, 0.0)
+            )
+            m_lo = valid & (x < lo + band)
+            send_l, of_l = _pack(m_lo, atoms, Gcap, pad_row)
+            send_l = send_l.at[:, 1].add(jnp.where(rank == 0, lx, 0.0))
+            recv_from_left = jax.lax.ppermute(send_r, axis, fwd)
+            recv_from_right = jax.lax.ppermute(send_l, axis, bwd)
+            ghosts = jnp.concatenate([recv_from_left, recv_from_right])
+            return ghosts, of_r | of_l
+
+        def energy_forces_local(atoms, ghosts):
+            """Symmetric evaluation: local rows vs (local + ghosts).
+            Energies carry the 0.5 factor; row sums are complete
+            forces."""
+            allr = jnp.concatenate([atoms, ghosts])
+            xi = atoms[:, 1][:, None]
+            yi = atoms[:, 2][:, None]
+            zi = atoms[:, 3][:, None]
+            xj = allr[:, 1][None, :]
+            yj = allr[:, 2][None, :]
+            zj = allr[:, 3][None, :]
+            dx = xi - xj                    # x: ghosts pre-shifted; local
+            #                                 pairs stay within one slab
+            dy = yi - yj
+            dy = dy - ly * jnp.round(dy / ly)
+            dz = zi - zj
+            dz = dz - lz * jnp.round(dz / lz)
+            d2 = dx * dx + dy * dy + dz * dz
+            idi = atoms[:, _ID][:, None]
+            idj = allr[:, _ID][None, :]
+            mask = (idi < n) & (idj < n) & (idi != idj)
+            for e in range(nexcl):
+                mask = mask & (atoms[:, 16 + e][:, None] != idj)
+            si, sj = atoms[:, _SIG][:, None], allr[:, _SIG][None, :]
+            ei, ej = atoms[:, _EPS][:, None], allr[:, _EPS][None, :]
+            qi, qj = atoms[:, _Q][:, None], allr[:, _Q][None, :]
+            e_lj, e_el, g = pair_terms(kcfg, d2, mask, si, sj, ei, ej,
+                                       qi, qj)
+            fx = -jnp.sum(g * dx, axis=1)
+            fy = -jnp.sum(g * dy, axis=1)
+            fz = -jnp.sum(g * dz, axis=1)
+            return e_lj + e_el, jnp.stack([fx, fy, fz], axis=1)
+
+        def migrate(atoms, rank):
+            """Rebuild: re-wrap positions into the primary box image
+            (between rebuilds drift is bounded by skin/2, so the raw-x
+            band/owner tests stay valid), then move atoms that crossed a
+            slab face to the neighbour rank; reset ref positions. Fixed
+            Mcap capacity."""
+            pos_w = atoms[:, _POS] - box3 * jnp.floor(
+                atoms[:, _POS] / box3
+            )
+            atoms = atoms.at[:, _POS].set(pos_w)
+            x = atoms[:, 1]
+            valid = atoms[:, _ID] < n
+            owner = jnp.clip((x / lx * R).astype(jnp.int32), 0, R - 1)
+            # owner offset in {-1, 0, +1} around this rank (periodic)
+            d_off = jnp.mod(owner - rank + 1 + R, R) - 1
+            pad_row = jnp.zeros((atoms.shape[1],), jnp.float32).at[
+                _ID
+            ].set(float(n))
+            m_r = valid & (d_off == 1)
+            send_r, of_r = _pack(m_r, atoms, Mcap, pad_row)
+            m_l = valid & (d_off == -1)
+            send_l, of_l = _pack(m_l, atoms, Mcap, pad_row)
+            # any atom claiming a non-adjacent owner exceeded the skin
+            # guarantee: flag it
+            of_far = jnp.any(valid & (jnp.abs(d_off) > 1))
+            keep = valid & (d_off == 0)
+            recv_l = jax.lax.ppermute(send_r, axis, fwd)
+            recv_r = jax.lax.ppermute(send_l, axis, bwd)
+            cand = jnp.concatenate([
+                jnp.where(keep[:, None], atoms, pad_row[None, :]),
+                recv_l, recv_r,
+            ])
+            merged, of_m = _pack(cand[:, _ID] < n, cand, Acap, pad_row)
+            merged = merged.at[:, _REF].set(merged[:, _POS])
+            return merged, of_r | of_l | of_m | of_far
+
+        def needs_rebuild(atoms):
+            d = atoms[:, _POS] - atoms[:, _REF]
+            d = d - box3 * jnp.round(d / box3)
+            valid = atoms[:, _ID] < n
+            d2 = jnp.sum(d * d, axis=1)
+            moved = jnp.any(jnp.where(valid, d2, 0.0)
+                            > (spec.skin * 0.5) ** 2)
+            return jax.lax.psum(moved.astype(jnp.int32), axis) > 0
+
+        @partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(P(axis), P(), P()),
+            out_specs=(P(axis), P(), P(), P()),
+            check_vma=False,
+        )
+        def run(tables, key, niter_arr):
+            atoms = tables[0]                     # (Acap, D)
+            rank = jax.lax.axis_index(axis)
+
+            def body(carry, kr):
+                atoms, of = carry
+                m = masses_pad[atoms[:, _ID].astype(jnp.int32)][:, None]
+                # first VV half
+                acc = atoms[:, _FRC] / m
+                pos = atoms[:, _POS] + atoms[:, _VEL] * dt \
+                    + 0.5 * acc * dt * dt
+                vel = atoms[:, _VEL] + 0.5 * acc * dt
+                atoms = atoms.at[:, _POS].set(pos).at[:, _VEL].set(vel)
+                # rebuild (migration) under the skin criterion
+                atoms, of_m = jax.lax.cond(
+                    needs_rebuild(atoms),
+                    lambda a: migrate(a, rank),
+                    lambda a: (a, jnp.asarray(False)),
+                    atoms,
+                )
+                of = of | of_m
+                # halo exchange + evaluation
+                ghosts, of_g = ghost_exchange(atoms, rank)
+                of = of | of_g
+                epot_part, frc = energy_forces_local(atoms, ghosts)
+                atoms = atoms.at[:, _FRC].set(frc)
+                vel = atoms[:, _VEL]
+                if use_langevin:
+                    noise = jax.random.normal(
+                        jax.random.fold_in(kr, rank), vel.shape,
+                        dtype=vel.dtype,
+                    )
+                    vc = vcoeff_pad[atoms[:, _ID].astype(jnp.int32)]
+                    vel = vel - gamma * vel * dt + noise * vc[:, None]
+                vel = vel + 0.5 * dt * frc / m
+                atoms = atoms.at[:, _VEL].set(vel)
+                epot = jax.lax.psum(epot_part, axis)
+                return (atoms, of), epot
+
+            niter = niter_arr.shape[0]
+            keys = jax.random.split(key, niter)
+            (atoms, of), epots = jax.lax.scan(
+                body, (atoms, jnp.asarray(False)), keys
+            )
+            valid = (atoms[:, _ID] < n)[:, None]
+            m = masses_pad[atoms[:, _ID].astype(jnp.int32)][:, None]
+            ke_part = 0.5 * jnp.sum(
+                jnp.where(valid, m * atoms[:, _VEL] ** 2, 0.0)
+            )
+            ke = jax.lax.psum(ke_part, axis)
+            return (atoms[None], epots[-1][None], ke[None],
+                    jax.lax.psum(of.astype(jnp.int32), axis)[None])
+
+        return run
+
+    # ------------------------------------------------------------------
+    def step(self, niter=1):
+        if self._tables is None:
+            raise RuntimeError("call init(pos, vel) first")
+        for _attempt in range(4):
+            self.key, sub = jax.random.split(self.key)
+            tables, epot, ke, of = self._step_fn(
+                self._tables, sub, jnp.zeros((int(niter),))
+            )
+            if int(np.asarray(of).reshape(-1)[0]) == 0:
+                self._tables = tables
+                break
+            # grow every capacity and retry the chunk from the kept state
+            self.spec = self.spec._replace(
+                Acap=_round_up(self.spec.Acap * 3 // 2, 8),
+                Gcap=_round_up(self.spec.Gcap * 3 // 2, 8),
+                Mcap=_round_up(self.spec.Mcap * 3 // 2, 8),
+            )
+            pos, vel = self.gather()
+            self._step_fn = self._build_step()
+            self.init(pos, vel)
+        else:
+            raise RuntimeError("halo capacities kept overflowing")
+        epot = float(np.asarray(epot).reshape(-1)[0])
+        ekin = float(np.asarray(ke).reshape(-1)[0])
+        ndof = 3 * self.natoms
+        temp = 2.0 * ekin / (BOLTZMANN * ndof)
+        return ekin, epot, temp
+
+    # ------------------------------------------------------------------
+    def gather(self):
+        """Global (natoms, 3) pos/vel in atom-id order (host-side)."""
+        t = np.asarray(self._tables).reshape(-1, self._tables.shape[-1])
+        ids = t[:, _ID].astype(int)
+        sel = ids < self.natoms
+        pos = np.zeros((self.natoms, 3), np.float64)
+        vel = np.zeros((self.natoms, 3), np.float64)
+        pos[ids[sel]] = t[sel][:, 1:4]
+        vel[ids[sel]] = t[sel][:, 4:7]
+        return pos, vel
