@@ -1,0 +1,200 @@
+"""CHARMM Drude-2013 file ingestion: RTF ALPHA/THOLE attributes,
+LONEPAIR virtual sites, and the published SWM4-NDP water model as the
+golden anchor (Lamoureux, Harder, Vorobyov, Roux & MacKerell,
+Chem. Phys. Lett. 418, 245 (2006))."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchmd_tpu.forcefields.ff_charmm import CharmmParameterSet
+from torchmd_tpu.drude import (
+    LP_BISECTOR,
+    charmm_drude_tables,
+    constrain_lonepairs,
+    lonepair_positions,
+    make_lonepair_spec,
+)
+from torchmd_tpu.io import Molecule
+
+# The published SWM4-NDP definition (toppar_drude convention): O carries
+# the Drude oscillator (ALPHA -0.97825, negative-Drude convention),
+# the M charge site sits 0.24034 A from O along the HOH bisector.
+SWM4_RTF = """* SWM4-NDP polarizable water
+*
+MASS 1 ODW 15.99940 O
+MASS 2 HDW 1.00800 H
+MASS 3 LPD 0.00000
+
+RESI SWM4 0.000
+GROUP
+ATOM OH2  ODW   0.00000 ALPHA -0.97825 THOLE 1.3
+ATOM OM   LPD  -1.11466
+ATOM H1   HDW   0.55733
+ATOM H2   HDW   0.55733
+BOND OH2 H1 OH2 H2 OH2 OM
+LONEPAIR bisector OM OH2 H1 H2 distance 0.24034 angle 0.0 dihe 0.0
+
+END
+"""
+
+DEBYE = 4.80320425
+
+
+def _swm4_prm(tmp_path):
+    p = os.path.join(str(tmp_path), "swm4.str")
+    with open(p, "w") as fh:
+        fh.write(SWM4_RTF)
+    return CharmmParameterSet(p)
+
+
+def _swm4_mol(nres=1, shift=20.0):
+    mol = Molecule()
+    n = 4 * nres
+    mol.numAtoms = n
+    mol.name = np.array(["OH2", "OM", "H1", "H2"] * nres, dtype=object)
+    mol.resname = np.array(["SWM4"] * n, dtype=object)
+    mol.resid = np.repeat(np.arange(nres), 4)
+    r, th = 0.9572, np.deg2rad(104.52)
+    base = np.array([
+        [0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0],          # OM: placeholder, reconstructed
+        [r * np.sin(th / 2), 0.0, r * np.cos(th / 2)],
+        [-r * np.sin(th / 2), 0.0, r * np.cos(th / 2)],
+    ])
+    coords = np.concatenate(
+        [base + [0.0, 0.0, shift * k] for k in range(nres)]
+    )
+    mol.coords = coords[:, :, None]
+    return mol
+
+
+def test_rtf_alpha_thole_and_lonepair_records(tmp_path):
+    prm = _swm4_prm(tmp_path)
+    rec = prm.rtf_atoms[("SWM4", "OH2")]
+    assert rec["alpha"] == pytest.approx(0.97825)
+    assert rec["thole"] == pytest.approx(1.3)
+    assert rec["charge"] == pytest.approx(0.0)
+    assert prm.rtf_atoms[("SWM4", "H1")]["alpha"] == 0.0
+    lp = prm.rtf_lonepairs["SWM4"][0]
+    assert lp["kind"].startswith("bisec")
+    assert lp["site"] == "OM" and lp["hosts"] == ["OH2", "H1", "H2"]
+    assert lp["distance"] == pytest.approx(0.24034)
+
+
+def test_swm4_tables_and_lonepair_geometry(tmp_path):
+    prm = _swm4_prm(tmp_path)
+    mol = _swm4_mol()
+    alpha, thole, charges, lps = charmm_drude_tables(prm, mol)
+    np.testing.assert_allclose(alpha, [0.97825, 0.0, 0.0, 0.0])
+    assert thole[0] == pytest.approx(1.3)
+    assert charges.sum() == pytest.approx(0.0, abs=1e-12)
+    spec = make_lonepair_spec(lps)
+    assert int(spec.kind[0]) == LP_BISECTOR
+
+    pos = jnp.asarray(mol.coords[:, :, 0])
+    lp_pos = np.asarray(lonepair_positions(spec, pos))
+    # the M site sits 0.24034 A from O along the HOH bisector (+z here)
+    np.testing.assert_allclose(lp_pos[0], [0.0, 0.0, 0.24034],
+                               atol=1e-12)
+
+
+def test_swm4_gas_dipole_matches_published(tmp_path):
+    """SWM4-NDP's fixed charges + M site reproduce the model's stated
+    gas-phase dipole of 1.85 D (fit to experiment in the paper)."""
+    prm = _swm4_prm(tmp_path)
+    mol = _swm4_mol()
+    alpha, thole, charges, lps = charmm_drude_tables(prm, mol)
+    spec = make_lonepair_spec(lps)
+    pos = jnp.asarray(mol.coords[:, :, 0])
+    pos_c = np.asarray(
+        constrain_lonepairs(spec, [l["site"] for l in lps], pos)
+    )
+    mu = (charges[:, None] * pos_c).sum(0)
+    assert np.linalg.norm(mu) * DEBYE == pytest.approx(1.85, abs=0.01)
+
+
+def test_lonepair_forces_transfer_to_hosts(tmp_path):
+    """Energies evaluated on constrained positions are pure functions of
+    the hosts: AD forces match finite differences THROUGH the site
+    reconstruction (no direct force on the site's own row)."""
+    prm = _swm4_prm(tmp_path)
+    mol = _swm4_mol(nres=2, shift=4.0)   # two waters, M sites interact
+    alpha, thole, charges, lps = charmm_drude_tables(prm, mol)
+    spec = make_lonepair_spec(lps)
+    sites = jnp.asarray([l["site"] for l in lps], jnp.int32)
+    q = jnp.asarray(charges)
+
+    def energy(p):
+        pc = constrain_lonepairs(spec, sites, p)
+        dv = pc[None, :, :] - pc[:, None, :]
+        d2 = jnp.sum(dv * dv, axis=-1)
+        n = pc.shape[0]
+        inter = (jnp.arange(n)[:, None] // 4) != (jnp.arange(n)[None, :]
+                                                  // 4)
+        mask = inter & (jnp.arange(n)[:, None] < jnp.arange(n)[None, :])
+        d2 = jnp.where(mask, d2, 1.0)
+        e = 332.0636 * q[:, None] * q[None, :] * d2 ** -0.5
+        return jnp.sum(jnp.where(mask, e, 0.0))
+
+    pos = jnp.asarray(mol.coords[:, :, 0])
+    g = jax.grad(energy)(pos)
+    # the site row's own gradient must be zero (it is not a DOF)
+    np.testing.assert_allclose(np.asarray(g)[[1, 5]], 0.0, atol=1e-12)
+    h = 1e-6
+    pos_np = np.asarray(pos)
+    for a, d in [(0, 2), (2, 0), (4, 2), (6, 1)]:
+        pp = pos_np.copy()
+        pp[a, d] += h
+        pm = pos_np.copy()
+        pm[a, d] -= h
+        fd = (energy(jnp.asarray(pp)) - energy(jnp.asarray(pm))) / (2 * h)
+        assert float(g[a, d]) == pytest.approx(float(fd), abs=1e-7)
+
+
+def test_swm4_drude_scf_polarizability(tmp_path):
+    """The Drude oscillator built from the parsed alpha reproduces the
+    molecular polarizability: a distant point charge induces
+    mu_ind = alpha * E at the oxygen (within the field-gradient error)."""
+    from torchmd_tpu.potentials import ELEC_FACTOR, FFParams
+    from torchmd_tpu.drude import (
+        init_drude_positions,
+        make_drude_ffparams,
+        scf_drude,
+    )
+    from torchmd_tpu.potentials import ForceTermConfig
+
+    prm = _swm4_prm(tmp_path)
+    mol = _swm4_mol()
+    alpha, thole, charges, lps = charmm_drude_tables(prm, mol)
+
+    # oxygen + a probe charge far away on z; the Drude relaxes to the
+    # induced dipole (other SWM4 sites carry no polarizability and are
+    # given zero charge here to isolate the induction response)
+    n = 2
+    q_probe = 1.0
+    rprobe = 25.0
+    ffp = FFParams(
+        charges=jnp.asarray([0.0, q_probe]),
+        masses=jnp.asarray([[15.999], [22.99]]),
+        mapped_atom_types=jnp.zeros(n, jnp.int32),
+        lj_params=jnp.zeros((1, 2)),
+        bonds=None, angles=None, dihedrals=None, impropers=None,
+        nb14=None,
+        nb_mask=jnp.ones((n, n), bool) & ~jnp.eye(n, dtype=bool),
+    )
+    ffp_ext, spec = make_drude_ffparams(ffp, [alpha[0], 0.0])
+    cfg = ForceTermConfig(terms=("bonds", "electrostatics"))
+    pos = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, rprobe]])
+    pos_ext = init_drude_positions(pos, spec)
+    relaxed = scf_drude(ffp_ext, spec, cfg, pos_ext, None)
+    d = np.asarray(relaxed[2] - relaxed[0])       # Drude displacement
+    mu_ind = float(np.asarray(spec.q_drude)[0]) * d[2]
+    e_field = q_probe / rprobe ** 2               # e/A^2 (Gaussian)
+    assert mu_ind == pytest.approx(-alpha[0] * e_field, rel=2e-2)

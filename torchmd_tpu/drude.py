@@ -458,3 +458,145 @@ class DrudeIntegrator:
             np.asarray([ke_rel]), len(np.asarray(ci))
         )[0]
         return ke_phys, float(epot), T_phys, T_rel
+
+
+# ----------------------------------------------------------------------
+# CHARMM Drude-2013 file ingestion: RTF ALPHA/THOLE attributes and
+# LONEPAIR virtual sites (the ecosystem's published polarizable FFs)
+# ----------------------------------------------------------------------
+
+LP_BISECTOR = 0
+LP_COLINEAR = 1
+LP_RELATIVE = 2
+
+
+class LonePairSpec(NamedTuple):
+    """Massless virtual charge sites reconstructed from host geometry.
+
+    `hosts` rows are (A, B, C) core-atom indices; the site sits at
+    distance `dist` from A with direction cos(angle) along A->ref +
+    sin(angle) in the (cos(dihe), sin(dihe)) transverse frame, where
+    ref is B (relative/colinear) or the (B, C) bisector (bisector kind)
+    -- CHARMM's LONEPAIR internal-coordinate semantics. Positions are
+    differentiable functions of the hosts, so jax.grad transfers the
+    site force back to the hosts exactly (no hand-written projection).
+    """
+
+    kind: jnp.ndarray     # (nlp,) int32 LP_* code
+    hosts: jnp.ndarray    # (nlp, 3) int32 (A, B, C); C=B for colinear
+    dist: jnp.ndarray     # (nlp,)
+    angle: jnp.ndarray    # (nlp,) radians
+    dihe: jnp.ndarray     # (nlp,) radians
+    charge: jnp.ndarray   # (nlp,) site charges
+
+
+def _unit(v, eps=1e-12):
+    return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + eps)
+
+
+def lonepair_positions(spec: LonePairSpec, pos, box=None):
+    """(nlp, 3) virtual-site positions from core positions."""
+    A = pos[spec.hosts[:, 0]]
+    vb = wrap_displacement(pos[spec.hosts[:, 1]] - A, box)
+    vc = wrap_displacement(pos[spec.hosts[:, 2]] - A, box)
+    ub = _unit(vb)
+    uc = _unit(vc)
+    ref = jnp.where(
+        (spec.kind == LP_BISECTOR)[:, None], _unit(ub + uc), ub
+    )
+    # transverse frame: n1 in the (ref, C) plane, n2 the plane normal
+    n2 = _unit(jnp.cross(ref, uc))
+    # degenerate colinear frames (C == B): any transverse works; the
+    # angle is 0 for colinear sites so the frame never contributes
+    n2 = jnp.where(
+        jnp.sum(n2 * n2, axis=-1, keepdims=True) > 1e-12,
+        n2,
+        _unit(jnp.cross(ref, ref + jnp.asarray([0.13, 0.71, 0.37],
+                                               pos.dtype))),
+    )
+    n1 = jnp.cross(n2, ref)
+    ca, sa = jnp.cos(spec.angle)[:, None], jnp.sin(spec.angle)[:, None]
+    cd, sd = jnp.cos(spec.dihe)[:, None], jnp.sin(spec.dihe)[:, None]
+    direction = ca * ref + sa * (cd * n1 + sd * n2)
+    return A + spec.dist[:, None] * direction
+
+
+def charmm_drude_tables(prm, mol):
+    """Map a CHARMM Drude-2013 parameter set's RTF attributes onto a
+    Molecule: returns (alpha (n,), thole (n,), charges (n,), lonepairs).
+
+    `prm` is a `forcefields.ff_charmm.CharmmParameterSet` whose RTF
+    carried ALPHA/THOLE atom attributes and LONEPAIR records; atoms are
+    matched by (resname, atom name). Lone-pair SITES must exist as atoms
+    of the topology (CHARMM convention); their records come back with
+    host indices resolved per residue occurrence."""
+    n = int(mol.numAtoms)
+    resnames = np.asarray(mol.resname).reshape(-1)
+    names = np.asarray(mol.name).reshape(-1)
+    resids = np.asarray(
+        getattr(mol, "resid", np.zeros(n, int))
+    ).reshape(-1)
+    alpha = np.zeros(n)
+    thole = np.full(n, np.nan)
+    charges = np.zeros(n)
+    for a in range(n):
+        rec = prm.rtf_atoms.get((str(resnames[a]), str(names[a])))
+        if rec is None:
+            raise KeyError(
+                f"atom {a} ({resnames[a]}:{names[a]}): no RTF ATOM record"
+            )
+        alpha[a] = rec["alpha"]
+        charges[a] = rec["charge"]
+        if rec["thole"] is not None:
+            thole[a] = rec["thole"]
+    # resolve lone pairs per residue occurrence
+    lps = []
+    kinds = {"bisector": LP_BISECTOR, "colinear": LP_COLINEAR,
+             "relative": LP_RELATIVE, "bisec": LP_BISECTOR}
+    for key in np.unique(np.stack([resnames.astype(str),
+                                   resids.astype(str)], 1), axis=0):
+        rn, rid = key
+        rows = np.where((resnames.astype(str) == rn)
+                        & (resids.astype(str) == rid))[0]
+        by_name = {str(names[a]): int(a) for a in rows}
+        for rec in prm.rtf_lonepairs.get(rn, []):
+            kname = rec["kind"][:8]
+            kind = kinds.get(kname, kinds.get(kname[:5]))
+            if kind is None:
+                raise NotImplementedError(
+                    f"LONEPAIR kind '{rec['kind']}' not supported"
+                )
+            site = by_name[rec["site"]]
+            hosts = [by_name[h] for h in rec["hosts"]]
+            while len(hosts) < 3:
+                hosts.append(hosts[-1])
+            lps.append({
+                "site": site, "kind": kind, "hosts": hosts[:3],
+                "dist": rec["distance"],
+                "angle": np.deg2rad(rec["angle"]),
+                "dihe": np.deg2rad(rec["dihe"]),
+                "charge": charges[site],
+            })
+    return alpha, thole, charges, lps
+
+
+def make_lonepair_spec(lps) -> Optional[LonePairSpec]:
+    if not lps:
+        return None
+    return LonePairSpec(
+        kind=jnp.asarray([l["kind"] for l in lps], jnp.int32),
+        hosts=jnp.asarray([l["hosts"] for l in lps], jnp.int32),
+        dist=jnp.asarray([l["dist"] for l in lps]),
+        angle=jnp.asarray([l["angle"] for l in lps]),
+        dihe=jnp.asarray([l["dihe"] for l in lps]),
+        charge=jnp.asarray([l["charge"] for l in lps]),
+    )
+
+
+def constrain_lonepairs(spec: LonePairSpec, sites, pos):
+    """Return positions with the lone-pair SITE rows snapped onto their
+    reconstructed virtual positions (sites: (nlp,) atom rows). Energies
+    evaluated on the result are pure functions of the host geometry, so
+    jax.grad transfers site forces to the hosts exactly."""
+    lp_pos = lonepair_positions(spec, pos)
+    return pos.at[jnp.asarray(sites, jnp.int32)].set(lp_pos)

@@ -48,6 +48,12 @@ class CharmmParameterSet:
         self.nonbonded_types: dict[str, tuple] = {}  # (eps, rmin2, eps14, rmin14_2)
         self.nbfix_types: dict[tuple, tuple] = {}
         self.cmap_types: dict[tuple, np.ndarray] = {}  # 8-type key -> (n, n)
+        # CHARMM Drude-2013 polarizable-FF content from RTF residue
+        # definitions: per (RESI, atom name) ALPHA/THOLE attributes and
+        # LONEPAIR virtual-site records (lonepairs: {resi: [dict, ...]})
+        self.rtf_atoms: dict[tuple, dict] = {}
+        self.rtf_lonepairs: dict[str, list] = {}
+        self._resi = None
         self._cmap_key = None
         self._cmap_n = 0
         self._cmap_vals: list[float] = []
@@ -101,10 +107,58 @@ class CharmmParameterSet:
                 if len(parts) >= 4:
                     self.masses[parts[2]] = float(parts[3])
                 continue
-            if first in ("RESI", "PRES", "AUTO", "DECL", "DEFA", "GROUP",
-                         "ATOM", "BOND", "DOUBLE", "ANGL", "DIHE", "IMPR",
-                         "DONOR", "ACCEPTOR", "IC", "PATCH", "CUTNB"):
-                # RTF residue-definition content: not parameters
+            if first in ("RESI", "PRES"):
+                self._resi = ls.split()[1]
+                continue
+            if first == "ATOM" and self._resi is not None:
+                # RTF residue atom: ATOM name type charge
+                #                   [ALPHA a] [THOLE t] (Drude-2013)
+                parts = ls.split()
+                if len(parts) >= 4:
+                    rec = {"type": parts[2], "charge": float(parts[3]),
+                           "alpha": 0.0, "thole": None}
+                    toks = [p.upper() for p in parts]
+                    for kw in ("ALPHA", "THOLE"):
+                        if kw in toks:
+                            i = toks.index(kw)
+                            if i + 1 < len(parts):
+                                rec[kw.lower()] = float(parts[i + 1])
+                    # Drude convention stores alpha negative; magnitude
+                    # is the polarizability in A^3
+                    rec["alpha"] = abs(rec["alpha"])
+                    self.rtf_atoms[(self._resi, parts[1])] = rec
+                continue
+            if first == "LONEPAIR" and self._resi is not None:
+                # LONEPAIR bisector|relative|colinear LP h1 h2 [h3]
+                #          distance d [angle a] [dihe phi]  (case-insens.)
+                parts = ls.split()
+                toks = [p.upper() for p in parts]
+                kind = toks[1]
+                names = []
+                vals = {"distance": 0.0, "angle": 0.0, "dihe": 0.0}
+                i = 2
+                while i < len(parts):
+                    t = toks[i]
+                    matched = False
+                    for kw in vals:
+                        if t.startswith(kw[:4].upper()):
+                            vals[kw] = float(parts[i + 1])
+                            i += 2
+                            matched = True
+                            break
+                    if not matched:
+                        names.append(parts[i])
+                        i += 1
+                self.rtf_lonepairs.setdefault(self._resi, []).append({
+                    "kind": kind.lower(), "site": names[0],
+                    "hosts": names[1:], **vals,
+                })
+                continue
+            if first in ("AUTO", "DECL", "DEFA", "GROUP", "ATOM",
+                         "BOND", "DOUBLE", "ANGL", "DIHE", "IMPR",
+                         "DONOR", "ACCEPTOR", "IC", "PATCH", "CUTNB",
+                         "ANISOTROPY", "LONEPAIR"):
+                # remaining RTF residue-definition content: not parameters
                 continue
 
             parts = ls.split()
