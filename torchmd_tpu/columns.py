@@ -311,8 +311,11 @@ def build_columns(pos, cfg: ColumnConfig, ffp: FFParams, excl_table,
     )
     q = f32pad(ffp.charges)
     if ffp.lj_params is not None:
-        sig = f32pad(ffp.lj_params[:, 0][ffp.mapped_atom_types])
-        eps = f32pad(ffp.lj_params[:, 1][ffp.mapped_atom_types])
+        # pair_terms' LB contract: rows carry sigma/2 and sqrt(|eps|)
+        sig = f32pad(0.5 * ffp.lj_params[:, 0][ffp.mapped_atom_types])
+        eps = f32pad(jnp.sqrt(jnp.abs(
+            ffp.lj_params[:, 1][ffp.mapped_atom_types]
+        )))
     else:
         sig = f32pad(jnp.zeros(n))
         eps = f32pad(jnp.zeros(n))
@@ -443,9 +446,15 @@ class ColumnKernel:
         self.excl_table = build_exclusion_table(
             parameters, natoms, 0, exclusions
         )
+        import os as _os
+
+        # IBLK trades i-block granularity against window z-span: smaller
+        # blocks tighten the per-block window (less padded work) at more
+        # per-column iterations; 16 measured best at gas density on v5e
+        iblk = int(_os.environ.get("TMD_COL_IBLK", "16"))
         self.ccfg = make_column_config(
             box, cfg.cutoff, skin=skin, pos0=pos0, natoms=natoms,
-            nexcl=int(self.excl_table.shape[1]),
+            nexcl=int(self.excl_table.shape[1]), IBLK=iblk,
         )
         self._shifts = jnp.asarray(column_shift_table(self.ccfg))
 

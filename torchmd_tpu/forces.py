@@ -494,9 +494,13 @@ class Forces:
             from .ops import pallas_available
 
             use_column = False
+            # TMD_COLUMN=1 opts in; measured on v5e the ghost-cell Pallas
+            # kernel still wins at 24k-atom gas density (docs/PERF.md),
+            # so the column kernel stays opt-in until its padded work
+            # beats the 27-stencil's in practice
             if (
                 allow_column
-                and _os.environ.get("TMD_COLUMN", "1") != "0"
+                and _os.environ.get("TMD_COLUMN", "0") == "1"
                 and self.dtype == jnp.float32
                 and pallas_available()
             ):

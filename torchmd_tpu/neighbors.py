@@ -593,6 +593,14 @@ class CellKernel:
 # torchmd/forces.py:348-357); this realizes the neighbour-list design its
 # dead sketch gestures at (torchmd/neighbourlist.py:34-48) in fixed-shape
 # form.
+#
+# ON TPU this path is NOT competitive: XLA lowers the (natoms, capacity)
+# row gather to a serialized dynamic-gather loop (~20x slower than the
+# dense triangular Pallas kernel at thrombin scale, docs/PERF.md). The
+# TPU answer to irregular neighbour structure is the z-sorted column
+# kernel (torchmd_tpu.columns / ops/pallas_column.py), whose windows are
+# contiguous slices instead of gathered rows. The Verlet list serves
+# CPU/f64 validation and mid-size open-boundary work on CPU backends.
 
 
 class VerletConfig(NamedTuple):

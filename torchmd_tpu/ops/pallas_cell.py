@@ -142,8 +142,11 @@ def pallas_cell_energy_forces(ffp, cfg, clcfg, cl, excl_table, pos, box,
     P = pos_pad[slots]                              # (ncells, cap, 3)
     q_pad = jnp.concatenate([ffp.charges.astype(f32), jnp.zeros(1, f32)])
     Q = q_pad[slots]
-    s_at = ffp.lj_params[:, 0].astype(f32)[ffp.mapped_atom_types]
-    e_at = ffp.lj_params[:, 1].astype(f32)[ffp.mapped_atom_types]
+    # rows carry sigma/2 and sqrt(|eps|) (pair_terms' LB contract)
+    s_at = 0.5 * ffp.lj_params[:, 0].astype(f32)[ffp.mapped_atom_types]
+    e_at = jnp.sqrt(jnp.abs(
+        ffp.lj_params[:, 1].astype(f32)[ffp.mapped_atom_types]
+    ))
     SG = jnp.concatenate([s_at, jnp.zeros(1, f32)])[slots]
     EP = jnp.concatenate([e_at, jnp.zeros(1, f32)])[slots]
     IDS = slots.astype(f32)                         # id as float rows

@@ -69,12 +69,13 @@ def pair_terms(cfg, d2, mask, si, sj, ei, ej, qi, qj, A=None, B=None):
     the 0.5 symmetric factor, g = (dE/dr)/r block).
 
     LJ coefficients come from Lorentz-Berthelot mixing of per-atom
-    sigma/epsilon (si/sj/ei/ej) unless explicit per-pair A/B blocks are
+    HALF-sigma and SQRT-epsilon rows (si/sj = sigma/2, ei/ej =
+    sqrt(|eps|) -- precomputed once per topology so the hot loop saves
+    a per-pair sqrt and abs) unless explicit per-pair A/B blocks are
     given (the NBFIX path: tables gathered via one-hot matmul)."""
     f32 = jnp.float32
     d2 = jnp.where(mask, d2, 1.0)
     rinv = jax.lax.rsqrt(d2)
-    dist = d2 * rinv  # d2 / sqrt(d2)
 
     if cfg["cutoff"] is not None:
         mask = jnp.logical_and(mask, d2 <= cfg["cutoff"] * cfg["cutoff"])
@@ -84,10 +85,18 @@ def pair_terms(cfg, d2, mask, si, sj, ei, ej, qi, qj, A=None, B=None):
     e_el = jnp.zeros((), f32)
     g = jnp.zeros_like(d2)  # (dE/dr)/r accumulated
 
+    # r itself is only needed by the switching taper / Ewald erfc
+    need_dist = (
+        (cfg["switch"] is not None and cfg["cutoff"] is not None
+         and cfg["lj"])
+        or (cfg["elec"] and cfg["ewald_alpha"] is not None)
+    )
+    dist = d2 * rinv if need_dist else None
+
     if cfg["lj"] or cfg["repulsion"] or cfg["repulsioncg"]:
         if A is None:
-            sig = 0.5 * (si + sj)
-            eps = jnp.sqrt(jnp.abs(ei * ej))
+            sig = si + sj                  # rows carry sigma/2
+            eps = ei * ej                  # rows carry sqrt(|eps|)
             s2 = sig * sig
             s6 = s2 * s2 * s2
             B = 4.0 * eps * s6
@@ -398,8 +407,10 @@ def prepare_nb_data(ffp) -> PallasNBData:
         sig = jnp.zeros(n)
         eps = jnp.zeros(n)
     elif ffp.lj_params is not None:
-        sig = ffp.lj_params[:, 0][ffp.mapped_atom_types]
-        eps = ffp.lj_params[:, 1][ffp.mapped_atom_types]
+        # kernel rows carry sigma/2 and sqrt(|eps|): Lorentz-Berthelot
+        # mixing in the hot loop becomes one add + one multiply
+        sig = 0.5 * ffp.lj_params[:, 0][ffp.mapped_atom_types]
+        eps = jnp.sqrt(jnp.abs(ffp.lj_params[:, 1][ffp.mapped_atom_types]))
     else:
         sig = jnp.zeros(n)
         eps = jnp.zeros(n)

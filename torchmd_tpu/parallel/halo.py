@@ -125,8 +125,11 @@ def _atom_rows(ffp: FFParams, excl_table, pos, vel, frc, box=None):
     if box is not None:
         b = jnp.asarray(box, f32).reshape(3)
         pos = pos - b * jnp.floor(pos / b)
-    sig = ffp.lj_params[:, 0].astype(f32)[ffp.mapped_atom_types]
-    eps = ffp.lj_params[:, 1].astype(f32)[ffp.mapped_atom_types]
+    # pair_terms' LB contract: rows carry sigma/2 and sqrt(|eps|)
+    sig = 0.5 * ffp.lj_params[:, 0].astype(f32)[ffp.mapped_atom_types]
+    eps = jnp.sqrt(jnp.abs(
+        ffp.lj_params[:, 1].astype(f32)[ffp.mapped_atom_types]
+    ))
     cols = [
         jnp.arange(n, dtype=f32)[:, None],
         pos, jnp.asarray(vel, f32),
