@@ -389,7 +389,7 @@ def column_energy_forces(ffp: FFParams, cfg: ForceTermConfig,
     if shifts is None:
         shifts = jnp.asarray(column_shift_table(ccfg))
 
-    e_lj, e_el, f_out = column_pair_call(
+    e_lj, e_el, f_out, jacc = column_pair_call(
         kcfg, ccfg.ncols[0], ccfg.ncols[1], i_data, j_data,
         st.wstart, shifts, IBLK=ccfg.IBLK, W=ccfg.W, NB=ccfg.NB,
         nexcl=ccfg.nexcl, nfloat=n, interpret=interpret,
@@ -398,7 +398,11 @@ def column_energy_forces(ffp: FFParams, cfg: ForceTermConfig,
     f_slots = f_out.transpose(0, 1, 3, 2).reshape(-1, 3)
     forces = jnp.zeros((n + 1, 3), f32).at[
         st.islot.reshape(-1)
-    ].add(f_slots)[:n]
+    ].add(f_slots)
+    # Newton: j-side forces of the directed half-stencil come back in
+    # extended-slot layout (ghost duplicates fold onto the real atom id)
+    j_rows = jacc.transpose(0, 1, 3, 2).reshape(-1, 3)
+    forces = forces.at[st.jslot.reshape(-1)].add(j_rows)[:n]
 
     out = {}
     if kcfg["lj"]:

@@ -14,28 +14,32 @@ on), laid out for the TPU's (8, 128) vector registers:
     whole extended array is z-sorted -- so every i atom's neighbourhood
     is one CONTIGUOUS slot range,
   - at (re)build time, each block of IBLK consecutive i slots gets a
-    precomputed window PANEL index into each of its 9 (3x3) neighbour
-    columns' extended arrays, via a per-column cumulative z histogram.
+    precomputed window PANEL index into each neighbour column's extended
+    array, via a per-column cumulative z histogram.
+
+Newton's third law halves the stencil: of the 3x3 column offsets only
+the self offset (symmetric evaluation, 0.5 pair factor) and the 4
+lexicographically-positive directed offsets run; directed pairs count
+once (weight 2 on the 0.5 factor), i-side row sums go to the i block
+and j-side sums accumulate into ONE resident extended-slot block that
+is a constant output block for the whole sequential grid (the same
+trick as the dense triangular kernel's column-force accumulator).
 
 Layouts are chosen so no dynamic lane/sublane slicing ever happens:
 
   - j data is stored panel-major, (ncol, CE/128, Rj, 128): a window is
     Wq consecutive PANELS selected by a dynamic index on the leading
     (untiled) dimension -- free on TPU,
-  - i data is block-major, (ncol, NB, Ri, IBLK): one i block is a
-    leading-dim index too; the pair tile is (Wq, IBLK, 128) whose
-    last two dims are exact (8k, 128) register tiles,
-  - per-block windows (int32 panel starts) and per-(column, offset)
-    x/y wrap shifts ride as 1-D scalar-prefetch SMEM arrays (1-D
-    deliberately: multi-dim SMEM gets tile-padded ~13x).
+  - i data is block-major, (ncol, NB, Ri, IBLK); the pair tile is
+    (Wq, IBLK, 128) whose last two dims are exact register tiles,
+  - per-block windows and per-(column, offset) x/y wrap shifts ride as
+    1-D scalar-prefetch SMEM arrays (1-D deliberately: multi-dim SMEM
+    gets tile-padded ~13x).
 
-Work per atom is ~9 * W candidate slots at full lane occupancy vs the
-cell kernel's 27 * capacity^2 / occupancy at capacity/128 lanes.
-
-Forces come from i-side row sums only (every pair is seen from both
-sides; energies carry the 0.5 symmetric factor), so there is no scatter
-in the kernel. Reference point: this realizes the neighbour-list design
-sketched (dead) in torchmd/neighbourlist.py:4-48, in fixed-shape form.
+Forces fold as scatter(islot, i rows) + scatter(jslot, extended-slot
+accumulator) in XLA (ghost duplicates land on their real atom id).
+Reference point: this realizes the neighbour-list design sketched
+(dead) in torchmd/neighbourlist.py:4-48, in fixed-shape form.
 
 Requires Lorentz-Berthelot LJ (NBFIX A/B tables fall back) and at least
 a 3x3 column grid.
@@ -59,13 +63,18 @@ except Exception:  # pragma: no cover
 
 from .pallas_nonbonded import make_kernel_cfg, pair_terms
 
+# directed half-stencil: index into the 9-offset (dx+1)*3+(dy+1) tables.
+# o9 = 4 is the self offset; 5..8 are the (0,1),(1,-1),(1,0),(1,1)
+# directed offsets (each unordered column pair visited exactly once,
+# periodic wrap included -- each offset traces disjoint rings).
+_SELF_O9 = 4
 
-def _kernel(w_ref, s_ref, i_ref, j_ref, f_ref, elj_ref, eel_ref,
-            *, cfg, IBLK, Wq, NB, nexcl, nfloat):
-    # w_ref (ncol*9*NB,) int32 panel starts (-1 = skip block) and
-    # s_ref (ncol*9*2,) f32 x/y shifts are 1-D scalar-prefetch SMEM
+
+def _kernel(w_ref, s_ref, i_ref, j_ref, f_ref, jacc_ref, elj_ref,
+            eel_ref, *, cfg, IBLK, Wq, NB, nexcl, nfloat, ncol):
     c = pl.program_id(0)
-    o = pl.program_id(1)
+    o = pl.program_id(1)          # 0 = self, 1..4 = directed
+    o9 = o + 4
     f32 = jnp.float32
 
     @pl.when(o == 0)
@@ -73,13 +82,23 @@ def _kernel(w_ref, s_ref, i_ref, j_ref, f_ref, elj_ref, eel_ref,
         f_ref[...] = jnp.zeros(f_ref.shape, f_ref.dtype)
 
     @pl.when(jnp.logical_and(c == 0, o == 0))
-    def _init_e():
+    def _init_glob():
+        jacc_ref[...] = jnp.zeros(jacc_ref.shape, jacc_ref.dtype)
         elj_ref[0, 0] = jnp.zeros((), f32)
         eel_ref[0, 0] = jnp.zeros((), f32)
 
-    co = c * 9 + o
+    co = c * 9 + o9
     sx = s_ref[co * 2]
     sy = s_ref[co * 2 + 1]
+    # the j column this grid step evaluates against (periodic); o9 in
+    # 4..8 decodes to (dx, dy) with the standard (dx+1)*3+(dy+1) layout
+    dxo = o9 // 3 - 1
+    dyo = jnp.mod(o9, 3) - 1
+    ncx = cfg["_ncx"]
+    ncy = cfg["_ncy"]
+    cx = c // ncy
+    cy = jnp.mod(c, ncy)
+    cj = jnp.mod(cx + dxo, ncx) * ncy + jnp.mod(cy + dyo, ncy)
 
     for bi in range(NB):                       # static unroll
         stq = w_ref[co * NB + bi]
@@ -87,7 +106,7 @@ def _kernel(w_ref, s_ref, i_ref, j_ref, f_ref, elj_ref, eel_ref,
         @pl.when(stq >= 0)
         def _block(bi=bi, stq=stq):
             iw = i_ref[0, bi]                  # (Ri, IBLK)
-            jw = j_ref[0, pl.ds(stq, Wq)]      # (Wq, Rj, IBLK... no: (Wq, Rj, 128))
+            jw = j_ref[0, pl.ds(stq, Wq)]      # (Wq, Rj, 128)
 
             def ri(r):
                 return iw[r][None, :, None]    # (1, IBLK, 1)
@@ -116,14 +135,30 @@ def _kernel(w_ref, s_ref, i_ref, j_ref, f_ref, elj_ref, eel_ref,
             e_lj, e_el, g = pair_terms(cfg, d2, mask, si, sj, ei, ej,
                                        qi, qj)
 
-            fx = -jnp.sum(g * dx, axis=(0, 2))   # (IBLK,)
-            fy = -jnp.sum(g * dy, axis=(0, 2))
-            fz = -jnp.sum(g * dz, axis=(0, 2))
-            f_ref[0, bi, 0] = f_ref[0, bi, 0] + fx
-            f_ref[0, bi, 1] = f_ref[0, bi, 1] + fy
-            f_ref[0, bi, 2] = f_ref[0, bi, 2] + fz
-            elj_ref[0, 0] = elj_ref[0, 0] + e_lj
-            eel_ref[0, 0] = eel_ref[0, 0] + e_el
+            wt = jnp.where(o == 0, jnp.float32(1.0), jnp.float32(2.0))
+            elj_ref[0, 0] = elj_ref[0, 0] + e_lj * wt
+            eel_ref[0, 0] = eel_ref[0, 0] + e_el * wt
+
+            f_ref[0, bi, 0] = f_ref[0, bi, 0] - jnp.sum(g * dx,
+                                                        axis=(0, 2))
+            f_ref[0, bi, 1] = f_ref[0, bi, 1] - jnp.sum(g * dy,
+                                                        axis=(0, 2))
+            f_ref[0, bi, 2] = f_ref[0, bi, 2] - jnp.sum(g * dz,
+                                                        axis=(0, 2))
+
+            @pl.when(o != 0)
+            def _jacc():
+                # force ON the j slots: +sum_i g . dv
+                sl = pl.ds(stq, Wq)
+                jacc_ref[cj, sl, 0] = jacc_ref[cj, sl, 0] + jnp.sum(
+                    g * dx, axis=1
+                )
+                jacc_ref[cj, sl, 1] = jacc_ref[cj, sl, 1] + jnp.sum(
+                    g * dy, axis=1
+                )
+                jacc_ref[cj, sl, 2] = jacc_ref[cj, sl, 2] + jnp.sum(
+                    g * dz, axis=1
+                )
 
 
 def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
@@ -136,7 +171,8 @@ def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
              (z ghost-shifted)
     wstart:  (ncol*9*NB,) int32 window PANEL starts (-1 = skip block)
     shifts:  (ncol*9*2,) f32 static x/y periodic position shifts
-    Returns (e_lj, e_el scalars, f (ncol, NB, 3, IBLK)).
+    Returns (e_lj, e_el scalars, f (ncol, NB, 3, IBLK),
+             jacc (ncol, CE/128, 3, 128) extended-slot j forces).
     """
     ncol = ncx * ncy
     Ri = i_data.shape[2]
@@ -144,10 +180,14 @@ def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
     Rj = j_data.shape[2]
     Wq = W // 128
     f32 = jnp.float32
+    cfg = dict(cfg)
+    cfg["_ncx"] = ncx
+    cfg["_ncy"] = ncy
 
     def j_index(c, o, *prefetch):
-        dx = o // 3 - 1
-        dy = jnp.mod(o, 3) - 1
+        o9 = o + 4
+        dx = o9 // 3 - 1
+        dy = jnp.mod(o9, 3) - 1
         cx = c // ncy
         cy = jnp.mod(c, ncy)
         nx = jnp.mod(cx + dx, ncx)
@@ -156,11 +196,11 @@ def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
 
     kern = functools.partial(
         _kernel, cfg=cfg, IBLK=IBLK, Wq=Wq, NB=NB, nexcl=nexcl,
-        nfloat=float(nfloat),
+        nfloat=float(nfloat), ncol=ncol,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,      # wstart + shifts, whole-array SMEM
-        grid=(ncol, 9),
+        grid=(ncol, 5),
         in_specs=[
             pl.BlockSpec((1, NB, Ri, IBLK),
                          lambda c, o, *p: (c, 0, 0, 0),
@@ -172,27 +212,33 @@ def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
             pl.BlockSpec((1, NB, 3, IBLK),
                          lambda c, o, *p: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            # resident extended-slot j-force accumulator: one constant
+            # block for the whole sequential grid (safe to revisit)
+            pl.BlockSpec((ncol, CEq, 3, 128),
+                         lambda c, o, *p: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda c, o, *p: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda c, o, *p: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
     )
-    f_out, e_lj, e_el = pl.pallas_call(
+    f_out, jacc, e_lj, e_el = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((ncol, NB, 3, IBLK), f32),
+            jax.ShapeDtypeStruct((ncol, CEq, 3, 128), f32),
             jax.ShapeDtypeStruct((1, 1), f32),
             jax.ShapeDtypeStruct((1, 1), f32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=60 * ncol * 9 * NB * IBLK * W,
-            bytes_accessed=ncol * 9 * (Ri * NB * IBLK + Rj * CEq * 128)
+            flops=60 * ncol * 5 * NB * IBLK * W,
+            bytes_accessed=ncol * 5 * (Ri * NB * IBLK + Rj * CEq * 128)
             * 4,
-            transcendentals=ncol * 9 * NB * IBLK * W,
+            transcendentals=ncol * 5 * NB * IBLK * W,
         ),
         interpret=interpret,
     )(wstart.reshape(-1), shifts.astype(f32).reshape(-1),
       i_data, j_data)
-    return e_lj[0, 0], e_el[0, 0], f_out
+    return e_lj[0, 0], e_el[0, 0], f_out, jacc
