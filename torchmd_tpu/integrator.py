@@ -298,6 +298,10 @@ class Integrator:
         self._dev_box = None
         self._box_snap = None
         self._packer = None
+        # jitted per-chunk neighbor (re)build; an eager vmap(build) here
+        # would dispatch ~30 ops one-at-a-time, each a tunnel round trip
+        self._build_jit = None
+        self._build_jit_kern = None
         # Host-loop fallback: duck-typed force providers without a jittable
         # energy (mock objects, host-coupled NNPs) are stepped with
         # per-iteration compute() calls, like the reference loop.
@@ -1061,6 +1065,17 @@ class Integrator:
             np.asarray([packed[3, 0, 1]]),
         )
 
+    def _chunk_build(self, pos_b, box_b):
+        """Jitted per-chunk neighbor-structure rebuild (cached across
+        chunks, invalidated when grow() swaps the kernel). Eagerly
+        vmapping build here would dispatch each of its ~30 ops as a
+        separate tunnel round trip (~0.6 s/chunk measured at 24k)."""
+        if (self._build_jit is None
+                or self._build_jit_kern is not self._cell_kernel):
+            self._build_jit = jax.jit(jax.vmap(self._cell_kernel.build))
+            self._build_jit_kern = self._cell_kernel
+        return self._build_jit(pos_b, box_b)
+
     # ------------------------------------------------------------------
     # Host<->device state movement. The TPU may sit behind a network
     # tunnel where every transfer costs a full round trip (~20 ms
@@ -1203,7 +1218,7 @@ class Integrator:
             )
         elif self._use_cell or self._use_verlet:
             state0 = self._state_from_system()
-            cl = jax.vmap(self._cell_kernel.build)(state0.pos, box)
+            cl = self._chunk_build(state0.pos, box)
             lowered = self._scan_fn.lower(
                 (state0, cl, self._thermo_aux), box, int(niter)
             )
@@ -1335,7 +1350,7 @@ class Integrator:
         if self._use_cell or self._use_verlet:
             state0 = self._state_from_system()
             for _attempt in range(4):
-                cl = jax.vmap(self._cell_kernel.build)(state0.pos, box)
+                cl = self._chunk_build(state0.pos, box)
                 (state, cl, aux), epot_dev = self._scan_fn(
                     (state0, cl, self._thermo_aux), box, int(niter)
                 )
