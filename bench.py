@@ -75,20 +75,28 @@ def pallas_parity_gate(forces, mol):
 
 
 def measure_vpu_peak_tflops():
-    """Empirical f32 VPU FMA peak on this chip: a scan of dependent
-    elementwise multiply-adds on a VMEM-resident block (nothing for XLA
-    to fold or fuse away). This is the roofline the pair kernels run
-    against -- the nonbonded stage is elementwise VPU math, not MXU."""
+    """Empirical f32 VPU FMA peak on this chip: a scan whose body applies
+    a long unrolled chain of dependent NONLINEAR multiply-adds
+    (c <- c*c + b with fixed point 0.5: numerically stable, and the
+    compiler cannot collapse it -- an affine a*c+b chain gets folded to
+    a single FMA by XLA's algebraic simplifier, and a one-FMA body
+    measures HBM bandwidth instead of the VPU) to a block, so each
+    iteration does UNROLL FMAs per element against ONE HBM round-trip of
+    the carry. This is the roofline the pair kernels run against -- the
+    nonbonded stage is elementwise VPU math, not MXU."""
     import jax
     import jax.numpy as jnp
 
-    K = 4000
-    x = jnp.ones((1024, 512), jnp.float32) * 0.999999
+    K = 200
+    UNROLL = 256
+    x = jnp.full((1024, 512), 0.4999, jnp.float32)
 
     @jax.jit
     def chain(x):
         def body(c, _):
-            return c * 1.0000001 + 1e-7, None
+            for _ in range(UNROLL):
+                c = c * c + 0.25
+            return c, None
 
         y, _ = jax.lax.scan(body, x, None, length=K)
         return y
@@ -100,7 +108,7 @@ def measure_vpu_peak_tflops():
         t0 = time.perf_counter()
         jax.block_until_ready(chain(x))
         best = min(best, time.perf_counter() - t0)
-    return 2.0 * K * x.size / best / 1e12
+    return 2.0 * K * UNROLL * x.size / best / 1e12
 
 
 def pair_flop_accounting(forces, niter_steps_per_sec):

@@ -124,6 +124,29 @@ def test_column_matches_dense_gas():
     assert float(jnp.max(jnp.abs(f_c - f_d))) < 1e-4 * max(1.0, scale)
 
 
+def test_column_ewald_real_space_matches_dense():
+    """Ewald erfc damping through the column kernel == dense path (the
+    column kernel is the TPU default for large periodic systems, so the
+    elec='ewald' real-space term must agree like the cell kernel does,
+    tests/test_neighbors.py:161)."""
+    mol, par, forces, L = _lj_gas(natoms=1500, L=60.0, charges=True)
+    cfg = forces.config._replace(ewald_alpha=0.37, rfa=False)
+    pos = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+    boxj = jnp.asarray([L] * 3, jnp.float32)
+    kern = ColumnKernel(forces.ffparams, cfg, par, np.asarray([L] * 3),
+                        pos0=np.asarray(pos), interpret=True)
+    st = kern.build(pos)
+    assert not kern.check_overflow(st)
+    pot_c, f_c = kern.energy_forces(pos, boxj, st)
+    pot_d, f_d = nonbonded_energy_forces(forces.ffparams, pos, boxj, cfg)
+    scale = float(jnp.max(jnp.abs(f_d)))
+    for k in pot_d:
+        assert abs(float(pot_c[k]) - float(pot_d[k])) < 2e-4 * max(
+            1.0, abs(float(pot_d[k]))
+        ), k
+    assert float(jnp.max(jnp.abs(f_c - f_d))) < 1e-4 * max(1.0, scale)
+
+
 def test_column_drift_and_boundary_crossing():
     """Validity between rebuilds: atoms drifting (incl. across periodic
     faces) under the skin/2 criterion keep dense parity without a

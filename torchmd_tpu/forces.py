@@ -494,13 +494,13 @@ class Forces:
             from .ops import pallas_available
 
             use_column = False
-            # TMD_COLUMN=1 opts in; measured on v5e the ghost-cell Pallas
-            # kernel still wins at 24k-atom gas density (docs/PERF.md),
-            # so the column kernel stays opt-in until its padded work
-            # beats the 27-stencil's in practice
+            # Default on TPU/f32 (TMD_COLUMN=0 opts out): with the Newton
+            # half-stencil the column kernel measures 192 vs 96 steps/s
+            # against the ghost-cell kernel at 24k-atom gas density on
+            # v5e (docs/PERF.md)
             if (
                 allow_column
-                and _os.environ.get("TMD_COLUMN", "0") == "1"
+                and _os.environ.get("TMD_COLUMN", "1") == "1"
                 and self.dtype == jnp.float32
                 and pallas_available()
             ):
