@@ -87,7 +87,7 @@ def measure_vpu_peak_tflops():
     import jax
     import jax.numpy as jnp
 
-    K = 200
+    K = 16000
     UNROLL = 256
     x = jnp.full((1024, 512), 0.4999, jnp.float32)
 
@@ -101,12 +101,14 @@ def measure_vpu_peak_tflops():
         y, _ = jax.lax.scan(body, x, None, length=K)
         return y
 
-    r = chain(x)
-    jax.block_until_ready(r)
+    # sync by fetching a scalar: through the axon tunnel
+    # block_until_ready() returns before execution completes, and the
+    # ~35 ms fetch round trip demands multi-TFLOP total work (<5% error)
+    float(chain(x)[0, 0])
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(x))
+        float(chain(x)[0, 0])
         best = min(best, time.perf_counter() - t0)
     return 2.0 * K * UNROLL * x.size / best / 1e12
 
