@@ -198,3 +198,126 @@ def test_swm4_drude_scf_polarizability(tmp_path):
     mu_ind = float(np.asarray(spec.q_drude)[0]) * d[2]
     e_field = q_probe / rprobe ** 2               # e/A^2 (Gaussian)
     assert mu_ind == pytest.approx(-alpha[0] * e_field, rel=2e-2)
+
+
+NBTHOLE_PRM = """* ion-water pair-specific Thole (toppar_drude convention)
+*
+MASS 1 SOD 22.98977
+MASS 2 ODW 15.99940
+
+NBTHOLE
+SOD    ODW    1.83
+
+END
+"""
+
+
+def test_nbthole_parsing_and_pair_resolution(tmp_path):
+    p = os.path.join(str(tmp_path), "nbthole.str")
+    with open(p, "w") as fh:
+        fh.write(NBTHOLE_PRM)
+    prm = CharmmParameterSet(p)
+    assert prm.nbthole_types[("SOD", "ODW")] == pytest.approx(1.83)
+    assert prm.nbthole_types[("ODW", "SOD")] == pytest.approx(1.83)
+
+    from torchmd_tpu.drude import charmm_nbthole_pairs
+
+    mol = Molecule()
+    mol.numAtoms = 3
+    mol.atomtype = np.array(["SOD", "ODW", "ODW"], dtype=object)
+    mol.name = np.array(["SOD", "OH2", "OH2"], dtype=object)
+    mol.resname = np.array(["SOD", "SWM4", "SWM4"], dtype=object)
+    pairs = charmm_nbthole_pairs(prm, mol)
+    got = {(int(i), int(j)): a for i, j, a in pairs}
+    assert got == {(0, 1): pytest.approx(1.83),
+                   (0, 2): pytest.approx(1.83)}
+
+
+def test_nbthole_energy_and_forces():
+    """nbthole correction: matches the closed form -(1+u/2)e^-u qq/r over
+    the oscillators' four charge pairs, folds into drude_energy, and is
+    skipped for bonded-excluded pairs (those carry the standard Thole)."""
+    from torchmd_tpu.potentials import (
+        ELEC_FACTOR,
+        FFParams,
+        ForceTermConfig,
+    )
+    from torchmd_tpu.drude import (
+        drude_energy,
+        init_drude_positions,
+        make_drude_ffparams,
+        nbthole_energy,
+    )
+
+    n = 2
+    alpha = [1.2, 0.8]
+    a_pair = 1.83
+    ffp = FFParams(
+        charges=jnp.asarray([0.0, 0.0]),
+        masses=jnp.asarray([[22.99], [15.999]]),
+        mapped_atom_types=jnp.zeros(n, jnp.int32),
+        lj_params=jnp.zeros((1, 2)),
+        bonds=None, angles=None, dihedrals=None, impropers=None,
+        nb14=None,
+        nb_mask=jnp.ones((n, n), bool) & ~jnp.eye(n, dtype=bool),
+    )
+    ffp_ext, spec = make_drude_ffparams(
+        ffp, alpha, nbthole_pairs=[(0, 1, a_pair)]
+    )
+    assert spec.nbthole_i is not None
+    u_scale = a_pair / (alpha[0] * alpha[1]) ** (1.0 / 6.0)
+    assert float(spec.nbthole_coeff[0]) == pytest.approx(u_scale)
+
+    pos = jnp.asarray([[0.0, 0.0, 0.0], [3.1, 0.4, -0.2]])
+    pos_ext = np.array(init_drude_positions(pos, spec))
+    rs = np.random.RandomState(5)
+    pos_ext[2:] += rs.randn(2, 3) * 0.05          # displace the Drudes
+    pos_ext = jnp.asarray(pos_ext)
+
+    # manual closed form
+    qd = np.asarray(spec.q_drude)
+    rows = {"c0": 0, "c1": 1, "d0": 2, "d1": 3}
+    combos = [("d0", "d1", qd[0] * qd[1]), ("d0", "c1", -qd[0] * qd[1]),
+              ("c0", "d1", -qd[0] * qd[1]), ("c0", "c1", qd[0] * qd[1])]
+    e_ref = 0.0
+    P = np.asarray(pos_ext)
+    for a, b, qq in combos:
+        r = np.linalg.norm(P[rows[a]] - P[rows[b]])
+        u = u_scale * r
+        e_ref += -(1.0 + 0.5 * u) * np.exp(-u) * ELEC_FACTOR * qq / r
+    assert float(nbthole_energy(spec, pos_ext, None)) == pytest.approx(
+        e_ref, rel=1e-10
+    )
+
+    # folds into drude_energy
+    cfg = ForceTermConfig(terms=("bonds", "electrostatics"))
+    e_with = float(drude_energy(ffp_ext, spec, cfg, pos_ext, None))
+    spec_no = spec._replace(nbthole_i=None, nbthole_j=None,
+                            nbthole_coeff=None)
+    e_without = float(drude_energy(ffp_ext, spec_no, cfg, pos_ext, None))
+    assert e_with - e_without == pytest.approx(e_ref, rel=1e-9)
+
+    # AD forces match finite differences through the correction
+    g = jax.grad(lambda p: drude_energy(ffp_ext, spec, cfg, p, None))(
+        pos_ext
+    )
+    h = 1e-5
+    for a, d in [(0, 0), (2, 2), (3, 1)]:
+        pp = np.asarray(pos_ext).copy(); pp[a, d] += h
+        pm = np.asarray(pos_ext).copy(); pm[a, d] -= h
+        fd = (drude_energy(ffp_ext, spec, cfg, jnp.asarray(pp), None)
+              - drude_energy(ffp_ext, spec, cfg, jnp.asarray(pm), None)
+              ) / (2 * h)
+        assert float(g[a, d]) == pytest.approx(float(fd), rel=2e-5,
+                                               abs=1e-7)
+
+    # bonded-excluded pairs are skipped (standard Thole covers them)
+    ffp_x = ffp._replace(
+        nb_mask=jnp.zeros((n, n), bool),
+        bonds=None,
+    )
+    ffp_ext2, spec2 = make_drude_ffparams(
+        ffp_x, alpha, nbthole_pairs=[(0, 1, a_pair)]
+    )
+    assert spec2.nbthole_i is None
+    assert spec2.thole_i is not None

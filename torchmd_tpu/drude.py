@@ -65,16 +65,29 @@ class DrudeSpec(NamedTuple):
     thole_i: Optional[jnp.ndarray]   # (npairs,) int32
     thole_j: Optional[jnp.ndarray]
     thole_coeff: Optional[jnp.ndarray]
+    # NBTHOLE: pair-specific screening of NONBONDED oscillator pairs
+    # (CHARMM Drude-2013 .prm NBTHOLE section, typically ion-water).
+    # Same index convention; the energy term is the damping CORRECTION
+    # -(1 + u/2) e^-u qq/r on top of the bare Coulomb the nonbonded
+    # path already counts (bonded-excluded Thole pairs instead ADD the
+    # full screened interaction, thole_energy).
+    nbthole_i: Optional[jnp.ndarray] = None
+    nbthole_j: Optional[jnp.ndarray] = None
+    nbthole_coeff: Optional[jnp.ndarray] = None
 
 
 def make_drude_ffparams(ffp: FFParams, alpha, k_drude=500.0, m_drude=0.4,
-                        thole=2.6, thole_atom=None):
+                        thole=2.6, thole_atom=None, nbthole_pairs=None):
     """Extend `ffp` with Drude particles for every atom with alpha > 0.
 
     alpha: (natoms,) polarizabilities in A^3 (0 = non-polarizable).
     thole: default pair damping factor; `thole_atom` optionally gives
     per-atom factors a_i (NaN = default/2) combined as
     u = (a_i + a_j) r / (alpha_i alpha_j)^(1/6).
+    nbthole_pairs: optional (m, 3) rows (atom_i, atom_j, a) of
+    pair-specific screening for NONBONDED oscillator pairs (CHARMM
+    NBTHOLE; resolve type pairs to atoms with `charmm_nbthole_pairs`);
+    the pair a REPLACES a_i + a_j and u = a r / (alpha_i alpha_j)^(1/6).
     Returns (ffp_ext, spec). Positions must be extended with
     `init_drude_positions`; energies evaluated with `drude_energy`.
     """
@@ -175,6 +188,25 @@ def make_drude_ffparams(ffp: FFParams, alpha, k_drude=500.0, m_drude=0.4,
     tc_ = (
         pair_a / (alpha[pol[tp[:, 0]]] * alpha[pol[tp[:, 1]]]) ** (1.0 / 6.0)
     ).tolist()
+
+    # NBTHOLE: nonbonded pair-specific screening (skip non-polarizable
+    # atoms and bonded-excluded pairs -- those carry the standard Thole)
+    pol_of_atom = np.full(n, -1)
+    pol_of_atom[pol] = np.arange(npol)
+    excl_set = set(zip(ti_, tj_))
+    nbi_, nbj_, nbc_ = [], [], []
+    if nbthole_pairs is not None:
+        for ai, aj, a_pair in nbthole_pairs:
+            pi, pj = pol_of_atom[int(ai)], pol_of_atom[int(aj)]
+            if pi < 0 or pj < 0 or pi == pj:
+                continue
+            lo, hi = (pi, pj) if pi < pj else (pj, pi)
+            if (lo, hi) in excl_set:
+                continue
+            nbi_.append(lo)
+            nbj_.append(hi)
+            nbc_.append(float(a_pair)
+                        / (alpha[pol[lo]] * alpha[pol[hi]]) ** (1.0 / 6.0))
     spec = DrudeSpec(
         core_idx=jnp.asarray(pol, jnp.int32),
         drude_idx=jnp.asarray(drude_rows, jnp.int32),
@@ -186,6 +218,9 @@ def make_drude_ffparams(ffp: FFParams, alpha, k_drude=500.0, m_drude=0.4,
         thole_i=jnp.asarray(ti_, jnp.int32) if ti_ else None,
         thole_j=jnp.asarray(tj_, jnp.int32) if ti_ else None,
         thole_coeff=jnp.asarray(tc_) if ti_ else None,
+        nbthole_i=jnp.asarray(nbi_, jnp.int32) if nbi_ else None,
+        nbthole_j=jnp.asarray(nbj_, jnp.int32) if nbi_ else None,
+        nbthole_coeff=jnp.asarray(nbc_) if nbi_ else None,
     )
 
     ffp_ext = ffp._replace(
@@ -200,12 +235,15 @@ def make_drude_ffparams(ffp: FFParams, alpha, k_drude=500.0, m_drude=0.4,
     return ffp_ext, spec
 
 
-def make_drude(forces, alpha=None, k_drude=500.0, m_drude=0.4, thole=2.6):
+def make_drude(forces, alpha=None, k_drude=500.0, m_drude=0.4, thole=2.6,
+               nbthole_pairs=None):
     """Extend a built `Forces` object's FFParams with Drude oscillators.
 
     With `alpha=None` the polarizabilities come from the force field
     (the YAML schema's `polarizabilities: {TYPE: {alpha, thole}}`
-    section, assembled onto `Parameters.alpha`/`.thole`)."""
+    section, assembled onto `Parameters.alpha`/`.thole`).
+    nbthole_pairs: optional (m, 3) (atom_i, atom_j, a) rows of CHARMM
+    NBTHOLE pair-specific nonbonded screening (`charmm_nbthole_pairs`)."""
     thole_atom = None
     if alpha is None:
         alpha = getattr(forces.par, "alpha", None)
@@ -217,7 +255,7 @@ def make_drude(forces, alpha=None, k_drude=500.0, m_drude=0.4, thole=2.6):
             )
     return make_drude_ffparams(
         forces.ffparams, alpha, k_drude=k_drude, m_drude=m_drude,
-        thole=thole, thole_atom=thole_atom,
+        thole=thole, thole_atom=thole_atom, nbthole_pairs=nbthole_pairs,
     )
 
 
@@ -257,6 +295,36 @@ def thole_energy(spec: DrudeSpec, pos_ext, box):
     return e
 
 
+def nbthole_energy(spec: DrudeSpec, pos_ext, box):
+    """Pair-specific Thole damping of NONBONDED oscillator pairs (CHARMM
+    NBTHOLE, typically ion-water): the nonbonded path already counts the
+    bare Coulomb of the four charge pairs, so the correction per pair is
+    qq/r * (S(u) - 1) = -qq/r (1 + u/2) e^-u."""
+    if spec.nbthole_i is None:
+        return jnp.zeros((), pos_ext.dtype)
+    dtype = pos_ext.dtype
+    ci = spec.core_idx[spec.nbthole_i]
+    di = spec.drude_idx[spec.nbthole_i]
+    cj = spec.core_idx[spec.nbthole_j]
+    dj = spec.drude_idx[spec.nbthole_j]
+    qi = spec.q_drude[spec.nbthole_i].astype(dtype)
+    qj = spec.q_drude[spec.nbthole_j].astype(dtype)
+    a = spec.nbthole_coeff.astype(dtype)
+
+    def pair(idx_a, idx_b, qq):
+        dv = wrap_displacement(pos_ext[idx_a] - pos_ext[idx_b], box)
+        r = jnp.sqrt(jnp.sum(dv * dv, axis=-1))
+        u = a * r
+        damp = -(1.0 + 0.5 * u) * jnp.exp(-u)
+        return jnp.sum(damp * ELEC_FACTOR * qq / r)
+
+    e = pair(di, dj, qi * qj)
+    e = e + pair(di, cj, -qi * qj)
+    e = e + pair(ci, dj, -qi * qj)
+    e = e + pair(ci, cj, qi * qj)
+    return e
+
+
 def drude_energy(ffp_ext: FFParams, spec: DrudeSpec, cfg, pos_ext, box):
     """Total potential of the extended (cores + Drudes) system."""
     if "bonds" not in cfg.terms:
@@ -272,8 +340,10 @@ def drude_energy(ffp_ext: FFParams, spec: DrudeSpec, cfg, pos_ext, box):
             "Forces object with elec='auto' (Coulomb/RFA)."
         )
     pot = compute_potentials(ffp_ext, pos_ext, box, cfg)
-    return sum(jax.tree_util.tree_leaves(pot)) + thole_energy(
-        spec, pos_ext, box
+    return (
+        sum(jax.tree_util.tree_leaves(pot))
+        + thole_energy(spec, pos_ext, box)
+        + nbthole_energy(spec, pos_ext, box)
     )
 
 
@@ -578,6 +648,40 @@ def charmm_drude_tables(prm, mol):
                 "charge": charges[site],
             })
     return alpha, thole, charges, lps
+
+
+def charmm_nbthole_pairs(prm, mol):
+    """Resolve a parameter set's NBTHOLE type-pair table onto atom pairs:
+    returns (m, 3) rows (atom_i, atom_j, a) for every unordered pair of
+    atoms whose (RTF) types match an NBTHOLE entry. Types come from the
+    RTF ATOM records when present (Drude topologies), else mol.atomtype.
+    Feed the result to `make_drude_ffparams(..., nbthole_pairs=...)`."""
+    tab = getattr(prm, "nbthole_types", None)
+    if not tab:
+        return None
+    n = int(mol.numAtoms)
+    types = np.empty(n, dtype=object)
+    resnames = np.asarray(mol.resname).reshape(-1)
+    names = np.asarray(mol.name).reshape(-1)
+    for a in range(n):
+        rec = prm.rtf_atoms.get((str(resnames[a]), str(names[a])))
+        types[a] = (rec["type"] if rec is not None
+                    else str(np.asarray(mol.atomtype).reshape(-1)[a]))
+    rows = []
+    seen_keys = {tuple(sorted(k)) for k in tab}
+    for ta, tb in seen_keys:
+        a_val = tab[(ta, tb)]
+        ia = np.flatnonzero(types == ta)
+        ib = np.flatnonzero(types == tb)
+        for i in ia:
+            for j in ib:
+                if i < j:
+                    rows.append((int(i), int(j), float(a_val)))
+                elif j < i and ta != tb:
+                    rows.append((int(j), int(i), float(a_val)))
+    if not rows:
+        return None
+    return np.asarray(sorted(set(rows)), dtype=np.float64)
 
 
 def make_lonepair_spec(lps) -> Optional[LonePairSpec]:

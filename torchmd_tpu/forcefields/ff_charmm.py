@@ -30,7 +30,7 @@ _SIGMA_PER_RMIN2 = 2.0 ** (5.0 / 6.0)  # sigma = rmin2 * 2 / 2^(1/6)
 
 _SECTIONS = (
     "ATOMS", "BONDS", "ANGLES", "DIHEDRALS", "IMPROPER", "IMPROPERS",
-    "NONBONDED", "CMAP", "NBFIX", "HBOND", "THOLE", "END",
+    "NONBONDED", "CMAP", "NBFIX", "HBOND", "THOLE", "NBTHOLE", "END",
 )
 
 
@@ -47,6 +47,11 @@ class CharmmParameterSet:
         self.improper_periodic_types: dict[tuple, tuple] = {}
         self.nonbonded_types: dict[str, tuple] = {}  # (eps, rmin2, eps14, rmin14_2)
         self.nbfix_types: dict[tuple, tuple] = {}
+        # Drude-2013 pair-specific Thole screening between NONBONDED
+        # oscillator pairs (NBTHOLE section, toppar_drude convention:
+        # "type_i type_j a"); the global bonded-pair Thole comes from
+        # the RTF THOLE atom attributes instead
+        self.nbthole_types: dict[tuple, float] = {}
         self.cmap_types: dict[tuple, np.ndarray] = {}  # 8-type key -> (n, n)
         # CHARMM Drude-2013 polarizable-FF content from RTF residue
         # definitions: per (RESI, atom name) ALPHA/THOLE attributes and
@@ -226,6 +231,11 @@ class CharmmParameterSet:
                     val = (abs(float(parts[2])), float(parts[3]))
                     self.nbfix_types[key] = val
                     self.nbfix_types[key[::-1]] = val
+                elif section in ("NBTHOLE", "THOLE") and len(parts) >= 3:
+                    key = (parts[0], parts[1])
+                    a = float(parts[2])
+                    self.nbthole_types[key] = a
+                    self.nbthole_types[key[::-1]] = a
             except (ValueError, IndexError):
                 continue
 
