@@ -44,7 +44,7 @@ __all__ = [
     "ReplicaExchange", "MetaDynamics", "HarmonicBias", "wham",
     "MTKBarostat", "MonteCarloBarostat", "LambdaDynamics",
     "make_lambda_sites", "ph_bias", "make_drude", "DrudeIntegrator",
-    "view_frame", "make_multipoles",
+    "view_frame", "make_multipoles", "MultipoleEwald",
 ]
 
 _LAZY = {
@@ -72,6 +72,8 @@ _LAZY = {
     "DrudeIntegrator": ("torchmd_tpu.drude", "DrudeIntegrator"),
     "view_frame": ("torchmd_tpu.viz", "view_frame"),
     "make_multipoles": ("torchmd_tpu.multipoles", "make_multipoles"),
+    "MultipoleEwald": ("torchmd_tpu.multipole_ewald",
+                       "MultipoleEwald"),
 }
 
 
