@@ -673,7 +673,8 @@ class ChargeCharge:
 
 def make_amoeba_potential(ffparams, atom_types, bonds, prm, cutoff=None,
                           switch_dist=None, mutual=True, vdw=True,
-                          charge_charge=False, cg_iters=40, cg_tol=1e-6):
+                          charge_charge=False, cg_iters=40, cg_tol=1e-6,
+                          ewald=False, box=None, ewald_tol=1e-5):
     """Full AMOEBA nonbonded stack from parsed .prm data: permanent
     multipoles + Thole mutual polarization + buffered 14-7 vdW, as one
     external-potential object. Returns (AmoebaPotential, charges).
@@ -681,11 +682,18 @@ def make_amoeba_potential(ffparams, atom_types, bonds, prm, cutoff=None,
     charge_charge=False (default) leaves the monopole Coulomb term to
     the engine: assign the returned charges onto the point-charge
     `electrostatics` term (fast path). True folds it into this object
-    for standalone evaluation."""
+    for standalone evaluation. ewald=True (periodic production: needs
+    `box`) runs the full multipole Ewald sum, monopoles included --
+    incompatible with charge_charge and with an engine point-charge
+    term."""
+    if ewald and charge_charge:
+        raise ValueError(
+            "ewald=True already includes the monopole Coulomb term"
+        )
     elec, charges = make_amoeba_electrostatics(
         ffparams, atom_types, bonds, prm, cutoff=cutoff,
         switch_dist=switch_dist, mutual=mutual, cg_iters=cg_iters,
-        cg_tol=cg_tol,
+        cg_tol=cg_tol, ewald=ewald, box=box, ewald_tol=ewald_tol,
     )
     parts = [elec]
     if charge_charge:
@@ -699,17 +707,26 @@ def make_amoeba_potential(ffparams, atom_types, bonds, prm, cutoff=None,
 
 def make_amoeba_electrostatics(ffparams, atom_types, bonds, prm,
                                cutoff=None, switch_dist=None,
-                               mutual=True, cg_iters=40, cg_tol=1e-6):
+                               mutual=True, cg_iters=40, cg_tol=1e-6,
+                               ewald=False, box=None, ewald_tol=1e-5):
     """One-call AMOEBA electrostatics from parsed .prm data.
 
     ffparams: FFParams (supplies nb_mask); atom_types: per-atom TINKER
     types; bonds: (nb, 2); prm: output of parse_tinker_prm.
     Returns (AmoebaElectrostatics, charges) -- assign `charges` onto the
     point-charge term (the multipole monopoles replace topology charges).
+
+    ewald=True (needs `box` (3,) and `cutoff`): the permanent-multipole
+    term becomes the full Ewald sum (`multipole_ewald.MultipoleEwald`),
+    INCLUDING the monopole Coulomb -- do NOT also assign the returned
+    charges onto a point-charge term. Induced polarization stays the
+    Thole-damped real-space model (cutoff), the standard approximation
+    tier below a polarization PME.
     """
     mp, charges = make_amoeba_multipoles(
         ffparams, atom_types, bonds, prm["multipoles"],
-        cutoff=cutoff, switch_dist=switch_dist,
+        cutoff=None if ewald else cutoff,
+        switch_dist=None if ewald else switch_dist,
     )
     pol = None
     if mutual and prm["polarize"]:
@@ -735,4 +752,12 @@ def make_amoeba_electrostatics(ffparams, atom_types, bonds, prm,
                 cg_tol=float(cg_tol),
             )
             pol = AmoebaPolarization(mp.spec, jnp.asarray(charges), pspec)
-    return AmoebaElectrostatics(mp, pol), charges
+    perm = mp
+    if ewald:
+        if box is None or cutoff is None:
+            raise ValueError("ewald=True needs box=(3,) and a cutoff")
+        from .multipole_ewald import MultipoleEwald
+
+        perm = MultipoleEwald(mp.spec, jnp.asarray(charges),
+                              np.asarray(box), cutoff, tol=ewald_tol)
+    return AmoebaElectrostatics(perm, pol), charges
