@@ -124,6 +124,33 @@ def test_column_matches_dense_gas():
     assert float(jnp.max(jnp.abs(f_c - f_d))) < 1e-4 * max(1.0, scale)
 
 
+def test_column_phase_replicas_match_dense(monkeypatch):
+    """Forced multi-phase j layout (P=2: 64-slot-granular window starts)
+    reproduces the dense path -- the mechanism is opt-in on v5e
+    (TMD_COL_PHASES; measured slower than P=1, docs/PERF.md) but must
+    stay correct for hardware where it wins."""
+    monkeypatch.setenv("TMD_COL_PHASES", "2")
+    monkeypatch.setenv("TMD_COL_IBLK", "16")
+    mol, par, forces, L = _lj_gas(natoms=1500, L=60.0, charges=True)
+    pos = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+    boxj = jnp.asarray([L] * 3, jnp.float32)
+    kern = ColumnKernel(forces.ffparams, forces.config, par,
+                        np.asarray([L] * 3), pos0=np.asarray(pos),
+                        interpret=True)
+    assert kern.ccfg.P == 2
+    st = kern.build(pos)
+    assert not kern.check_overflow(st)
+    pot_c, f_c = kern.energy_forces(pos, boxj, st)
+    pot_d, f_d = nonbonded_energy_forces(forces.ffparams, pos, boxj,
+                                         forces.config)
+    scale = float(jnp.max(jnp.abs(f_d)))
+    for k in pot_d:
+        assert abs(float(pot_c[k]) - float(pot_d[k])) < 2e-4 * max(
+            1.0, abs(float(pot_d[k]))
+        ), k
+    assert float(jnp.max(jnp.abs(f_c - f_d))) < 1e-4 * max(1.0, scale)
+
+
 def test_column_ewald_real_space_matches_dense():
     """Ewald erfc damping through the column kernel == dense path (the
     column kernel is the TPU default for large periodic systems, so the

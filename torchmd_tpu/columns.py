@@ -55,10 +55,18 @@ class ColumnConfig(NamedTuple):
     IBLK: int = 32      # i-block rows per window lookup
     nbins: int = 512    # z-histogram resolution for window starts
     nexcl: int = 0      # exclusion-list width (i-side attr rows)
+    P: int = 1          # phase replicas of the j panels (1, 2, 4 or 8):
+                        # replica p is the extended array shifted left by
+                        # p * (128 // P) slots, so window starts are
+                        # (128 // P)-slot granular instead of panel-aligned
 
     @property
     def rc(self):
         return self.cutoff + self.skin
+
+    @property
+    def stride(self):
+        return 128 // self.P
 
     @property
     def NB(self):
@@ -82,11 +90,19 @@ def column_grid_feasible(box, cutoff, skin=2.0) -> bool:
 
 
 def make_column_config(box, cutoff, skin=2.0, pos0=None, natoms=None,
-                       nexcl=0, IBLK=32, nbins=512) -> ColumnConfig:
+                       nexcl=0, IBLK=32, nbins=512,
+                       phases=(1,)) -> ColumnConfig:
     """Derive the static column configuration. `pos0` (recommended) sizes
     the capacities and window width from the real starting occupancies;
     without it a uniform-density estimate is used. The overflow
-    grow/retry machinery covers later density fluctuations."""
+    grow/retry machinery covers later density fluctuations.
+
+    phases: candidate P values (j-panel phase-replica counts) to
+    consider; the (W, P) pair with the smallest window wins. Default
+    (1,): on v5e the per-block dynamic phase index measures SLOWER than
+    the whole-panel round-down it avoids (docs/PERF.md), so multi-phase
+    is opt-in (TMD_COL_PHASES) for hardware where Mosaic lowers the
+    two-level dynamic window select more cheaply."""
     box = tuple(float(b) for b in np.asarray(box).reshape(-1)[:3])
     if not column_grid_feasible(box, cutoff, skin):
         raise ValueError(
@@ -103,8 +119,18 @@ def make_column_config(box, cutoff, skin=2.0, pos0=None, natoms=None,
         occ, occ_e, wneed = _occupancy_probe(pos0, cfg)
         C = _round_up(max(IBLK, occ * 1.15 + 8), IBLK)
         CE = _round_up(max(128, occ_e * 1.12 + 8), 128)
-        # +127: window starts are rounded down to the 128-aligned panel
-        W = _round_up(max(128, wneed * 1.15 + 8 + 127), 128)
+        # Window starts are (128 // P)-slot granular: the kernel keeps P
+        # phase-shifted replicas of the j panels, so start round-down
+        # slack is stride-1 slots instead of 127. Pick the smallest P
+        # whose W matches the best achievable -- W sets the pair-tile
+        # compute, P replicates j bandwidth and pays a per-block dynamic
+        # phase index (measured net-negative on v5e, hence phases=(1,)
+        # by default; docs/PERF.md).
+        need = wneed * 1.15 + 8
+        cand = [(_round_up(max(128, need + 128 // p - 1), 128), p)
+                for p in phases]
+        W, P = min(cand)
+        cfg = cfg._replace(P=P)
     else:
         n = natoms or 1000
         dens = n / (box[0] * box[1] * box[2])
@@ -292,15 +318,20 @@ def build_columns(pos, cfg: ColumnConfig, ffp: FFParams, excl_table,
     hib_b = jnp.broadcast_to(hib[:, None, :], (ncol, 9, NB))
     start = jnp.take_along_axis(cum_n, lob_b, axis=2)
     end_need = jnp.take_along_axis(cum_n, hib_b + 1, axis=2)
-    # windows are whole 128-slot PANELS (the kernel's j layout is
-    # panel-major so the window select is a free leading-dim dynamic
-    # slice): round starts down one panel; W carries the extra panel of
-    # slack, sized in make_column_config / grow
-    startq = start // 128
+    # Windows are (128 // P)-slot granular: the kernel's j layout is
+    # panel-major with P phase-shifted replicas, so a window select is a
+    # free leading-dim (phase, panel) dynamic index. Starts round down
+    # by at most stride-1 slots; W carries that slack, sized in
+    # make_column_config / grow. wstart stores the start in STRIDE
+    # units; the kernel decodes phase = mod(k, P), panel = k // P.
+    S = cfg.stride
+    startq = start // S
     overflow_w = jnp.any(
-        block_valid[:, None, :] & ((end_need - startq * 128) > W)
+        block_valid[:, None, :] & ((end_need - startq * S) > W)
     )
-    startq = jnp.minimum(startq, (CE - W) // 128)
+    # CE, W are multiples of 128 and S divides 128, so this clamp is
+    # slack-free (clamped windows still end exactly at CE >= end_need)
+    startq = jnp.minimum(startq, (CE - W) // S)
     wstart = jnp.where(block_valid[:, None, :], startq, -1).astype(
         jnp.int32
     )
@@ -383,16 +414,35 @@ def column_energy_forces(ffp: FFParams, cfg: ForceTermConfig,
     )                                           # (ncol, Rj, CE)
     Rj = j_data.shape[1]
     ncol = j_data.shape[0]
+    P, S, CE = ccfg.P, ccfg.stride, ccfg.CE
+    if P > 1:
+        # phase replicas: replica p = the extended array shifted left by
+        # p*S slots (tail padded with id = n so the kernel masks it)
+        padw = (P - 1) * S
+        pad = jnp.zeros((ncol, Rj, padw), f32).at[:, 6, :].set(float(n))
+        jd_pad = jnp.concatenate([j_data, pad], axis=2)
+        j_data = jnp.stack(
+            [jd_pad[:, :, p * S:p * S + CE] for p in range(P)], axis=1
+        )                                       # (ncol, P, Rj, CE)
+        jslot_pad = jnp.concatenate(
+            [st.jslot, jnp.full((ncol, padw), n, jnp.int32)], axis=1
+        )
+        jsl_rep = jnp.stack(
+            [jslot_pad[:, p * S:p * S + CE] for p in range(P)], axis=1
+        )                                       # (ncol, P, CE)
+    else:
+        j_data = j_data[:, None]
+        jsl_rep = st.jslot[:, None]
     j_data = j_data.reshape(
-        ncol, Rj, ccfg.CE // 128, 128
-    ).transpose(0, 2, 1, 3)                     # (ncol, CE/128, Rj, 128)
+        ncol, P, Rj, CE // 128, 128
+    ).transpose(0, 1, 3, 2, 4)                  # (ncol, P, CE/128, Rj, 128)
     if shifts is None:
         shifts = jnp.asarray(column_shift_table(ccfg))
 
     e_lj, e_el, f_out, jacc = column_pair_call(
         kcfg, ccfg.ncols[0], ccfg.ncols[1], i_data, j_data,
         st.wstart, shifts, IBLK=ccfg.IBLK, W=ccfg.W, NB=ccfg.NB,
-        nexcl=ccfg.nexcl, nfloat=n, interpret=interpret,
+        nexcl=ccfg.nexcl, nfloat=n, P=P, interpret=interpret,
     )
 
     f_slots = f_out.transpose(0, 1, 3, 2).reshape(-1, 3)
@@ -400,9 +450,10 @@ def column_energy_forces(ffp: FFParams, cfg: ForceTermConfig,
         st.islot.reshape(-1)
     ].add(f_slots)
     # Newton: j-side forces of the directed half-stencil come back in
-    # extended-slot layout (ghost duplicates fold onto the real atom id)
-    j_rows = jacc.transpose(0, 1, 3, 2).reshape(-1, 3)
-    forces = forces.at[st.jslot.reshape(-1)].add(j_rows)[:n]
+    # extended-slot-replica layout (each replica scatters with its own
+    # shifted slot map; ghost duplicates fold onto the real atom id)
+    j_rows = jacc.transpose(0, 1, 2, 4, 3).reshape(-1, 3)
+    forces = forces.at[jsl_rep.reshape(-1)].add(j_rows)[:n]
 
     out = {}
     if kcfg["lj"]:
@@ -453,12 +504,20 @@ class ColumnKernel:
         import os as _os
 
         # IBLK trades i-block granularity against window z-span: smaller
-        # blocks tighten the per-block window (less padded work) at more
-        # per-column iterations; 16 measured best at gas density on v5e
-        iblk = int(_os.environ.get("TMD_COL_IBLK", "16"))
+        # blocks tighten the per-block window (less padded work) but pay
+        # per-block overhead (window copy, mask rows, scalar fetch) and
+        # under-fill sublanes. v5e measurements at 24k gas density
+        # (docs/PERF.md): 16 -> 4.1 ms eval, 32 -> 3.2, 48 -> 2.9 (best),
+        # 64/96 -> ~2.95 (window z-span growth cancels the block savings)
+        iblk = int(_os.environ.get("TMD_COL_IBLK", "48"))
+        phases = tuple(
+            int(p) for p in
+            _os.environ.get("TMD_COL_PHASES", "1").split(",")
+        )
         self.ccfg = make_column_config(
             box, cfg.cutoff, skin=skin, pos0=pos0, natoms=natoms,
             nexcl=int(self.excl_table.shape[1]), IBLK=iblk,
+            phases=phases,
         )
         self._shifts = jnp.asarray(column_shift_table(self.ccfg))
 
@@ -500,7 +559,8 @@ class ColumnKernel:
         new.ccfg = make_column_config(
             box, self.cfg.cutoff, skin=self.ccfg.skin, pos0=pos0,
             natoms=int(self.ffp.charges.shape[0]),
-            nexcl=self.ccfg.nexcl,
+            nexcl=self.ccfg.nexcl, IBLK=self.ccfg.IBLK,
+            phases=(self.ccfg.P,) if self.ccfg.P > 1 else (1,),
         )
         new._shifts = jnp.asarray(column_shift_table(new.ccfg))
         return new

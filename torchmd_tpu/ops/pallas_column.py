@@ -27,9 +27,15 @@ trick as the dense triangular kernel's column-force accumulator).
 
 Layouts are chosen so no dynamic lane/sublane slicing ever happens:
 
-  - j data is stored panel-major, (ncol, CE/128, Rj, 128): a window is
-    Wq consecutive PANELS selected by a dynamic index on the leading
-    (untiled) dimension -- free on TPU,
+  - j data is stored panel-major with P phase replicas,
+    (ncol, P, CE/128, Rj, 128): replica p is the extended array shifted
+    left by p*(128/P) slots, so a window is Wq consecutive PANELS of
+    one replica, selected by dynamic indices on the two leading
+    (untiled) dimensions -- free on TPU. Phases make window starts
+    (128/P)-slot granular: W need not carry a whole panel of round-down
+    slack (at 24k gas density W drops 384 -> 256 for P=2, a 1.5x cut in
+    pair-tile compute for a 2x j-stream bandwidth cost that VMEM
+    residency hides),
   - i data is block-major, (ncol, NB, Ri, IBLK); the pair tile is
     (Wq, IBLK, 128) whose last two dims are exact register tiles,
   - per-block windows and per-(column, offset) x/y wrap shifts ride as
@@ -71,7 +77,7 @@ _SELF_O9 = 4
 
 
 def _kernel(w_ref, s_ref, i_ref, j_ref, f_ref, jacc_ref, elj_ref,
-            eel_ref, *, cfg, IBLK, Wq, NB, nexcl, nfloat, ncol):
+            eel_ref, *, cfg, IBLK, Wq, NB, nexcl, nfloat, ncol, P):
     c = pl.program_id(0)
     o = pl.program_id(1)          # 0 = self, 1..4 = directed
     o9 = o + 4
@@ -101,12 +107,16 @@ def _kernel(w_ref, s_ref, i_ref, j_ref, f_ref, jacc_ref, elj_ref,
     cj = jnp.mod(cx + dxo, ncx) * ncy + jnp.mod(cy + dyo, ncy)
 
     for bi in range(NB):                       # static unroll
-        stq = w_ref[co * NB + bi]
+        # window start in stride (128 // P slot) units; decode into the
+        # phase replica + panel start of the kernel's j layout
+        stk = w_ref[co * NB + bi]
+        ph = jnp.mod(stk, P)
+        stq = stk // P
 
-        @pl.when(stq >= 0)
-        def _block(bi=bi, stq=stq):
+        @pl.when(stk >= 0)
+        def _block(bi=bi, ph=ph, stq=stq):
             iw = i_ref[0, bi]                  # (Ri, IBLK)
-            jw = j_ref[0, pl.ds(stq, Wq)]      # (Wq, Rj, 128)
+            jw = j_ref[0, ph, pl.ds(stq, Wq)]  # (Wq, Rj, 128)
 
             def ri(r):
                 return iw[r][None, :, None]    # (1, IBLK, 1)
@@ -148,36 +158,39 @@ def _kernel(w_ref, s_ref, i_ref, j_ref, f_ref, jacc_ref, elj_ref,
 
             @pl.when(o != 0)
             def _jacc():
-                # force ON the j slots: +sum_i g . dv
+                # force ON the j slots: +sum_i g . dv (accumulated in the
+                # replica the window used; XLA scatters each replica with
+                # its own shifted slot map)
                 sl = pl.ds(stq, Wq)
-                jacc_ref[cj, sl, 0] = jacc_ref[cj, sl, 0] + jnp.sum(
-                    g * dx, axis=1
-                )
-                jacc_ref[cj, sl, 1] = jacc_ref[cj, sl, 1] + jnp.sum(
-                    g * dy, axis=1
-                )
-                jacc_ref[cj, sl, 2] = jacc_ref[cj, sl, 2] + jnp.sum(
-                    g * dz, axis=1
-                )
+                jacc_ref[cj, ph, sl, 0] = jacc_ref[cj, ph, sl, 0] + \
+                    jnp.sum(g * dx, axis=1)
+                jacc_ref[cj, ph, sl, 1] = jacc_ref[cj, ph, sl, 1] + \
+                    jnp.sum(g * dy, axis=1)
+                jacc_ref[cj, ph, sl, 2] = jacc_ref[cj, ph, sl, 2] + \
+                    jnp.sum(g * dz, axis=1)
 
 
 def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
-                     *, IBLK, W, NB, nexcl, nfloat, interpret=False):
+                     *, IBLK, W, NB, nexcl, nfloat, P=1,
+                     interpret=False):
     """Run the column pair kernel.
 
     i_data:  (ncol, NB, Ri, IBLK) rows 0..6 = x,y,z,q,sig,eps,id;
              7.. = excl ids (block axis leading: untiled dynamic index)
-    j_data:  (ncol, CE/128, Rj, 128) panel-major extended columns
-             (z ghost-shifted)
-    wstart:  (ncol*9*NB,) int32 window PANEL starts (-1 = skip block)
+    j_data:  (ncol, P, CE/128, Rj, 128) panel-major extended columns
+             (z ghost-shifted); replica p is shifted left p*(128//P)
+             slots so window starts are stride-granular
+    wstart:  (ncol*9*NB,) int32 window starts in stride units (-1 =
+             skip block)
     shifts:  (ncol*9*2,) f32 static x/y periodic position shifts
     Returns (e_lj, e_el scalars, f (ncol, NB, 3, IBLK),
-             jacc (ncol, CE/128, 3, 128) extended-slot j forces).
+             jacc (ncol, P, CE/128, 3, 128) extended-slot-replica j
+             forces).
     """
     ncol = ncx * ncy
     Ri = i_data.shape[2]
-    CEq = j_data.shape[1]
-    Rj = j_data.shape[2]
+    CEq = j_data.shape[2]
+    Rj = j_data.shape[3]
     Wq = W // 128
     f32 = jnp.float32
     cfg = dict(cfg)
@@ -192,11 +205,11 @@ def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
         cy = jnp.mod(c, ncy)
         nx = jnp.mod(cx + dx, ncx)
         ny = jnp.mod(cy + dy, ncy)
-        return (nx * ncy + ny, 0, 0, 0)
+        return (nx * ncy + ny, 0, 0, 0, 0)
 
     kern = functools.partial(
         _kernel, cfg=cfg, IBLK=IBLK, Wq=Wq, NB=NB, nexcl=nexcl,
-        nfloat=float(nfloat), ncol=ncol,
+        nfloat=float(nfloat), ncol=ncol, P=P,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,      # wstart + shifts, whole-array SMEM
@@ -205,7 +218,7 @@ def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
             pl.BlockSpec((1, NB, Ri, IBLK),
                          lambda c, o, *p: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CEq, Rj, 128), j_index,
+            pl.BlockSpec((1, P, CEq, Rj, 128), j_index,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -214,8 +227,8 @@ def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
                          memory_space=pltpu.VMEM),
             # resident extended-slot j-force accumulator: one constant
             # block for the whole sequential grid (safe to revisit)
-            pl.BlockSpec((ncol, CEq, 3, 128),
-                         lambda c, o, *p: (0, 0, 0, 0),
+            pl.BlockSpec((ncol, P, CEq, 3, 128),
+                         lambda c, o, *p: (0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda c, o, *p: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -228,14 +241,14 @@ def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((ncol, NB, 3, IBLK), f32),
-            jax.ShapeDtypeStruct((ncol, CEq, 3, 128), f32),
+            jax.ShapeDtypeStruct((ncol, P, CEq, 3, 128), f32),
             jax.ShapeDtypeStruct((1, 1), f32),
             jax.ShapeDtypeStruct((1, 1), f32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=60 * ncol * 5 * NB * IBLK * W,
-            bytes_accessed=ncol * 5 * (Ri * NB * IBLK + Rj * CEq * 128)
-            * 4,
+            bytes_accessed=ncol * 5 * (Ri * NB * IBLK
+                                       + P * Rj * CEq * 128) * 4,
             transcendentals=ncol * 5 * NB * IBLK * W,
         ),
         interpret=interpret,
