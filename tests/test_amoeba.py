@@ -552,6 +552,49 @@ def test_dimer_ewald_matches_direct_plus_surface_term():
     assert gaps[1] < 2e-4
 
 
+def test_amoeba_pme_auto_selection_and_parity(monkeypatch):
+    """pme='auto' picks the gridded MultipolePme above
+    TMD_MULTIPOLE_PME_N and the exact engine below; both give the same
+    periodic permanent-multipole energy on the water dimer."""
+    from torchmd_tpu.multipole_ewald import MultipoleEwald, MultipolePme
+
+    prm = parse_tinker_prm(WATER03_PRM)
+    coords, types, bonds, _ = read_tinker_xyz(WATER_DIMER_XYZ)
+    N = len(types)
+    mask = np.ones((N, N), bool) & ~np.eye(N, dtype=bool)
+    for m in (0, 3):
+        for a in (m, m + 1, m + 2):
+            for b in (m, m + 1, m + 2):
+                mask[a, b] = False
+    ffp = _ffp(N, nb_mask=jnp.asarray(mask))
+    L = 20.0
+    box = np.asarray([L] * 3)
+    kw = dict(cutoff=9.0, mutual=False, ewald=True, box=box,
+              ewald_tol=1e-6)
+
+    monkeypatch.setenv("TMD_MULTIPOLE_PME_N", str(N + 1))
+    elec_exact, _ = make_amoeba_electrostatics(ffp, types, bonds, prm,
+                                               **kw)
+    assert isinstance(elec_exact.multipoles, MultipoleEwald)
+    assert not isinstance(elec_exact.multipoles, MultipolePme)
+
+    monkeypatch.setenv("TMD_MULTIPOLE_PME_N", "1")
+    elec_pme, _ = make_amoeba_electrostatics(ffp, types, bonds, prm,
+                                             **kw)
+    assert isinstance(elec_pme.multipoles, MultipolePme)
+
+    # forced override beats the env threshold
+    elec_forced, _ = make_amoeba_electrostatics(
+        ffp, types, bonds, prm, pme=False, **kw
+    )
+    assert not isinstance(elec_forced.multipoles, MultipolePme)
+
+    pos = jnp.asarray(coords) + L / 2.0
+    e_exact = float(elec_exact.energy_fn(pos, jnp.asarray(box)))
+    e_pme = float(elec_pme.energy_fn(pos, jnp.asarray(box)))
+    assert e_pme == pytest.approx(e_exact, rel=2e-4, abs=2e-5)
+
+
 def test_amoeba_ewald_md_smoke():
     """ewald=True AMOEBA stack (permanent Ewald + real-space mutual
     polarization + 14-7 vdW) integrates stably through the scan."""

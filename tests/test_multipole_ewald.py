@@ -195,3 +195,69 @@ def test_spec_cutoff_conflict_rejected():
     with pytest.raises(ValueError):
         MultipoleEwald(spec, jnp.zeros(4), np.asarray([20.0] * 3),
                        cutoff=7.0)
+
+
+def _quad_system(n=24, L=16.0, seed=3):
+    """Charges everywhere + dipoles/quadrupoles on every other atom."""
+    rs = np.random.RandomState(seed)
+    pos = jnp.asarray(rs.rand(n, 3) * L)
+    q = rs.randn(n) * 0.3
+    q -= q.mean()
+    sites = list(range(0, n, 2))
+    mu = rs.randn(len(sites), 3) * 0.2
+    quads = []
+    for _ in sites:
+        A = rs.randn(3, 3) * 0.1
+        Qm = A + A.T
+        Qm -= np.eye(3) * np.trace(Qm) / 3.0
+        quads.append(Qm)
+    spec = _spec(n, sites, mu, quad=np.stack(quads))
+    return pos, jnp.asarray(q), jnp.asarray([L] * 3), spec
+
+
+def test_pme_reciprocal_matches_exact_by_tier():
+    """MultipolePme's derivative-spline reciprocal sum converges to the
+    exact structure-factor sum tier by tier (charges / dipoles /
+    quadrupoles isolated), and sharpens with spline order."""
+    from torchmd_tpu.multipole_ewald import MultipolePme
+
+    pos, q, box, spec = _quad_system()
+    me = MultipoleEwald(spec, q, np.asarray(box), cutoff=7.0, tol=1e-7)
+    qq, mu, Q = me._moments(pos, box)
+    alpha = jnp.asarray(me.cfg.alpha, jnp.float64)
+    zq, zmu, zQ = jnp.zeros_like(qq), jnp.zeros_like(mu), jnp.zeros_like(Q)
+
+    mp6 = MultipolePme(spec, q, np.asarray(box), cutoff=7.0, tol=1e-7,
+                       order=6, spacing=0.8)
+    for moments, tol in [((qq, zmu, zQ), 5e-5), ((zq, mu, zQ), 2e-4),
+                         ((zq, zmu, Q), 1e-3), ((qq, mu, Q), 2e-4)]:
+        e_exact = float(me._reciprocal(pos, box, *moments, alpha))
+        e_pme = float(mp6._reciprocal(pos, box, *moments, alpha))
+        assert abs(e_pme - e_exact) <= tol * abs(e_exact)
+
+    # order-8 must beat order-6 on the hardest (quadrupole) tier
+    mp8 = MultipolePme(spec, q, np.asarray(box), cutoff=7.0, tol=1e-7,
+                       order=8, spacing=0.8)
+    eQ = float(me._reciprocal(pos, box, zq, zmu, Q, alpha))
+    err6 = abs(float(mp6._reciprocal(pos, box, zq, zmu, Q, alpha)) - eQ)
+    err8 = abs(float(mp8._reciprocal(pos, box, zq, zmu, Q, alpha)) - eQ)
+    assert err8 < err6 / 5
+
+
+def test_pme_total_energy_and_forces_match_exact():
+    """Full energy_fn (real + self + exclusions + reciprocal) and AD
+    forces agree between the exact and PME engines."""
+    from torchmd_tpu.multipole_ewald import MultipolePme
+
+    pos, q, box, spec = _quad_system()
+    me = MultipoleEwald(spec, q, np.asarray(box), cutoff=7.0, tol=1e-7)
+    mp = MultipolePme(spec, q, np.asarray(box), cutoff=7.0, tol=1e-7,
+                      order=8, spacing=0.5)
+    e1, g1 = jax.value_and_grad(me.energy_fn)(pos, box)
+    e2, g2 = jax.value_and_grad(mp.energy_fn)(pos, box)
+    # scale-referenced: the total is small through real/recip cancellation
+    scale = float(jnp.max(jnp.abs(g1)))
+    assert abs(float(e2) - float(e1)) < 1e-4 * max(1.0, abs(float(e1)))
+    assert float(jnp.max(jnp.abs(g2 - g1))) < 1e-5 * scale
+
+

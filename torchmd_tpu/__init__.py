@@ -44,7 +44,7 @@ __all__ = [
     "ReplicaExchange", "MetaDynamics", "HarmonicBias", "wham",
     "MTKBarostat", "MonteCarloBarostat", "LambdaDynamics",
     "make_lambda_sites", "ph_bias", "make_drude", "DrudeIntegrator",
-    "view_frame", "make_multipoles", "MultipoleEwald",
+    "view_frame", "make_multipoles", "MultipoleEwald", "MultipolePme",
 ]
 
 _LAZY = {

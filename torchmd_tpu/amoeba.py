@@ -63,6 +63,7 @@ capability beyond it.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -674,7 +675,8 @@ class ChargeCharge:
 def make_amoeba_potential(ffparams, atom_types, bonds, prm, cutoff=None,
                           switch_dist=None, mutual=True, vdw=True,
                           charge_charge=False, cg_iters=40, cg_tol=1e-6,
-                          ewald=False, box=None, ewald_tol=1e-5):
+                          ewald=False, box=None, ewald_tol=1e-5,
+                          pme="auto"):
     """Full AMOEBA nonbonded stack from parsed .prm data: permanent
     multipoles + Thole mutual polarization + buffered 14-7 vdW, as one
     external-potential object. Returns (AmoebaPotential, charges).
@@ -694,6 +696,7 @@ def make_amoeba_potential(ffparams, atom_types, bonds, prm, cutoff=None,
         ffparams, atom_types, bonds, prm, cutoff=cutoff,
         switch_dist=switch_dist, mutual=mutual, cg_iters=cg_iters,
         cg_tol=cg_tol, ewald=ewald, box=box, ewald_tol=ewald_tol,
+        pme=pme,
     )
     parts = [elec]
     if charge_charge:
@@ -708,7 +711,8 @@ def make_amoeba_potential(ffparams, atom_types, bonds, prm, cutoff=None,
 def make_amoeba_electrostatics(ffparams, atom_types, bonds, prm,
                                cutoff=None, switch_dist=None,
                                mutual=True, cg_iters=40, cg_tol=1e-6,
-                               ewald=False, box=None, ewald_tol=1e-5):
+                               ewald=False, box=None, ewald_tol=1e-5,
+                               pme="auto"):
     """One-call AMOEBA electrostatics from parsed .prm data.
 
     ffparams: FFParams (supplies nb_mask); atom_types: per-atom TINKER
@@ -722,6 +726,12 @@ def make_amoeba_electrostatics(ffparams, atom_types, bonds, prm,
     charges onto a point-charge term. Induced polarization stays the
     Thole-damped real-space model (cutoff), the standard approximation
     tier below a polarization PME.
+
+    pme: reciprocal-sum engine under ewald=True. "auto" (default) picks
+    the gridded multipole PME (`multipole_ewald.MultipolePme`,
+    O(N p^3 + K^3 log K)) when natoms >= TMD_MULTIPOLE_PME_N (env,
+    default 256) and the exact structure-factor sum below it; True /
+    False force the choice.
     """
     mp, charges = make_amoeba_multipoles(
         ffparams, atom_types, bonds, prm["multipoles"],
@@ -756,8 +766,15 @@ def make_amoeba_electrostatics(ffparams, atom_types, bonds, prm,
     if ewald:
         if box is None or cutoff is None:
             raise ValueError("ewald=True needs box=(3,) and a cutoff")
-        from .multipole_ewald import MultipoleEwald
+        from .multipole_ewald import MultipoleEwald, MultipolePme
 
-        perm = MultipoleEwald(mp.spec, jnp.asarray(charges),
-                              np.asarray(box), cutoff, tol=ewald_tol)
+        natoms = int(np.asarray(atom_types).reshape(-1).shape[0])
+        use_pme = (
+            pme if isinstance(pme, bool)
+            else natoms >= int(os.environ.get("TMD_MULTIPOLE_PME_N",
+                                              "256"))
+        )
+        cls = MultipolePme if use_pme else MultipoleEwald
+        perm = cls(mp.spec, jnp.asarray(charges),
+                   np.asarray(box), cutoff, tol=ewald_tol)
     return AmoebaElectrostatics(perm, pol), charges

@@ -40,6 +40,88 @@ class EwaldConfig(NamedTuple):
     tol: float
 
 
+# -- B-spline machinery (shared by PmeRecip and the multipole PME) -------
+def bspline_weights(frac, n):
+    """M_n(frac + t) for t = 0..n-1; frac in [0, 1). Returns (..., n).
+
+    Iterative Cox-de Boor construction evaluated at the n points
+    u_t = frac + t; the recursion's shifted term M_{k-1}(u_t - 1)
+    equals M_{k-1}(u_{t-1}), i.e. a slot shift."""
+    u = frac[..., None] + jnp.arange(n, dtype=frac.dtype)
+    m = jnp.maximum(0.0, 1.0 - jnp.abs(u - 1.0))  # M_2 (support [0,2))
+    for k in range(3, n + 1):
+        prev_shift = jnp.concatenate(
+            [jnp.zeros_like(m[..., :1]), m[..., :-1]], axis=-1
+        )
+        m = (u / (k - 1)) * m + ((k - u) / (k - 1)) * prev_shift
+    return m
+
+
+def bspline_weights_d2(frac, n):
+    """(M, M', M'') of the order-n spline taps wrt frac.
+
+    Derivatives come from the analytic recursions
+    M_n'(u) = M_{n-1}(u) - M_{n-1}(u-1) and M_n''(u) = M_{n-2}(u)
+    - 2 M_{n-2}(u-1) + M_{n-2}(u-2), NOT from AD of the Cox-de Boor
+    recursion: at frac = 0 (an atom exactly on a mesh node) the taps
+    u_t = frac + t land on the spline's knots, where AD picks a
+    one-sided subgradient of the |u-1| kink and returns sum(dw) = -1
+    instead of 0 -- O(1) spurious dipole density on the mesh. The
+    value recursion is continuous at the knots, so evaluating
+    lower-order VALUES is exact everywhere. The lower-order taps
+    shifted by s slots are M_{n-k}(frac + t - s). Requires n >= 4."""
+    if n < 4:
+        raise ValueError("bspline_weights_d2 needs order >= 4")
+    w = bspline_weights(frac, n)
+    wm1 = bspline_weights(frac, n - 1)           # (..., n-1) taps
+    p1 = jnp.zeros_like(wm1[..., :1])
+    dw = (jnp.concatenate([wm1, p1], -1)
+          - jnp.concatenate([p1, wm1], -1))
+    wm2 = bspline_weights(frac, n - 2)           # (..., n-2) taps
+    p2 = jnp.zeros_like(wm2[..., :1])
+    d2w = (jnp.concatenate([wm2, p2, p2], -1)
+           - 2.0 * jnp.concatenate([p2, wm2, p2], -1)
+           + jnp.concatenate([p2, p2, wm2], -1))
+    return w, dw, d2w
+
+
+def bspline_b2(K, n):
+    """|b(m)|^2 Euler-spline factors for mesh size K (numpy; Essmann
+    eq. 4.4). Degenerate modes (Nyquist zeros of even-order splines)
+    get factor 0, i.e. are dropped from the sum."""
+    w = np.asarray(bspline_weights(jnp.zeros(1, jnp.float64), n))[0]
+    pts = w[1:n]               # M_n(k+1), k = 0..n-2
+    m = np.arange(K)
+    denom = sum(
+        pts[k] * np.exp(2j * np.pi * m * k / K) for k in range(n - 1)
+    )
+    mag2 = np.abs(denom) ** 2
+    return np.where(mag2 < 1e-12, 0.0, 1.0 / mag2)
+
+
+def pme_fast_len(n):
+    """Next 2/3/5-smooth length >= n (XLA FFTs want smooth sizes)."""
+    n = max(int(n), 16)
+    while True:
+        m = n
+        for f in (2, 3, 5):
+            while m % f == 0:
+                m //= f
+        if m == 1:
+            return n
+        n += 1
+
+
+def pme_mesh_shape(kmax, box, spacing=1.0):
+    """Mesh sizes satisfying both the k-space tolerance (2*kmax+1) and
+    the spline interpolation error (~`spacing` Angstrom spacing)."""
+    box = np.asarray(box, np.float64).reshape(-1)[:3]
+    return tuple(
+        pme_fast_len(max(2 * k + 1, int(np.ceil(L / spacing))))
+        for k, L in zip(kmax, box)
+    )
+
+
 def choose_parameters(box, cutoff, tol=1e-5) -> EwaldConfig:
     """alpha from the real-space tolerance at the cutoff, K from the
     reciprocal-space tolerance (standard Ewald heuristics)."""
@@ -166,25 +248,7 @@ class PmeRecip:
             order = 6 if np.asarray(charges).shape[0] < 16384 else 4
         self.ORDER = int(order)
         base = choose_parameters(box, cutoff, tol)
-        box_np = np.asarray(box, np.float64).reshape(-1)[:3]
-
-        def fast_len(n):
-            n = max(int(n), 16)
-            while True:
-                m = n
-                for f in (2, 3, 5):
-                    while m % f == 0:
-                        m //= f
-                if m == 1:
-                    return n
-                n += 1
-
-        # mesh fine enough for both the k-space tolerance and the spline
-        # interpolation error (~`spacing` Angstrom spacing)
-        kmesh = tuple(
-            fast_len(max(2 * k + 1, int(np.ceil(L / spacing))))
-            for k, L in zip(base.kmax, box_np)
-        )
+        kmesh = pme_mesh_shape(base.kmax, box, spacing)
         self.cfg = EwaldConfig(base.alpha, kmesh, base.tol)
         self.dtype = dtype
         self.charges = jnp.asarray(charges, dtype)
@@ -200,38 +264,12 @@ class PmeRecip:
             for K in kmesh
         )
 
-    # -- B-spline helpers ------------------------------------------------
+    # -- B-spline helpers (module-level machinery, bound to ORDER) -------
     def _spline_weights(self, frac):
-        """M_n(frac + t) for t = 0..n-1; frac in [0, 1). Returns (..., n).
-
-        Iterative Cox-de Boor construction evaluated at the n points
-        u_t = frac + t; the recursion's shifted term M_{k-1}(u_t - 1)
-        equals M_{k-1}(u_{t-1}), i.e. a slot shift."""
-        n = self.ORDER
-        u = frac[..., None] + jnp.arange(n, dtype=frac.dtype)
-        m = jnp.maximum(0.0, 1.0 - jnp.abs(u - 1.0))  # M_2 (support [0,2))
-        for k in range(3, n + 1):
-            prev_shift = jnp.concatenate(
-                [jnp.zeros_like(m[..., :1]), m[..., :-1]], axis=-1
-            )
-            m = (u / (k - 1)) * m + ((k - u) / (k - 1)) * prev_shift
-        return m
+        return bspline_weights(frac, self.ORDER)
 
     def _spline_b2(self, K):
-        """|b(m)|^2 Euler-spline factors for mesh size K (numpy; Essmann
-        eq. 4.4). Degenerate modes (Nyquist zeros of even-order splines)
-        get factor 0, i.e. are dropped from the sum."""
-        n = self.ORDER
-        w = np.asarray(
-            self._spline_weights(jnp.zeros(1, jnp.float64))
-        )[0]                       # M_n(t) at t = 0..n-1
-        pts = w[1:n]               # M_n(k+1), k = 0..n-2
-        m = np.arange(K)
-        denom = sum(
-            pts[k] * np.exp(2j * np.pi * m * k / K) for k in range(n - 1)
-        )
-        mag2 = np.abs(denom) ** 2
-        return np.where(mag2 < 1e-12, 0.0, 1.0 / mag2)
+        return bspline_b2(K, self.ORDER)
 
     # ---------------------------------------------------------------
     def _spread(self, pos, box, q):

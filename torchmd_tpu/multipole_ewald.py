@@ -302,3 +302,134 @@ class MultipoleEwald:
             jax.value_and_grad(self.energy_fn), in_axes=(0, 0)
         )(pos, boxes)
         return np.asarray(e), -np.asarray(g)
+
+
+class MultipolePme(MultipoleEwald):
+    """Particle-mesh Ewald for point multipoles: MultipoleEwald with the
+    O(N * K^3) structure-factor reciprocal sum replaced by derivative
+    B-spline spreading + one 3-D FFT, O(N * p^3 + K^3 log K).
+
+    A point multipole's charge density is the multipole operator applied
+    to a delta:  rho_j = [q_j + mu_j . grad_{r_j}
+    + (1/6) Q_j : grad grad_{r_j}] delta(r - r_j). PME approximates the
+    delta by the B-spline kernel, so the multipole mesh is the SAME
+    operator applied to the spreading weights -- per-axis (M, M', M'')
+    spline taps from forward AD of the Cox-de Boor recursion
+    (ewald.bspline_weights_d2: no hand-derived derivative tables), and
+    the ten moment components become ten separable tap products folded
+    into ONE combined-coefficient scatter (same N*p^3 scatter cost as
+    charge-only PME). The Euler |b(m)|^2 factors, Gaussian influence
+    function and tinfoil net-charge term are unchanged -- derivative
+    spreading uses the same interpolation basis, so the same
+    b2-correction applies to every tier (Essmann et al. 1995, sec. 4;
+    the AMOEBA PME of Sagui, Pedersen & Darden, JCP 120:73, 2004).
+
+    Real-space / exclusion / self tiers and the `energy_fn`/`calculate`
+    protocol are inherited. Accuracy vs the exact reciprocal sum is set
+    by the spline order and mesh spacing; the quadrupole tier spreads
+    SECOND-derivative taps, which cost two effective spline orders, so
+    the default is order 8 (~order-6-accurate on quadrupoles; water
+    dimer total-energy error 6e-5 kcal/mol at spacing 0.8 vs 5e-4 for
+    order 6 -- pinned by tests/test_multipole_ewald.py)."""
+
+    def __init__(self, spec: MultipoleSpec, charges, box0, cutoff,
+                 tol=1e-5, order=8, spacing=0.8):
+        super().__init__(spec, charges, box0, cutoff, tol)
+        from .ewald import bspline_b2, pme_mesh_shape
+
+        self.order = int(order)
+        self.kmesh = pme_mesh_shape(self.cfg.kmax, box0, spacing)
+        self._b2 = tuple(
+            jnp.asarray(bspline_b2(K, self.order), jnp.float64)
+            for K in self.kmesh
+        )
+
+    def _reciprocal(self, pos, box, q, mu, Q, alpha):
+        from .ewald import bspline_weights_d2
+
+        dtype = pos.dtype
+        n = self.order
+        Kx, Ky, Kz = self.kmesh
+        V = box[0] * box[1] * box[2]
+        two_pi = 2.0 * jnp.pi
+        N = pos.shape[0]
+
+        Ks = jnp.asarray([Kx, Ky, Kz], dtype)
+        u = pos / box
+        u = (u - jnp.floor(u)) * Ks             # scaled coords in [0, K)
+        base = jnp.floor(u)                     # zero-gradient (floor)
+        frac = u - base
+        w, dw, d2w = bspline_weights_d2(frac, n)    # (N, 3, n) each
+        scale = Ks / box                        # du/dx per axis
+        # per-axis tap stacks: value, d/dx, d^2/dx^2 (chain rule through
+        # u = x * K / L; base is piecewise constant so AD sees only frac)
+        s1 = scale[None, :, None]
+        V3 = jnp.stack([w, dw * s1, d2w * s1 * s1], axis=0)  # (3, N, 3, n)
+
+        # ten separable products: (ax-deriv, ay-deriv, az-deriv, coeff)
+        terms = [
+            (0, 0, 0, q),
+            (1, 0, 0, mu[:, 0]), (0, 1, 0, mu[:, 1]), (0, 0, 1, mu[:, 2]),
+        ]
+        if Q is not None:
+            terms += [
+                (2, 0, 0, Q[:, 0, 0] / 6.0),
+                (0, 2, 0, Q[:, 1, 1] / 6.0),
+                (0, 0, 2, Q[:, 2, 2] / 6.0),
+                (1, 1, 0, Q[:, 0, 1] / 3.0),
+                (1, 0, 1, Q[:, 0, 2] / 3.0),
+                (0, 1, 1, Q[:, 1, 2] / 3.0),
+            ]
+        coef = None
+        for (a, b, c, cf) in terms:
+            t = (
+                cf[:, None, None, None]
+                * V3[a][:, 0, :, None, None]
+                * V3[b][:, 1, None, :, None]
+                * V3[c][:, 2, None, None, :]
+            )
+            coef = t if coef is None else coef + t
+
+        idx = (
+            base[..., None].astype(jnp.int32)
+            - jnp.arange(n, dtype=jnp.int32)
+        )
+        idx = jnp.mod(
+            idx, jnp.asarray([Kx, Ky, Kz], jnp.int32)[None, :, None]
+        )
+        ix, iy, iz = idx[:, 0, :], idx[:, 1, :], idx[:, 2, :]
+        flat = (
+            (ix[:, :, None, None] * Ky + iy[:, None, :, None]) * Kz
+            + iz[:, None, None, :]
+        ).reshape(-1)
+        mesh = jax.ops.segment_sum(
+            coef.reshape(-1), flat, num_segments=Kx * Ky * Kz
+        ).reshape(Kx, Ky, Kz)
+
+        Sk = jnp.fft.fftn(mesh.astype(
+            jnp.float64 if dtype == jnp.float64 else jnp.float32
+        ))
+
+        def kvec(K, L):
+            m = jnp.fft.fftfreq(K, d=1.0 / K).astype(dtype)
+            return (two_pi / L) * m
+
+        kx, ky, kz = kvec(Kx, box[0]), kvec(Ky, box[1]), kvec(Kz, box[2])
+        k2 = (
+            kx[:, None, None] ** 2 + ky[None, :, None] ** 2
+            + kz[None, None, :] ** 2
+        )
+        k2_safe = jnp.where(k2 > 0, k2, 1.0)
+        pref = jnp.where(
+            k2 > 0, jnp.exp(-k2_safe / (4.0 * alpha**2)) / k2_safe, 0.0
+        )
+        bx, by, bz = self._b2
+        b2 = (
+            bx[:, None, None] * by[None, :, None] * bz[None, None, :]
+        ).astype(dtype)
+        s2 = (Sk.real**2 + Sk.imag**2).astype(dtype)
+        e_recip = (two_pi / V) * jnp.sum(pref * b2 * s2)
+
+        qtot = jnp.sum(q)
+        e_net = -jnp.pi / (2.0 * V * alpha**2) * qtot * qtot
+        return e_recip + e_net
