@@ -653,3 +653,98 @@ def test_amoeba_ewald_md_smoke():
     ekin, epot, T = integ.step(niter=10)
     assert np.isfinite(epot).all()
     assert np.isfinite(np.asarray(system.pos)).all()
+
+
+def _dimer_system():
+    prm = parse_tinker_prm(WATER03_PRM)
+    coords, types, bonds, _ = read_tinker_xyz(WATER_DIMER_XYZ)
+    N = len(types)
+    mask = np.ones((N, N), bool) & ~np.eye(N, dtype=bool)
+    for m in (0, 3):
+        for a in (m, m + 1, m + 2):
+            for b in (m, m + 1, m + 2):
+                mask[a, b] = False
+    ffp = _ffp(N, nb_mask=jnp.asarray(mask))
+    return prm, coords, types, bonds, ffp
+
+
+def test_polarization_ewald_dilute_limit():
+    """The Ewald-split induced-dipole solver converges to the isolated
+    (real-space, no-cutoff) polarization energy as the box dilutes --
+    validating every tier patch (direct-field re-masking, Thole mutual
+    patch, self/reciprocal couplings) at once."""
+    from torchmd_tpu.amoeba import AmoebaPolarizationEwald
+
+    prm, coords, types, bonds, ffp = _dimer_system()
+    elec_rs, _ = make_amoeba_electrostatics(ffp, types, bonds, prm,
+                                            cutoff=None, mutual=True)
+    pos0 = jnp.asarray(coords)
+    e_rs = float(elec_rs.polarization.energy_fn(pos0, None))
+    assert e_rs < -0.1        # dimer polarization is attractive
+
+    gaps = []
+    for L, cut in [(25.0, 11.0), (45.0, 20.0)]:
+        box = np.asarray([L] * 3)
+        elec, _ = make_amoeba_electrostatics(
+            ffp, types, bonds, prm, cutoff=cut, mutual=True, ewald=True,
+            box=box, ewald_tol=1e-6, pme=False,
+        )
+        assert isinstance(elec.polarization, AmoebaPolarizationEwald)
+        e = float(elec.polarization.energy_fn(pos0 + L / 2.0,
+                                              jnp.asarray(box)))
+        gaps.append(abs(e - e_rs))
+    assert gaps[1] < gaps[0] / 3.0      # image effects shrink ~1/L^3
+    assert gaps[1] < 2e-3
+
+
+def test_polarization_ewald_pme_engine_parity():
+    """The polarization solver gives the same answer whether the
+    reciprocal couplings run through the exact structure-factor engine
+    or the gridded MultipolePme mesh."""
+    from torchmd_tpu.amoeba import AmoebaPolarizationEwald
+
+    prm, coords, types, bonds, ffp = _dimer_system()
+    L = 20.0
+    box = np.asarray([L] * 3)
+    kw = dict(cutoff=9.0, mutual=True, ewald=True, box=box,
+              ewald_tol=1e-6)
+    e_ex, _ = make_amoeba_electrostatics(ffp, types, bonds, prm,
+                                         pme=False, **kw)
+    e_pm, _ = make_amoeba_electrostatics(ffp, types, bonds, prm,
+                                         pme=True, **kw)
+    pos = jnp.asarray(coords) + L / 2.0
+    bj = jnp.asarray(box)
+    p_ex = float(e_ex.polarization.energy_fn(pos, bj))
+    p_pm = float(e_pm.polarization.energy_fn(pos, bj))
+    assert p_ex == pytest.approx(p_pm, abs=2e-5)
+    # pol_ewald=False keeps the real-space solver
+    e_rs, _ = make_amoeba_electrostatics(ffp, types, bonds, prm,
+                                         pme=False, pol_ewald=False, **kw)
+    assert not isinstance(e_rs.polarization, AmoebaPolarizationEwald)
+
+
+def test_polarization_ewald_forces_match_fd():
+    """Envelope-exact AD forces of the Ewald polarization energy agree
+    with central differences (to the CG-residual floor)."""
+    prm, coords, types, bonds, ffp = _dimer_system()
+    L = 20.0
+    box = np.asarray([L] * 3)
+    elec, _ = make_amoeba_electrostatics(
+        ffp, types, bonds, prm, cutoff=9.0, mutual=True, ewald=True,
+        box=box, ewald_tol=1e-6, pme=False,
+    )
+    pol = elec.polarization
+    bj = jnp.asarray(box)
+    pos = jnp.asarray(coords) + L / 2.0
+    efn = jax.jit(lambda p: pol.energy_fn(p, bj))
+    g = np.asarray(jax.jit(jax.grad(lambda p: pol.energy_fn(p, bj)))(pos))
+    pos_np = np.array(pos)
+    for (i, a) in [(0, 2), (1, 0), (3, 2)]:
+        h = 2e-5
+        pp = pos_np.copy()
+        pp[i, a] += h
+        pm = pos_np.copy()
+        pm[i, a] -= h
+        fd = (float(efn(jnp.asarray(pp)))
+              - float(efn(jnp.asarray(pm)))) / (2 * h)
+        assert abs(fd - g[i, a]) < 5e-5 * max(1.0, abs(fd))

@@ -313,3 +313,38 @@ def test_forces_elec_pme_matches_ewald():
         scale = max(1.0, abs(e_w[k]))
         assert abs(e_w[k] - e_p[k]) < 2e-4 * scale, (k, e_w[k], e_p[k])
     np.testing.assert_allclose(f_p, f_w, atol=2e-4 * np.abs(f_w).max())
+
+
+def test_pme_force_on_mesh_node_atom():
+    """AD forces are correct for an atom sitting EXACTLY on a PME mesh
+    node: the spline taps land on the Cox-de Boor knots there, and
+    plain AD picks a wrong one-sided subgradient (sum of derivative
+    taps -1 instead of 0). bspline_weights carries a custom JVP with
+    the analytic recursion M_n' = M_{n-1}(u) - M_{n-1}(u-1); this
+    pins it against central differences."""
+    from torchmd_tpu.ewald import PmeRecip, bspline_weights
+
+    # the derivative-tap sum rule at the knot itself
+    dw = jax.jacfwd(lambda x: bspline_weights(x, 6))(jnp.asarray([0.0]))
+    assert abs(float(jnp.sum(dw[0, :, 0]))) < 1e-14
+
+    L = 20.0
+    box = np.asarray([L] * 3)
+    q = np.asarray([0.5, -0.5, 0.3, -0.3])
+    pme = PmeRecip(q, box, cutoff=9.0, tol=1e-6)
+    Kx, Ky, Kz = pme.cfg.kmax
+    pos = np.asarray([
+        [4 * L / Kx, 6 * L / Ky, 8 * L / Kz],   # exactly on a node
+        [7.3, 11.1, 3.9], [12.7, 6.2, 15.5], [2.2, 17.8, 9.4],
+    ])
+    efn = lambda p: pme.energy(p, jnp.asarray(box))
+    g = np.asarray(jax.grad(efn)(jnp.asarray(pos)))
+    for a in range(3):
+        eps = 1e-5
+        pp = pos.copy()
+        pp[0, a] += eps
+        pm = pos.copy()
+        pm[0, a] -= eps
+        fd = (float(efn(jnp.asarray(pp)))
+              - float(efn(jnp.asarray(pm)))) / (2 * eps)
+        assert abs(g[0, a] - fd) < 1e-6 * max(1.0, abs(fd))

@@ -55,6 +55,12 @@ Polarization model implemented (and its honest scope):
     U(mu) = 1/2 mu a^-1 mu - 1/2 mu T mu - mu.E_perm, evaluated at the
     CG solution with stop_gradient(mu): the envelope theorem then makes
     jax.grad forces exact (second order in any CG residual).
+  - under ewald=True the solver upgrades to `AmoebaPolarizationEwald`:
+    both the direct field and the mutual coupling become the PERIODIC
+    Ewald interactions (including the PME mesh when the permanent
+    engine is MultipolePme) by injecting the induced dipoles into the
+    quadratic engine tiers -- the polarization reciprocal of Sagui,
+    Pedersen & Darden, JCP 120:73 (2004).
 
 The reference has no polarizable electrostatics of any kind (fixed
 point charges only, torchmd/forces.py:453-491); this subsystem is
@@ -504,6 +510,202 @@ class AmoebaPolarization:
         return np.asarray(e), -np.asarray(g)
 
 
+class AmoebaPolarizationEwald:
+    """Ewald-split Thole mutual induced dipoles (polarization PME).
+
+    The real-space `AmoebaPolarization` solves (alpha^-1 - T) mu = E
+    with nearest-image bare couplings inside a cutoff. Under ewald=True
+    both the direct field and the mutual coupling should be PERIODIC
+    (the polarization reciprocal tier of the AMOEBA PME: Sagui,
+    Pedersen & Darden, JCP 120:73, 2004). TPU-native formulation: the
+    engine's tier stack is QUADRATIC in the moments, so injecting the
+    induced dipoles on top of the permanent moments
+
+        W(mu) = 1/2 mu^T alpha^-1 mu
+              + [U_es(mu_perm + S mu) - U_es(mu_perm)]
+              + U_pi_patch(mu) + U_mut_patch(mu)
+
+    makes every Ewald coupling (real erfc + exclusion + self +
+    reciprocal -- the PME mesh when the engine is MultipolePme) fall
+    out of the SAME machinery that sums the permanent energy; no
+    hand-derived Ewald field tables anywhere. The two patches are
+    nearest-image re-maskings, both short-ranged or sparse:
+
+      - U_pi_patch: coefficient (perm_mask - nb_mask) moves the direct
+        (permanent -> induced) coupling from the engine's exclusion set
+        to the polarization-group d-scaling, bare kernel, nearest image
+        (the difference set is bonded-neighbour pairs);
+      - U_mut_patch: -1/2 mu [T_thole - nb * T_bare] mu converts the
+        mutual coupling to Thole-damped all-pairs (u-scale) form; for
+        non-excluded pairs this is -(1 - lambda) T -> 0 at long range,
+        for excluded (bonded) pairs it restores the damped nearest-
+        image coupling the exclusion tier removed, while their
+        periodic-image tails stay in the reciprocal sum -- exactly the
+        standard AMOEBA PME exclusion treatment.
+
+    Minimising the quadratic W is the SCF: CG with Hessian-vector
+    products A(m) = grad W(m) - grad W(0) (exact for a quadratic), and
+    the converged energy is W(mu*) evaluated with position gradients
+    flowing at stop_gradient(mu*) -- envelope-exact forces, same
+    pattern as the real-space solver."""
+
+    def __init__(self, engine, pspec: PolarizationSpec):
+        ns = int(np.asarray(engine.spec.sites).shape[0])
+        natoms = int(np.asarray(engine.charges).shape[0])
+        if ns != natoms:
+            raise ValueError(
+                "AmoebaPolarizationEwald assumes every atom is a "
+                "multipole site (AMOEBA); got ns != natoms"
+            )
+        self.engine = engine
+        self.pspec = pspec
+        sites = np.asarray(pspec.sites)
+        nb = np.asarray(engine.spec.nb_mask)
+        src = np.asarray(engine.spec.sites)
+        # direct-field re-masking: desired perm_mask vs engine nb_mask,
+        # ordered (induced site i, source j); own-site coefficient 0
+        c_pi = (np.asarray(pspec.perm_mask).astype(np.float64)
+                - nb[sites[:, None], src[None, :]].astype(np.float64))
+        c_pi[np.equal(sites[:, None], src[None, :])] = 0.0
+        self._c_pi = jnp.asarray(c_pi)
+        # mutual patch needs nb over site pairs
+        self._nb_ss = jnp.asarray(nb[sites[:, None], sites[None, :]])
+
+    # -- patches ---------------------------------------------------------
+    def _u_pi_patch(self, pos, box, q, mu_perm, Q, mu_ind):
+        """Sum of c_ij * [mu_i . grad_i][L_j] (1/r) at the nearest
+        image: bare cross coupling of each induced dipole with the
+        permanent moments, weighted by the re-masking coefficient."""
+        from .multipole_ewald import _apply_site
+
+        ps = self.pspec
+        x_at = pos[ps.sites]
+        dv = wrap_displacement(
+            x_at[:, None, :] - pos[None, :, :], box
+        )                                                   # (np, n, 3)
+        active = jnp.abs(self._c_pi) > 0.5
+        dv_safe = jnp.where(active[..., None], dv, 1.0)
+
+        def bare(d):
+            return jnp.sum(d * d) ** -0.5
+
+        def pair(d, mi, qj, mj, Qj):
+            g = _apply_site(bare, qj, mj, Qj, -1.0)
+            # induced dipole only on the i side (q_i = 0, Q_i = None)
+            return jnp.dot(mi, jax.grad(g)(d))
+
+        Qz = (jnp.zeros((pos.shape[0], 3, 3), pos.dtype)
+              if Q is None else Q)
+        e = jax.vmap(
+            lambda drow, mi: jax.vmap(
+                lambda d, qj, mj, Qj: pair(d, mi, qj, mj, Qj)
+            )(drow, q, mu_perm, Qz)
+        )(dv_safe, mu_ind)                                  # (np, n)
+        c = self._c_pi.astype(pos.dtype)
+        return jnp.sum(jnp.where(active, c * e, 0.0))
+
+    def _u_mut_patch(self, pos, box, mu_ind):
+        """-1/2 mu [T_thole - nb T_bare] mu over nearest-image site
+        pairs (dense; the summand decays as (1 - lambda) for included
+        pairs and only bonded pairs are excluded, so no Ewald split is
+        needed)."""
+        ps = self.pspec
+        dtype = pos.dtype
+        x = pos[ps.sites]
+        npol = x.shape[0]
+        dv = wrap_displacement(x[:, None, :] - x[None, :, :], box)
+        d2 = jnp.sum(dv * dv, axis=-1)
+        mask = ~jnp.eye(npol, dtype=bool)
+        d2s = jnp.where(mask, d2, 1.0)
+        a_damp = jnp.minimum(ps.thole[:, None], ps.thole[None, :])
+        lam3, lam5 = _thole_lambdas(
+            d2s, a_damp, ps.alpha[:, None], ps.alpha[None, :], dtype
+        )
+        nb = self._nb_ss.astype(dtype)
+        dl3 = lam3 - nb
+        dl5 = lam5 - nb
+        inv_r3 = d2s ** -1.5
+        inv_r5 = inv_r3 / d2s
+        mudotr_j = jnp.sum(mu_ind[None, :, :] * dv, axis=-1)
+        mudotr_i = jnp.sum(mu_ind[:, None, :] * dv, axis=-1)
+        mudotmu = jnp.sum(mu_ind[:, None, :] * mu_ind[None, :, :], -1)
+        t = (3.0 * dl5 * inv_r5 * mudotr_i * mudotr_j
+             - dl3 * inv_r3 * mudotmu)
+        return -0.5 * jnp.sum(jnp.where(mask, t, 0.0))
+
+    # -- quadratic functional and its CG minimisation --------------------
+    def _w(self, pos, box, mu_ind):
+        """W(mu) + the constant permanent part, raw units."""
+        eng = self.engine
+        dtype = pos.dtype
+        box = jnp.asarray(box, dtype).reshape(-1)[:3]
+        q, mu_perm, Q = eng._moments(pos, box)
+        mu_full = mu_perm.at[self.pspec.sites].add(mu_ind)
+        u = eng.energy_with_moments(pos, box, q, mu_full, Q)
+        inv_a = (1.0 / self.pspec.alpha.astype(dtype))[:, None]
+        u = u + 0.5 * jnp.sum(mu_ind * (inv_a * mu_ind))
+        u = u + self._u_pi_patch(pos, box, q, mu_perm, Q, mu_ind)
+        u = u + self._u_mut_patch(pos, box, mu_ind)
+        return u
+
+    def induced_dipoles(self, pos, box=None):
+        """Converged induced dipoles (np, 3), e*A."""
+        ps = self.pspec
+        pos = jax.lax.stop_gradient(pos)
+        box = jax.lax.stop_gradient(jnp.asarray(box, pos.dtype))
+        zero = jnp.zeros((ps.sites.shape[0], 3), pos.dtype)
+        grad_w = jax.grad(self._w, argnums=2)
+        g0 = grad_w(pos, box, zero)
+        b = -g0
+
+        def A(m):
+            return grad_w(pos, box, m) - g0
+
+        mu0 = ps.alpha[:, None].astype(pos.dtype) * b
+        r0 = b - A(mu0)
+        p0 = r0
+
+        def body(carry):
+            mu, r, p, rs, it = carry
+            Ap = A(p)
+            denom = jnp.sum(p * Ap)
+            a = rs / jnp.where(denom == 0, 1.0, denom)
+            mu = mu + a * p
+            r = r - a * Ap
+            rs_new = jnp.sum(r * r)
+            beta = rs_new / jnp.where(rs == 0, 1.0, rs)
+            p = r + beta * p
+            return mu, r, p, rs_new, it + 1
+
+        def cond(carry):
+            _, _, _, rs, it = carry
+            return jnp.logical_and(it < ps.cg_iters, rs > ps.cg_tol ** 2)
+
+        mu, *_ = jax.lax.while_loop(
+            cond, body, (mu0, r0, p0, jnp.sum(r0 * r0), 0)
+        )
+        return mu
+
+    def energy_fn(self, pos, box=None):
+        """Polarization energy; envelope-exact gradients (the quadratic
+        W is evaluated at stop_gradient(mu*), so jax.grad is exact to
+        second order in the CG residual)."""
+        if box is None:
+            raise ValueError("AmoebaPolarizationEwald needs a box")
+        mu = jax.lax.stop_gradient(self.induced_dipoles(pos, box))
+        zero = jnp.zeros_like(mu)
+        e = self._w(pos, box, mu) - self._w(pos, box, zero)
+        return ELEC_FACTOR * e
+
+    def calculate(self, pos, box=None):
+        """Batched host-protocol fallback (reference forces.py:321-326)."""
+        pos = jnp.asarray(pos)
+        e, g = jax.vmap(
+            jax.value_and_grad(lambda p: self.energy_fn(p, box))
+        )(pos)
+        return np.asarray(e), -np.asarray(g)
+
+
 class AmoebaVdw:
     """AMOEBA buffered 14-7 van der Waals (Halgren) as an external term.
 
@@ -676,7 +878,7 @@ def make_amoeba_potential(ffparams, atom_types, bonds, prm, cutoff=None,
                           switch_dist=None, mutual=True, vdw=True,
                           charge_charge=False, cg_iters=40, cg_tol=1e-6,
                           ewald=False, box=None, ewald_tol=1e-5,
-                          pme="auto"):
+                          pme="auto", pol_ewald=True):
     """Full AMOEBA nonbonded stack from parsed .prm data: permanent
     multipoles + Thole mutual polarization + buffered 14-7 vdW, as one
     external-potential object. Returns (AmoebaPotential, charges).
@@ -696,7 +898,7 @@ def make_amoeba_potential(ffparams, atom_types, bonds, prm, cutoff=None,
         ffparams, atom_types, bonds, prm, cutoff=cutoff,
         switch_dist=switch_dist, mutual=mutual, cg_iters=cg_iters,
         cg_tol=cg_tol, ewald=ewald, box=box, ewald_tol=ewald_tol,
-        pme=pme,
+        pme=pme, pol_ewald=pol_ewald,
     )
     parts = [elec]
     if charge_charge:
@@ -712,7 +914,7 @@ def make_amoeba_electrostatics(ffparams, atom_types, bonds, prm,
                                cutoff=None, switch_dist=None,
                                mutual=True, cg_iters=40, cg_tol=1e-6,
                                ewald=False, box=None, ewald_tol=1e-5,
-                               pme="auto"):
+                               pme="auto", pol_ewald=True):
     """One-call AMOEBA electrostatics from parsed .prm data.
 
     ffparams: FFParams (supplies nb_mask); atom_types: per-atom TINKER
@@ -723,9 +925,11 @@ def make_amoeba_electrostatics(ffparams, atom_types, bonds, prm,
     ewald=True (needs `box` (3,) and `cutoff`): the permanent-multipole
     term becomes the full Ewald sum (`multipole_ewald.MultipoleEwald`),
     INCLUDING the monopole Coulomb -- do NOT also assign the returned
-    charges onto a point-charge term. Induced polarization stays the
-    Thole-damped real-space model (cutoff), the standard approximation
-    tier below a polarization PME.
+    charges onto a point-charge term. Induced polarization becomes the
+    Ewald-split solver too (`AmoebaPolarizationEwald`: periodic direct
+    field + mutual coupling through the same engine, the polarization
+    PME tier); pass pol_ewald=False to keep the real-space Thole
+    cutoff model instead.
 
     pme: reciprocal-sum engine under ewald=True. "auto" (default) picks
     the gridded multipole PME (`multipole_ewald.MultipolePme`,
@@ -777,4 +981,6 @@ def make_amoeba_electrostatics(ffparams, atom_types, bonds, prm,
         cls = MultipolePme if use_pme else MultipoleEwald
         perm = cls(mp.spec, jnp.asarray(charges),
                    np.asarray(box), cutoff, tol=ewald_tol)
+        if pol is not None and pol_ewald:
+            pol = AmoebaPolarizationEwald(perm, pol.pspec)
     return AmoebaElectrostatics(perm, pol), charges

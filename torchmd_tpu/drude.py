@@ -325,36 +325,81 @@ def nbthole_energy(spec: DrudeSpec, pos_ext, box):
     return e
 
 
-def drude_energy(ffp_ext: FFParams, spec: DrudeSpec, cfg, pos_ext, box):
-    """Total potential of the extended (cores + Drudes) system."""
+def make_drude_ewald(ffp_ext: FFParams, box, cutoff, tol=1e-5,
+                     pme="auto", dtype=jnp.float64):
+    """Reciprocal-space engine for the EXTENDED (cores + Drudes)
+    topology: returns (recip, alpha). Periodic Drude electrostatics is
+    then the standard Ewald split over the extended charge set -- the
+    nonbonded path evaluates erfc real space (set
+    cfg._replace(ewald_alpha=alpha)), `recip` adds reciprocal + self +
+    exclusion terms (pass it to `drude_energy` / `DrudeIntegrator`),
+    and the Thole terms are untouched: bonded-excluded oscillator
+    pairs' nearest image cancels via the -erf exclusion correction
+    (their periodic images stay in the reciprocal sum, which is the
+    physically correct exclusion treatment), and thole_energy then adds
+    the screened nearest-image interaction exactly as in the direct
+    model. NBTHOLE corrections are short-range additive damping on top
+    of the full (erfc + erf) bare pair and also carry over unchanged.
+
+    pme: True / False forces the gridded PmeRecip vs the exact
+    separable sum; "auto" mirrors Forces.ensure_ewald (PME at or above
+    TMD_PME_N extended particles, default 4096)."""
+    import os as _os
+
+    from .ewald import EwaldRecip, PmeRecip
+
+    mask = np.asarray(ffp_ext.nb_mask)
+    n_ext = mask.shape[0]
+    excl = np.argwhere(np.triu(~mask, 1)).astype(np.int32)
+    use_pme = (
+        pme if isinstance(pme, bool)
+        else n_ext >= int(_os.environ.get("TMD_PME_N", "4096"))
+    )
+    cls = PmeRecip if use_pme else EwaldRecip
+    recip = cls(
+        ffp_ext.charges, np.asarray(box).reshape(-1)[:3], cutoff,
+        excl_pairs=excl, tol=tol, dtype=dtype,
+    )
+    return recip, float(recip.cfg.alpha)
+
+
+def drude_energy(ffp_ext: FFParams, spec: DrudeSpec, cfg, pos_ext, box,
+                 recip=None):
+    """Total potential of the extended (cores + Drudes) system.
+
+    Periodic Ewald/PME electrostatics: set cfg.ewald_alpha and pass the
+    matching `recip` engine from `make_drude_ewald`."""
     if "bonds" not in cfg.terms:
         raise ValueError(
             "Drude systems need 'bonds' in the force terms (the core-Drude "
             "springs live in the bonds table)"
         )
-    if cfg.ewald_alpha is not None:
-        raise NotImplementedError(
-            "Drude + Ewald/PME is not supported yet: the extended topology "
-            "only evaluates the erfc real-space part, which is not valid "
-            "electrostatics without the reciprocal/self terms. Build the "
-            "Forces object with elec='auto' (Coulomb/RFA)."
+    if cfg.ewald_alpha is not None and recip is None:
+        raise ValueError(
+            "cfg.ewald_alpha is set but no reciprocal engine was given: "
+            "erfc real space alone is not valid electrostatics. Build one "
+            "with make_drude_ewald(ffp_ext, box, cutoff) and pass recip=."
         )
     pot = compute_potentials(ffp_ext, pos_ext, box, cfg)
-    return (
+    e = (
         sum(jax.tree_util.tree_leaves(pot))
         + thole_energy(spec, pos_ext, box)
         + nbthole_energy(spec, pos_ext, box)
     )
+    if recip is not None:
+        e = e + recip.energy(pos_ext, jnp.asarray(box, pos_ext.dtype))
+    return e
 
 
-def scf_drude(ffp_ext, spec, cfg, pos_ext, box, iters=200, tol=1e-10):
+def scf_drude(ffp_ext, spec, cfg, pos_ext, box, iters=200, tol=1e-10,
+              recip=None):
     """Relax the Drude coordinates at fixed cores (adiabatic/SCF limit)
     by damped Newton iterations on the spring-dominated Hessian: exact
     enough for validation, jit-compatible."""
     didx = spec.drude_idx
 
     def efun(p):
-        return drude_energy(ffp_ext, spec, cfg, p, box)
+        return drude_energy(ffp_ext, spec, cfg, p, box, recip=recip)
 
     # the Hessian along each Drude coordinate is ~2 k0; a step of
     # g / (2 k0) is a Newton step in the dominant curvature
@@ -388,10 +433,12 @@ class DrudeIntegrator:
 
     def __init__(self, ffp_ext, spec: DrudeSpec, cfg, pos_ext, box=None,
                  timestep=1.0, T=300.0, gamma=1.0, T_drude=1.0,
-                 gamma_drude=20.0, seed=1, dtype=jnp.float64):
+                 gamma_drude=20.0, seed=1, dtype=jnp.float64,
+                 recip=None):
         self.ffp = ffp_ext
         self.spec = spec
         self.cfg = cfg
+        self.recip = recip
         self.dtype = dtype
         self.dt = timestep / TIMEFACTOR
         self.box = (
@@ -438,9 +485,12 @@ class DrudeIntegrator:
         vc_com = jnp.sqrt(2.0 * g * kT * dt / M).astype(self.dtype)
         vc_rel = jnp.sqrt(2.0 * gd * kTd * dt / mu).astype(self.dtype)
 
+        recip = self.recip
+
         def ef(p):
             e, grad = jax.value_and_grad(
-                lambda q: drude_energy(ffp, spec, cfg, q, box)
+                lambda q: drude_energy(ffp, spec, cfg, q, box,
+                                       recip=recip)
             )(p)
             return e, -grad
 

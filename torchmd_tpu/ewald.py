@@ -41,12 +41,25 @@ class EwaldConfig(NamedTuple):
 
 
 # -- B-spline machinery (shared by PmeRecip and the multipole PME) -------
+from functools import partial
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(1,))
 def bspline_weights(frac, n):
     """M_n(frac + t) for t = 0..n-1; frac in [0, 1). Returns (..., n).
 
     Iterative Cox-de Boor construction evaluated at the n points
     u_t = frac + t; the recursion's shifted term M_{k-1}(u_t - 1)
-    equals M_{k-1}(u_{t-1}), i.e. a slot shift."""
+    equals M_{k-1}(u_{t-1}), i.e. a slot shift.
+
+    Carries a custom JVP with the analytic derivative recursion
+    M_n'(u) = M_{n-1}(u) - M_{n-1}(u-1): plain AD of the Cox-de Boor
+    chain returns a wrong one-sided subgradient when frac = 0 (atom
+    exactly on a mesh node -- the taps land on the |u-1| kink of the
+    M_2 base), which corrupts PME FORCES at those measure-zero but
+    perfectly-legal positions. The recursion only evaluates spline
+    VALUES (continuous at the knots), and recursing through this same
+    function keeps every higher AD order knot-safe too."""
     u = frac[..., None] + jnp.arange(n, dtype=frac.dtype)
     m = jnp.maximum(0.0, 1.0 - jnp.abs(u - 1.0))  # M_2 (support [0,2))
     for k in range(3, n + 1):
@@ -55,6 +68,22 @@ def bspline_weights(frac, n):
         )
         m = (u / (k - 1)) * m + ((k - u) / (k - 1)) * prev_shift
     return m
+
+
+@bspline_weights.defjvp
+def _bspline_weights_jvp(n, primals, tangents):
+    (frac,), (dfrac,) = primals, tangents
+    w = bspline_weights(frac, n)
+    if n == 2:
+        # M_2'(u) = +1 on [0,1), -1 on [1,2): taps are (frac, frac+1)
+        one = jnp.ones_like(frac)
+        dw = jnp.stack([one, -one], axis=-1)
+    else:
+        wm1 = bspline_weights(frac, n - 1)
+        pad = jnp.zeros_like(wm1[..., :1])
+        dw = (jnp.concatenate([wm1, pad], -1)
+              - jnp.concatenate([pad, wm1], -1))
+    return w, dw * dfrac[..., None]
 
 
 def bspline_weights_d2(frac, n):

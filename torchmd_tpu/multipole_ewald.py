@@ -281,16 +281,27 @@ class MultipoleEwald:
         return e_recip + e_net
 
     # -- protocol --------------------------------------------------------
+    def energy_with_moments(self, pos, box, q, mu, Q, alpha=None):
+        """All four Ewald tiers (real erfc + exclusion + self +
+        reciprocal) for EXPLICIT per-atom moments, in raw Gaussian
+        units (no ELEC_FACTOR). Quadratic in (q, mu, Q) -- the
+        polarization solver exploits this by injecting induced dipoles
+        on top of the permanent moments (amoeba.AmoebaPolarizationEwald)
+        and reading fields/couplings off with AD."""
+        dtype = pos.dtype
+        box = jnp.asarray(box, dtype).reshape(-1)[:3]
+        if alpha is None:
+            alpha = jnp.asarray(self.cfg.alpha, dtype)
+        e = self._real_plus_corrections(pos, box, q, mu, Q, alpha)
+        return e + self._reciprocal(pos, box, q, mu, Q, alpha)
+
     def energy_fn(self, pos, box=None):
         if box is None:
             raise ValueError("MultipoleEwald needs a periodic box")
         dtype = pos.dtype
         box = jnp.asarray(box, dtype).reshape(-1)[:3]
-        alpha = jnp.asarray(self.cfg.alpha, dtype)
         q, mu, Q = self._moments(pos, box)
-        e = self._real_plus_corrections(pos, box, q, mu, Q, alpha)
-        e = e + self._reciprocal(pos, box, q, mu, Q, alpha)
-        return ELEC_FACTOR * e
+        return ELEC_FACTOR * self.energy_with_moments(pos, box, q, mu, Q)
 
     def calculate(self, pos, box=None):
         """Batched host-protocol fallback (reference forces.py:321-326)."""
