@@ -243,3 +243,89 @@ def test_drude_forces_match_finite_difference():
         dp[i, k] = h
         fd = (float(e(p + dp)) - float(e(p - dp))) / (2 * h)
         np.testing.assert_allclose(g[i, k], fd, rtol=1e-6, atol=1e-9)
+
+
+def test_drude_ewald_dilute_limit():
+    """Periodic Drude electrostatics (erfc real space + reciprocal
+    engine from make_drude_ewald) converges to the open-boundary SCF
+    energy as the box dilutes, exercising the extended-topology
+    exclusion correction (oscillator + bonded pairs) and the Thole
+    terms under Ewald."""
+    from torchmd_tpu.drude import make_drude_ewald
+
+    # a polarizable 3-charge cluster with one excluded (bonded) pair
+    charges = [0.4, -0.4, 0.0]
+    mask = ~np.eye(3, dtype=bool)
+    mask[0, 1] = mask[1, 0] = False          # bonded pair -> Thole couples
+    ffp = _bare_ffparams(charges, mask=mask)
+    ffp_ext, spec = make_drude_ffparams(ffp, [0.9, 0.7, 1.1])
+    assert spec.thole_i is not None
+    pos = jnp.asarray([[0.0, 0.0, 0.0], [1.2, 0.4, 0.1],
+                       [3.1, 0.8, -0.5]])
+    p0 = init_drude_positions(pos, spec)
+
+    cfg_open = ForceTermConfig(terms=("electrostatics", "bonds"))
+    p_min = scf_drude(ffp_ext, spec, cfg_open, p0, None)
+    e_open = float(drude_energy(ffp_ext, spec, cfg_open, p_min, None))
+
+    gaps = []
+    for L in (20.0, 40.0):
+        box = np.asarray([L] * 3)
+        cut = min(9.0, L / 2 - 1.0)
+        recip, alpha = make_drude_ewald(ffp_ext, box, cut, tol=1e-7)
+        cfg = ForceTermConfig(terms=("electrostatics", "bonds"),
+                              cutoff=cut, ewald_alpha=alpha)
+        pc = p0 + L / 2.0
+        pm = scf_drude(ffp_ext, spec, cfg, pc, jnp.asarray(box),
+                       recip=recip)
+        e = float(drude_energy(ffp_ext, spec, cfg, pm, jnp.asarray(box),
+                               recip=recip))
+        gaps.append(abs(e - e_open))
+    assert gaps[1] < gaps[0] / 2.0
+    assert gaps[1] < 5e-3 * max(1.0, abs(e_open))
+
+
+def test_drude_ewald_requires_recip():
+    """cfg.ewald_alpha without a reciprocal engine is rejected (erfc
+    real space alone is not valid electrostatics)."""
+    ffp = _bare_ffparams([0.1, -0.1])
+    ffp_ext, spec = make_drude_ffparams(ffp, [0.5, 0.5])
+    cfg = ForceTermConfig(terms=("electrostatics", "bonds"),
+                          cutoff=6.0, ewald_alpha=0.3)
+    p0 = init_drude_positions(
+        jnp.asarray([[0.0, 0.0, 0.0], [3.0, 0.0, 0.0]]), spec
+    )
+    with pytest.raises(ValueError):
+        drude_energy(ffp_ext, spec, cfg, p0, jnp.asarray([15.0] * 3))
+
+
+def test_drude_ewald_integrator_smoke():
+    """DrudeIntegrator with a periodic reciprocal engine runs the
+    dual-Langevin scan stably."""
+    from torchmd_tpu.drude import make_drude_ewald
+
+    rs = np.random.RandomState(5)
+    n = 8
+    L = 12.0
+    g = np.arange(2) * 4.0 + 2.0          # 4 A lattice, no core overlap
+    pos = np.stack(
+        np.meshgrid(g, g, g, indexing="ij"), axis=-1
+    ).reshape(-1, 3)[:n]
+    charges = rs.randn(n) * 0.2
+    charges -= charges.mean()
+    ffp = _bare_ffparams(charges.tolist())
+    ffp = ffp._replace(lj_params=jnp.asarray([[3.0, 0.1]]))
+    ffp_ext, spec = make_drude_ffparams(ffp, [0.6] * n)
+    box = np.asarray([L] * 3)
+    recip, alpha = make_drude_ewald(ffp_ext, box, 5.0, tol=1e-5)
+    cfg = ForceTermConfig(terms=("lj", "electrostatics", "bonds"),
+                          cutoff=5.0, ewald_alpha=alpha)
+    p0 = init_drude_positions(jnp.asarray(pos), spec)
+    integ = DrudeIntegrator(ffp_ext, spec, cfg, p0, box=box,
+                            timestep=1.0, T=300.0, T_drude=1.0,
+                            recip=recip)
+    integ.set_velocities_boltzmann(seed=2)
+    for _ in range(3):
+        ek, ep, t_phys, t_rel = integ.step(20)
+        assert np.isfinite(ep) and np.isfinite(t_phys)
+    assert t_rel < 150.0       # relative coordinates stay cold

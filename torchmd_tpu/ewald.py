@@ -151,6 +151,27 @@ def pme_mesh_shape(kmax, box, spacing=1.0):
     )
 
 
+def erf_over_r_sum(alpha, dv, qq):
+    """sum of -qq * erf(alpha r)/r over excluded pairs, finite (and with
+    a finite gradient) at r = 0: a coincident pair -- a Drude particle
+    sitting exactly on its core -- takes the series branch
+    erf(x)/x = 2/sqrt(pi)(1 - t/3 + t^2/10 - ...), t = x^2, which is
+    analytic in r^2 so AD never sees the sqrt kink."""
+    r2 = jnp.sum(dv * dv, axis=-1)
+    t = (alpha * alpha) * r2
+    small = t < 0.25
+    ser = 1.0 + t * (
+        -1.0 / 3.0 + t * (1.0 / 10.0 + t * (
+            -1.0 / 42.0 + t * (1.0 / 216.0 + t * (
+                -1.0 / 1320.0 + t / 9360.0))))
+    )
+    e_series = alpha * (2.0 / np.sqrt(np.pi)) * ser
+    r2_safe = jnp.where(small, 1.0, r2)
+    r_safe = jnp.sqrt(r2_safe)
+    e_exact = jax.scipy.special.erf(alpha * r_safe) / r_safe
+    return -jnp.sum(qq * jnp.where(small, e_series, e_exact))
+
+
 def choose_parameters(box, cutoff, tol=1e-5) -> EwaldConfig:
     """alpha from the real-space tolerance at the cutoff, K from the
     reciprocal-space tolerance (standard Ewald heuristics)."""
@@ -246,9 +267,8 @@ class EwaldRecip:
             dv = pos[i] - pos[j]
             safe = jnp.where(box > 0, box, 1.0)
             dv = dv - jnp.where(box > 0, safe * jnp.round(dv / safe), 0.0)
-            r = jnp.sqrt(jnp.sum(dv * dv, axis=1))
             qq = ELEC_FACTOR * q[i] * q[j]
-            e_excl = -jnp.sum(qq * jax.scipy.special.erf(alpha * r) / r)
+            e_excl = erf_over_r_sum(alpha, dv, qq)
 
         return e_recip + e_self + e_net + e_excl
 
@@ -384,9 +404,8 @@ class PmeRecip:
             dv = pos[i] - pos[j]
             safe = jnp.where(box > 0, box, 1.0)
             dv = dv - jnp.where(box > 0, safe * jnp.round(dv / safe), 0.0)
-            r = jnp.sqrt(jnp.sum(dv * dv, axis=1))
             qq = ELEC_FACTOR * q[i] * q[j]
-            e_excl = -jnp.sum(qq * jax.scipy.special.erf(alpha * r) / r)
+            e_excl = erf_over_r_sum(alpha, dv, qq)
 
         return e_recip + e_self + e_net + e_excl
 
