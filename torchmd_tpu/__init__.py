@@ -44,7 +44,8 @@ __all__ = [
     "ReplicaExchange", "MetaDynamics", "HarmonicBias", "wham",
     "MTKBarostat", "MonteCarloBarostat", "LambdaDynamics",
     "make_lambda_sites", "ph_bias", "make_drude", "DrudeIntegrator",
-    "view_frame", "make_multipoles", "MultipoleEwald", "MultipolePme",
+    "make_drude_ewald", "view_frame", "make_multipoles",
+    "MultipoleEwald", "MultipolePme", "make_amoeba_potential",
 ]
 
 _LAZY = {
@@ -74,6 +75,10 @@ _LAZY = {
     "make_multipoles": ("torchmd_tpu.multipoles", "make_multipoles"),
     "MultipoleEwald": ("torchmd_tpu.multipole_ewald",
                        "MultipoleEwald"),
+    "MultipolePme": ("torchmd_tpu.multipole_ewald", "MultipolePme"),
+    "make_amoeba_potential": ("torchmd_tpu.amoeba",
+                              "make_amoeba_potential"),
+    "make_drude_ewald": ("torchmd_tpu.drude", "make_drude_ewald"),
 }
 
 
