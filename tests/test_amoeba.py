@@ -21,6 +21,7 @@ from torchmd_tpu.amoeba import (
     _thole_lambdas,
     make_amoeba_electrostatics,
     make_amoeba_multipoles,
+    make_amoeba_potential,
     parse_tinker_prm,
     polarization_groups,
     read_tinker_xyz,
@@ -748,3 +749,71 @@ def test_polarization_ewald_forces_match_fd():
         fd = (float(efn(jnp.asarray(pp)))
               - float(efn(jnp.asarray(pm)))) / (2 * h)
         assert abs(fd - g[i, a]) < 5e-5 * max(1.0, abs(fd))
+
+
+WATER03_FULL = WATER03_VDW + """
+bond-cubic              -2.55
+bond-quartic            3.793125
+angle-cubic             -0.014
+angle-quartic           0.000056
+angle-pentic            -0.0000007
+angle-sextic            0.000000022
+
+bond          1    2          529.60     0.9572
+angle         2    1    2      34.05     108.50
+ureybrad      2    1    2      38.25     1.5537
+"""
+
+
+def test_full_prm_flexible_dimer_md_nve():
+    """COMPLETE AMOEBA from .prm + .xyz alone: valence (anharmonic
+    bond/angle + Urey) + multipoles + mutual polarization + 14-7 vdW,
+    flexible-water NVE -- no side-channel force field. Drift of the
+    total energy stays a small fraction of the kinetic scale."""
+    from torchmd_tpu.amoeba_valence import AmoebaValence
+
+    prm = parse_tinker_prm(WATER03_FULL)
+    coords, types, bonds, _ = read_tinker_xyz(WATER_DIMER_XYZ)
+    N = len(types)
+    mask = np.ones((N, N), bool) & ~np.eye(N, dtype=bool)
+    for m in (0, 3):
+        for a in (m, m + 1, m + 2):
+            for b in (m, m + 1, m + 2):
+                mask[a, b] = False
+    ffp = _ffp(N, nb_mask=jnp.asarray(mask))
+    pot, charges = make_amoeba_potential(
+        ffp, types, bonds, prm, cutoff=None, valence=True,
+        cg_iters=60, cg_tol=1e-8,
+    )
+    assert any(isinstance(p, AmoebaValence) for p in pot.parts)
+
+    masses = np.asarray([prm["atoms"][int(t)]["mass"] for t in types])
+    pos = jnp.asarray(coords)
+    efn = jax.jit(lambda p: pot.energy_fn(p, None))
+    e0 = float(efn(pos))
+    assert np.isfinite(e0)
+
+    # velocity-Verlet NVE at 0.25 fs
+    from torchmd_tpu.integrator import TIMEFACTOR, maxwell_boltzmann
+
+    dt = 0.25 / TIMEFACTOR
+    m = jnp.asarray(masses)[:, None]
+    vel = jnp.asarray(
+        maxwell_boltzmann(masses.reshape(-1, 1), 150.0, 1, seed=7)[0]
+    )
+    gfn = jax.jit(jax.grad(lambda p: pot.energy_fn(p, None)))
+
+    def etot(p, v):
+        ke = 0.5 * float(jnp.sum(m * v * v))
+        return ke + float(efn(p))
+
+    frc = -gfn(pos)
+    e_start = etot(pos, vel)
+    for _ in range(100):
+        vel = vel + 0.5 * dt * frc / m
+        pos = pos + dt * vel
+        frc = -gfn(pos)
+        vel = vel + 0.5 * dt * frc / m
+    e_end = etot(pos, vel)
+    ke_scale = 0.5 * float(jnp.sum(m * vel * vel)) + 1.0
+    assert abs(e_end - e_start) < 0.05 * ke_scale

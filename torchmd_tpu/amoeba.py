@@ -103,7 +103,7 @@ def parse_tinker_prm(text):
       "atoms":      {type: {"class": int, "name": str, "mass": float}}
     """
     out = {"multipoles": parse_tinker_multipoles(text),
-           "polarize": {}, "atoms": {}, "vdw": {}}
+           "polarize": {}, "atoms": {}, "vdw": {}, "_text": text}
     for raw in text.splitlines():
         ln = raw.split("#")[0].strip()
         if not ln:
@@ -878,10 +878,17 @@ def make_amoeba_potential(ffparams, atom_types, bonds, prm, cutoff=None,
                           switch_dist=None, mutual=True, vdw=True,
                           charge_charge=False, cg_iters=40, cg_tol=1e-6,
                           ewald=False, box=None, ewald_tol=1e-5,
-                          pme="auto", pol_ewald=True):
+                          pme="auto", pol_ewald=True, valence=False):
     """Full AMOEBA nonbonded stack from parsed .prm data: permanent
     multipoles + Thole mutual polarization + buffered 14-7 vdW, as one
     external-potential object. Returns (AmoebaPotential, charges).
+
+    valence=True additionally folds the .prm's intramolecular terms
+    (anharmonic bond/angle, Urey-Bradley, stretch-bend, out-of-plane
+    bend, torsion, pi-torsion; `amoeba_valence.AmoebaValence`) into the
+    potential, so the returned object is the COMPLETE AMOEBA energy --
+    build `Forces` with terms=[] and this as `external` for .prm+.xyz
+    MD with no side-channel force field.
 
     charge_charge=False (default) leaves the monopole Coulomb term to
     the engine: assign the returned charges onto the point-charge
@@ -907,6 +914,10 @@ def make_amoeba_potential(ffparams, atom_types, bonds, prm, cutoff=None,
     if vdw and prm.get("vdw"):
         parts.append(AmoebaVdw(ffparams, atom_types, bonds, prm,
                                cutoff=cutoff, switch_dist=switch_dist))
+    if valence:
+        from .amoeba_valence import AmoebaValence
+
+        parts.append(AmoebaValence(prm["_text"], atom_types, bonds))
     return AmoebaPotential(parts), charges
 
 
