@@ -259,3 +259,98 @@ def test_pitors_and_opbend_forces_fd():
         fd = (float(pot.energy_fn(jnp.asarray(pp)))
               - float(pot.energy_fn(jnp.asarray(pm)))) / (2 * h)
         assert abs(fd - g[i, a]) < 2e-5 * max(1.0, abs(fd)), (i, a)
+
+
+def _tortors_prm(fn, n=12, key="1    1    1    1    1"):
+    """Synthetic tortors table sampling fn(phi_deg, psi_deg) on an
+    (n+1)x(n+1) TINKER-style grid (both +-180 edges listed)."""
+    h = 360.0 / n
+    lines = [
+        "tortorunit              1.0",
+        "",
+        'atom          1    1    C     "chain atom"      6    12.011    4',
+        "",
+        f"tortors       {key}       {n + 1}  {n + 1}",
+    ]
+    for i in range(n + 1):
+        for j in range(n + 1):
+            x = -180.0 + i * h
+            y = -180.0 + j * h
+            lines.append(f"  {x:.1f} {y:.1f} {fn(x, y):.10f}")
+    return "\n".join(lines)
+
+
+def _chain_pos(phi, psi):
+    """5-atom chain with dihedrals (phi, psi) about the two middle
+    bonds (angles in radians)."""
+    pos = np.zeros((5, 3))
+    pos[1] = [0.0, 0.0, 1.5]
+    pos[2] = [0.0, 1.0, 2.5]
+    pos[3] = [0.0, 1.0, 4.0]
+    # a: set phi about bond b-c; e: set psi about bond c-d
+    pos[0] = pos[1] + [np.sin(phi), -np.cos(phi), -1.0]
+    pos[4] = pos[3] + [np.sin(psi), np.cos(psi), 1.0]
+    return pos
+
+
+def test_tortors_grid_interpolation_matches_analytic():
+    """An asymmetric analytic surface sampled on the tortors grid is
+    reproduced by the bicubic interpolation at off-grid chain
+    geometries -- pinning axis order, edge dedup and the CMAP reuse."""
+    from torchmd_tpu.amoeba_valence import _dihedral
+
+    def f(x_deg, y_deg):
+        x, y = np.deg2rad(x_deg), np.deg2rad(y_deg)
+        return np.cos(x) + 0.25 * np.sin(y) + 0.1 * np.cos(x + 2 * y)
+
+    prm = _tortors_prm(f, n=24)
+    pot = AmoebaValence(prm, [1] * 5, [[0, 1], [1, 2], [2, 3], [3, 4]])
+    assert pot._tortors is not None
+    assert pot._tortors.idx.shape == (1, 8)
+
+    for phi_d, psi_d in [(0, 0), (67.3, -141.8), (-179.0, 12.0),
+                         (100.0, 100.0)]:
+        pos = _chain_pos(np.deg2rad(phi_d), np.deg2rad(psi_d))
+        pj = jnp.asarray(pos)
+        phi = float(_dihedral(pj, jnp.asarray([[0, 1, 2, 3]]))[0])
+        psi = float(_dihedral(pj, jnp.asarray([[1, 2, 3, 4]]))[0])
+        want = f(np.degrees(phi), np.degrees(psi))
+        e = float(pot.energy_fn(pj))
+        assert e == pytest.approx(want, abs=5e-3), (phi_d, psi_d)
+
+
+def test_tortors_reversed_key_and_forces():
+    """A table registered under the reversed class tuple matches the
+    transposed forward surface; AD forces pass finite differences."""
+
+    def f(x_deg, y_deg):
+        x, y = np.deg2rad(x_deg), np.deg2rad(y_deg)
+        return np.cos(x) + 0.5 * np.sin(2 * y)
+
+    types = [2, 1, 1, 1, 3]           # asymmetric chain classes
+    bonds = [[0, 1], [1, 2], [2, 3], [3, 4]]
+    extra = (
+        '\natom          2    2    N     "head"      7    14.007    3'
+        '\natom          3    3    O     "tail"      8    15.999    1\n'
+    )
+    fwd = _tortors_prm(f, n=12, key="2    1    1    1    3") + extra
+    # reversed key samples the transposed surface
+    rev = _tortors_prm(lambda x, y: f(y, x), n=12,
+                       key="3    1    1    1    2") + extra
+    pot_f = AmoebaValence(fwd, types, bonds)
+    pot_r = AmoebaValence(rev, types, bonds)
+    pos = _chain_pos(np.deg2rad(55.0), np.deg2rad(-120.0))
+    e_f = float(pot_f.energy_fn(jnp.asarray(pos)))
+    e_r = float(pot_r.energy_fn(jnp.asarray(pos)))
+    assert e_f == pytest.approx(e_r, abs=1e-9)
+
+    g = np.asarray(jax.grad(pot_f.energy_fn)(jnp.asarray(pos)))
+    for (i, a) in [(0, 0), (2, 1), (4, 2)]:
+        h = 1e-6
+        pp = pos.copy()
+        pp[i, a] += h
+        pm = pos.copy()
+        pm[i, a] -= h
+        fd = (float(pot_f.energy_fn(jnp.asarray(pp)))
+              - float(pot_f.energy_fn(jnp.asarray(pm)))) / (2 * h)
+        assert abs(fd - g[i, a]) < 1e-5 * max(1.0, abs(fd))

@@ -69,6 +69,7 @@ _SCALE_KEYS = {
     "torsionunit": ("torsion_unit", 1.0),
     "strbndunit": ("strbnd_unit", _DEG),
     "pitorsunit": ("pitors_unit", 1.0),
+    "tortorunit": ("tortor_unit", 1.0),
 }
 
 
@@ -79,13 +80,26 @@ def parse_tinker_valence(text):
     out = {
         "scales": {k: v for k, v in _SCALE_KEYS.values()},
         "bond": {}, "angle": {}, "ureybrad": {}, "opbend": {},
-        "strbnd": {}, "torsion": {}, "pitors": {},
+        "strbnd": {}, "torsion": {}, "pitors": {}, "tortors": {},
     }
+    tt_pending = None      # (classes, points-still-expected, triplets)
     for raw in text.splitlines():
         ln = raw.split("#")[0].strip()
         if not ln:
             continue
         parts = ln.split()
+        if tt_pending is not None:
+            cls5, left, trips = tt_pending
+            if len(parts) == 3 and all(_is_float(p) for p in parts):
+                trips.append(tuple(float(p) for p in parts))
+                left -= 1
+                tt_pending = None if left == 0 else (cls5, left, trips)
+                if left == 0:
+                    out["tortors"][cls5] = _tortors_grid(trips)
+                continue
+            raise ValueError(
+                f"tortors {cls5}: expected {left} more grid lines"
+            )
         key = parts[0].lower()
         if key in _SCALE_KEYS:
             name, _ = _SCALE_KEYS[key]
@@ -124,7 +138,41 @@ def parse_tinker_valence(text):
         elif key == "pitors":
             a, b = int(parts[1]), int(parts[2])
             out["pitors"][_k2(a, b)] = float(parts[3])
+        elif key == "tortors":
+            cls5 = tuple(int(p) for p in parts[1:6])
+            nx, ny = int(parts[6]), int(parts[7])
+            tt_pending = (cls5, nx * ny, [])
     return out
+
+
+def _tortors_grid(trips):
+    """(angle1, angle2, value) triplets -> periodic (n, n) grid with
+    grid[i, j] at angles (-180 + i*h, -180 + j*h). TINKER lists both
+    -180 and +180 edges; the duplicate wrap row/column is dropped so
+    the CMAP periodic-spline machinery applies directly."""
+    trips = np.asarray(trips, np.float64)
+    a1 = np.unique(trips[:, 0])
+    a2 = np.unique(trips[:, 1])
+    h1 = a1[1] - a1[0]
+    h2 = a2[1] - a2[0]
+    n1 = int(round(360.0 / h1))
+    n2 = int(round(360.0 / h2))
+    if n1 != n2:
+        raise ValueError("tortors grids must be square in resolution")
+    grid = np.zeros((n1, n1))
+    for x, y, v in trips:
+        i = int(round((x + 180.0) / h1)) % n1
+        j = int(round((y + 180.0) / h2)) % n2
+        grid[i, j] = v
+    return grid
+
+
+def _is_float(s):
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
 
 
 def _k2(a, b):
@@ -291,6 +339,46 @@ class AmoebaValence:
                         t_prm.append((amp, phase * _DEG, float(per)))
         self._torsions = _table(t_idx, t_prm)
 
+        # ---- torsion-torsion coupling: tortors grids ride the CMAP
+        # bicubic machinery (cmap.py) -- 5-atom chains, two overlapping
+        # dihedrals, one periodic spline surface per class key ----
+        tt_idx, tt_type, tt_grids = [], [], []
+        if val["tortors"]:
+            seen_ch = set()
+            grid_slot = {}          # class key -> coeff-table row
+            for t in torsions:
+                for tt in (t, t[::-1]):
+                    for mdl in n12[tt[3]]:
+                        if mdl in tt:
+                            continue
+                        ch = tt + (mdl,)
+                        if ch in seen_ch or ch[::-1] in seen_ch:
+                            continue
+                        seen_ch.add(ch)
+                        c5 = tuple(int(cls[x]) for x in ch)
+                        grid = val["tortors"].get(c5)
+                        if grid is None:
+                            g_r = val["tortors"].get(c5[::-1])
+                            # reversed match swaps the two dihedrals
+                            grid = None if g_r is None else g_r.T
+                        if grid is None:
+                            continue
+                        if c5 not in grid_slot:
+                            grid_slot[c5] = len(tt_grids)
+                            tt_grids.append(grid)
+                        tt_idx.append(ch[:4] + ch[1:])
+                        tt_type.append(grid_slot[c5])
+        if tt_idx:
+            from .cmap import CMapTable, build_cmap_coeff_table
+
+            self._tortors = CMapTable(
+                idx=jnp.asarray(np.asarray(tt_idx, np.int32)),
+                type=jnp.asarray(np.asarray(tt_type, np.int32)),
+                coeffs=jnp.asarray(build_cmap_coeff_table(tt_grids)),
+            )
+        else:
+            self._tortors = None
+
         # ---- pi-torsions: bonded trigonal-trigonal pairs ----
         p_idx, p_prm = [], []
         for a, b in bonds:
@@ -369,6 +457,31 @@ class AmoebaValence:
             phi = _pitors_angle(pos, idx)
             e = e + s["pitors_unit"] * jnp.sum(
                 prm[:, 0] * (1.0 + jnp.cos(2.0 * phi - jnp.pi))
+            )
+
+        if self._tortors is not None:
+            # same bicubic surface as cmap.cmap_energy, but the angles
+            # come from THIS module's IUPAC-sign dihedral (TINKER's
+            # convention; potentials._dihedral_phi is its negative)
+            tab = self._tortors
+            n = tab.coeffs.shape[1]
+            hcell = 2.0 * jnp.pi / n
+            phi = _dihedral(pos, tab.idx[:, 0:4])
+            psi = _dihedral(pos, tab.idx[:, 4:8])
+
+            def locate(ang):
+                x = (ang + jnp.pi) / hcell
+                cell = jnp.floor(x)
+                return (jnp.mod(cell.astype(jnp.int32), n), x - cell)
+
+            ci, t = locate(phi)
+            cj, u = locate(psi)
+            a = tab.coeffs[tab.type, ci, cj]
+            one = jnp.ones_like(t)
+            tp = jnp.stack([one, t, t * t, t * t * t], axis=-1)
+            up = jnp.stack([one, u, u * u, u * u * u], axis=-1)
+            e = e + s["tortor_unit"] * jnp.sum(
+                jnp.einsum("cp,cpq,cq->c", tp, a, up)
             )
         return e
 
