@@ -302,3 +302,47 @@ def test_column_vmap_replicas():
         scale = float(jnp.max(jnp.abs(f_d)))
         assert float(jnp.max(jnp.abs(frc[r] - f_d))) < 1e-4 * max(1.0,
                                                                   scale)
+
+
+def test_column_virial_matches_dense_scaling_grad():
+    """The column kernel's in-kernel per-axis virial accumulator equals
+    -dE/ds_a of the dense nonbonded energy under joint scaling (the MTK
+    barostat contract), and the box-traced ghost/wrap shifts evaluate a
+    SCALED box exactly without a rebuild (in-scan NPT box changes)."""
+    from torchmd_tpu.potentials import nonbonded_energies
+
+    mol, par, forces = _argon()
+    L = 77.395
+    pos = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+    box = jnp.asarray([L] * 3, jnp.float32)
+    kern = ColumnKernel(forces.ffparams, forces.config, par,
+                        np.asarray([L] * 3), pos0=pos, interpret=True)
+    st = kern.build(pos, box)
+    pot, f, vir = kern.energy_forces_virial(pos, box, st)
+    pot0, f0 = kern.energy_forces(pos, box, st)
+    for k in pot0:  # with_virial must not perturb energies/forces
+        np.testing.assert_allclose(float(pot[k]), float(pot0[k]),
+                                   rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f0), atol=1e-5)
+
+    def e_scaled(s):
+        p = nonbonded_energies(
+            forces.ffparams, jnp.asarray(pos, jnp.float64) * s,
+            jnp.asarray(box, jnp.float64) * s, forces.config)
+        return sum(jax.tree_util.tree_leaves(p))
+
+    vir_ref = -jax.grad(e_scaled)(jnp.ones(3, jnp.float64))
+    scale = max(1.0, float(jnp.max(jnp.abs(vir_ref))))
+    np.testing.assert_allclose(np.asarray(vir) / scale,
+                               np.asarray(vir_ref) / scale, atol=2e-4)
+
+    # box-traced shifts: evaluate at a 1% scaled geometry WITHOUT
+    # rebuilding the column structure; must match the dense energy there
+    s = 1.01
+    pot_s, _ = kern.energy_forces(pos * s, box * s, st)
+    pd = nonbonded_energies(
+        forces.ffparams, jnp.asarray(pos, jnp.float64) * s,
+        jnp.asarray(box, jnp.float64) * s, forces.config)
+    for k in pot_s:
+        np.testing.assert_allclose(float(pot_s[k]), float(pd[k]),
+                                   rtol=5e-4)

@@ -390,3 +390,128 @@ def test_mtk_shake_hbonds_npt():
     # the plain-NVT SHAKE path on this system)
     assert err < 5e-5
     assert np.isfinite(ep).all()
+
+
+# ----------------------------------------------------------------------
+# MTK on the cell / column kernel path (large periodic systems)
+# ----------------------------------------------------------------------
+
+def _argon_npt_kernel(kernel, seed=2, T=120.0):
+    mol = Molecule(os.path.join(SYSTEMS_DIR, "argon", "argon_start.pdb"))
+    ff = ForceField.create(
+        mol, os.path.join(SYSTEMS_DIR, "argon", "argon_forcefield.yaml")
+    )
+    par = Parameters(ff, mol, ["lj"], precision="double")
+    forces = Forces(par, terms=["lj"], precision="double", cutoff=9.0,
+                    kernel=kernel)
+    system = System(mol.numAtoms, 1, "double", "cpu")
+    system.set_positions(mol.coords)
+    system.set_box(np.asarray([[77.395] * 3]).T)
+    system.set_velocities(maxwell_boltzmann(par.masses, T, 1, seed=seed))
+    forces.compute(system.pos, system.box, system.forces)
+    return mol, par, forces, system
+
+
+def test_mtk_cell_matches_dense():
+    """True NPT on the cell-kernel path: the per-axis pair virial
+    accumulated by the neighbor kernel + value_and_grad of the cheap
+    terms must reproduce the dense scan's E(s*pos, s*box) virial —
+    trajectories, boxes and the conserved quantity all match to f64
+    round-off."""
+    def run(kernel):
+        mol, par, forces, system = _argon_npt_kernel(kernel)
+        P = ideal_gas_pressure(mol.numAtoms, 120.0, 77.395 ** 3)
+        integ = Integrator(system, forces, timestep=2.0, T=120.0,
+                           thermostat="nhc",
+                           barostat=MTKBarostat(P, 120.0, tau_fs=2000.0))
+        for _ in range(2):
+            ek, ep, T = integ.step(niter=25)
+        h = (ek[0] + ep[0] + integ.thermostat_energy()[0]
+             + integ.npt_energy()[0])
+        return (system.pos.copy(), system.box_diag.copy(), ep[0], h,
+                getattr(integ, "_cell_kernel", None))
+
+    pos_d, box_d, ep_d, h_d, k_d = run("auto")    # argon is small: dense
+    pos_c, box_c, ep_c, h_c, k_c = run("cell")
+    assert k_d is None and k_c is not None
+    np.testing.assert_allclose(box_c, box_d, rtol=1e-10)
+    np.testing.assert_allclose(pos_c, pos_d, atol=1e-8)
+    np.testing.assert_allclose(ep_c, ep_d, atol=1e-8)
+    np.testing.assert_allclose(h_c, h_d, atol=1e-8)
+
+
+def test_mtk_column_matches_cell():
+    """The z-sorted column kernel's in-kernel virial accumulator (the TPU
+    large-N default) drives the same NPT trajectory as the ghost-cell
+    kernel (f32, interpret mode)."""
+    from test_columns import _lj_gas
+    from torchmd_tpu.columns import ColumnKernel
+
+    mol, par, _f, L = _lj_gas(natoms=1500, L=60.0)
+    vel = maxwell_boltzmann(par.masses, 120.0, 1, seed=3)
+    P = ideal_gas_pressure(mol.numAtoms, 120.0, L ** 3)
+
+    def run(column):
+        forces = Forces(par, terms=["lj"], precision="single",
+                        cutoff=9.0, kernel="cell")
+        system = System(mol.numAtoms, 1, "single")
+        system.set_positions(mol.coords)
+        system.set_box(np.full(3, L))
+        system.set_velocities(vel)
+        if column:
+            forces._cell_kernel = ColumnKernel(
+                forces.ffparams, forces.config, par, np.full(3, L),
+                pos0=mol.coords[:, :, 0], interpret=True)
+            forces.cell_requested = True
+        forces.compute(system.pos, system.box, system.forces)
+        integ = Integrator(system, forces, timestep=2.0, T=120.0,
+                           thermostat="nhc",
+                           barostat=MTKBarostat(P, 120.0, tau_fs=2000.0))
+        for _ in range(2):
+            ek, ep, T = integ.step(niter=20)
+        return system.pos.copy(), system.box_diag.copy(), ep[0]
+
+    pos_c, box_c, ep_c = run(False)
+    pos_q, box_q, ep_q = run(True)
+    np.testing.assert_allclose(box_q, box_c, rtol=1e-5)
+    np.testing.assert_allclose(pos_q, pos_c, atol=5e-3)
+    np.testing.assert_allclose(ep_q, ep_c, rtol=1e-4, atol=5e-3)
+
+
+def test_mtk_cell_settle_water_npt():
+    """MTK + SETTLE-ROLL on the cell-kernel path matches the dense NPT
+    scan (constrained true NPT for large periodic systems). A 16.5 A box
+    at a 3 A cutoff hosts a 3x3x3 cell grid with ~10% shrink headroom
+    (at exactly 3*rc any NPT shrink would invalidate the grid mid-run);
+    both paths run the identical cutoff, so the equivalence (including
+    the constraint-virial ROLL coupling) is exact."""
+    from common import ALL_TERMS, load_system
+    from conftest import DATA_DIR
+
+    mol, ff, _nb = load_system(os.path.join(DATA_DIR, "waterbox"))
+    par = Parameters(ff, mol, ALL_TERMS, precision="double")
+
+    def run(kernel):
+        forces2 = Forces(par, terms=ALL_TERMS, precision="double",
+                         cutoff=3.0, rfa=True, kernel=kernel)
+        system = System(mol.numAtoms, 1, "double", "cpu")
+        system.set_positions(mol.coords)
+        system.set_box(np.full((3, 1), 16.5))
+        system.set_velocities(
+            maxwell_boltzmann(par.masses, 300.0, 1, seed=5)
+        )
+        forces2.compute(system.pos, system.box, system.forces)
+        integ = Integrator(system, forces2, timestep=2.0, T=300.0,
+                           thermostat="nhc", constraints="settle",
+                           barostat=MTKBarostat(1.0, 300.0,
+                                                tau_fs=1000.0))
+        ek, ep, T = integ.step(niter=30)
+        return (system.pos.copy(), system.box_diag.copy(), ep[0],
+                getattr(integ, "_cell_kernel", None))
+
+    pos_d, box_d, ep_d, k_d = run("auto")
+    pos_c, box_c, ep_c, k_c = run("cell")
+    assert k_d is None and k_c is not None
+    np.testing.assert_allclose(box_c, box_d, rtol=1e-9)
+    np.testing.assert_allclose(pos_c, pos_d, atol=1e-7)
+    np.testing.assert_allclose(ep_c, ep_d, atol=1e-6)

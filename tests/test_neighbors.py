@@ -666,3 +666,56 @@ def test_cell_dynamics_with_mc_barostat():
     ed = fd.compute(system.pos, system.box)
     ec = forces.compute(system.pos, system.box)
     np.testing.assert_allclose(ec, ed, rtol=1e-9)
+
+
+def test_cell_virial_matches_dense_scaling_grad():
+    """CellKernel.energy_forces_virial: the per-axis pair virial must
+    equal -dE/ds_a of the dense nonbonded energy under joint coordinate
+    + box scaling E(s*pos, s*box) (the MTK barostat's exact virial)."""
+    from torchmd_tpu.potentials import nonbonded_energies
+
+    mol, par, forces = _argon()
+    pos = jnp.asarray(mol.coords[:, :, 0], jnp.float64)
+    box = jnp.asarray([77.395] * 3, jnp.float64)
+    kern = CellKernel(forces.ffparams, forces.config, par, np.asarray(box))
+    cl = kern.build(pos)
+    pot, f, vir = jax.jit(kern.energy_forces_virial)(pos, box, cl)
+    pot0, f0 = kern.energy_forces(pos, box, cl)
+    for k in pot0:  # with_virial must not perturb energies/forces
+        np.testing.assert_allclose(float(pot[k]), float(pot0[k]),
+                                   rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f0), atol=1e-14)
+
+    def e_scaled(s):
+        p = nonbonded_energies(forces.ffparams, pos * s, box * s,
+                               forces.config)
+        return sum(jax.tree_util.tree_leaves(p))
+
+    vir_ref = -jax.grad(e_scaled)(jnp.ones(3, jnp.float64))
+    np.testing.assert_allclose(np.asarray(vir), np.asarray(vir_ref),
+                               rtol=1e-9, atol=1e-10)
+
+
+def test_pallas_cell_virial_matches_jnp(monkeypatch):
+    """The ghost-cell Pallas kernel's in-kernel virial accumulator
+    (interpret mode) agrees with the jnp tier."""
+    from torchmd_tpu.neighbors import cell_nonbonded_energy_forces
+    from torchmd_tpu.ops.pallas_cell import pallas_cell_energy_forces
+
+    mol, par, forces = _argon()
+    pos32 = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+    box32 = jnp.asarray([77.395] * 3, jnp.float32)
+    kern = CellKernel(forces.ffparams, forces.config, par,
+                      np.asarray([77.395] * 3))
+    cl = kern.build(pos32)
+    _, _, vir_j = cell_nonbonded_energy_forces(
+        kern.ffp, kern.cfg, kern.clcfg, cl, kern.excl_table,
+        jnp.asarray(pos32, jnp.float64), jnp.asarray(box32, jnp.float64),
+        with_virial=True,
+    )
+    _, f_p, vir_p = pallas_cell_energy_forces(
+        kern.ffp, kern.cfg, kern.clcfg, cl, kern.excl_table, pos32,
+        box32, interpret=True, with_virial=True,
+    )
+    np.testing.assert_allclose(np.asarray(vir_p), np.asarray(vir_j),
+                               rtol=2e-4, atol=1e-4)

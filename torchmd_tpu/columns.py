@@ -199,18 +199,17 @@ def column_neighbor_table(cfg: ColumnConfig) -> np.ndarray:
 
 
 def column_shift_table(cfg: ColumnConfig) -> np.ndarray:
-    """(ncol, 9, 2) f32 static x/y position shifts for wrapped neighbour
-    columns (the shift the j coordinates need when the 3x3 stencil
-    crosses a periodic face as seen from column c)."""
+    """(ncol, 9, 2) f32 static x/y wrap UNIT counts (-1/0/+1) for wrapped
+    neighbour columns; the eval path multiplies by the CURRENT box
+    lengths (so in-scan box changes — the MTK barostat — stay exact)."""
     ncx, ncy = cfg.ncols
-    lx, ly = cfg.box[0], cfg.box[1]
     cx, cy = np.meshgrid(np.arange(ncx), np.arange(ncy), indexing="ij")
     cx, cy = cx.ravel()[:, None], cy.ravel()[:, None]
     offs = np.array([(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
     tx = cx + offs[None, :, 0]
     ty = cy + offs[None, :, 1]
-    sx = np.where(tx < 0, -lx, np.where(tx >= ncx, lx, 0.0))
-    sy = np.where(ty < 0, -ly, np.where(ty >= ncy, ly, 0.0))
+    sx = np.where(tx < 0, -1.0, np.where(tx >= ncx, 1.0, 0.0))
+    sy = np.where(ty < 0, -1.0, np.where(ty >= ncy, 1.0, 0.0))
     return np.stack([sx, sy], axis=-1).astype(np.float32)
 
 
@@ -267,9 +266,11 @@ def build_columns(pos, cfg: ColumnConfig, ffp: FFParams, excl_table,
         jnp.where(ghost_lo, col, ncol),
     ])
     zj = jnp.concatenate([z, z + b[2], z - b[2]])
+    # ghost z shift stored as a UNIT count (+-1/0); the eval path
+    # multiplies by the CURRENT box Lz so in-scan box changes stay exact
     shiftj = jnp.concatenate([
-        jnp.zeros(n, dtype), jnp.full((n,), 1.0, dtype) * b[2],
-        jnp.full((n,), -1.0, dtype) * b[2],
+        jnp.zeros(n, dtype), jnp.full((n,), 1.0, dtype),
+        jnp.full((n,), -1.0, dtype),
     ])
     idj = jnp.concatenate([ids, ids, ids])
     order_j = jnp.lexsort((zj, colj))
@@ -383,8 +384,12 @@ def column_needs_rebuild(st: ColumnState, pos, cfg: ColumnConfig,
 
 def column_energy_forces(ffp: FFParams, cfg: ForceTermConfig,
                          ccfg: ColumnConfig, st: ColumnState, pos, box,
-                         shifts=None, interpret=False):
-    """Nonbonded energies + forces via the column pair kernel."""
+                         shifts=None, interpret=False, with_virial=False):
+    """Nonbonded energies + forces via the column pair kernel.
+
+    `with_virial=True` additionally returns the per-axis pair virial
+    (3,) — the MTK scaling virial -dE/ds_a of E(s*pos, s*box) for the
+    kernel-covered pair terms."""
     from .ops.pallas_column import column_pair_call
     from .ops.pallas_nonbonded import make_kernel_cfg
 
@@ -399,7 +404,7 @@ def column_energy_forces(ffp: FFParams, cfg: ForceTermConfig,
 
     Pi = pos_pad[st.islot]                      # (ncol, C, 3)
     Pj = pos_pad[st.jslot]                      # (ncol, CE, 3)
-    jz = Pj[..., 2] + st.jzshift.astype(f32)
+    jz = Pj[..., 2] + st.jzshift.astype(f32) * boxv[2]
 
     i_data = jnp.concatenate(
         [Pi.transpose(0, 2, 1), st.iattr.astype(f32)], axis=1
@@ -438,12 +443,20 @@ def column_energy_forces(ffp: FFParams, cfg: ForceTermConfig,
     ).transpose(0, 1, 3, 2, 4)                  # (ncol, P, CE/128, Rj, 128)
     if shifts is None:
         shifts = jnp.asarray(column_shift_table(ccfg))
+    # shift table carries wrap unit counts; scale by the CURRENT box so
+    # in-scan box changes (MTK barostat) keep the ghost geometry exact
+    shifts_abs = shifts.reshape(-1, 9, 2) * boxv[None, None, :2]
 
-    e_lj, e_el, f_out, jacc = column_pair_call(
+    res = column_pair_call(
         kcfg, ccfg.ncols[0], ccfg.ncols[1], i_data, j_data,
-        st.wstart, shifts, IBLK=ccfg.IBLK, W=ccfg.W, NB=ccfg.NB,
+        st.wstart, shifts_abs, IBLK=ccfg.IBLK, W=ccfg.W, NB=ccfg.NB,
         nexcl=ccfg.nexcl, nfloat=n, P=P, interpret=interpret,
+        with_virial=with_virial,
     )
+    if with_virial:
+        e_lj, e_el, f_out, jacc, vir_raw = res
+    else:
+        e_lj, e_el, f_out, jacc = res
 
     f_slots = f_out.transpose(0, 1, 3, 2).reshape(-1, 3)
     forces = jnp.zeros((n + 1, 3), f32).at[
@@ -464,6 +477,8 @@ def column_energy_forces(ffp: FFParams, cfg: ForceTermConfig,
         out["repulsioncg"] = e_lj
     if kcfg["elec"]:
         out["electrostatics"] = e_el
+    if with_virial:
+        return out, forces, -0.5 * vir_raw
     return out, forces
 
 
@@ -569,6 +584,15 @@ class ColumnKernel:
         return column_energy_forces(
             self.ffp, self.cfg, self.ccfg, st, pos, box,
             shifts=self._shifts, interpret=self.interpret,
+        )
+
+    def energy_forces_virial(self, pos, box, st: ColumnState):
+        """(pot, forces, per-axis pair virial (3,)) for the MTK barostat
+        (same convention as CellKernel.energy_forces_virial)."""
+        return column_energy_forces(
+            self.ffp, self.cfg, self.ccfg, st, pos, box,
+            shifts=self._shifts, interpret=self.interpret,
+            with_virial=True,
         )
 
     def check_overflow(self, st: ColumnState) -> bool:

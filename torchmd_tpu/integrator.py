@@ -332,17 +332,21 @@ class Integrator:
             if self._host_path:
                 raise ValueError("MTK barostat needs a jittable force "
                                  "provider")
-            if self._use_cell or getattr(forces, "cell_requested", False):
-                # the NPT scan evaluates through the dense pure-jnp path
-                # (the virial needs a box-differentiable energy); at
-                # cell-list sizes that is an O(N^2) per-step cliff --
-                # refuse instead of silently running it
-                raise NotImplementedError(
-                    "MTK barostat + cell-list kernel not supported yet "
-                    "(dense evaluation only); use the MC barostat for "
-                    "large periodic systems"
+            if self._use_cell:
+                # large periodic systems: true NPT through the cell /
+                # column kernel (analytic pair virial from the kernels +
+                # value_and_grad of the cheap box-differentiable terms)
+                box_all = np.asarray(systems.box_diag)
+                if not np.allclose(box_all, box_all[0]):
+                    raise ValueError(
+                        "cell-list kernel requires equal replica boxes"
+                    )
+                self._cell_kernel = forces.ensure_cell_kernel(
+                    box_all[0], pos0=np.asarray(systems.pos)[0]
                 )
-            self._scan_fn = self._build_scan_npt()
+                self._scan_fn = self._build_scan_npt_cell()
+            else:
+                self._scan_fn = self._build_scan_npt()
         elif self._spatial is not None:
             if self._host_path:
                 raise ValueError("spatial sharding needs a jittable force "
@@ -773,6 +777,216 @@ class Integrator:
             return carry, epots[-1]
 
         self._npt_ef_vir = jax.jit(jax.vmap(ef_vir))
+        return run
+
+    def _build_scan_npt_cell(self):
+        """MTK NPT scan on the cell/column kernel path (large periodic
+        systems).
+
+        Same reversible MTK splitting as `_build_scan_npt`, but the
+        O(N^2) dense value_and_grad is replaced by:
+          - pair terms: the neighbor kernel's `energy_forces_virial`
+            (analytic per-axis pair virial accumulated in the Pallas
+            kernels / jnp cell math — exact, no AD double-evaluation),
+          - bonded + Ewald reciprocal/self/exclusion + external terms:
+            ONE value_and_grad over (pos, s) of the cheap
+            box-differentiable energy E(s*pos, s*box)
+            (`compute_potentials(..., nonbonded=False)` keeps 1-4 terms
+            and their LJ/elec want-flags intact).
+        The neighbor structure lives in the scan carry and rebuilds
+        in-scan by the skin criterion with the CURRENT (traced) box —
+        both kernels evaluate with box-traced ghost shifts, so in-scan
+        box changes stay exact between rebuilds."""
+        forces_obj = self.forces
+        kern = self._cell_kernel
+        ffp = forces_obj.ffparams
+        cfg = forces_obj.config
+        ewald = forces_obj._ewald
+        ext_energy = getattr(forces_obj.external, "energy_fn", None)
+        dt = self.dt
+        dt2 = 0.5 * dt
+        masses = self.masses
+        thermo = self._thermostat
+        npt = self._npt
+        W = npt["W"]
+        ndof = npt["ndof"]
+        P = npt["P"]
+        chain_b = npt["chain_b"]
+        mode = npt["mode"]
+        gamma_st = npt["gamma_st"]
+        axes_mask = jnp.asarray(npt["scale_axes"], self.dtype)
+        nreplicas = self.systems.nreplicas
+
+        from .potentials import compute_potentials
+
+        def e_cheap(pos, box):
+            def inner(p, s):
+                pot = compute_potentials(ffp, p * s, box * s, cfg,
+                                         nonbonded=False)
+                # explicit zero: a bonded-term-free system (pure LJ gas)
+                # yields an empty dict, and sum([]) is an int
+                e = sum(jax.tree_util.tree_leaves(pot),
+                        jnp.zeros((), p.dtype))
+                if ewald is not None:
+                    e = e + ewald.energy(p * s, box * s)
+                if ext_energy is not None:
+                    e = e + ext_energy(p * s, box * s)
+                return e
+
+            return inner
+
+        def ef_vir(pos, box, cl):
+            inner = e_cheap(pos, box)
+            one = jnp.ones((3,), pos.dtype)
+            e_ch, (gp, dUds) = jax.value_and_grad(
+                inner, argnums=(0, 1)
+            )(pos, one)
+            nb_pot, nb_f, nb_vir = kern.energy_forces_virial(pos, box, cl)
+            e = e_ch + sum(jax.tree_util.tree_leaves(nb_pot))
+            return e, -gp + nb_f, -dUds + nb_vir
+
+        def phi(x):
+            x2 = x * x
+            small = jnp.abs(x) < 1e-3
+            safe = jnp.where(small, 1.0, x)
+            return jnp.where(
+                small, 1.0 + x2 / 6.0 + x2 * x2 / 120.0,
+                jnp.sinh(safe) / safe,
+            )
+
+        def project(g):
+            if mode == "iso":
+                return jnp.full((3,), jnp.mean(g), g.dtype)
+            if mode == "membrane":
+                gxy = 0.5 * (g[0] + g[1])
+                return jnp.stack([gxy, gxy, g[2]])
+            return g * axes_mask
+
+        def baro_half(v_eps, aux_b):
+            vb = v_eps[None, :]
+            mb = jnp.full((1, 1), W, v_eps.dtype)
+            vb, xi, vxi = chain_b._chain_half(
+                vb, aux_b["xi"], aux_b["vxi"], mb, 0.5 * dt
+            )
+            return vb[0], {"xi": xi, "vxi": vxi}
+
+        def eps_kick(v_eps, vel, vir, box):
+            K2ax = jnp.sum(masses * vel * vel, axis=0)
+            V = box[0] * box[1] * box[2]
+            G = K2ax + jnp.sum(K2ax) / ndof + vir - V * P
+            if mode == "membrane" and gamma_st != 0.0:
+                A = box[0] * box[1]
+                G = G + gamma_st * A * jnp.asarray(
+                    [1.0, 1.0, 0.0], v_eps.dtype
+                )
+            return project(v_eps + dt2 * project(G) / W)
+
+        cs = self.constraints
+        if cs is not None:
+            from .constraints import (
+                apply_position_constraints,
+                apply_velocity_constraints,
+            )
+
+        # --- first half: barostat/thermostat chains + kick + drift ----
+        def pre_one(pos, vel, frc, vir, box, v_eps, aux_p, aux_b):
+            v_eps, aux_b = baro_half(v_eps, aux_b)
+            vel, aux_p = thermo.pre(vel, aux_p, masses, dt)
+            v_eps = eps_kick(v_eps, vel, vir, box)
+            x = (v_eps + jnp.sum(v_eps) / ndof) * dt2
+            vel = (
+                vel * jnp.exp(-x)
+                + dt2 * (frc / masses) * jnp.exp(-0.5 * x) * phi(0.5 * x)
+            )
+            u = v_eps * dt
+            drift = dt * jnp.exp(0.5 * u) * phi(0.5 * u)
+            pos_prev = pos
+            pos = pos * jnp.exp(u) + vel * drift
+            box = box * jnp.exp(u)
+            if cs is not None:
+                ref = pos_prev * jnp.exp(u)
+                pos_c = apply_position_constraints(cs, pos, ref)
+                delta = pos_c - pos
+                vel = vel + delta / drift
+                pos = pos_c
+            else:
+                delta = jnp.zeros_like(pos)
+            return pos, vel, box, v_eps, aux_p, aux_b, x, drift, delta
+
+        # --- evaluation at the new phase point (+ constraint virial) --
+        def ef_one(pos, box, cl, delta, drift):
+            epot, frc, vir = ef_vir(pos, box, cl)
+            if cs is not None:
+                f_con = 2.0 * masses * delta / (drift * drift)
+                vir = vir + jnp.sum(f_con * pos, axis=0)
+            return epot, frc, vir
+
+        # --- second half: mirror kick + chains (reverse order) --------
+        def post_one(pos, vel, frc, vir, box, v_eps, aux_p, aux_b, x, kr):
+            vel = (
+                vel * jnp.exp(-x)
+                + dt2 * (frc / masses) * jnp.exp(-0.5 * x) * phi(0.5 * x)
+            )
+            v_eps = eps_kick(v_eps, vel, vir, box)
+            if thermo.stochastic:
+                vel, aux_p = thermo.post(vel, aux_p, masses, dt, key=kr)
+            else:
+                vel, aux_p = thermo.post(vel, aux_p, masses, dt)
+            v_eps, aux_b = baro_half(v_eps, aux_b)
+            if cs is not None:
+                vel = apply_velocity_constraints(cs, pos, vel)
+            return vel, v_eps, aux_p, aux_b
+
+        pre_v = jax.vmap(pre_one)
+        ef_v = jax.vmap(ef_one, in_axes=(0, 0, 0, 0, 0))
+        post_v = jax.vmap(post_one)
+
+        build_v = jax.vmap(kern.build)
+
+        def update_all(pos_b, cl_b, box_b):
+            pred = jnp.any(
+                jax.vmap(
+                    lambda c, p, b: kern.needs_rebuild(c, p, b)
+                )(cl_b, pos_b, box_b)
+            )
+
+            def rebuild():
+                new = build_v(pos_b, box_b)
+                return new._replace(overflow=new.overflow | cl_b.overflow)
+
+            return jax.lax.cond(pred, rebuild, lambda: cl_b)
+
+        @partial(jax.jit, static_argnames=("niter",))
+        def run(carry, niter: int):
+            def body(c, _):
+                st, box, v_eps, aux_p, aux_b, vir, cl = c
+                key = st.key
+                if thermo.stochastic:
+                    key, sub = jax.random.split(key)
+                    krs = jax.random.split(sub, nreplicas)
+                else:
+                    krs = jnp.zeros((nreplicas, 2), jnp.uint32)
+                pos, vel, box, v_eps, aux_p, aux_b, x, drift, delta = (
+                    pre_v(st.pos, st.vel, st.forces, vir, box,
+                          v_eps, aux_p, aux_b)
+                )
+                cl = update_all(pos, cl, box)
+                epot, frc, vir = ef_v(pos, box, cl, delta, drift)
+                vel, v_eps, aux_p, aux_b = post_v(
+                    pos, vel, frc, vir, box, v_eps, aux_p, aux_b, x, krs
+                )
+                return (
+                    (SimState(pos, vel, frc, key), box, v_eps, aux_p,
+                     aux_b, vir, cl),
+                    epot,
+                )
+
+            carry, epots = jax.lax.scan(body, carry, None, length=niter)
+            return carry, epots[-1]
+
+        self._npt_ef_vir_cell = jax.jit(
+            jax.vmap(ef_vir, in_axes=(0, 0, 0))
+        )
         return run
 
     def _build_scan_spatial(self):
@@ -1210,12 +1424,24 @@ class Integrator:
             box_d = jnp.asarray(np.asarray(self.systems.box_diag),
                                 self.dtype)
             v_eps, aux_b, vir = self._npt_extra
-            if vir is None:
-                _, _, vir = self._npt_ef_vir(state0.pos, box_d)
-            lowered = self._scan_fn.lower(
-                (state0, box_d, v_eps, self._thermo_aux, aux_b, vir),
-                int(niter),
-            )
+            if self._use_cell:
+                cl = self._chunk_build(state0.pos, box_d)
+                if vir is None:
+                    _, _, vir = self._npt_ef_vir_cell(
+                        state0.pos, box_d, cl
+                    )
+                lowered = self._scan_fn.lower(
+                    (state0, box_d, v_eps, self._thermo_aux, aux_b, vir,
+                     cl),
+                    int(niter),
+                )
+            else:
+                if vir is None:
+                    _, _, vir = self._npt_ef_vir(state0.pos, box_d)
+                lowered = self._scan_fn.lower(
+                    (state0, box_d, v_eps, self._thermo_aux, aux_b, vir),
+                    int(niter),
+                )
         elif self._use_cell or self._use_verlet:
             state0 = self._state_from_system()
             cl = self._chunk_build(state0.pos, box)
@@ -1273,6 +1499,8 @@ class Integrator:
                 # the new grid)
                 if self._spatial is not None:
                     self._scan_fn = self._build_scan_spatial()
+                elif self._npt is not None:
+                    self._scan_fn = self._build_scan_npt_cell()
                 else:
                     self._scan_fn = self._build_scan_cell()
         box = self._dev_box
@@ -1305,19 +1533,52 @@ class Integrator:
         if self._npt is not None:
             state0 = self._state_from_system()
             box_d = jnp.asarray(np.asarray(systems.box_diag), self.dtype)
-            v_eps, aux_b, vir = self._npt_extra
-            if vir is None or not self._state_was_cached:
-                # (re)compute the scaling virial at the entry state: first
-                # chunk, resume, or host-side position edits between
-                # chunks (the carried virial would be stale)
-                _, _, vir = self._npt_ef_vir(state0.pos, box_d)
-            carry = (state0, box_d, v_eps, self._thermo_aux, aux_b, vir)
-            (state, box_d, v_eps, aux_p, aux_b, vir), epot_dev = (
-                self._scan_fn(carry, int(niter))
-            )
-            self._thermo_aux = aux_p
+            v_eps0, aux_b0, vir0 = self._npt_extra
+            if self._use_cell:
+                # cell/column-kernel NPT: the neighbor structure rides in
+                # the scan carry; capacity overflow redoes the chunk with
+                # a grown kernel (box drift raises local density)
+                for _attempt in range(4):
+                    cl = self._chunk_build(state0.pos, box_d)
+                    vir = vir0
+                    if vir is None or not self._state_was_cached:
+                        _, _, vir = self._npt_ef_vir_cell(
+                            state0.pos, box_d, cl
+                        )
+                    carry = (state0, box_d, v_eps0, self._thermo_aux,
+                             aux_b0, vir, cl)
+                    (state, box_out, v_eps, aux_p, aux_b, vir, cl), \
+                        epot_dev = self._scan_fn(carry, int(niter))
+                    ekin, epot, overflowed = self._sync_to_host(
+                        state, epot_dev, jnp.any(cl.overflow)
+                    )
+                    if not overflowed:
+                        self._thermo_aux = aux_p
+                        break
+                    self._cell_kernel = self._cell_kernel.grow()
+                    self.forces._cell_kernel = self._cell_kernel
+                    self.forces._build_evaluators()
+                    self._scan_fn = self._build_scan_npt_cell()
+                else:
+                    raise RuntimeError(
+                        "cell list capacity kept overflowing"
+                    )
+                box_d = box_out
+            else:
+                vir = vir0
+                if vir is None or not self._state_was_cached:
+                    # (re)compute the scaling virial at the entry state:
+                    # first chunk, resume, or host-side position edits
+                    # between chunks (the carried virial would be stale)
+                    _, _, vir = self._npt_ef_vir(state0.pos, box_d)
+                carry = (state0, box_d, v_eps0, self._thermo_aux, aux_b0,
+                         vir)
+                (state, box_d, v_eps, aux_p, aux_b, vir), epot_dev = (
+                    self._scan_fn(carry, int(niter))
+                )
+                self._thermo_aux = aux_p
+                ekin, epot, _ = self._sync_to_host(state, epot_dev)
             self._npt_extra = (v_eps, aux_b, vir)
-            ekin, epot, _ = self._sync_to_host(state, epot_dev)
             box_h = np.asarray(box_d, dtype=np.float64)
             for r in range(systems.nreplicas):
                 np.fill_diagonal(systems.box[r], box_h[r])

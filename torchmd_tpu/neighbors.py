@@ -212,7 +212,7 @@ def build_exclusion_table(parameters, natoms, max_exclusions=0,
 
 def cell_nonbonded_energy_forces(
     ffp: FFParams, cfg: ForceTermConfig, clcfg: CellListConfig,
-    cl: CellList, excl_table, pos, box, slab=None,
+    cl: CellList, excl_table, pos, box, slab=None, with_virial=False,
 ):
     """Nonbonded energies + forces in cell-pair form, via ghost cells.
 
@@ -370,7 +370,7 @@ def cell_nonbonded_energy_forces(
     needs_ab = any(t in cfg.terms for t in ("lj", "repulsion", "repulsioncg"))
 
     def offset_block(carry, delta):
-        f_acc, pot_acc = carry
+        f_acc, pot_acc, vir_acc = carry
         start3 = (base_x + delta[0] + s, delta[1] + s, delta[2] + s)
 
         def nslice(a):
@@ -423,12 +423,18 @@ def cell_nonbonded_energy_forces(
                 B_ij = 4.0 * eps.reshape(rows, cap) * s6
                 A_ij = B_ij * s6
 
-        pot, f_rows = nonbonded_block_energy_forces(
-            cfg, dv, mask, qq, A_ij, B_ij
-        )
+        if with_virial:
+            pot, f_rows, vir = nonbonded_block_energy_forces(
+                cfg, dv, mask, qq, A_ij, B_ij, with_virial=True
+            )
+            vir_acc = vir_acc + vir
+        else:
+            pot, f_rows = nonbonded_block_energy_forces(
+                cfg, dv, mask, qq, A_ij, B_ij
+            )
         f_acc = f_acc + f_rows.reshape(ncl, cap, 3)
         pot_acc = {k: pot_acc[k] + pot[k] for k in pot_acc}
-        return (f_acc, pot_acc), None
+        return (f_acc, pot_acc, vir_acc), None
 
     pot0 = {}
     if "lj" in cfg.terms:
@@ -440,12 +446,17 @@ def cell_nonbonded_energy_forces(
     if qq_terms:
         pot0["electrostatics"] = jnp.zeros((), dtype)
     f0 = jnp.zeros((ncl, cap, 3), dtype)
-    (f_slots, out), _ = jax.lax.scan(offset_block, (f0, pot0), offsets)
+    v0 = jnp.zeros((3,), dtype)
+    (f_slots, out, vir), _ = jax.lax.scan(
+        offset_block, (f0, pot0, v0), offsets
+    )
 
     # scatter slot forces back to atoms (padding rows land in the n-th bin)
     forces = jnp.zeros((n + 1, 3), dtype).at[
         slots_i.reshape(-1)
     ].add(f_slots.reshape(-1, 3))[:n]
+    if with_virial:
+        return out, forces, vir
     return out, forces
 
 
@@ -551,6 +562,35 @@ class CellKernel:
                 )
         return cell_nonbonded_energy_forces(
             self.ffp, self.cfg, self.clcfg, cl, self.excl_table, pos, box
+        )
+
+    def energy_forces_virial(self, pos, box, cl: CellList):
+        """(pot, forces, per-axis pair virial (3,)): the MTK barostat's
+        scaling virial -dE/ds_a of E(s*pos, s*box) for the cell-covered
+        real-space pair terms (same kernel-tier dispatch as
+        energy_forces)."""
+        import os as _os
+
+        if (
+            pos.dtype == jnp.float32
+            and _os.environ.get("TMD_PALLAS_CELL", "1") != "0"
+        ):
+            from .ops.pallas_cell import (
+                pallas_cell_energy_forces,
+                pallas_cell_supported,
+            )
+            from .ops.pallas_nonbonded import pallas_available
+
+            if pallas_available() and pallas_cell_supported(
+                self.cfg, self.clcfg, self.ffp
+            ):
+                return pallas_cell_energy_forces(
+                    self.ffp, self.cfg, self.clcfg, cl, self.excl_table,
+                    pos, box, with_virial=True,
+                )
+        return cell_nonbonded_energy_forces(
+            self.ffp, self.cfg, self.clcfg, cl, self.excl_table, pos, box,
+            with_virial=True,
         )
 
     def check_overflow(self, cl: CellList) -> bool:

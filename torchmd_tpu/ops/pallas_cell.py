@@ -53,8 +53,9 @@ def pallas_cell_supported(cfg, clcfg, ffp) -> bool:
     )
 
 
-def _kernel(i_ref, j_ref, f_ref, elj_ref, eel_ref, *, cfg, nz, cap,
-            nexcl, nfloat):
+def _kernel(i_ref, j_ref, f_ref, elj_ref, eel_ref, *rest, cfg, nz, cap,
+            nexcl, nfloat, virial=False):
+    vir_ref = rest[0] if virial else None
     c = pl.program_id(0)
     o = pl.program_id(1)
     f32 = jnp.float32
@@ -104,21 +105,39 @@ def _kernel(i_ref, j_ref, f_ref, elj_ref, eel_ref, *, cfg, nz, cap,
 
     first = jnp.logical_and(c == 0, o == 0)
 
+    if virial:
+        # raw per-axis sum g * d_a^2; the caller applies the -0.5
+        # symmetric factor (each pair is visited from both cells)
+        vx = jnp.sum(g * dx * dx)
+        vy = jnp.sum(g * dy * dy)
+        vz = jnp.sum(g * dz * dz)
+
     @pl.when(first)
     def _init_e():
         elj_ref[0, 0] = e_lj
         eel_ref[0, 0] = e_el
+        if virial:
+            vir_ref[0, 0] = vx
+            vir_ref[0, 1] = vy
+            vir_ref[0, 2] = vz
 
     @pl.when(jnp.logical_not(first))
     def _acc_e():
         elj_ref[0, 0] = elj_ref[0, 0] + e_lj
         eel_ref[0, 0] = eel_ref[0, 0] + e_el
+        if virial:
+            vir_ref[0, 0] = vir_ref[0, 0] + vx
+            vir_ref[0, 1] = vir_ref[0, 1] + vy
+            vir_ref[0, 2] = vir_ref[0, 2] + vz
 
 
 def pallas_cell_energy_forces(ffp, cfg, clcfg, cl, excl_table, pos, box,
-                              interpret=False):
+                              interpret=False, with_virial=False):
     """Drop-in Pallas replacement for
-    neighbors.cell_nonbonded_energy_forces (f32, split=1, no NBFIX)."""
+    neighbors.cell_nonbonded_energy_forces (f32, split=1, no NBFIX).
+
+    `with_virial=True` additionally returns the per-axis pair virial
+    (3,) — same convention as nonbonded_block_energy_forces."""
     n = pos.shape[0]
     cap = clcfg.capacity
     ncx, ncy, ncz = clcfg.ncells
@@ -197,8 +216,26 @@ def pallas_cell_energy_forces(ffp, cfg, clcfg, cl, excl_table, pos, box,
 
     kern = functools.partial(
         _kernel, cfg=kcfg, nz=ncz, cap=cap, nexcl=e_width, nfloat=float(n),
+        virial=with_virial,
     )
-    f_out, e_lj, e_el = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, 3, ncz, cap), lambda c, o: (c, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda c, o: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda c, o: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((ncx * ncy, 3, ncz, cap), f32),
+        jax.ShapeDtypeStruct((1, 1), f32),
+        jax.ShapeDtypeStruct((1, 1), f32),
+    ]
+    if with_virial:
+        out_specs.append(pl.BlockSpec((1, 3), lambda c, o: (0, 0),
+                                      memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, 3), f32))
+    outs = pl.pallas_call(
         kern,
         grid=(ncx * ncy, 27),
         in_specs=[
@@ -207,21 +244,14 @@ def pallas_cell_energy_forces(ffp, cfg, clcfg, cl, excl_table, pos, box,
             pl.BlockSpec((1, R, Z, cap), j_index,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 3, ncz, cap), lambda c, o: (c, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda c, o: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda c, o: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((ncx * ncy, 3, ncz, cap), f32),
-            jax.ShapeDtypeStruct((1, 1), f32),
-            jax.ShapeDtypeStruct((1, 1), f32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(i_data, j_data)
+    if with_virial:
+        f_out, e_lj, e_el, vir_raw = outs
+    else:
+        f_out, e_lj, e_el = outs
 
     # slot forces -> atoms (padding rows land in the n-th bin)
     f_slots = f_out.transpose(0, 2, 3, 1).reshape(ncells * cap, 3)
@@ -238,4 +268,6 @@ def pallas_cell_energy_forces(ffp, cfg, clcfg, cl, excl_table, pos, box,
         out["repulsioncg"] = e_lj[0, 0]
     if kcfg["elec"]:
         out["electrostatics"] = e_el[0, 0]
+    if with_virial:
+        return out, forces, -0.5 * vir_raw[0]
     return out, forces

@@ -77,7 +77,9 @@ _SELF_O9 = 4
 
 
 def _kernel(w_ref, s_ref, i_ref, j_ref, f_ref, jacc_ref, elj_ref,
-            eel_ref, *, cfg, IBLK, Wq, NB, nexcl, nfloat, ncol, P):
+            eel_ref, *rest, cfg, IBLK, Wq, NB, nexcl, nfloat, ncol, P,
+            virial=False):
+    vir_ref = rest[0] if virial else None
     c = pl.program_id(0)
     o = pl.program_id(1)          # 0 = self, 1..4 = directed
     o9 = o + 4
@@ -92,6 +94,10 @@ def _kernel(w_ref, s_ref, i_ref, j_ref, f_ref, jacc_ref, elj_ref,
         jacc_ref[...] = jnp.zeros(jacc_ref.shape, jacc_ref.dtype)
         elj_ref[0, 0] = jnp.zeros((), f32)
         eel_ref[0, 0] = jnp.zeros((), f32)
+        if virial:
+            vir_ref[0, 0] = jnp.zeros((), f32)
+            vir_ref[0, 1] = jnp.zeros((), f32)
+            vir_ref[0, 2] = jnp.zeros((), f32)
 
     co = c * 9 + o9
     sx = s_ref[co * 2]
@@ -148,6 +154,12 @@ def _kernel(w_ref, s_ref, i_ref, j_ref, f_ref, jacc_ref, elj_ref,
             wt = jnp.where(o == 0, jnp.float32(1.0), jnp.float32(2.0))
             elj_ref[0, 0] = elj_ref[0, 0] + e_lj * wt
             eel_ref[0, 0] = eel_ref[0, 0] + e_el * wt
+            if virial:
+                # raw sum g * d_a^2, weighted like the energies (the
+                # caller applies the -0.5 symmetric factor)
+                vir_ref[0, 0] = vir_ref[0, 0] + jnp.sum(g * dx * dx) * wt
+                vir_ref[0, 1] = vir_ref[0, 1] + jnp.sum(g * dy * dy) * wt
+                vir_ref[0, 2] = vir_ref[0, 2] + jnp.sum(g * dz * dz) * wt
 
             f_ref[0, bi, 0] = f_ref[0, bi, 0] - jnp.sum(g * dx,
                                                         axis=(0, 2))
@@ -172,7 +184,7 @@ def _kernel(w_ref, s_ref, i_ref, j_ref, f_ref, jacc_ref, elj_ref,
 
 def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
                      *, IBLK, W, NB, nexcl, nfloat, P=1,
-                     interpret=False):
+                     interpret=False, with_virial=False):
     """Run the column pair kernel.
 
     i_data:  (ncol, NB, Ri, IBLK) rows 0..6 = x,y,z,q,sig,eps,id;
@@ -209,8 +221,32 @@ def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
 
     kern = functools.partial(
         _kernel, cfg=cfg, IBLK=IBLK, Wq=Wq, NB=NB, nexcl=nexcl,
-        nfloat=float(nfloat), ncol=ncol, P=P,
+        nfloat=float(nfloat), ncol=ncol, P=P, virial=with_virial,
     )
+    out_specs = [
+        pl.BlockSpec((1, NB, 3, IBLK),
+                     lambda c, o, *p: (c, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        # resident extended-slot j-force accumulator: one constant
+        # block for the whole sequential grid (safe to revisit)
+        pl.BlockSpec((ncol, P, CEq, 3, 128),
+                     lambda c, o, *p: (0, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda c, o, *p: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda c, o, *p: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((ncol, NB, 3, IBLK), f32),
+        jax.ShapeDtypeStruct((ncol, P, CEq, 3, 128), f32),
+        jax.ShapeDtypeStruct((1, 1), f32),
+        jax.ShapeDtypeStruct((1, 1), f32),
+    ]
+    if with_virial:
+        out_specs.append(pl.BlockSpec((1, 3), lambda c, o, *p: (0, 0),
+                                      memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, 3), f32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,      # wstart + shifts, whole-array SMEM
         grid=(ncol, 5),
@@ -221,30 +257,12 @@ def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
             pl.BlockSpec((1, P, CEq, Rj, 128), j_index,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, NB, 3, IBLK),
-                         lambda c, o, *p: (c, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # resident extended-slot j-force accumulator: one constant
-            # block for the whole sequential grid (safe to revisit)
-            pl.BlockSpec((ncol, P, CEq, 3, 128),
-                         lambda c, o, *p: (0, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda c, o, *p: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda c, o, *p: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
+        out_specs=out_specs,
     )
-    f_out, jacc, e_lj, e_el = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((ncol, NB, 3, IBLK), f32),
-            jax.ShapeDtypeStruct((ncol, P, CEq, 3, 128), f32),
-            jax.ShapeDtypeStruct((1, 1), f32),
-            jax.ShapeDtypeStruct((1, 1), f32),
-        ],
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=60 * ncol * 5 * NB * IBLK * W,
             bytes_accessed=ncol * 5 * (Ri * NB * IBLK
@@ -254,4 +272,8 @@ def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
         interpret=interpret,
     )(wstart.reshape(-1), shifts.astype(f32).reshape(-1),
       i_data, j_data)
+    if with_virial:
+        f_out, jacc, e_lj, e_el, vir = outs
+        return e_lj[0, 0], e_el[0, 0], f_out, jacc, vir[0]
+    f_out, jacc, e_lj, e_el = outs
     return e_lj[0, 0], e_el[0, 0], f_out, jacc

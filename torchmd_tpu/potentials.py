@@ -275,12 +275,18 @@ def nonbonded_energies(par: FFParams, pos, box, cfg: ForceTermConfig):
 # Total energy
 # ----------------------------------------------------------------------
 
-def compute_potentials(par: FFParams, pos, box, cfg: ForceTermConfig) -> dict:
+def compute_potentials(par: FFParams, pos, box, cfg: ForceTermConfig,
+                       nonbonded=True) -> dict:
     """Per-term potential energies for a single conformation.
 
     pos: (natoms, 3); box: (3,) rectangular box diagonal (zeros = no PBC).
     Returns a dict term -> scalar. vmap over a leading replica axis for
-    batched evaluation."""
+    batched evaluation.
+
+    `nonbonded=False` skips the O(N^2) nonbonded matrix while keeping
+    every bonded-topology term (including 1-4, whose LJ/elec want-flags
+    still read the full cfg.terms) — the cell-path NPT scan uses this to
+    get a box-differentiable energy for the cheap terms only."""
     pot = {}
     if "bonds" in cfg.terms and par.bonds is not None:
         pot["bonds"] = bond_energy(par.bonds, pos, box, cfg.cutoff)
@@ -312,7 +318,8 @@ def compute_potentials(par: FFParams, pos, box, cfg: ForceTermConfig) -> dict:
         if "electrostatics" in cfg.terms:
             pot["electrostatics"] = pot.get("electrostatics", 0.0) + e_elec
 
-    if any(t in cfg.terms for t in NONBONDED_TERMS) and par.nb_mask is not None:
+    if (nonbonded and any(t in cfg.terms for t in NONBONDED_TERMS)
+            and par.nb_mask is not None):
         nb = nonbonded_energies(par, pos, box, cfg)
         for k, v in nb.items():
             pot[k] = pot.get(k, 0.0) + v
@@ -339,7 +346,7 @@ def energy_and_forces(par: FFParams, pos, box, cfg: ForceTermConfig):
 # ----------------------------------------------------------------------
 
 def nonbonded_block_energy_forces(cfg: ForceTermConfig, dv, mask, qq,
-                                  A_ij, B_ij):
+                                  A_ij, B_ij, with_virial=False):
     """Shared pair-block nonbonded math: energies + row forces for a block
     of pair displacements.
 
@@ -347,6 +354,13 @@ def nonbonded_block_energy_forces(cfg: ForceTermConfig, dv, mask, qq,
     valid-pair mask (self/exclusions/padding already removed); qq, A_ij,
     B_ij: per-pair coefficient blocks (None when the term set does not
     need them).  Returns ({term: 0.5 * sum energy}, row forces (rows, 3)).
+
+    With `with_virial=True` also returns the per-axis pair virial of the
+    block, W_a = sum_pairs f_pair,a * dv_a = -sum g * dv_a^2 — the exact
+    per-axis scaling derivative -dE/ds_a of E(s*pos, s*box) for pair
+    terms (joint scaling leaves the minimum-image integer wrap counts
+    fixed, so dv scales linearly with s). Carries the same 0.5 symmetric
+    factor as the energies when each pair is visited from both sides.
 
     Both the dense single-device evaluation and the spatially sharded
     row-block path consume this single implementation, so LJ(A/B incl.
@@ -420,6 +434,11 @@ def nonbonded_block_energy_forces(cfg: ForceTermConfig, dv, mask, qq,
         g = g + dEdr_over_r * fmask
 
     forces = -jnp.einsum("ij,ijk->ik", g, dv)
+    if with_virial:
+        # 0.5: each pair appears in both its rows' blocks (symmetric
+        # visitation), exactly like the energies above
+        vir = -0.5 * jnp.einsum("ij,ijk->k", g, dv * dv)
+        return out, forces, vir
     return out, forces
 
 

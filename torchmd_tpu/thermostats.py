@@ -66,7 +66,9 @@ class NoseHooverChain:
         rank advances an identical chain."""
         M = self.nchain
         kT = self.kT
-        Q = self.Q
+        # match the velocity dtype: a raw np.float64 Q would promote an
+        # f32 scan carry to f64 under x64 (CPU validation runs)
+        Q = jnp.asarray(self.Q, vel.dtype)
         nf_kT = self.ndof * kT
         dt4 = 0.5 * dth
         dt8 = 0.25 * dth
