@@ -1,0 +1,762 @@
+"""GROMACS .top/.itp/.gro ingestion tests.
+
+Validation strategy (no GROMACS binary in this container): every energy
+assertion is against an independent numpy re-implementation of the GROMACS
+functional forms written directly in this file (units converted
+independently), plus structural checks of the preprocessor, molecule
+replication, exclusion generation, wildcard type matching and the
+Ryckaert-Bellemans expansion identity.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from torchmd_tpu.forcefields import ForceField
+from torchmd_tpu.forcefields.ff_gromacs import (
+    GromacsForcefield,
+    rb_to_periodic_rows,
+)
+from torchmd_tpu.forces import Forces
+from torchmd_tpu.io import Molecule
+from torchmd_tpu.parameters import Parameters
+from torchmd_tpu.units import ELEC_FACTOR
+
+KJ2KCAL = 1.0 / 4.184
+
+
+def write(path, text):
+    with open(path, "w") as fh:
+        fh.write(text)
+    return str(path)
+
+
+# ----------------------------------------------------------------------
+# fixtures
+# ----------------------------------------------------------------------
+
+SPC_TOP = """
+[ defaults ]
+; nbfunc comb-rule gen-pairs fudgeLJ fudgeQQ
+  1      2         yes       0.5     0.8333
+
+[ atomtypes ]
+; name atnum mass     charge  ptype sigma(nm)    eps(kJ)
+  OW   8     15.99940 -0.82   A     3.16557e-01  6.50629e-01
+  HW   1     1.00800   0.41   A     0.0          0.0
+
+[ moleculetype ]
+; name nrexcl
+  SOL  2
+
+[ atoms ]
+; nr type resnr residue atom cgnr charge mass
+  1  OW   1     SOL     OW   1    -0.82  15.9994
+  2  HW   1     SOL     HW1  1     0.41   1.008
+  3  HW   1     SOL     HW2  1     0.41   1.008
+
+[ settles ]
+; OW funct doh dhh
+  1  1     0.1 0.16330
+
+[ exclusions ]
+1 2 3
+2 1 3
+3 1 2
+
+[ system ]
+SPC water
+
+[ molecules ]
+SOL 2
+"""
+
+
+def spc_coords():
+    """Two SPC geometries (Angstrom), 3.1 A apart in x."""
+    w = np.array([
+        [0.000, 0.000, 0.000],
+        [1.000, 0.000, 0.000],
+        [-0.333, 0.943, 0.000],
+    ])
+    return np.concatenate([w, w + np.array([3.1, 0.4, 0.2])])
+
+
+def test_spc_water_energy_vs_numpy(tmp_path):
+    top = write(tmp_path / "spc.top", SPC_TOP)
+    mol = Molecule(top)
+    assert mol.numAtoms == 6
+    coords = spc_coords()
+    mol.coords = coords[:, :, None]
+
+    ff = ForceField.create(mol, top)
+    assert isinstance(ff, GromacsForcefield)
+    par = Parameters(ff, mol, ["bonds", "lj", "electrostatics"],
+                     precision="double")
+    forces = Forces(par, terms=["bonds", "lj", "electrostatics"],
+                    precision="double")
+    pots = forces.compute(coords[None], None, returnDetails=True)[0]
+
+    # independent numpy: only intermolecular pairs interact
+    sig = 3.16557e-01 * 10.0
+    eps = 6.50629e-01 * KJ2KCAL
+    q = np.array([-0.82, 0.41, 0.41] * 2)
+    e_lj = 0.0
+    e_el = 0.0
+    for i in range(3):
+        for j in range(3, 6):
+            r = np.linalg.norm(coords[i] - coords[j])
+            if i == 0 and j == 3:
+                e_lj += 4 * eps * ((sig / r) ** 12 - (sig / r) ** 6)
+            e_el += ELEC_FACTOR * q[i] * q[j] / r
+    assert pots["lj"] == pytest.approx(e_lj, rel=1e-9)
+    assert pots["electrostatics"] == pytest.approx(e_el, rel=1e-9)
+    # settle distances became zero-k bonds: no bonded energy
+    assert pots["bonds"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_spc_settle_detection(tmp_path):
+    from torchmd_tpu.constraints import build_settle
+
+    top = write(tmp_path / "spc.top", SPC_TOP)
+    mol = Molecule(top)
+    ff = ForceField.create(mol, top)
+    par = Parameters(ff, mol, ["bonds", "lj", "electrostatics"],
+                     precision="double")
+    ss = build_settle(par, par.masses)
+    assert ss is not None and int(ss.oidx.shape[0]) == 2
+    assert np.allclose(np.asarray(ss.r_oh), 1.0)
+    assert np.allclose(np.asarray(ss.r_hh), 1.6330)
+
+
+BUTANE_TOP = """
+#define RB_BUTANE 9.2789 12.156 -13.12 -3.0597 26.24 -31.495
+
+[ defaults ]
+  1 3 yes 0.5 0.8333
+
+[ atomtypes ]
+  CH3  6  15.035  0.0  A  3.905e-01  7.3216e-01
+  CH2  6  14.027  0.0  A  3.905e-01  4.9371e-01
+
+[ moleculetype ]
+  BUT  3
+
+[ atoms ]
+  1 CH3 1 BUT C1 1  0.12 15.035
+  2 CH2 1 BUT C2 1 -0.12 14.027
+  3 CH2 1 BUT C3 1 -0.12 14.027
+  4 CH3 1 BUT C4 1  0.12 15.035
+
+[ bonds ]
+  1 2 1 0.1530 224262.4
+  2 3 1 0.1530 224262.4
+  3 4 1 0.1530 224262.4
+
+[ angles ]
+  1 2 3 1 111.0 519.6545
+  2 3 4 1 111.0 519.6545
+
+[ pairs ]
+  1 4 1
+
+[ dihedrals ]
+  1 2 3 4 3 RB_BUTANE
+
+[ system ]
+butane
+
+[ molecules ]
+BUT 1
+"""
+
+
+def butane_coords(phi_deg):
+    """4-atom chain with bond length 1.53, angles 111 deg, dihedral phi."""
+    b, th = 1.53, np.radians(111.0)
+    p0 = np.array([0.0, 0.0, 0.0])
+    p1 = np.array([b, 0.0, 0.0])
+    p2 = p1 + b * np.array([-np.cos(th), np.sin(th), 0.0])
+    # place p3 by rotating around the p1->p2 axis by phi
+    phi = np.radians(phi_deg)
+    e23 = (p2 - p1) / np.linalg.norm(p2 - p1)
+    # reference direction perpendicular to e23 in the 0-1-2 plane
+    u = p0 - p1
+    u = u - np.dot(u, e23) * e23
+    u /= np.linalg.norm(u)
+    v = np.cross(e23, u)
+    d = np.cos(phi) * u + np.sin(phi) * v
+    dirn = d * np.sin(th) - e23 * np.cos(th)
+    p3 = p2 + b * dirn
+    return np.stack([p0, p1, p2, p3])
+
+
+def rb_energy_kcal(phi, c_kj):
+    psi = phi - np.pi
+    return KJ2KCAL * sum(
+        c * np.cos(psi) ** n for n, c in enumerate(c_kj)
+    )
+
+
+def measured_phi(pos):
+    r12 = pos[0] - pos[1]
+    r23 = pos[1] - pos[2]
+    r34 = pos[2] - pos[3]
+    ca = np.cross(r12, r23)
+    cb = np.cross(r23, r34)
+    cc = np.cross(r23, ca)
+    cosp = np.dot(ca, cb) / (np.linalg.norm(ca) * np.linalg.norm(cb))
+    sinp = np.dot(cc, cb) / (np.linalg.norm(cc) * np.linalg.norm(cb))
+    return -np.arctan2(sinp, cosp)
+
+
+RB_C = [9.2789, 12.156, -13.12, -3.0597, 26.24, -31.495]
+
+
+def test_rb_expansion_identity():
+    rows = rb_to_periodic_rows(RB_C)
+    phis = np.linspace(-np.pi, np.pi, 97)
+    direct = np.array([rb_energy_kcal(p, RB_C) for p in phis])
+    expanded = sum(
+        k * (1.0 + np.cos(n * phis - ph)) for k, ph, n in rows
+    )
+    assert np.allclose(expanded, direct, atol=1e-10)
+
+
+@pytest.mark.parametrize("phi_deg", [0.0, 60.0, 120.0, 180.0, -73.0])
+def test_butane_rb_dihedral(tmp_path, phi_deg):
+    top = write(tmp_path / "butane.top", BUTANE_TOP)
+    mol = Molecule(top)
+    coords = butane_coords(phi_deg)
+    mol.coords = coords[:, :, None]
+    ff = ForceField.create(mol, top)
+    par = Parameters(ff, mol, ["bonds", "angles", "dihedrals"],
+                     precision="double")
+    forces = Forces(par, terms=["bonds", "angles", "dihedrals"],
+                    precision="double")
+    pots = forces.compute(coords[None], None, returnDetails=True)[0]
+    phi = measured_phi(coords)
+    assert np.degrees(phi) == pytest.approx(phi_deg, abs=1e-6)
+    assert pots["dihedrals"] == pytest.approx(
+        rb_energy_kcal(phi, RB_C), rel=1e-9, abs=1e-10
+    )
+    # bonds/angles at equilibrium geometry: ~0 (within float placement)
+    assert abs(pots["bonds"]) < 1e-6
+    assert abs(pots["angles"]) < 1e-6
+
+
+def test_butane_gen_pairs_14(tmp_path):
+    """[pairs] with gen-pairs: geometric comb rule x fudgeLJ, Coulomb x
+    fudgeQQ -- checked against numpy."""
+    top = write(tmp_path / "butane.top", BUTANE_TOP)
+    mol = Molecule(top)
+    coords = butane_coords(97.0)
+    mol.coords = coords[:, :, None]
+    ff = ForceField.create(mol, top)
+    terms = ["bonds", "angles", "dihedrals", "1-4", "lj", "electrostatics"]
+    par = Parameters(ff, mol, terms, precision="double")
+    forces = Forces(par, terms=terms, precision="double")
+    pots = forces.compute(coords[None], None, returnDetails=True)[0]
+
+    r14 = np.linalg.norm(coords[0] - coords[3])
+    sig = np.sqrt(3.905e-01 * 3.905e-01) * 10.0  # geometric (comb rule 3)
+    eps = np.sqrt(7.3216e-01 * 7.3216e-01) * KJ2KCAL * 0.5  # x fudgeLJ
+    e_lj14 = 4 * eps * ((sig / r14) ** 12 - (sig / r14) ** 6)
+    e_el14 = 0.8333 * ELEC_FACTOR * 0.12 * 0.12 / r14
+    # all non-pair nonbonded pairs are excluded by nrexcl=3
+    assert pots["lj"] == pytest.approx(e_lj14, rel=1e-9)
+    assert pots["electrostatics"] == pytest.approx(e_el14, rel=1e-6)
+
+
+GROMOS_TOP = """
+[ defaults ]
+  1 1 no 1.0 1.0
+
+[ atomtypes ]
+;  name  mass  charge ptype  C6(kJ nm6)  C12(kJ nm12)
+   AR    39.95 0.0    A      6.2647e-03  9.8470e-06
+   KR    83.80 0.0    A      9.4000e-03  2.7000e-05
+
+[ nonbond_params ]
+   AR KR 1 8.0e-03 1.8e-05
+
+[ moleculetype ]
+  ARG 1
+
+[ atoms ]
+  1 AR 1 ARG AR 1 0.0 39.95
+
+[ moleculetype ]
+  KRG 1
+
+[ atoms ]
+  1 KR 1 KRG KR 1 0.0 83.80
+
+[ system ]
+noble gases
+
+[ molecules ]
+ARG 2
+KRG 1
+"""
+
+
+def test_comb_rule1_c6c12_and_override(tmp_path):
+    top = write(tmp_path / "gases.top", GROMOS_TOP)
+    mol = Molecule(top)
+    assert mol.numAtoms == 3
+    coords = np.array([
+        [0.0, 0.0, 0.0], [3.9, 0.0, 0.0], [1.9, 3.3, 0.0],
+    ])
+    mol.coords = coords[:, :, None]
+    ff = ForceField.create(mol, top)
+    par = Parameters(ff, mol, ["lj"], precision="double")
+    assert getattr(par, "lj_ab_tables", None) is not None
+    forces = Forces(par, terms=["lj"], precision="double")
+    pots = forces.compute(coords[None], None, returnDetails=True)[0]
+
+    c6conv = KJ2KCAL * 10.0**6
+    c12conv = KJ2KCAL * 10.0**12
+
+    def lj(c6, c12, r):
+        return c12 * c12conv / r**12 - c6 * c6conv / r**6
+
+    r01 = np.linalg.norm(coords[0] - coords[1])
+    r02 = np.linalg.norm(coords[0] - coords[2])
+    r12 = np.linalg.norm(coords[1] - coords[2])
+    e = lj(6.2647e-03, 9.8470e-06, r01)       # AR-AR geometric = same type
+    e += lj(8.0e-03, 1.8e-05, r02)            # AR-KR override
+    e += lj(8.0e-03, 1.8e-05, r12)
+    assert pots["lj"] == pytest.approx(e, rel=1e-9)
+
+
+UB_TOP = """
+[ defaults ]
+  1 2 no 1.0 1.0
+
+[ atomtypes ]
+  CA 12.011 0.0 A 0.35 0.3
+  HA 1.008  0.0 A 0.25 0.1
+
+[ moleculetype ]
+  TRI 3
+
+[ atoms ]
+  1 HA 1 TRI H1 1 0.0 1.008
+  2 CA 1 TRI C  1 0.0 12.011
+  3 HA 1 TRI H2 1 0.0 1.008
+
+[ bonds ]
+  1 2 1 0.110 280000.0
+  2 3 1 0.110 280000.0
+
+[ angles ]
+; i j k funct theta0 k(kJ/rad2) r13(nm) kub(kJ/nm2)
+  1 2 3 5 109.0 300.0 0.180 25000.0
+
+[ system ]
+ub test
+
+[ molecules ]
+TRI 1
+"""
+
+
+def test_urey_bradley_funct5(tmp_path):
+    top = write(tmp_path / "ub.top", UB_TOP)
+    mol = Molecule(top)
+    th = np.radians(104.0)
+    b = 1.12
+    coords = np.array([
+        [b, 0.0, 0.0],
+        [0.0, 0.0, 0.0],
+        [b * np.cos(th), b * np.sin(th), 0.0],
+    ])
+    mol.coords = coords[:, :, None]
+    ff = ForceField.create(mol, top)
+    terms = ["bonds", "angles", "urey-bradley"]
+    par = Parameters(ff, mol, terms, precision="double")
+    forces = Forces(par, terms=terms, precision="double")
+    pots = forces.compute(coords[None], None, returnDetails=True)[0]
+
+    e_bond = 2 * (280000.0 * KJ2KCAL / 100.0 / 2.0) * (b - 1.10) ** 2
+    e_ang = (300.0 * KJ2KCAL / 2.0) * (th - np.radians(109.0)) ** 2
+    r13 = np.linalg.norm(coords[0] - coords[2])
+    e_ub = (25000.0 * KJ2KCAL / 100.0 / 2.0) * (r13 - 1.80) ** 2
+    assert pots["bonds"] == pytest.approx(e_bond, rel=1e-9)
+    assert pots["angles"] == pytest.approx(e_ang, rel=1e-9)
+    assert pots["urey-bradley"] == pytest.approx(e_ub, rel=1e-9)
+
+
+WILDCARD_TOP = """
+[ defaults ]
+  1 2 yes 0.5 0.8333
+
+[ atomtypes ]
+  CT  12.011 0.0 A 0.35 0.3
+  CM  12.011 0.0 A 0.35 0.3
+
+[ bondtypes ]
+  CT CM 1 0.1510 265265.6
+  CT CT 1 0.1529 224262.4
+
+[ angletypes ]
+  CT CM CT 1 120.0 400.0
+  CM CT CM 1 120.0 400.0
+
+[ dihedraltypes ]
+  X CT CM X 9 180.0 10.0 2
+  X CT CM X 9 0.0 2.0 3
+
+[ moleculetype ]
+  WLD 3
+
+[ atoms ]
+  1 CM 1 WLD C1 1 0.0 12.011
+  2 CT 1 WLD C2 1 0.0 12.011
+  3 CM 1 WLD C3 1 0.0 12.011
+  4 CT 1 WLD C4 1 0.0 12.011
+
+[ bonds ]
+  1 2 1
+  2 3 1
+  3 4 1
+
+[ angles ]
+  1 2 3 1
+  2 3 4 1
+
+[ dihedrals ]
+  1 2 3 4 9
+
+[ system ]
+wildcards
+
+[ molecules ]
+WLD 1
+"""
+
+
+def test_wildcard_dihedraltypes_and_bondtype_lookup(tmp_path):
+    top = write(tmp_path / "wild.top", WILDCARD_TOP)
+    mol = Molecule(top)
+    coords = butane_coords(35.0)
+    mol.coords = coords[:, :, None]
+    ff = ForceField.create(mol, top)
+    par = Parameters(ff, mol, ["bonds", "angles", "dihedrals"],
+                     precision="double")
+    # two periodic rows from the wildcard multi-term funct 9 entry
+    assert par.dihedral_params["params"].shape == (2, 3)
+    assert sorted(par.dihedral_params["params"][:, 2]) == [2.0, 3.0]
+    # bondtype lookup (no inline params): CT-CM r0 = 1.51 A
+    r0 = par.bond_params["params"][
+        par.bond_params["map"][:, 1], 1
+    ]
+    assert set(np.round(r0, 4)) == {1.51}
+    forces = Forces(par, terms=["bonds", "angles", "dihedrals"],
+                    precision="double")
+    pots = forces.compute(coords[None], None, returnDetails=True)[0]
+    phi = measured_phi(coords)
+    e_expected = (
+        10.0 * KJ2KCAL * (1 + np.cos(2 * phi - np.pi))
+        + 2.0 * KJ2KCAL * (1 + np.cos(3 * phi))
+    )
+    assert pots["dihedrals"] == pytest.approx(e_expected, rel=1e-9)
+
+
+def test_preprocessor_include_ifdef(tmp_path):
+    inc = write(tmp_path / "types.itp", """
+[ atomtypes ]
+  AR 39.95 0.0 A 0.34 1.0
+""")
+    top = write(tmp_path / "sys.top", """
+#include "types.itp"
+#define MYFLAG
+
+[ defaults ]
+  1 2 no 1.0 1.0
+
+[ moleculetype ]
+  M 1
+
+[ atoms ]
+#ifdef MYFLAG
+  1 AR 1 M AR 1 0.5 39.95
+#else
+  1 AR 1 M AR 1 -0.5 39.95
+#endif
+#ifndef OTHERFLAG
+  2 AR 1 M AR2 1 0.25 39.95
+#endif
+
+[ system ]
+x
+
+[ molecules ]
+M 1
+""")
+    assert os.path.exists(inc)
+    mol = Molecule(top)
+    assert mol.numAtoms == 2
+    assert mol.charge[0] == pytest.approx(0.5)
+    assert mol.charge[1] == pytest.approx(0.25)
+
+
+def test_molecule_replication_and_exclusions(tmp_path):
+    top = write(tmp_path / "mix.top", SPC_TOP)
+    mol = Molecule(top)
+    ff = ForceField.create(mol, top)
+    par = Parameters(ff, mol, ["bonds", "lj", "electrostatics"],
+                     precision="double")
+    excl = par.get_exclusions()
+    # each water: 3 intramolecular pairs; two waters
+    assert sorted(map(tuple, excl)) == [
+        (0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5),
+    ]
+    assert list(mol.resid) == [1, 1, 1, 2, 2, 2]
+    assert mol.bonds.shape == (6, 2)  # settle triangles as connectivity
+
+
+def test_gro_read_write_roundtrip(tmp_path):
+    top = write(tmp_path / "spc.top", SPC_TOP)
+    mol = Molecule(top)
+    coords = spc_coords()
+    mol.coords = coords[:, :, None]
+    mol.box = np.array([[20.0], [20.0], [20.0]])
+    gro = str(tmp_path / "out.gro")
+    mol.write(gro)
+
+    mol2 = Molecule(top)
+    mol2.read(gro)
+    assert np.allclose(mol2.coords[:, :, 0], coords, atol=1e-2)
+    assert np.allclose(mol2.box[:, 0], [20.0, 20.0, 20.0])
+    assert list(mol2.resname[:3]) == ["SOL", "SOL", "SOL"]
+
+
+def test_gro_velocities_and_triclinic_reject(tmp_path):
+    gro = write(tmp_path / "v.gro", """title t= 0.0
+    2
+    1SOL     OW    1   0.000   0.000   0.000  0.1000  0.2000 -0.3000
+    1SOL    HW1    2   0.100   0.000   0.000  0.0000  0.0000  0.0000
+   2.00000   2.00000   2.00000
+""")
+    mol = Molecule()
+    mol.read(gro)
+    assert mol.velocities is not None
+    assert np.allclose(mol.velocities[0], [1.0, 2.0, -3.0])
+
+    bad = write(tmp_path / "tri.gro", """t
+    1
+    1SOL     OW    1   0.000   0.000   0.000
+   2.0 2.0 2.0 0.0 0.0 0.5 0.0 0.0 0.0
+""")
+    with pytest.raises(ValueError, match="triclinic"):
+        Molecule().read(bad)
+
+
+def test_spc_md_smoke(tmp_path):
+    """8 SPC waters in a periodic box: a few Langevin steps run and stay
+    finite with the GROMACS-assembled parameters."""
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.systems import System
+
+    top_text = SPC_TOP.replace("SOL 2", "SOL 8")
+    top = write(tmp_path / "spc8.top", top_text)
+    mol = Molecule(top)
+    w = spc_coords()[:3]
+    pts = []
+    for ix in range(2):
+        for iy in range(2):
+            for iz in range(2):
+                pts.append(w + np.array([ix, iy, iz]) * 6.0 + 1.0)
+    coords = np.concatenate(pts)
+    mol.coords = coords[:, :, None]
+    mol.box = np.full((3, 1), 12.0)
+
+    ff = ForceField.create(mol, top)
+    terms = ["bonds", "lj", "electrostatics"]
+    par = Parameters(ff, mol, terms, precision="double")
+    forces = Forces(par, terms=terms, precision="double", cutoff=5.0,
+                    rfa=True)
+    syst = System(mol.numAtoms, 1, "double")
+    syst.set_positions(mol.coords)
+    syst.set_box(mol.box)
+    syst.set_velocities(maxwell_boltzmann(par.masses, 300.0, 1, seed=7))
+    integ = Integrator(syst, forces, timestep=1.0, gamma=0.5, T=300.0,
+                       seed=7, constraints="settle")
+    ekin, epot, temp = integ.step(niter=5)
+    assert np.all(np.isfinite(np.asarray(epot)))
+    assert np.all(np.isfinite(np.asarray(syst.pos)))
+
+
+TIP4P2005_TOP = """
+[ defaults ]
+  1 2 yes 0.5 0.8333
+
+[ atomtypes ]
+  OW  8 15.99940  0.0     A  0.31589  0.7749
+  HW  1  1.00800  0.5564  A  0.0      0.0
+  MW  0  0.00000 -1.1128  D  0.0      0.0
+
+[ moleculetype ]
+  SOL 2
+
+[ atoms ]
+  1 OW 1 SOL OW  1  0.0000 15.9994
+  2 HW 1 SOL HW1 1  0.5564  1.008
+  3 HW 1 SOL HW2 1  0.5564  1.008
+  4 MW 1 SOL MW  1 -1.1128  0.000
+
+[ settles ]
+  1 1 0.09572 0.15139
+
+[ virtual_sites3 ]
+; site i j k funct a b
+  4 1 2 3 1 0.13193828 0.13193828
+
+[ exclusions ]
+1 2 3 4
+2 1 3 4
+3 1 2 4
+4 1 2 3
+
+[ system ]
+tip4p/2005
+
+[ molecules ]
+SOL 2
+"""
+
+
+def tip4p_water(origin=(0.0, 0.0, 0.0)):
+    """One TIP4P geometry: O, H1, H2 (M row left at zero -- reconstructed)."""
+    doh, theta = 0.9572, np.radians(104.52)
+    o = np.asarray(origin, dtype=np.float64)
+    h1 = o + doh * np.array([np.cos(theta / 2), np.sin(theta / 2), 0.0])
+    h2 = o + doh * np.array([np.cos(theta / 2), -np.sin(theta / 2), 0.0])
+    return np.stack([o, h1, h2, o])  # M placeholder at O
+
+
+def tip4p_msite(w):
+    a = 0.13193828
+    return w[0] + a * (w[1] - w[0]) + a * (w[2] - w[0])
+
+
+def test_tip4p_vsite_construction(tmp_path):
+    from torchmd_tpu.vsites import apply_vsites
+
+    top = write(tmp_path / "tip4p.top", TIP4P2005_TOP)
+    mol = Molecule(top)
+    assert mol.numAtoms == 8
+    assert mol.masses[3] == 0.0 and mol.masses[7] == 0.0
+    ff = ForceField.create(mol, top)
+    par = Parameters(ff, mol, ["bonds", "lj", "electrostatics"],
+                     precision="double")
+    assert len(par.vsites) == 1
+
+    w1 = tip4p_water()
+    w2 = tip4p_water((3.1, 0.3, 0.1))
+    pos = np.concatenate([w1, w2])
+    import jax.numpy as jnp
+
+    snapped = np.asarray(apply_vsites(par.vsites, jnp.asarray(pos), None))
+    m1 = tip4p_msite(w1)
+    assert np.allclose(snapped[3], m1, atol=1e-12)
+    # M on the HOH bisector at dOM = 0.1546 A from O
+    assert np.linalg.norm(m1 - w1[0]) == pytest.approx(0.1546, abs=2e-4)
+
+
+def test_tip4p_dimer_energy_and_forces(tmp_path):
+    top = write(tmp_path / "tip4p.top", TIP4P2005_TOP)
+    mol = Molecule(top)
+    w1 = tip4p_water()
+    w2 = tip4p_water((3.0, 0.4, 0.2))
+    pos = np.concatenate([w1, w2])
+    mol.coords = pos[:, :, None]
+    ff = ForceField.create(mol, top)
+    terms = ["bonds", "lj", "electrostatics"]
+    par = Parameters(ff, mol, terms, precision="double")
+    forces = Forces(par, terms=terms, precision="double")
+    frc = np.zeros((1, 8, 3))
+    pots = forces.compute(pos[None], None, frc, returnDetails=True)[0]
+
+    # numpy reference with constructed M sites
+    full = pos.copy()
+    full[3] = tip4p_msite(w1)
+    full[7] = tip4p_msite(w2)
+    q = np.array([0.0, 0.5564, 0.5564, -1.1128] * 2)
+    sig, eps = 3.1589, 0.7749 * KJ2KCAL
+    e_lj = 0.0
+    e_el = 0.0
+    for i in range(4):
+        for j in range(4, 8):
+            r = np.linalg.norm(full[i] - full[j])
+            if i == 0 and j == 4:
+                e_lj += 4 * eps * ((sig / r) ** 12 - (sig / r) ** 6)
+            e_el += ELEC_FACTOR * q[i] * q[j] / r
+    assert pots["lj"] == pytest.approx(e_lj, rel=1e-9)
+    assert pots["electrostatics"] == pytest.approx(e_el, rel=1e-9)
+
+    # site rows carry no force after spreading
+    assert np.allclose(frc[0, 3], 0.0, atol=1e-10)
+    assert np.allclose(frc[0, 7], 0.0, atol=1e-10)
+
+    # finite-difference force check on a host atom (H1 of water 1) and
+    # the O atoms (which receive the spread M-site force)
+    def etot(p):
+        return sum(
+            forces.compute(p[None], None, returnDetails=True)[0].values()
+        )
+
+    h = 1e-5
+    for atom in (0, 1, 4):
+        for k in range(3):
+            pp = pos.copy()
+            pp[atom, k] += h
+            pm = pos.copy()
+            pm[atom, k] -= h
+            fd = -(etot(pp) - etot(pm)) / (2 * h)
+            assert frc[0, atom, k] == pytest.approx(fd, rel=2e-5, abs=1e-7)
+
+
+def test_tip4p_md_smoke(tmp_path):
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.systems import System
+    from torchmd_tpu.vsites import apply_vsites
+
+    top = write(tmp_path / "tip4p.top", TIP4P2005_TOP)
+    mol = Molecule(top)
+    pos = np.concatenate([tip4p_water((1.0, 1.0, 1.0)),
+                          tip4p_water((4.0, 1.3, 1.1))])
+    mol.coords = pos[:, :, None]
+    mol.box = np.full((3, 1), 9.0)
+    ff = ForceField.create(mol, top)
+    terms = ["bonds", "lj", "electrostatics"]
+    par = Parameters(ff, mol, terms, precision="double")
+    forces = Forces(par, terms=terms, precision="double", cutoff=4.0,
+                    rfa=True)
+    syst = System(mol.numAtoms, 1, "double")
+    syst.set_positions(mol.coords)
+    syst.set_box(mol.box)
+    vel = maxwell_boltzmann(par.masses, 300.0, 1, seed=3)
+    assert np.allclose(np.asarray(vel)[0, [3, 7]], 0.0)  # massless rows
+    syst.set_velocities(vel)
+    integ = Integrator(syst, forces, timestep=2.0, gamma=0.5, T=300.0,
+                       seed=3, constraints="settle")
+    ekin, epot, temp = integ.step(niter=10)
+    assert np.all(np.isfinite(np.asarray(epot)))
+    assert 0.0 < float(np.asarray(temp).reshape(-1)[0]) < 2000.0
+    out = np.asarray(syst.pos)[0]
+    # M rows track their construction exactly after the scan
+    import jax.numpy as jnp
+
+    snapped = np.asarray(
+        apply_vsites(par.vsites, jnp.asarray(out), jnp.asarray([9.0] * 3))
+    )
+    assert np.allclose(out[3], snapped[3], atol=1e-9)
+    assert np.allclose(out[7], snapped[7], atol=1e-9)
+    # settle kept the real geometry rigid
+    assert np.linalg.norm(out[0] - out[1]) == pytest.approx(0.9572, abs=1e-6)
+    assert np.linalg.norm(out[1] - out[2]) == pytest.approx(0.15139 * 10,
+                                                            abs=1e-5)

@@ -94,6 +94,8 @@ class ForceField:
         from .ff_charmm import CharmmForcefield
         from .ff_amber import AmberForcefield
 
+        from .ff_gromacs import GromacsForcefield
+
         if prm is None:
             # No parameter file: valid for external-potential-only runs
             # (e.g. npz + NNP with empty force terms)
@@ -108,6 +110,8 @@ class ForceField:
         ext = os.path.splitext(str(prm))[-1].lower()
         if ext in (".yaml", ".yml"):
             return YamlForcefield(mol, prm)
+        if ext in (".top", ".itp"):
+            return GromacsForcefield(mol, prm)
         if ext == ".prm" or ext == ".rtf":
             return CharmmForcefield(mol, [prm])
         if ext in (".prmtop", ".frcmod", ".dat"):

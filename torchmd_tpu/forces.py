@@ -346,11 +346,25 @@ class Forces:
                 pot["electrostatics"] = pot.get("electrostatics", 0.0) + er
                 return pot, frc - eg
 
+        # Virtual sites (TIP4P-family waters, GROMACS [virtual_sitesN]):
+        # outermost wrap -- every inner path (dense/Pallas/cell/verlet/
+        # Ewald) evaluates at the reconstructed site geometry and the
+        # site forces chain-rule back onto the hosts (vsites.py).
+        self.vsites = getattr(self.par, "vsites", None) or None
+        if self.vsites:
+            from .vsites import wrap_energy_forces
+
+            ef_one = wrap_energy_forces(self.vsites, ef_one)
+
         self.ef_one = ef_one
 
         ext_energy_fn = getattr(external, "energy_fn", None)
 
         def _potentials_one(ffp, pos, box):
+            if self.vsites:
+                from .vsites import apply_vsites
+
+                pos = apply_vsites(self.vsites, pos, box)
             pot = compute_potentials(ffp, pos, box, self.config)
             if self._ewald is not None:
                 pot["electrostatics"] = (

@@ -60,24 +60,34 @@ def kinetic_to_temp(Ekin, natoms):
 
 def maxwell_boltzmann(masses, T, replicas=1, key=None, seed=1):
     """Draw initial velocities ~ N(0, sqrt(kB*T/m)) per component
-    (reference: torchmd/integrator.py:46-54)."""
+    (reference: torchmd/integrator.py:46-54). Massless rows (virtual
+    sites) get zero velocity."""
     if key is None:
         key = jax.random.PRNGKey(seed)
     masses = jnp.asarray(masses).reshape(-1, 1)
     natoms = masses.shape[0]
-    std = jnp.sqrt(T * BOLTZMANN / masses)
+    std = jnp.where(
+        masses > 0,
+        jnp.sqrt(T * BOLTZMANN / jnp.where(masses > 0, masses, 1.0)),
+        0.0,
+    )
     return std * jax.random.normal(key, (replicas, natoms, 3), dtype=masses.dtype)
 
 
+def _safe_accel(force, mass):
+    """force/mass with massless (virtual-site) rows pinned to zero."""
+    return jnp.where(mass > 0, force / jnp.where(mass > 0, mass, 1.0), 0.0)
+
+
 def _first_vv(pos, vel, force, mass, dt):
-    accel = force / mass
+    accel = _safe_accel(force, mass)
     pos = pos + vel * dt + 0.5 * accel * dt * dt
     vel = vel + 0.5 * dt * accel
     return pos, vel
 
 
 def _second_vv(vel, force, mass, dt):
-    return vel + 0.5 * dt * (force / mass)
+    return vel + 0.5 * dt * _safe_accel(force, mass)
 
 
 class Integrator:
@@ -107,6 +117,15 @@ class Integrator:
         dtype = getattr(forces, "dtype", jnp.asarray(systems.pos).dtype)
         self.dtype = dtype
         self.masses = jnp.asarray(masses, dtype=dtype)
+        # massless rows are virtual sites: zero DOF, zero thermostat noise
+        n_real = int(np.sum(np.asarray(masses).reshape(-1) > 0))
+        self._n_real = n_real
+        self.vsites = getattr(forces.par, "vsites", None) or None
+        if self.vsites is None and n_real < len(masses):
+            raise ValueError(
+                "massless atoms present but no virtual-site spec on the "
+                "parameters (forces.par.vsites)"
+            )
 
         # T may be a scalar or a per-replica (nreplicas,) vector (replica
         # ladders / REMD): the Langevin noise coefficient broadcasts as
@@ -115,8 +134,11 @@ class Integrator:
             np.any(np.asarray(T) > 0)
         )
         if self._use_langevin_T and gamma is not None:
-            base = jnp.sqrt(
-                2.0 * gamma / self.masses * BOLTZMANN * self.dt
+            _m_safe = jnp.where(self.masses > 0, self.masses, 1.0)
+            base = jnp.where(
+                self.masses > 0,
+                jnp.sqrt(2.0 * gamma / _m_safe * BOLTZMANN * self.dt),
+                0.0,
             ).astype(dtype)
             if np.ndim(T) > 0:
                 t_arr = np.asarray(T, dtype=np.float64)
@@ -134,7 +156,7 @@ class Integrator:
         if batch is not None:
             self.natoms = np.bincount(np.asarray(batch))
         else:
-            self.natoms = len(masses)
+            self.natoms = n_real
 
         # Optional SHAKE/RATTLE bond constraints (new vs the reference):
         # temperature then uses the reduced DOF count 3N - C.
@@ -148,8 +170,8 @@ class Integrator:
             )
             if self.constraints is not None and batch is None:
                 ncon = self.constraints.ncon
-                self._dof_scale = (3 * len(masses)) / max(
-                    3 * len(masses) - ncon, 1
+                self._dof_scale = (3 * n_real) / max(
+                    3 * n_real - ncon, 1
                 )
 
         # Optional non-Langevin thermostat (NHC / CSVR -- capabilities the
@@ -167,7 +189,7 @@ class Integrator:
             if not (T is not None and np.ndim(T) == 0 and T):
                 raise ValueError(f"thermostat='{thermostat}' requires T")
             ncon = self.constraints.ncon if self.constraints is not None else 0
-            ndof = 3 * len(masses) - ncon
+            ndof = 3 * n_real - ncon
             tau_fs = float(tau) if tau is not None else 100.0 * float(timestep)
             self._thermostat = make_thermostat(
                 thermostat, T, tau_fs, ndof, nchain=nchain
@@ -193,6 +215,12 @@ class Integrator:
         if barostat is not None and getattr(barostat, "is_dynamic", False):
             if np.any(np.asarray(systems.box_diag) <= 0):
                 raise ValueError("MTK barostat requires a periodic box")
+            if self.vsites is not None:
+                raise NotImplementedError(
+                    "virtual sites + MTK barostat not yet supported (the "
+                    "scaling virial does not account for site-force "
+                    "spreading); use the MC barostat"
+                )
             if mesh is not None:
                 raise NotImplementedError("MTK barostat + mesh sharding")
             if self._thermostat is None:
@@ -208,7 +236,7 @@ class Integrator:
                 self._thermostat = make_thermostat(
                     "nhc", barostat.T,
                     float(tau) if tau is not None else 100.0 * float(timestep),
-                    3 * len(masses) - ncon_npt, nchain=nchain,
+                    3 * n_real - ncon_npt, nchain=nchain,
                 )
                 self._thermo_aux = self._thermostat.init(
                     systems.nreplicas, dtype
@@ -217,7 +245,7 @@ class Integrator:
 
             ncon_npt = (self.constraints.ncon
                         if self.constraints is not None else 0)
-            ndof = 3 * len(masses) - ncon_npt
+            ndof = 3 * n_real - ncon_npt
             kT = BOLTZMANN * barostat.T
             taup_fs = barostat.tau_fs or 1000.0 * float(timestep)
             taup = taup_fs / TIMEFACTOR
@@ -278,6 +306,10 @@ class Integrator:
             if constraints:
                 raise NotImplementedError(
                     "constraints + spatial sharding not yet supported"
+                )
+            if self.vsites is not None:
+                raise NotImplementedError(
+                    "virtual sites + spatial sharding not yet supported"
                 )
             self._spatial = (mesh, mesh_axis)
         elif mesh is not None:
@@ -421,6 +453,13 @@ class Integrator:
             forces_obj, "ef_one",
             lambda pos, box: energy_and_forces_fused(ffp, pos, box, cfg),
         )
+        # virtual sites: keep the carried positions snapped onto the
+        # reconstructed geometry (force spreading happens inside ef_one)
+        vsg = self.vsites
+        if vsg is not None:
+            from .vsites import apply_vsites as _apply_vs
+
+            apply_vs_v = jax.vmap(lambda p, b: _apply_vs(vsg, p, b))
         # static no-PBC specialization: compile out the minimum-image wrap
         use_pbc = bool(np.any(np.asarray(self.systems.box_diag) != 0))
 
@@ -463,6 +502,8 @@ class Integrator:
                     pos_c = shake_v(pos, st.pos)
                     vel = vel + (pos_c - pos) / dt
                     pos = pos_c
+                if vsg is not None:
+                    pos = apply_vs_v(pos, box)
                 epot, frc = e_and_f(pos, box)
                 key = st.key
                 if use_thermostat:
@@ -517,6 +558,11 @@ class Integrator:
         # Forces._build_evaluators does (without it, elec='ewald' +
         # kernel='cell' would integrate wrong energies AND forces).
         ewald = getattr(forces_obj, "_ewald", None)
+        vsg = self.vsites
+        if vsg is not None:
+            from .vsites import apply_vsites as _apply_vs
+
+            apply_vs_v = jax.vmap(lambda p, b: _apply_vs(vsg, p, b))
 
         build_v = jax.vmap(kern.build)
 
@@ -551,6 +597,15 @@ class Integrator:
                 frc = frc - eg
             return e, frc
 
+        if vsg is not None:
+            _inner_cell_ef = ef_one
+
+            def ef_one(pos, box, cl):  # noqa: F811 -- vsite wrap
+                p2, vjp = jax.vjp(lambda p: _apply_vs(vsg, p, box), pos)
+                e, frc = _inner_cell_ef(p2, box, cl)
+                (frc2,) = vjp(frc)
+                return e, frc2
+
         e_and_f = jax.vmap(ef_one, in_axes=(0, 0, 0))
 
         cs = self.constraints
@@ -579,6 +634,8 @@ class Integrator:
                     pos_c = shake_v(pos, st.pos)
                     vel = vel + (pos_c - pos) / dt
                     pos = pos_c
+                if vsg is not None:
+                    pos = apply_vs_v(pos, box)
                 cl = update_all(pos, cl, box)
                 epot, frc = e_and_f(pos, box, cl)
                 key = st.key

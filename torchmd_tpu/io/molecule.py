@@ -75,6 +75,10 @@ class Molecule:
             self._read_npz(filename)
         elif ext == ".mol2":
             self._read_mol2(filename)
+        elif ext in (".top", ".itp"):
+            self._read_gmxtop(filename)
+        elif ext == ".gro":
+            self._read_gro(filename)
         else:
             raise ValueError(f"Unsupported file extension: {filename}")
         return self
@@ -162,6 +166,75 @@ class Molecule:
         self.name = self.element.copy()
         self._set_coords(d["coords"])
 
+    def _read_gmxtop(self, filename):
+        """GROMACS topology (.top/.itp): atoms, connectivity and the
+        bonded-term index lists (parameters are assembled separately by
+        forcefields.ff_gromacs.GromacsForcefield)."""
+        from ..forcefields.ff_gromacs import load_gmx_top
+        from .periodictable import element_from_name
+
+        top, arr = load_gmx_top(filename)
+        self.numAtoms = arr["natoms"]
+        self.atomtype = arr["atomtype"]
+        self.charge = arr["charge"]
+        self.masses = arr["masses"]
+        self.name = arr["name"]
+        self.resname = arr["resname"]
+        self.resid = arr["resid"]
+        self.segid = np.array(
+            [f"M{int(m)}" for m in arr["molid"]], dtype=object
+        )
+        self.element = np.array(
+            [element_from_name(str(nm)) for nm in arr["name"]], dtype=object
+        )
+        # connectivity for wrapping/constraints: bonds + constraints +
+        # settle triangles
+        edges = [tuple(b) for b in arr["bond_idx"]]
+        edges += [(i, j) for i, j, _f, _b in arr["constraints_full"]]
+        for o, h1, h2, _doh, _dhh in arr["settles_full"]:
+            edges += [(o, h1), (o, h2), (h1, h2)]
+        for idx, _nk, _funct, _prm in arr["vsites_full"]:
+            # site-host edge keeps virtual sites in their molecule's
+            # group for PBC wrapping
+            edges.append((idx[0], idx[1]))
+        self.bonds = (
+            np.unique(
+                np.sort(np.asarray(edges, dtype=np.int64).reshape(-1, 2),
+                        axis=1), axis=0,
+            )
+            if edges else np.zeros((0, 2), np.int64)
+        )
+        self.angles = arr["angle_idx"]
+        self.dihedrals = arr["dih_idx"]
+        self.impropers = arr["impr_idx"]
+        if self.coords.shape[0] != self.numAtoms:
+            self.coords = np.zeros((self.numAtoms, 3, 1), dtype=np.float64)
+
+    def _read_gro(self, filename):
+        from .gro import read_gro
+
+        d = read_gro(filename)
+        if self.numAtoms == 0:
+            self.numAtoms = len(d["name"])
+            self.name = d["name"]
+            self.resname = d["resname"]
+            self.resid = d["resid"]
+            from .periodictable import element_from_name
+
+            self.element = np.array(
+                [element_from_name(str(nm)) for nm in d["name"]],
+                dtype=object,
+            )
+            if len(self.atomtype) != self.numAtoms:
+                self.atomtype = self.element.copy()
+            if len(self.charge) != self.numAtoms:
+                self.charge = np.zeros(self.numAtoms, dtype=np.float64)
+        self._set_coords(d["coords"])
+        if np.any(d["box"]):
+            self.box = d["box"]
+        if d["velocities"] is not None:
+            self.velocities = d["velocities"]
+
     def _read_mol2(self, filename):
         from .mol2 import read_mol2
 
@@ -232,6 +305,10 @@ class Molecule:
             )
             write_xtc(str(filename), coords,
                       self.box if np.any(self.box) else None)
+        elif ext == ".gro":
+            from .gro import write_gro
+
+            write_gro(filename, self, frame=frame or 0)
         else:
             raise ValueError(f"Unsupported output extension: {filename}")
         return self

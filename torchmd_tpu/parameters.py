@@ -56,10 +56,30 @@ class Parameters:
         if terms is None:
             terms = ("bonds", "angles", "dihedrals", "impropers", "1-4", "lj")
         terms = [t.lower() for t in terms]
-        self.build_parameters(ff, mol, terms)
+        if hasattr(ff, "assemble"):
+            # Direct-assembly force fields (GROMACS: per-instance bonded
+            # parameters, explicit exclusions/pairs) bypass the nine
+            # type-keyed getters and fill the tables themselves.
+            ff.assemble(self, mol, terms)
+        else:
+            self.build_parameters(ff, mol, terms)
 
     # ------------------------------------------------------------------
     def get_exclusions(self, types=("bonds", "angles", "1-4"), fullarray=False):
+        explicit = getattr(self, "explicit_exclusions", None)
+        if explicit is not None:
+            # Topologies that generate their own exclusion list (GROMACS
+            # nrexcl + [exclusions] + [pairs]) are authoritative: the
+            # bonded-class `types` selection does not apply.
+            exclusions = [list(p) for p in explicit]
+            if fullarray:
+                fullmat = np.full((self.natoms, self.natoms), False, dtype=bool)
+                if len(exclusions):
+                    exc = np.array(exclusions)
+                    fullmat[exc[:, 0], exc[:, 1]] = True
+                    fullmat[exc[:, 1], exc[:, 0]] = True
+                return fullmat
+            return exclusions
         exclusions = []
         if self.bond_params is not None and "bonds" in types:
             exclusions += self.bond_params["idx"].tolist()

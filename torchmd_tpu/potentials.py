@@ -554,7 +554,17 @@ def make_ffparams(parameters, exclusions=("bonds", "angles", "1-4"),
         )
 
     lj_ab = None
-    if nbfix and parameters.nonbonded_params is not None and len(
+    ab_tables = getattr(parameters, "lj_ab_tables", None)
+    if ab_tables is not None:
+        # Assemblies with non-Lorentz-Berthelot combination rules (GROMACS
+        # comb-rule 1/3, [nonbond_params] overrides) provide the full
+        # (ntypes, ntypes) A/B tables directly -- always honored,
+        # independent of the nbfix flag.
+        lj_ab = (
+            jnp.asarray(ab_tables[0], dtype),
+            jnp.asarray(ab_tables[1], dtype),
+        )
+    elif nbfix and parameters.nonbonded_params is not None and len(
         getattr(parameters, "nbfix", [])
     ):
         sig = np.asarray(parameters.nonbonded_params["params"][:, 0])

@@ -1,0 +1,171 @@
+"""Massless virtual interaction sites (TIP4P/TIP5P-family waters, GROMACS
+[virtual_sitesN]).
+
+New capability beyond the reference (torchmd has no virtual-site support):
+a virtual site is a massless charge/LJ center whose position is a pure
+function of its host atoms' positions. TPU-native design: the site
+positions are *reconstructed inside the jitted evaluation* (`apply_vsites`
+snaps the site rows of the position array), and the site forces are
+transferred back onto the hosts with the exact chain rule via `jax.vjp`
+of the reconstruction -- no hand-written per-kind force projections, and
+the whole thing stays differentiable/vmappable/shardable.
+
+Supported constructions (GROMACS manual ch. 5.5; codes = (nhosts, funct)):
+  (2, 1) linear:          r = (1-a) r_i + a r_j
+  (2, 2) fixed distance:  r = r_i + a * unit(r_j - r_i)
+  (3, 1) linear (TIP4P):  r = (1-a-b) r_i + a r_j + b r_k
+  (3, 2) fixed distance:  r = r_i + d * unit(r_ij + a r_jk)
+  (3, 3) fixed angle:     r = r_i + d cos(th) u1 + d sin(th) u2
+  (3, 4) out-of-plane:    r = r_i + a r_ij + b r_ik + c (r_ij x r_ik)
+                          (TIP5P lone pairs)
+All parameters are stored pre-converted to Angstrom units.
+
+The integrator treats virtual sites as massless rows: zero acceleration,
+zero thermostat noise, excluded from the temperature DOF count, and the
+site rows are re-snapped after every position update in the compiled
+scan.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .potentials import wrap_displacement
+
+
+class VSiteGroup(NamedTuple):
+    """One batch of virtual sites sharing a construction kind.
+    `kind` is static (python) so the per-kind formula is chosen at trace
+    time; sites of different kinds live in separate groups."""
+
+    kind: tuple           # (nhosts, funct) -- static
+    sites: jnp.ndarray    # (s,) int32 site atom rows
+    hosts: jnp.ndarray    # (s, 3) int32 host atom rows (unused repeat)
+    params: jnp.ndarray   # (s, 3) float, Angstrom units
+
+
+def _unit(v):
+    return v / jnp.sqrt(
+        jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-24)
+    )
+
+
+def _group_positions(g: VSiteGroup, pos, box):
+    ri = pos[g.hosts[:, 0]]
+    rij = wrap_displacement(pos[g.hosts[:, 1]] - ri, box)
+    a = g.params[:, 0:1]
+    b = g.params[:, 1:2]
+    c = g.params[:, 2:3]
+    kind = g.kind
+    if kind == (2, 1):
+        return ri + a * rij
+    if kind == (2, 2):
+        return ri + a * _unit(rij)
+    rik = wrap_displacement(pos[g.hosts[:, 2]] - ri, box)
+    if kind == (3, 1):
+        return ri + a * rij + b * rik
+    if kind == (3, 2):
+        # b = d [A]; direction r_ij + a * r_jk
+        rjk = rik - rij
+        return ri + b * _unit(rij + a * rjk)
+    if kind == (3, 3):
+        # a = theta [rad], b = d [A]
+        u1 = _unit(rij)
+        rjk = rik - rij
+        perp = rjk - jnp.sum(rjk * u1, axis=-1, keepdims=True) * u1
+        u2 = _unit(perp)
+        return ri + b * (jnp.cos(a) * u1 + jnp.sin(a) * u2)
+    if kind == (3, 4):
+        return ri + a * rij + b * rik + c * jnp.cross(rij, rik)
+    raise NotImplementedError(f"virtual-site kind {kind}")
+
+
+def apply_vsites(groups, pos, box=None):
+    """Snap every virtual-site row of `pos` onto its reconstructed
+    position. Pure and differentiable: evaluate energies on the result
+    and the chain rule (see `spread_vsite_forces`) moves site forces to
+    the hosts."""
+    for g in groups:
+        pos = pos.at[g.sites].set(_group_positions(g, pos, box))
+    return pos
+
+
+def spread_vsite_forces(groups, pos, forces, box=None):
+    """Transfer the site rows of `forces` onto the hosts (exact J^T f via
+    the vjp of the reconstruction) and zero the site rows."""
+    _, vjp = jax.vjp(lambda p: apply_vsites(groups, p, box), pos)
+    (out,) = vjp(forces)
+    return out
+
+
+def wrap_energy_forces(groups, ef):
+    """Wrap an (pos, box) -> (pot, forces) evaluator: evaluate at the
+    reconstructed geometry and spread site forces to hosts."""
+
+    def wrapped(pos, box):
+        p2, vjp = jax.vjp(
+            lambda p: apply_vsites(groups, p, box), pos
+        )
+        pot, frc = ef(p2, box)
+        (frc2,) = vjp(frc)
+        return pot, frc2
+
+    return wrapped
+
+
+# ----------------------------------------------------------------------
+# Construction from GROMACS topologies
+# ----------------------------------------------------------------------
+
+def build_vsite_groups(vsites_full):
+    """GROMACS [virtual_sitesN] entries -> tuple of VSiteGroup.
+
+    `vsites_full` rows are (global idx tuple, nhosts_kind, funct, params)
+    with idx[0] the site and idx[1:] the hosts (io.gmxtop). Raw GROMACS
+    units are converted here (nm -> A, deg -> rad, 1/nm -> 1/A)."""
+    if not vsites_full:
+        return ()
+    by_kind: dict = {}
+    for idx, nk, funct, prm in vsites_full:
+        kind = (int(nk), int(funct))
+        prm = list(prm or [])
+        if kind == (2, 1):
+            p = [prm[0], 0.0, 0.0]
+        elif kind == (2, 2):
+            p = [prm[0] * 10.0, 0.0, 0.0]
+        elif kind == (3, 1):
+            p = [prm[0], prm[1], 0.0]
+        elif kind == (3, 2):
+            p = [prm[0], prm[1] * 10.0, 0.0]
+        elif kind == (3, 3):
+            p = [np.radians(prm[0]), prm[1] * 10.0, 0.0]
+        elif kind == (3, 4):
+            p = [prm[0], prm[1], prm[2] / 10.0]
+        else:
+            raise NotImplementedError(
+                f"virtual_sites{nk} funct {funct} is not supported"
+            )
+        site = idx[0]
+        hosts = list(idx[1:]) + [idx[-1]] * (4 - len(idx))
+        by_kind.setdefault(kind, []).append((site, hosts[:3], p))
+    groups = []
+    for kind, rows in sorted(by_kind.items()):
+        groups.append(VSiteGroup(
+            kind=kind,
+            sites=jnp.asarray([r[0] for r in rows], jnp.int32),
+            hosts=jnp.asarray([r[1] for r in rows], jnp.int32),
+            params=jnp.asarray([r[2] for r in rows]),
+        ))
+    return tuple(groups)
+
+
+def vsite_mask(groups, natoms):
+    """(natoms,) bool: True at virtual-site rows."""
+    m = np.zeros(natoms, bool)
+    for g in groups:
+        m[np.asarray(g.sites)] = True
+    return m
