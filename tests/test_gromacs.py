@@ -760,3 +760,354 @@ def test_tip4p_md_smoke(tmp_path):
     assert np.linalg.norm(out[0] - out[1]) == pytest.approx(0.9572, abs=1e-6)
     assert np.linalg.norm(out[1] - out[2]) == pytest.approx(0.15139 * 10,
                                                             abs=1e-5)
+
+
+def test_tip4p_nve_energy_conservation(tmp_path):
+    """NVE with SETTLE + virtual sites: bounded total-energy drift is the
+    sharp end-to-end check of the vjp force spreading (a wrong host
+    force heats or cools the system systematically)."""
+    from torchmd_tpu.integrator import (
+        Integrator,
+        kinetic_energy,
+        maxwell_boltzmann,
+    )
+    from torchmd_tpu.systems import System
+
+    top_text = TIP4P2005_TOP.replace("SOL 2", "SOL 8")
+    top = write(tmp_path / "tip4p8.top", top_text)
+    mol = Molecule(top)
+    pts = []
+    for ix in range(2):
+        for iy in range(2):
+            for iz in range(2):
+                pts.append(tip4p_water(np.array([ix, iy, iz]) * 5.2 + 1.2))
+    pos = np.concatenate(pts)
+    mol.coords = pos[:, :, None]
+    mol.box = np.full((3, 1), 10.4)
+
+    ff = ForceField.create(mol, top)
+    terms = ["bonds", "lj", "electrostatics"]
+    par = Parameters(ff, mol, terms, precision="double")
+    forces = Forces(par, terms=terms, precision="double", cutoff=4.5,
+                    switch_dist=3.5, rfa=True)
+    syst = System(mol.numAtoms, 1, "double")
+    syst.set_positions(mol.coords)
+    syst.set_box(mol.box)
+    syst.set_velocities(maxwell_boltzmann(par.masses, 150.0, 1, seed=11))
+    integ = Integrator(syst, forces, timestep=1.0, gamma=None, T=None,
+                       seed=11, constraints="settle")
+    etots = []
+    for _ in range(10):
+        ekin, epot, _ = integ.step(niter=30)
+        etots.append(float(np.asarray(ekin).reshape(-1)[0])
+                     + float(np.asarray(epot).reshape(-1)[0]))
+    drift = abs(etots[-1] - etots[0])
+    assert np.isfinite(etots[-1]) and drift < 0.5, (drift, etots)
+    # KE never counts the massless rows
+    ek = kinetic_energy(par.masses, np.asarray(syst.vel))
+    assert np.isfinite(float(np.asarray(ek).reshape(-1)[0]))
+
+
+def test_run_cli_gromacs(tmp_path):
+    """run.py end to end from .top + .gro (the GROMACS user workflow)."""
+    from torchmd_tpu import run as runmod
+
+    top_text = SPC_TOP.replace("SOL 2", "SOL 8")
+    top = write(tmp_path / "spc8.top", top_text)
+    mol = Molecule(top)
+    w = spc_coords()[:3]
+    pts = []
+    for ix in range(2):
+        for iy in range(2):
+            for iz in range(2):
+                pts.append(w + np.array([ix, iy, iz]) * 6.0 + 1.0)
+    mol.coords = np.concatenate(pts)[:, :, None]
+    mol.box = np.full((3, 1), 12.0)
+    gro = str(tmp_path / "conf.gro")
+    mol.write(gro)
+
+    logdir = tmp_path / "out"
+    args = runmod.get_args([
+        "--topology", top,
+        "--coordinates", gro,
+        "--forcefield", top,
+        "--forceterms", "bonds", "lj", "electrostatics",
+        "--cutoff", "5.0", "--rfa",
+        "--precision", "double",
+        "--steps", "20", "--output-period", "10", "--save-period", "20",
+        "--temperature", "300", "--langevin-temperature", "300",
+        "--langevin-gamma", "1.0",
+        "--constraints", "settle",
+        "--log-dir", str(logdir),
+        "--device", "cpu",
+    ])
+    mol2, system, forces = runmod.setup(args)
+    assert np.allclose(np.asarray(system.box_diag)[0], 12.0)
+    runmod.dynamics(args, mol2, system, forces)
+    assert os.path.exists(logdir / "monitor_0.csv")
+    traj = np.load(logdir / "output_0.npy")
+    assert traj.shape[0] == 24
+    rows = open(logdir / "monitor_0.csv").read().strip().splitlines()
+    assert len(rows) >= 2 and np.isfinite(float(rows[-1].split(",")[2]))
+
+
+MARTINI_TOP = """
+[ defaults ]
+; Martini 2.x: LJ in C6/C12 form, no gen-pairs
+  1 1 no 1.0 1.0
+
+[ atomtypes ]
+; name mass charge ptype C6 C12
+  P4   72.0 0.0    A     0.21558E-00  0.23238E-02
+  C1   72.0 0.0    A     0.14805E-00  0.16944E-02
+
+[ nonbond_params ]
+  P4 C1 1 0.10620E-00 0.12156E-02
+
+[ moleculetype ]
+  W 1
+
+[ atoms ]
+  1 P4 1 W W 1 0.0 72.0
+
+[ moleculetype ]
+  HEX 1
+
+[ atoms ]
+  1 C1 1 HEX C1A 1 0.0 72.0
+  2 C1 1 HEX C1B 2 0.0 72.0
+
+[ bonds ]
+  1 2 1 0.480 1250.0
+
+[ system ]
+martini droplet
+
+[ molecules ]
+W 2
+HEX 1
+"""
+
+
+def test_martini_cg(tmp_path):
+    """Martini-style coarse-grained topology: C6/C12 types, cross-type
+    [nonbond_params] override, CG bead bond -- vs numpy."""
+    top = write(tmp_path / "martini.top", MARTINI_TOP)
+    mol = Molecule(top)
+    assert mol.numAtoms == 4
+    coords = np.array([
+        [0.0, 0.0, 0.0],
+        [5.3, 0.0, 0.0],
+        [2.5, 4.6, 0.0],
+        [2.5, 4.6, 4.9],
+    ])
+    mol.coords = coords[:, :, None]
+    ff = ForceField.create(mol, top)
+    terms = ["bonds", "lj"]
+    par = Parameters(ff, mol, terms, precision="double")
+    forces = Forces(par, terms=terms, precision="double")
+    pots = forces.compute(coords[None], None, returnDetails=True)[0]
+
+    c6conv = KJ2KCAL * 1e6
+    c12conv = KJ2KCAL * 1e12
+
+    def lj(c6, c12, r):
+        return c12 * c12conv / r**12 - c6 * c6conv / r**6
+
+    P4 = (0.21558, 0.23238e-02)
+    C1 = (0.14805, 0.16944e-02)
+    X = (0.10620, 0.12156e-02)
+
+    def r(i, j):
+        return np.linalg.norm(coords[i] - coords[j])
+
+    e = lj(*P4, r(0, 1))                      # W-W
+    e += lj(*X, r(0, 2)) + lj(*X, r(0, 3))    # W-HEX override
+    e += lj(*X, r(1, 2)) + lj(*X, r(1, 3))
+    # bead 2-3 bonded (excluded from LJ by nrexcl=1)
+    assert pots["lj"] == pytest.approx(e, rel=1e-9)
+    e_bond = (1250.0 * KJ2KCAL / 100.0 / 2.0) * (r(2, 3) - 4.80) ** 2
+    assert pots["bonds"] == pytest.approx(e_bond, rel=1e-9)
+
+
+POSRES_TOP = """
+[ defaults ]
+  1 2 no 1.0 1.0
+
+[ atomtypes ]
+  AR 39.95 0.0 A 0.34 1.0
+
+[ moleculetype ]
+  M 1
+
+[ atoms ]
+  1 AR 1 M AR 1 0.0 39.95
+  2 AR 1 M AR2 1 0.0 39.95
+
+#ifdef POSRES
+[ position_restraints ]
+; atom funct kx ky kz (kJ/mol/nm^2)
+  1    1     1000.0 500.0 0.0
+#endif
+
+[ system ]
+posres
+
+[ molecules ]
+M 2
+"""
+
+
+def test_position_restraints(tmp_path, monkeypatch):
+    from torchmd_tpu.restraints import make_gromacs_posres
+
+    top = write(tmp_path / "posres.top", POSRES_TOP)
+
+    # without the define: records absent
+    mol = Molecule(top)
+    ff = GromacsForcefield(mol, top, defines={})
+    par = Parameters(ff, mol, ["lj"], precision="double")
+    assert par.gmx_posres == []
+    assert make_gromacs_posres(par, mol.coords[:, :, 0]) is None
+
+    # with POSRES via the env var (the CLI path)
+    monkeypatch.setenv("TMD_GMX_DEFINES", "POSRES")
+    mol2 = Molecule(top)
+    ff2 = ForceField.create(mol2, top)
+    par2 = Parameters(ff2, mol2, ["lj"], precision="double")
+    # one record per molecule instance
+    assert [r[0] for r in par2.gmx_posres] == [0, 2]
+
+    ref = np.array([
+        [1.0, 2.0, 3.0], [8.0, 2.0, 3.0],
+        [1.0, 6.0, 3.0], [8.0, 6.0, 3.0],
+    ])
+    pr = make_gromacs_posres(par2, ref)
+    moved = ref.copy()
+    moved[0] += [0.3, -0.2, 0.7]   # restrained: x,y count, z free
+    moved[1] += [1.0, 1.0, 1.0]    # unrestrained atom
+    moved[2] += [0.0, 0.5, 0.0]    # restrained
+    e = float(pr.energy_fn(moved, None))
+    kx = 1000.0 * KJ2KCAL / 100.0 / 2.0
+    ky = 500.0 * KJ2KCAL / 100.0 / 2.0
+    expected = kx * 0.3**2 + ky * 0.2**2 + ky * 0.5**2
+    assert e == pytest.approx(expected, rel=1e-9)
+
+    # forces flow through the Forces external slot (bonds-only term set:
+    # the restraint is the sole contribution)
+    forces = Forces(par2, terms=["bonds"], precision="double", external=pr)
+    frc = np.zeros((1, 4, 3))
+    pots = forces.compute(moved[None], None, frc, returnDetails=True)[0]
+    assert pots["external"] == pytest.approx(expected, rel=1e-6)
+    assert frc[0, 0, 0] == pytest.approx(-2 * kx * 0.3, rel=1e-5)
+    assert frc[0, 0, 2] == pytest.approx(0.0, abs=1e-10)
+
+
+MDP_TEXT = """
+; production run
+integrator               = sd
+dt                       = 0.002  ; 2 fs
+nsteps                   = 40
+nstenergy                = 10
+nstxout-compressed       = 20
+rvdw                     = 0.5
+rcoulomb                 = 0.5
+vdw-modifier             = potential-switch
+rvdw-switch              = 0.4
+coulombtype              = Reaction-Field
+epsilon-rf               = 62.0
+ref_t                    = 310 310
+tau_t                    = 2.0 2.0
+gen-vel                  = yes
+gen-temp                 = 300
+constraints              = h-bonds
+ld-seed                  = 42
+"""
+
+
+def test_mdp_translation():
+    from torchmd_tpu.io.mdp import mdp_to_args, read_mdp
+
+    mdp = read_mdp(MDP_TEXT, is_text=True)
+    args = mdp_to_args(mdp, warn=lambda *a: None)
+    assert args["timestep"] == pytest.approx(2.0)
+    assert args["steps"] == 40
+    assert args["output_period"] == 10
+    assert args["save_period"] == 20
+    assert args["cutoff"] == pytest.approx(5.0)
+    assert args["switch_dist"] == pytest.approx(4.0)
+    assert args["rfa"] is True
+    assert args["solvent_dielectric"] == pytest.approx(62.0)
+    assert args["thermostat"] == "langevin"
+    assert args["langevin_temperature"] == pytest.approx(310.0)
+    assert args["langevin_gamma"] == pytest.approx(0.5)  # 1/tau_t
+    assert args["temperature"] == pytest.approx(300.0)
+    assert args["constraints"] == "settle"
+    assert args["seed"] == 42
+
+
+def test_mdp_variants(monkeypatch):
+    from torchmd_tpu.io.mdp import mdp_to_args, read_mdp
+
+    monkeypatch.delenv("TMD_GMX_DEFINES", raising=False)
+    args = mdp_to_args(read_mdp("""
+integrator = md
+tcoupl     = v-rescale
+ref-t      = 300
+tau-t      = 1.0
+coulombtype = PME
+pcoupl     = Parrinello-Rahman
+ref-p      = 1.0
+define     = -DPOSRES -DFLEXIBLE
+""", is_text=True), warn=lambda *a: None)
+    assert args["thermostat"] == "csvr"
+    assert args["thermostat_tau"] == pytest.approx(1000.0)
+    assert args["elec"] == "pme"
+    assert args["pressure"] == pytest.approx(1.0)
+    assert args["barostat_mode"] == "mtk"
+    assert os.environ["TMD_GMX_DEFINES"] == "POSRES,FLEXIBLE"
+
+    em = mdp_to_args(read_mdp("""
+integrator = steep
+nsteps     = 500
+""", is_text=True), warn=lambda *a: None)
+    assert em["minimize"] == 500 and em["steps"] == 0
+
+
+def test_run_cli_full_gromacs_triple(tmp_path):
+    """The complete GROMACS workflow: .mdp + .top + .gro through the CLI."""
+    from torchmd_tpu import run as runmod
+
+    top_text = SPC_TOP.replace("SOL 2", "SOL 8")
+    top = write(tmp_path / "topol.top", top_text)
+    mol = Molecule(top)
+    w = spc_coords()[:3]
+    pts = []
+    for ix in range(2):
+        for iy in range(2):
+            for iz in range(2):
+                pts.append(w + np.array([ix, iy, iz]) * 6.0 + 1.0)
+    mol.coords = np.concatenate(pts)[:, :, None]
+    mol.box = np.full((3, 1), 12.0)
+    gro = str(tmp_path / "conf.gro")
+    mol.write(gro)
+    mdp = write(tmp_path / "md.mdp", MDP_TEXT)
+
+    logdir = tmp_path / "out"
+    args = runmod.get_args([
+        "--conf", mdp,
+        "--topology", top,
+        "--coordinates", gro,
+        "--forcefield", top,
+        "--forceterms", "bonds", "lj", "electrostatics",
+        "--precision", "double",
+        "--log-dir", str(logdir),
+        "--device", "cpu",
+    ])
+    assert args.timestep == pytest.approx(2.0)
+    assert args.constraints == "settle"
+    mol2, system, forces = runmod.setup(args)
+    assert forces.solventDielectric == pytest.approx(62.0)
+    runmod.dynamics(args, mol2, system, forces)
+    rows = open(logdir / "monitor_0.csv").read().strip().splitlines()
+    assert len(rows) >= 2 and np.isfinite(float(rows[-1].split(",")[2]))

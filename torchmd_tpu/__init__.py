@@ -46,6 +46,7 @@ __all__ = [
     "make_lambda_sites", "ph_bias", "make_drude", "DrudeIntegrator",
     "make_drude_ewald", "view_frame", "make_multipoles",
     "MultipoleEwald", "MultipolePme", "make_amoeba_potential",
+    "GromacsForcefield", "apply_vsites",
 ]
 
 _LAZY = {
@@ -79,6 +80,9 @@ _LAZY = {
     "make_amoeba_potential": ("torchmd_tpu.amoeba",
                               "make_amoeba_potential"),
     "make_drude_ewald": ("torchmd_tpu.drude", "make_drude_ewald"),
+    "GromacsForcefield": ("torchmd_tpu.forcefields.ff_gromacs",
+                          "GromacsForcefield"),
+    "apply_vsites": ("torchmd_tpu.vsites", "apply_vsites"),
 }
 
 

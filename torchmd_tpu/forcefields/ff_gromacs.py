@@ -64,6 +64,17 @@ _CACHE: dict = {}
 def load_gmx_top(path, include_dirs=(), defines=None):
     from ..io.gmxtop import build_molecule_arrays, parse_top
 
+    if defines is None:
+        # TMD_GMX_DEFINES="POSRES,FLEXIBLE" or "NAME=value,..." reaches
+        # both dispatch sites (Molecule reader + ForceField.create, which
+        # cannot thread kwargs) consistently
+        env = os.environ.get("TMD_GMX_DEFINES", "")
+        defines = {}
+        for tok in env.split(","):
+            tok = tok.strip()
+            if tok:
+                name, _, val = tok.partition("=")
+                defines[name] = val if val else None
     key = (
         os.path.abspath(path), os.path.getmtime(path),
         tuple(include_dirs), tuple(sorted((defines or {}).items())),
@@ -358,6 +369,25 @@ class GromacsForcefield:
 
         par.vsites = build_vsite_groups(arr["vsites_full"])
 
+        # [position_restraints] funct 1 (only present when its #ifdef --
+        # typically POSRES -- is active): V = 1/2 sum_ax k_ax * d_ax^2;
+        # store as (atom, kx, ky, kz) in kcal/mol/A^2 with the 1/2 folded
+        # in. restraints.make_gromacs_posres builds the energy term.
+        posres = []
+        for atom, funct, prm in arr["posres_full"]:
+            if funct != 1:
+                raise NotImplementedError(
+                    f"position_restraints funct {funct} is not supported "
+                    "(flat-bottom funct 2: use restraints."
+                    "FlatBottomRestraint directly)"
+                )
+            kx, ky, kz = (list(prm) + [0.0, 0.0, 0.0])[:3]
+            posres.append((
+                int(atom),
+                kx * BOND_K, ky * BOND_K, kz * BOND_K,
+            ))
+        par.gmx_posres = posres
+
     # ------------------------------------------------------------------
     def _assemble_nonbonded(self, par, uqtypes):
         se = np.array(
@@ -528,11 +558,7 @@ class GromacsForcefield:
 
     def _gather_torsion_rows(self, gi, funct, prm, mname, improper):
         """Converted parameter rows for one [dihedrals] entry."""
-        if prm is not None and funct in (1, 9, 4, 2):
-            rows = (self._convert_improper_rows(funct, [prm]) if improper
-                    else self._convert_dihedral_rows(funct, [prm]))
-            return rows
-        if prm is not None:  # funct 3 / 5 inline
+        if prm is not None:  # inline parameters
             return (self._convert_improper_rows(funct, [prm]) if improper
                     else self._convert_dihedral_rows(funct, [prm]))
         bt = tuple(self._btype(self.arrays["atomtype"][i]) for i in gi)

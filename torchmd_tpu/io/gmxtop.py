@@ -397,6 +397,7 @@ def build_molecule_arrays(top: GmxTopology):
     angles_full, dihedrals_full = [], []
     exclusions_full, settles_full, constraints_full = [], [], []
     vsites_full = []
+    posres_full = []  # (global atom, funct, [params]) raw units
     bond_idx, angle_idx, dih_idx, impr_idx = [], [], [], []
 
     offset = 0
@@ -488,6 +489,8 @@ def build_molecule_arrays(top: GmxTopology):
                 vsites_full.append((tuple(g(i) for i in idx), 3, funct, prm))
             for idx, funct, prm in mt.vsites4:
                 vsites_full.append((tuple(g(i) for i in idx), 4, funct, prm))
+            for idx, funct, prm in mt.position_restraints:
+                posres_full.append((g(idx[0]), funct, prm))
             offset += nat
 
     return {
@@ -511,4 +514,5 @@ def build_molecule_arrays(top: GmxTopology):
         "settles_full": settles_full,
         "constraints_full": constraints_full,
         "vsites_full": vsites_full,
+        "posres_full": posres_full,
     }

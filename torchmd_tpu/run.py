@@ -47,6 +47,8 @@ def get_args(arguments=None):
     parser.add_argument("--thermostat-tau", default=None, type=float,
                         help="NHC/CSVR time constant in fs "
                              "(default 100 * timestep)")
+    parser.add_argument("--solvent-dielectric", default=78.5, type=float,
+                        help="Reaction-field solvent dielectric (with --rfa)")
     parser.add_argument("--device", default=None,
                         help="Device: cpu | tpu | None (jax default)")
     parser.add_argument("--structure", default=None, help="Deprecated: Input PDB")
@@ -228,12 +230,38 @@ def setup(args, batch_comp=False):
     )
     system.set_velocities(vel0)
 
+    external = _instantiate_external(args, mol, batch_comp)
+    # GROMACS [position_restraints] (active when its #ifdef -- typically
+    # POSRES via TMD_GMX_DEFINES -- was defined at parse time): reference
+    # positions are the starting coordinates (GROMACS -r default).
+    if getattr(parameters, "gmx_posres", None):
+        from .restraints import make_gromacs_posres
+
+        posres = make_gromacs_posres(parameters, mol.coords[:, :, 0])
+        if external is None:
+            external = posres
+        elif hasattr(external, "energy_fn"):
+            ext_fn = external.energy_fn
+            pr_fn = posres.energy_fn
+
+            from .external import JaxExternal
+
+            external = JaxExternal(
+                lambda pos, box: ext_fn(pos, box) + pr_fn(pos, box)
+            )
+        else:
+            raise NotImplementedError(
+                "position restraints cannot compose with a host-side "
+                "external potential (no energy_fn)"
+            )
+
     forces = Forces(
         parameters,
         terms=args.forceterms,
-        external=_instantiate_external(args, mol, batch_comp),
+        external=external,
         cutoff=args.cutoff,
         rfa=args.rfa,
+        solventDielectric=getattr(args, "solvent_dielectric", 78.5),
         switch_dist=args.switch_dist,
         exclusions=args.exclusions,
         precision=args.precision,

@@ -86,6 +86,15 @@ class LoadFromFile(argparse.Action):
             for key, val in (yaml.safe_load(text) or {}).items():
                 setattr(namespace, key, val)
             return
+        if filename.endswith(".mdp"):
+            # GROMACS run parameters: translate the common subset
+            from .io.mdp import mdp_to_args, read_mdp
+
+            for key, val in mdp_to_args(
+                read_mdp(text, is_text=True)
+            ).items():
+                setattr(namespace, key, val)
+            return
         for raw in text.splitlines():
             line = raw.strip()
             if not line or line.startswith("#"):
