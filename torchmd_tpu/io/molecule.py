@@ -79,6 +79,13 @@ class Molecule:
             self._read_gmxtop(filename)
         elif ext == ".gro":
             self._read_gro(filename)
+        elif ext == ".trr":
+            from .trr import read_trr
+
+            d = read_trr(filename)
+            self._set_coords(d["coords"])
+            if np.any(d["box"]):
+                self.box = d["box"]
         else:
             raise ValueError(f"Unsupported file extension: {filename}")
         return self
@@ -309,6 +316,15 @@ class Molecule:
             from .gro import write_gro
 
             write_gro(filename, self, frame=frame or 0)
+        elif ext == ".trr":
+            from .trr import write_trr
+
+            coords = (
+                self.coords if frame is None
+                else self.coords[:, :, frame:frame + 1]
+            )
+            write_trr(str(filename), coords,
+                      self.box if np.any(self.box) else None)
         else:
             raise ValueError(f"Unsupported output extension: {filename}")
         return self
