@@ -1240,3 +1240,93 @@ def test_tip4p_mc_barostat_smoke(tmp_path):
     assert np.isfinite(v1) and v1 > 0
     out = np.asarray(syst.pos)[0]
     assert np.all(np.isfinite(out))
+
+
+DISRES_TOP = """
+[ defaults ]
+  1 2 no 1.0 1.0
+
+[ atomtypes ]
+  AR 39.95 0.0 A 0.34 1.0
+
+[ moleculetype ]
+  M 1
+
+[ atoms ]
+  1 AR 1 M A1 1 0.0 39.95
+  2 AR 1 M A2 1 0.0 39.95
+  3 AR 1 M A3 1 0.0 39.95
+  4 AR 1 M A4 1 0.0 39.95
+
+[ distance_restraints ]
+; ai aj type label low up1 up2 fac
+  1  2  1    0     0.30 0.40 0.50 1.0
+  3  4  1    1     0.30 0.40 0.50 2.0
+
+[ dihedral_restraints ]
+; ai aj ak al funct phi0 dphi kfac(kJ/rad^2)
+  1  2  3  4  1     30.0 10.0 100.0
+
+[ system ]
+restraints
+
+[ molecules ]
+M 1
+"""
+
+
+def test_distance_dihedral_restraints(tmp_path):
+    from torchmd_tpu.restraints import (
+        make_gromacs_dihres,
+        make_gromacs_distres,
+    )
+
+    top = write(tmp_path / "res.top", DISRES_TOP)
+    mol = Molecule(top)
+    ff = ForceField.create(mol, top)
+    par = Parameters(ff, mol, ["lj"], precision="double")
+    assert len(par.gmx_distres) == 2
+    assert len(par.gmx_dihres) == 1
+
+    fc = 1000.0  # kJ/mol/nm^2
+    dr = make_gromacs_distres(par, fc_kj_nm2=fc)
+    k1 = 1.0 * fc * KJ2KCAL / 100.0
+    k2 = 2.0 * fc * KJ2KCAL / 100.0
+
+    # distances: pair (0,1) at 4.6 A (harmonic zone above up1=4.0),
+    # pair (2,3) at 6.0 A (linear zone beyond up2=5.0)
+    pos = np.array([
+        [0.0, 0.0, 0.0], [4.6, 0.0, 0.0],
+        [0.0, 3.0, 0.0], [6.0, 3.0, 0.0],
+    ])
+    e = float(dr.energy_fn(pos, None))
+    e_mid = 0.5 * k1 * (4.6 - 4.0) ** 2
+    e_lin = 0.5 * k2 * (5.0 - 4.0) * (2 * 6.0 - 5.0 - 4.0)
+    assert e == pytest.approx(e_mid + e_lin, rel=1e-9)
+
+    # inside the flat window: zero
+    pos2 = pos.copy()
+    pos2[1, 0] = 3.5
+    pos2[3, 0] = 3.4
+    assert float(dr.energy_fn(pos2, None)) == pytest.approx(0.0, abs=1e-12)
+    # below low: harmonic toward low
+    pos3 = pos.copy()
+    pos3[1, 0] = 2.0
+    pos3[3, 0] = 3.4
+    assert float(dr.energy_fn(pos3, None)) == pytest.approx(
+        0.5 * k1 * (3.0 - 2.0) ** 2, rel=1e-9
+    )
+
+    # dihedral: chain at phi, restrained to 30 +- 10 deg, k=100 kJ/rad^2
+    dh = make_gromacs_dihres(par)
+    coords = butane_coords(75.0)
+    phi = measured_phi(coords)
+    over = abs(np.degrees(phi) - 30.0) - 10.0
+    expected = 0.5 * 100.0 * KJ2KCAL * np.radians(over) ** 2
+    assert float(dh.energy_fn(coords, None)) == pytest.approx(
+        expected, rel=1e-8
+    )
+    coords_in = butane_coords(33.0)  # within the flat window
+    assert float(dh.energy_fn(coords_in, None)) == pytest.approx(
+        0.0, abs=1e-12
+    )

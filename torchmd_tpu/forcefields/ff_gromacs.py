@@ -388,6 +388,34 @@ class GromacsForcefield:
             ))
         par.gmx_posres = posres
 
+        # [distance_restraints]: (i, j, low, up1, up2, fac) Angstrom; the
+        # force constant is fac x the .mdp disre-fc (restraints.
+        # make_gromacs_distres). [dihedral_restraints]: (i,j,k,l, phi0,
+        # dphi, k) radians / kcal/mol/rad^2.
+        distres = []
+        for (i, j), funct, prm in arr["distres_full"]:
+            if funct != 1:
+                raise NotImplementedError(
+                    f"distance_restraints funct {funct}"
+                )
+            # columns after funct: label low up1 up2 fac  (type' column
+            # folded into funct by the parser)
+            label, low, up1, up2 = prm[0], prm[1], prm[2], prm[3]
+            fac = prm[4] if len(prm) > 4 else 1.0
+            distres.append((int(i), int(j), low * NM2ANG, up1 * NM2ANG,
+                            up2 * NM2ANG, fac))
+        par.gmx_distres = distres
+        dihres = []
+        for idx, funct, prm in arr["dihres_full"]:
+            if funct != 1:
+                raise NotImplementedError(
+                    f"dihedral_restraints funct {funct}"
+                )
+            phi0, dphi = np.radians(prm[0]), np.radians(prm[1])
+            kfac = (prm[2] if len(prm) > 2 else 0.0) * KJ2KCAL
+            dihres.append((*(int(v) for v in idx), phi0, dphi, kfac))
+        par.gmx_dihres = dihres
+
     # ------------------------------------------------------------------
     def _assemble_nonbonded(self, par, uqtypes):
         se = np.array(

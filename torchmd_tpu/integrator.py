@@ -120,7 +120,9 @@ class Integrator:
         # massless rows are virtual sites: zero DOF, zero thermostat noise
         n_real = int(np.sum(np.asarray(masses).reshape(-1) > 0))
         self._n_real = n_real
-        self.vsites = getattr(forces.par, "vsites", None) or None
+        self.vsites = getattr(
+            getattr(forces, "par", None), "vsites", None
+        ) or None
         if self.vsites is None and n_real < len(masses):
             raise ValueError(
                 "massless atoms present but no virtual-site spec on the "

@@ -47,6 +47,8 @@ class GmxMoleculeType:
     vsites3: list = field(default_factory=list)      # ((s,i,j,k), funct, prm)
     vsites4: list = field(default_factory=list)      # ((s,i,j,k,l), funct, prm)
     position_restraints: list = field(default_factory=list)
+    distance_restraints: list = field(default_factory=list)
+    dihedral_restraints: list = field(default_factory=list)
 
 
 @dataclass
@@ -281,6 +283,18 @@ def parse_top(path, include_dirs=(), defines=None, strict=False):
                 cur.position_restraints.append(
                     ((int(toks[0]) - 1,), int(toks[1]), _floats(toks[2:]))
                 )
+            elif section == "distance_restraints":
+                # ai aj funct label type low up1 up2 kfac
+                idx = (int(toks[0]) - 1, int(toks[1]) - 1)
+                cur.distance_restraints.append(
+                    (idx, int(toks[2]), _floats(toks[3:]))
+                )
+            elif section == "dihedral_restraints":
+                # ai aj ak al funct phi0 dphi kfac
+                idx = tuple(int(t) - 1 for t in toks[:4])
+                cur.dihedral_restraints.append(
+                    (idx, int(toks[4]), _floats(toks[5:]))
+                )
             elif section == "system":
                 top.system_name = s
             elif section == "molecules":
@@ -350,14 +364,23 @@ def _parse_dihedraltype(table, toks):
     """[dihedraltypes] rows: modern form has 4 type columns + funct;
     the old 2-type form (GROMACS pre-4.x, still emitted by some tools)
     gives the two INNER types for propers: 'bt_j bt_k funct ...'."""
+    def _is_number(tok):
+        try:
+            float(tok)
+            return True
+        except ValueError:
+            return False
+
+    four = False
     if len(toks) >= 5:
         try:
             int(toks[4])
-            four = True
+            # type columns are names, never pure numbers -- guards against
+            # old-form lines whose parameters happen to be integers
+            # ('X X 1 180 10 2' is 2-type funct 1, not 4-type funct 10)
+            four = not any(_is_number(t) for t in toks[:4])
         except ValueError:
             four = False
-    else:
-        four = False
     if four:
         key = (toks[0], toks[1], toks[2], toks[3], int(toks[4]))
         prm = _floats(toks[5:])
@@ -398,6 +421,8 @@ def build_molecule_arrays(top: GmxTopology):
     exclusions_full, settles_full, constraints_full = [], [], []
     vsites_full = []
     posres_full = []  # (global atom, funct, [params]) raw units
+    distres_full = []
+    dihres_full = []
     bond_idx, angle_idx, dih_idx, impr_idx = [], [], [], []
 
     offset = 0
@@ -491,6 +516,14 @@ def build_molecule_arrays(top: GmxTopology):
                 vsites_full.append((tuple(g(i) for i in idx), 4, funct, prm))
             for idx, funct, prm in mt.position_restraints:
                 posres_full.append((g(idx[0]), funct, prm))
+            for idx, funct, prm in mt.distance_restraints:
+                distres_full.append(
+                    ((g(idx[0]), g(idx[1])), funct, prm)
+                )
+            for idx, funct, prm in mt.dihedral_restraints:
+                dihres_full.append(
+                    (tuple(g(i) for i in idx), funct, prm)
+                )
             offset += nat
 
     return {
@@ -515,4 +548,6 @@ def build_molecule_arrays(top: GmxTopology):
         "constraints_full": constraints_full,
         "vsites_full": vsites_full,
         "posres_full": posres_full,
+        "distres_full": distres_full,
+        "dihres_full": dihres_full,
     }

@@ -147,6 +147,9 @@ def mdp_to_args(mdp: dict, warn=print) -> dict:
     elif cons == "all-bonds":
         args["constraints"] = "allbonds"
 
+    if "disre-fc" in mdp:
+        args["disre_fc"] = _f(mdp["disre-fc"])
+
     if "define" in mdp:
         names = [tok[2:] for tok in mdp["define"].split()
                  if tok.startswith("-D")]

@@ -94,3 +94,98 @@ def make_gromacs_posres(parameters, ref_pos):
     k = np.asarray([r[1:4] for r in rec], dtype=np.float64)
     ref = np.asarray(ref_pos, dtype=np.float64)[idx]
     return AnisotropicPositionalRestraint(ref, k, atom_idx=idx)
+
+
+class GromacsDistanceRestraint:
+    """GROMACS [distance_restraints] funct 1 (instantaneous form):
+        r < low        : 1/2 k (r - low)^2
+        low <= r <= up1: 0
+        up1 < r <= up2 : 1/2 k (r - up1)^2
+        r > up2        : linear continuation 1/2 k (up2-up1)(2r-up2-up1)
+    All lengths in Angstrom, k in kcal/mol/A^2 (per-pair, already scaled
+    by the row's weighting factor)."""
+
+    def __init__(self, pairs, low, up1, up2, k):
+        self.pairs = jnp.asarray(np.asarray(pairs), jnp.int32)
+        self.low = jnp.asarray(low)
+        self.up1 = jnp.asarray(up1)
+        self.up2 = jnp.asarray(up2)
+        self.k = jnp.asarray(k)
+
+    def energy_fn(self, pos, box):
+        from .potentials import wrap_displacement
+
+        d = pos[self.pairs[:, 0]] - pos[self.pairs[:, 1]]
+        d = wrap_displacement(d, box)
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-24)
+        low = self.low.astype(pos.dtype)
+        up1 = self.up1.astype(pos.dtype)
+        up2 = self.up2.astype(pos.dtype)
+        k = self.k.astype(pos.dtype)
+        e_low = 0.5 * k * (r - low) ** 2
+        e_mid = 0.5 * k * (r - up1) ** 2
+        e_lin = 0.5 * k * (up2 - up1) * (2.0 * r - up2 - up1)
+        e = jnp.where(
+            r < low, e_low,
+            jnp.where(r <= up1, 0.0, jnp.where(r <= up2, e_mid, e_lin)),
+        )
+        return jnp.sum(e)
+
+    def calculate(self, pos, box):
+        from .external import JaxExternal
+
+        return JaxExternal(self.energy_fn).calculate(pos, box)
+
+
+class GromacsDihedralRestraint:
+    """GROMACS [dihedral_restraints] funct 1: flat within +-dphi of phi0,
+    harmonic 1/2 k (|dphi_wrapped| - dphi)^2 outside. Angles in radians,
+    k in kcal/mol/rad^2."""
+
+    def __init__(self, quads, phi0, dphi, k):
+        self.quads = jnp.asarray(np.asarray(quads), jnp.int32)
+        self.phi0 = jnp.asarray(phi0)
+        self.dphi = jnp.asarray(dphi)
+        self.k = jnp.asarray(k)
+
+    def energy_fn(self, pos, box):
+        from .potentials import _dihedral_phi
+
+        phi = _dihedral_phi(pos, self.quads, box)
+        diff = phi - self.phi0.astype(pos.dtype)
+        diff = diff - 2.0 * jnp.pi * jnp.round(diff / (2.0 * jnp.pi))
+        over = jnp.maximum(
+            jnp.abs(diff) - self.dphi.astype(pos.dtype), 0.0
+        )
+        return jnp.sum(0.5 * self.k.astype(pos.dtype) * over * over)
+
+    def calculate(self, pos, box):
+        from .external import JaxExternal
+
+        return JaxExternal(self.energy_fn).calculate(pos, box)
+
+
+def make_gromacs_distres(parameters, fc_kj_nm2=1000.0):
+    """Restraint object for parameters.gmx_distres (rows (i, j, low, up1,
+    up2, fac) in Angstrom; fac scales the global force constant
+    `fc_kj_nm2`, GROMACS's disre-fc .mdp parameter)."""
+    rec = getattr(parameters, "gmx_distres", None)
+    if not rec:
+        return None
+    rec = np.asarray(rec, dtype=np.float64)
+    k = rec[:, 5] * fc_kj_nm2 / 4.184 / 100.0
+    return GromacsDistanceRestraint(
+        rec[:, :2].astype(np.int64), rec[:, 2], rec[:, 3], rec[:, 4], k
+    )
+
+
+def make_gromacs_dihres(parameters):
+    """Restraint object for parameters.gmx_dihres (rows (i, j, k, l,
+    phi0_rad, dphi_rad, k_kcal_rad2))."""
+    rec = getattr(parameters, "gmx_dihres", None)
+    if not rec:
+        return None
+    rec = np.asarray(rec, dtype=np.float64)
+    return GromacsDihedralRestraint(
+        rec[:, :4].astype(np.int64), rec[:, 4], rec[:, 5], rec[:, 6]
+    )

@@ -231,29 +231,40 @@ def setup(args, batch_comp=False):
     system.set_velocities(vel0)
 
     external = _instantiate_external(args, mol, batch_comp)
-    # GROMACS [position_restraints] (active when its #ifdef -- typically
-    # POSRES via TMD_GMX_DEFINES -- was defined at parse time): reference
-    # positions are the starting coordinates (GROMACS -r default).
-    if getattr(parameters, "gmx_posres", None):
-        from .restraints import make_gromacs_posres
+    # GROMACS restraints (position restraints need their #ifdef --
+    # typically POSRES via TMD_GMX_DEFINES -- active at parse time).
+    # Reference positions are the starting coordinates (GROMACS -r
+    # default); disre-fc comes through the .mdp translation.
+    restr = []
+    if getattr(parameters, "gmx_posres", None) is not None:
+        from .restraints import (
+            make_gromacs_dihres,
+            make_gromacs_distres,
+            make_gromacs_posres,
+        )
 
-        posres = make_gromacs_posres(parameters, mol.coords[:, :, 0])
-        if external is None:
-            external = posres
-        elif hasattr(external, "energy_fn"):
-            ext_fn = external.energy_fn
-            pr_fn = posres.energy_fn
+        restr = [r for r in (
+            make_gromacs_posres(parameters, mol.coords[:, :, 0]),
+            make_gromacs_distres(
+                parameters, fc_kj_nm2=getattr(args, "disre_fc", 1000.0)
+            ),
+            make_gromacs_dihres(parameters),
+        ) if r is not None]
+    if restr:
+        fns = [r.energy_fn for r in restr]
+        if external is not None:
+            if not hasattr(external, "energy_fn"):
+                raise NotImplementedError(
+                    "topology restraints cannot compose with a host-side "
+                    "external potential (no energy_fn)"
+                )
+            fns.append(external.energy_fn)
 
-            from .external import JaxExternal
+        from .external import JaxExternal
 
-            external = JaxExternal(
-                lambda pos, box: ext_fn(pos, box) + pr_fn(pos, box)
-            )
-        else:
-            raise NotImplementedError(
-                "position restraints cannot compose with a host-side "
-                "external potential (no energy_fn)"
-            )
+        external = JaxExternal(
+            lambda pos, box: sum(fn(pos, box) for fn in fns)
+        )
 
     forces = Forces(
         parameters,
