@@ -156,3 +156,44 @@ def test_rdf_partial_selection_no_self_pairs():
     r, g = rdf(traj, [10.0] * 3, nbins=20, sel_a=np.arange(5))
     assert np.all(np.isfinite(g))
     assert g[0] < 5.0, g[0]  # no self-pair spike at r -> 0
+
+
+def test_normal_modes_diatomic():
+    """Mass-weighted Hessian via jax.hessian: a harmonic diatomic with
+    effective spring 1 mdyn/A (143.94 kcal/mol/A^2) and reduced mass
+    1 amu must vibrate at the classic 1302.8 cm^-1; the 5 remaining
+    modes (3 translations + 2 rotations of a linear molecule) are ~0."""
+    import numpy as np
+
+    from torchmd_tpu.analysis import normal_modes
+    from torchmd_tpu.forcefields.ff_yaml import YamlForcefield
+    from torchmd_tpu.forces import Forces
+    from torchmd_tpu.io import Molecule
+    from torchmd_tpu.parameters import Parameters
+
+    mol = Molecule()
+    mol.numAtoms = 2
+    mol.atomtype = np.array(["A", "A"], dtype=object)
+    mol.charge = np.zeros(2)
+    mol.masses = np.array([2.0, 2.0])  # mu = 1 amu
+    mol.bonds = np.array([[0, 1]])
+    mol.coords = np.array([[0.0, 0.0, 0.0], [1.2, 0.0, 0.0]])[:, :, None]
+
+    # E = k0 (r-r0)^2 -> K_eff = 2 k0 = 143.94 kcal/mol/A^2 (1 mdyn/A)
+    ff = YamlForcefield(mol, {
+        "atomtypes": ["A"],
+        "bonds": {"(A, A)": {"k0": 71.97, "req": 1.2}},
+        "lj": {"A": {"sigma": 1.0, "epsilon": 0.0}},
+        "electrostatics": {"A": {"charge": 0.0}},
+        "masses": {"A": 2.0},
+    })
+    par = Parameters(ff, mol, ["bonds"], precision="double")
+    forces = Forces(par, terms=["bonds"], precision="double")
+    nu, modes = normal_modes(forces, mol.coords[:, :, 0])
+    assert nu.shape == (6,)
+    assert np.allclose(nu[:5], 0.0, atol=1.0)       # trans + rot
+    assert nu[5] == pytest.approx(1302.8, abs=1.0)  # the stretch
+    # the stretch mode displaces the atoms along x in opposite directions
+    m = modes[5]
+    assert abs(m[0, 0]) > 10 * abs(m[0, 1]) + 1e-12
+    assert np.sign(m[0, 0]) == -np.sign(m[1, 0])

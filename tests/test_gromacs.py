@@ -1330,3 +1330,45 @@ def test_distance_dihedral_restraints(tmp_path):
     assert float(dh.energy_fn(coords_in, None)) == pytest.approx(
         0.0, abs=1e-12
     )
+
+
+def test_gro_velocity_continuation(tmp_path):
+    """gen-vel = no + .gro velocities: the run continues with the file's
+    velocities (A/ps -> internal AKMA units), GROMACS semantics."""
+    from torchmd_tpu import run as runmod
+    from torchmd_tpu.units import TIMEFACTOR
+
+    top = write(tmp_path / "spc.top", SPC_TOP)
+    mol = Molecule(top)
+    coords = spc_coords()
+    mol.coords = coords[:, :, None]
+    mol.box = np.full((3, 1), 20.0)
+    # hand-write a .gro with velocities
+    lines = ["with velocities", "6"]
+    vels = np.round(np.random.RandomState(3).randn(6, 3) * 0.3, 4)
+    for i in range(6):
+        x, y, z = coords[i] / 10.0
+        vx, vy, vz = vels[i]
+        lines.append(
+            f"{1 + i // 3:5d}{'SOL':<5s}{'AT':>5s}{i + 1:5d}"
+            f"{x:8.3f}{y:8.3f}{z:8.3f}{vx:8.4f}{vy:8.4f}{vz:8.4f}"
+        )
+    lines.append("   2.00000   2.00000   2.00000")
+    gro = write(tmp_path / "c.gro", "\n".join(lines) + "\n")
+    mdp = write(tmp_path / "md.mdp", """
+integrator = md
+dt = 0.001
+nsteps = 10
+gen-vel = no
+""")
+    args = runmod.get_args([
+        "--conf", mdp, "--topology", top, "--coordinates", gro,
+        "--forcefield", top,
+        "--forceterms", "bonds", "lj", "electrostatics",
+        "--precision", "double", "--device", "cpu",
+        "--log-dir", str(tmp_path / "out"),
+    ])
+    assert args.use_file_velocities is True
+    mol2, system, forces = runmod.setup(args)
+    expected = vels * 10.0 * (TIMEFACTOR / 1000.0)  # nm/ps->A/ps->internal
+    assert np.allclose(np.asarray(system.vel)[0], expected, atol=1e-9)

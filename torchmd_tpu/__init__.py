@@ -46,7 +46,7 @@ __all__ = [
     "make_lambda_sites", "ph_bias", "make_drude", "DrudeIntegrator",
     "make_drude_ewald", "view_frame", "make_multipoles",
     "MultipoleEwald", "MultipolePme", "make_amoeba_potential",
-    "GromacsForcefield", "apply_vsites",
+    "GromacsForcefield", "apply_vsites", "normal_modes",
 ]
 
 _LAZY = {
@@ -83,6 +83,7 @@ _LAZY = {
     "GromacsForcefield": ("torchmd_tpu.forcefields.ff_gromacs",
                           "GromacsForcefield"),
     "apply_vsites": ("torchmd_tpu.vsites", "apply_vsites"),
+    "normal_modes": ("torchmd_tpu.analysis", "normal_modes"),
 }
 
 

@@ -140,6 +140,70 @@ def msd(traj, sel=None):
 # CLI: `torchmd-tpu analyze <log_dir> ...` / `python -m torchmd_tpu.analysis`
 # ----------------------------------------------------------------------
 
+def normal_modes(forces, pos, box=None):
+    """Harmonic normal-mode analysis at a (minimized) geometry.
+
+    Differentiable-MD capability the reference lacks: the mass-weighted
+    Hessian comes from one `jax.hessian` of the total potential (every
+    term, including Pallas-free fused math, PME, external terms with an
+    `energy_fn`), so frequencies are exact second derivatives of the same
+    energy the dynamics integrates -- no finite differencing.
+
+    forces: a `Forces` object (use precision="double" on CPU for clean
+    eigenvalues); pos: (natoms, 3); box: (3,) diagonal or None.
+    Returns (wavenumbers_cm1, modes): wavenumbers sorted ascending
+    ((3N,), negative values are imaginary modes reported as -|nu|), and
+    the mass-weighted eigenvectors as (3N, natoms, 3) displacement
+    fields.
+    """
+    import jax
+
+    from .potentials import compute_potentials
+
+    dtype = forces.dtype
+    pos = jnp.asarray(np.asarray(pos), dtype=dtype)
+    if box is None:
+        box_j = jnp.zeros(3, dtype=dtype)
+    else:
+        box_j = jnp.asarray(np.asarray(box).reshape(-1)[:3], dtype=dtype)
+
+    ffp = forces.ffparams
+    cfg = forces.config
+    ext_fn = getattr(getattr(forces, "external", None), "energy_fn", None)
+    vsg = getattr(forces, "vsites", None)
+
+    def etot(p):
+        if vsg:
+            from .vsites import apply_vsites
+
+            p = apply_vsites(vsg, p, box_j)
+        pot = compute_potentials(ffp, p, box_j, cfg)
+        e = sum(jax.tree_util.tree_leaves(pot))
+        if getattr(forces, "_ewald", None) is not None:
+            e = e + forces._ewald.energy(p, box_j)
+        if ext_fn is not None:
+            e = e + ext_fn(p, box_j)
+        return e
+
+    n = pos.shape[0]
+    H = jax.hessian(etot)(pos).reshape(3 * n, 3 * n)
+    masses = np.asarray(forces.par.masses, dtype=np.float64).reshape(-1)
+    # massless rows (virtual sites) carry no dynamics: project them out
+    # by giving them effectively infinite mass (zero inverse weight)
+    inv_sqrt_m = np.where(masses > 0, 1.0 / np.sqrt(np.maximum(masses, 1e-30)), 0.0)
+    w = np.repeat(inv_sqrt_m, 3)
+    Hw = np.asarray(H, dtype=np.float64) * w[:, None] * w[None, :]
+    Hw = 0.5 * (Hw + Hw.T)
+    evals, evecs = np.linalg.eigh(Hw)
+    # eigenvalues in kcal/mol/A^2/amu -> wavenumbers:
+    # omega = sqrt(lambda * 4184 J/mol / (1e-3 kg/mol * 1e-20 m^2)) [1/s]
+    # nu~ = omega / (2 pi c)
+    factor = np.sqrt(4184.0 / 1e-23) / (2.0 * np.pi * 2.99792458e10)
+    nu = np.sign(evals) * factor * np.sqrt(np.abs(evals))
+    modes = (evecs.T * w[None, :]).reshape(3 * n, n, 3)
+    return nu, modes
+
+
 def main(argv=None):
     """Post-process a run directory: monitor plots (pandas/matplotlib,
     like the reference's scripts/analysis.py) and/or structural

@@ -125,8 +125,12 @@ def mdp_to_args(mdp: dict, warn=print) -> dict:
 
     if mdp.get("gen-vel", "no").lower() == "yes":
         args["temperature"] = _f(mdp.get("gen-temp", ref_t or 300.0))
-    elif ref_t is not None and "temperature" not in args:
-        args["temperature"] = ref_t
+    else:
+        # GROMACS continuation semantics: keep the coordinate file's
+        # velocities when it carries them (run.py checks availability)
+        args["use_file_velocities"] = True
+        if ref_t is not None and "temperature" not in args:
+            args["temperature"] = ref_t
     for k in ("ld-seed", "gen-seed"):
         if k in mdp and _i(mdp[k]) > 0:
             args["seed"] = _i(mdp[k])

@@ -225,9 +225,19 @@ def setup(args, batch_comp=False):
     system = System(mol.numAtoms, args.replicas, args.precision, args.device)
     system.set_positions(mol.coords)
     system.set_box(mol.box)
-    vel0 = maxwell_boltzmann(
-        parameters.masses, args.temperature, args.replicas, seed=args.seed
-    )
+    file_vel = getattr(mol, "velocities", None)
+    if getattr(args, "use_file_velocities", False) and file_vel is not None:
+        # continuation: .gro velocities are A/ps; internal velocities are
+        # A per AKMA time unit (TIMEFACTOR fs)
+        from .units import TIMEFACTOR
+
+        v = np.asarray(file_vel, dtype=np.float64) * (TIMEFACTOR / 1000.0)
+        vel0 = np.repeat(v[None], args.replicas, axis=0)
+    else:
+        vel0 = maxwell_boltzmann(
+            parameters.masses, args.temperature, args.replicas,
+            seed=args.seed
+        )
     system.set_velocities(vel0)
 
     external = _instantiate_external(args, mol, batch_comp)
