@@ -47,6 +47,7 @@ __all__ = [
     "make_drude_ewald", "view_frame", "make_multipoles",
     "MultipoleEwald", "MultipolePme", "make_amoeba_potential",
     "GromacsForcefield", "apply_vsites", "normal_modes",
+    "GBSA", "make_gbsa",
 ]
 
 _LAZY = {
@@ -84,6 +85,8 @@ _LAZY = {
                           "GromacsForcefield"),
     "apply_vsites": ("torchmd_tpu.vsites", "apply_vsites"),
     "normal_modes": ("torchmd_tpu.analysis", "normal_modes"),
+    "GBSA": ("torchmd_tpu.gb", "GBSA"),
+    "make_gbsa": ("torchmd_tpu.gb", "make_gbsa"),
 }
 
 

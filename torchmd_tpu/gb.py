@@ -1,0 +1,178 @@
+"""Generalized-Born implicit solvent (OBC-II) with ACE surface area.
+
+New capability beyond the reference (torchmd has no implicit solvent):
+the standard GB/OBC model (Onufriev, Bashford & Case 2004, igb=5 in
+Amber, GBSAOBCForce in OpenMM) as a pure-JAX energy term:
+
+  1. HCT pairwise descreening integrals over a dense masked pair matrix
+     (static shapes -- the same TPU-native design as the nonbonded core),
+  2. the OBC tanh rescaling of the Born radii
+     1/B_i = 1/rho_i - tanh(a psi - b psi^2 + g psi^3) / R_i,
+     with (a, b, g) = (1.0, 0.8, 4.85),
+  3. E_GB = -1/2 ke (1/eps_in - 1/eps_out) sum_ij q_i q_j / f_GB,
+     f_GB = sqrt(r^2 + B_i B_j exp(-r^2 / (4 B_i B_j))) including the
+     i = j self terms,
+  4. optional ACE nonpolar term E_SA = sigma 4 pi (R + r_probe)^2 (R/B)^6.
+
+Forces come from jax.grad of the energy (the Born-radius chain rule is
+handled by AD -- no hand-derived derivatives), so the term composes with
+the compiled MD scan through the external-potential protocol
+(`energy_fn`). Parameters come from prmtop RADII/SCREEN sections when
+present (`from_prmtop`), else mbondi2-style element defaults
+(`default_radii`).
+
+Reference formulation: OpenMM's ReferenceObc::computeBornRadii /
+computeBornEnergyForces (openmm/platforms/reference), Amber igb=5.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .units import ELEC_FACTOR
+
+OFFSET = 0.09          # dielectric offset [A]
+ALPHA, BETA, GAMMA = 1.0, 0.8, 4.85   # OBC-II
+ACE_SIGMA = 0.0216     # kcal/mol/A^2  (28.3919551 kJ/mol/nm^2)
+PROBE = 1.4            # water probe radius [A]
+
+# mbondi2 intrinsic radii [A] and HCT screening factors by element
+RADIUS_BY_ELEMENT = {
+    "H": 1.2, "C": 1.7, "N": 1.55, "O": 1.5, "F": 1.5,
+    "Si": 2.1, "P": 1.85, "S": 1.8, "Cl": 1.7, "Br": 1.85, "I": 1.98,
+}
+SCREEN_BY_ELEMENT = {
+    "H": 0.85, "C": 0.72, "N": 0.79, "O": 0.85, "F": 0.88,
+    "P": 0.86, "S": 0.96,
+}
+
+
+def default_radii(elements):
+    """(radii [A], screen) per atom from element symbols (mbondi2-style)."""
+    r = np.array([RADIUS_BY_ELEMENT.get(str(e), 1.5) for e in elements])
+    s = np.array([SCREEN_BY_ELEMENT.get(str(e), 0.8) for e in elements])
+    return r, s
+
+
+class GBSA:
+    """OBC-II generalized-Born + ACE surface-area energy term.
+
+    charges (n,) [e]; radii (n,) intrinsic Born radii [A]; screen (n,)
+    HCT factors. `sa=True` adds the nonpolar ACE term. Implements the
+    external-potential protocol (`energy_fn` folds into the jitted scan;
+    `calculate` serves the batched host API)."""
+
+    def __init__(self, charges, radii, screen, solvent_dielectric=78.5,
+                 solute_dielectric=1.0, sa=True, cutoff=None):
+        self.charges = jnp.asarray(np.asarray(charges, dtype=np.float64))
+        self.radii = jnp.asarray(np.asarray(radii, dtype=np.float64))
+        self.screen = jnp.asarray(np.asarray(screen, dtype=np.float64))
+        self.eps_out = float(solvent_dielectric)
+        self.eps_in = float(solute_dielectric)
+        self.sa = bool(sa)
+        self.cutoff = cutoff
+        n = self.charges.shape[0]
+        self._eye = jnp.eye(n, dtype=bool)
+
+    # ------------------------------------------------------------------
+    def born_radii(self, pos, box=None):
+        """(n,) OBC Born radii for one conformation."""
+        from .potentials import wrap_displacement
+
+        rho = self.radii - OFFSET                      # offset radii
+        sr = self.screen * rho                         # scaled radii S_j
+        dv = pos[:, None, :] - pos[None, :, :]
+        dv = wrap_displacement(dv, box)
+        d2 = jnp.sum(dv * dv, axis=-1)
+        d2 = jnp.where(self._eye, 1.0, d2)
+        r = jnp.sqrt(d2)
+
+        rho_i = rho[:, None].astype(pos.dtype)
+        S_j = sr[None, :].astype(pos.dtype)
+        # HCT descreening integral of sphere j over the surface shell of i
+        L = jnp.maximum(jnp.abs(r - S_j), rho_i)
+        U = r + S_j
+        inv_L = 1.0 / L
+        inv_U = 1.0 / U
+        term = (
+            inv_L - inv_U
+            + 0.25 * r * (inv_U**2 - inv_L**2)
+            + (0.5 / r) * jnp.log(L * inv_U)
+            + (0.25 * S_j * S_j / r) * (inv_L**2 - inv_U**2)
+        )
+        # engulfed correction: sphere j completely contains the shell
+        term = term + jnp.where(
+            rho_i < S_j - r, 2.0 * (1.0 / rho_i - inv_L), 0.0
+        )
+        # pair is active only when the spheres overlap the shell at all
+        active = jnp.logical_and(~self._eye, rho_i < U)
+        if self.cutoff is not None:
+            active = jnp.logical_and(active, r <= self.cutoff)
+        I = jnp.sum(jnp.where(active, term, 0.0), axis=1)
+
+        psi = 0.5 * I * rho.astype(pos.dtype)
+        t = jnp.tanh(ALPHA * psi - BETA * psi**2 + GAMMA * psi**3)
+        inv_B = 1.0 / rho.astype(pos.dtype) - t / self.radii.astype(pos.dtype)
+        return 1.0 / inv_B
+
+    # ------------------------------------------------------------------
+    def energy_fn(self, pos, box=None):
+        from .potentials import wrap_displacement
+
+        B = self.born_radii(pos, box)
+        q = self.charges.astype(pos.dtype)
+        dv = pos[:, None, :] - pos[None, :, :]
+        dv = wrap_displacement(dv, box)
+        d2 = jnp.sum(dv * dv, axis=-1)
+
+        BB = B[:, None] * B[None, :]
+        f2 = d2 + BB * jnp.exp(-d2 / (4.0 * BB))
+        f_gb = jnp.sqrt(f2)
+        pref = -0.5 * ELEC_FACTOR * (1.0 / self.eps_in - 1.0 / self.eps_out)
+        qq = q[:, None] * q[None, :]
+        e_pair = pref * qq / f_gb
+        if self.cutoff is not None:
+            keep = jnp.logical_or(self._eye, d2 <= self.cutoff**2)
+            e_pair = jnp.where(keep, e_pair, 0.0)
+        e = jnp.sum(e_pair)
+
+        if self.sa:
+            Rp = (self.radii + PROBE).astype(pos.dtype)
+            ratio = (self.radii.astype(pos.dtype) / B) ** 6
+            e = e + jnp.sum(
+                ACE_SIGMA * 4.0 * jnp.pi * Rp * Rp * ratio
+            )
+        return e
+
+    def calculate(self, pos, box):
+        from .external import JaxExternal
+
+        return JaxExternal(self.energy_fn).calculate(pos, box)
+
+
+def make_gbsa(parameters, mol=None, solvent_dielectric=78.5,
+              solute_dielectric=1.0, sa=True,
+              cutoff=None) -> Optional[GBSA]:
+    """Build the GB/OBC term for an assembled system.
+
+    Radii/screen come from the prmtop RADII + SCREEN sections when the
+    Molecule was built from one (Amber's own GB parameters); otherwise
+    from element-based mbondi2 defaults (requires mol.element)."""
+    prm = getattr(mol, "prmtop", None) if mol is not None else None
+    if prm is not None and "RADII" in prm._sec and "SCREEN" in prm._sec:
+        radii = prm.gb_radii
+        screen = prm.gb_screen
+    elif mol is not None and len(getattr(mol, "element", [])):
+        radii, screen = default_radii(mol.element)
+    else:
+        raise ValueError(
+            "GBSA needs prmtop RADII/SCREEN sections or element symbols"
+        )
+    return GBSA(
+        np.asarray(parameters.charges).reshape(-1), radii, screen,
+        solvent_dielectric=solvent_dielectric,
+        solute_dielectric=solute_dielectric, sa=sa, cutoff=cutoff,
+    )

@@ -166,6 +166,17 @@ class Prmtop:
         else:
             self.box = None
 
+    @property
+    def gb_radii(self) -> np.ndarray:
+        """Per-atom intrinsic GB radii [A] (RADII section; Amber's own
+        mbondi/mbondi2 values selected at tleap time)."""
+        return _floats(self._sec["RADII"])[: self.natoms]
+
+    @property
+    def gb_screen(self) -> np.ndarray:
+        """Per-atom HCT screening factors (SCREEN section)."""
+        return _floats(self._sec["SCREEN"])[: self.natoms]
+
     def lj_diag(self, type_idx: int) -> tuple[float, float]:
         """(rmin/2, epsilon) for one nonbonded type index, from the ACOEF/BCOEF
         diagonal (same extraction parmed performs in AmberParm.fill_LJ)."""

@@ -49,6 +49,11 @@ def get_args(arguments=None):
                              "(default 100 * timestep)")
     parser.add_argument("--solvent-dielectric", default=78.5, type=float,
                         help="Reaction-field solvent dielectric (with --rfa)")
+    parser.add_argument("--gbsa", action="store_true", default=False,
+                        help="GB/OBC implicit solvent + ACE surface area "
+                             "(radii from prmtop RADII/SCREEN or element "
+                             "defaults; use plain-Coulomb electrostatics, "
+                             "not --rfa, with this)")
     parser.add_argument("--device", default=None,
                         help="Device: cpu | tpu | None (jax default)")
     parser.add_argument("--structure", default=None, help="Deprecated: Input PDB")
@@ -260,6 +265,14 @@ def setup(args, batch_comp=False):
             ),
             make_gromacs_dihres(parameters),
         ) if r is not None]
+    if getattr(args, "gbsa", False):
+        from .gb import make_gbsa
+
+        restr.append(make_gbsa(
+            parameters, mol,
+            solvent_dielectric=getattr(args, "solvent_dielectric", 78.5),
+            cutoff=args.cutoff,
+        ))
     if restr:
         fns = [r.energy_fn for r in restr]
         if external is not None:
