@@ -1,0 +1,141 @@
+"""r-RESPA multiple-timestep integrator tests.
+
+Validation: (1) mts=1 reproduces the standard velocity-Verlet scan
+bit-for-bit (the impulse splitting is algebraically identical at n=1),
+(2) with stiff bonds the inner substeps rescue an outer timestep that
+plain VV cannot integrate (NVE drift comparison), (3) Langevin + MTS
+thermostats to the target temperature.
+"""
+
+import numpy as np
+import pytest
+
+from torchmd_tpu.forcefields.ff_yaml import YamlForcefield
+from torchmd_tpu.forces import Forces
+from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+from torchmd_tpu.io import Molecule
+from torchmd_tpu.parameters import Parameters
+from torchmd_tpu.systems import System
+
+
+def stiff_dimer_gas(ndimers=4, spacing=6.0):
+    """Stiff heteronuclear dimers (an H-like light atom on a k=450 bond)
+    in an LJ gas: the classic fast/slow split testbed."""
+    n = 2 * ndimers
+    mol = Molecule()
+    mol.numAtoms = n
+    mol.atomtype = np.array(["X", "HX"] * ndimers, dtype=object)
+    mol.charge = np.zeros(n)
+    mol.masses = np.array([16.0, 1.008] * ndimers)
+    mol.bonds = np.array([[2 * i, 2 * i + 1] for i in range(ndimers)])
+    coords = []
+    for i in range(ndimers):
+        base = np.array([spacing * i, 0.4 * i, 0.2 * i])
+        coords.append(base)
+        coords.append(base + np.array([0.97, 0.0, 0.0]))
+    mol.coords = np.asarray(coords)[:, :, None]
+    ff = YamlForcefield(mol, {
+        "atomtypes": ["X", "HX"],
+        "bonds": {"(X, HX)": {"k0": 450.0, "req": 0.97}},
+        "lj": {
+            "X": {"sigma": 3.2, "epsilon": 0.15},
+            "HX": {"sigma": 1.0, "epsilon": 0.0},
+        },
+        "electrostatics": {"X": {"charge": 0.0}, "HX": {"charge": 0.0}},
+        "masses": {"X": 16.0, "HX": 1.008},
+    })
+    par = Parameters(ff, mol, ["bonds", "lj"], precision="double")
+    return mol, par
+
+
+def run_traj(mol, par, timestep, nsteps, mts=None, gamma=None, T=None,
+             seed=5):
+    forces = Forces(par, terms=["bonds", "lj"], precision="double")
+    syst = System(mol.numAtoms, 1, "double")
+    syst.set_positions(mol.coords)
+    syst.set_velocities(maxwell_boltzmann(par.masses, 200.0, 1, seed=seed))
+    integ = Integrator(syst, forces, timestep=timestep, gamma=gamma, T=T,
+                       seed=seed, mts=mts)
+    etots = []
+    for _ in range(nsteps // 10):
+        ekin, epot, temp = integ.step(niter=10)
+        etots.append(float(np.asarray(ekin).reshape(-1)[0])
+                     + float(np.asarray(epot).reshape(-1)[0]))
+    return np.asarray(syst.pos)[0], np.asarray(syst.vel)[0], etots, temp
+
+
+def test_mts1_matches_standard_nve():
+    mol, par = stiff_dimer_gas()
+    pos_a, vel_a, e_a, _ = run_traj(mol, par, 0.5, 40, mts=None)
+    pos_b, vel_b, e_b, _ = run_traj(mol, par, 0.5, 40, mts=1)
+    assert np.allclose(pos_a, pos_b, atol=1e-12)
+    assert np.allclose(vel_a, vel_b, atol=1e-12)
+    assert np.allclose(e_a, e_b, atol=1e-9)
+
+
+def test_mts1_matches_standard_langevin():
+    """Same PRNG stream, same kick ordering at n=1: identical dynamics."""
+    mol, par = stiff_dimer_gas()
+    pos_a, vel_a, _, _ = run_traj(mol, par, 0.5, 40, mts=None, gamma=1.0,
+                                  T=300.0)
+    pos_b, vel_b, _, _ = run_traj(mol, par, 0.5, 40, mts=1, gamma=1.0,
+                                  T=300.0)
+    assert np.allclose(pos_a, pos_b, atol=1e-12)
+    assert np.allclose(vel_a, vel_b, atol=1e-12)
+
+
+def test_mts_rescues_large_outer_step():
+    """2.5 fs is far beyond the ~1 fs stability limit of a k=450 X-H bond
+    under plain VV; with 5 inner bonded substeps (0.5 fs) the same outer
+    step conserves energy."""
+    mol, par = stiff_dimer_gas()
+    _, _, e_plain, _ = run_traj(mol, par, 2.5, 120, mts=None)
+    _, _, e_mts, _ = run_traj(mol, par, 2.5, 120, mts=5)
+    drift_plain = abs(e_plain[-1] - e_plain[0])
+    drift_mts = abs(e_mts[-1] - e_mts[0])
+    assert np.isfinite(e_mts[-1])
+    assert drift_mts < 0.5, (drift_mts, e_mts)
+    assert (not np.isfinite(e_plain[-1])) or drift_plain > 10 * drift_mts, (
+        drift_plain, drift_mts
+    )
+
+
+def test_mts_langevin_thermostats():
+    mol, par = stiff_dimer_gas()
+    _, _, _, temp = run_traj(mol, par, 2.0, 400, mts=4, gamma=2.0, T=300.0)
+    t = float(np.asarray(temp).reshape(-1)[0])
+    assert 100.0 < t < 700.0  # small system: loose band around target
+
+
+def test_mts_with_settle_water():
+    """MTS + SETTLE: rigid waters at a 4 fs outer step with 2 bonded
+    substeps stay finite and conserve reasonably under NVE."""
+    from torchmd_tpu.forcefields import ForceField
+
+    import os
+
+    from conftest import SYSTEMS_DIR
+
+    d = os.path.join(SYSTEMS_DIR, "water")
+    mol = Molecule(os.path.join(d, "structure.psf"))
+    mol.read(os.path.join(d, "structure.pdb"))
+    ff = ForceField.create(
+        mol, os.path.join(d, "water_forcefield.yaml")
+    )
+    terms = ["bonds", "angles", "lj", "electrostatics"]
+    par = Parameters(ff, mol, terms, precision="double")
+    forces = Forces(par, terms=terms, precision="double", cutoff=7.3,
+                    rfa=True, switch_dist=6.0)
+    syst = System(mol.numAtoms, 1, "double")
+    syst.set_positions(mol.coords)
+    syst.set_box(mol.box)
+    syst.set_velocities(maxwell_boltzmann(par.masses, 300.0, 1, seed=7))
+    integ = Integrator(syst, forces, timestep=4.0, seed=7,
+                       constraints="settle", mts=2)
+    etots = []
+    for _ in range(6):
+        ekin, epot, _ = integ.step(niter=10)
+        etots.append(float(np.asarray(ekin).reshape(-1)[0])
+                     + float(np.asarray(epot).reshape(-1)[0]))
+    assert np.isfinite(etots[-1])
+    assert abs(etots[-1] - etots[0]) < 10.0, etots

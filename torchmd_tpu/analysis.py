@@ -140,6 +140,47 @@ def msd(traj, sel=None):
 # CLI: `torchmd-tpu analyze <log_dir> ...` / `python -m torchmd_tpu.analysis`
 # ----------------------------------------------------------------------
 
+def interaction_energies(forces, pos, box=None, sel_a=None, sel_b=None):
+    """Nonbonded interaction energy between two atom groups (GROMACS
+    "energygrps"-style decomposition; e.g. protein-ligand interaction).
+
+    Evaluates the same masked dense nonbonded math as the force field but
+    keeps only pairs with one atom in `sel_a` and the other in `sel_b`
+    (exclusions still apply). Returns a dict term -> energy (kcal/mol).
+    sel_a/sel_b: integer index arrays; sel_b defaults to the complement
+    of sel_a.
+    """
+    from .potentials import nonbonded_energies
+
+    ffp = forces.ffparams
+    if ffp.nb_mask is None:
+        raise ValueError("forces has no nonbonded terms")
+    n = int(ffp.charges.shape[0])
+    in_a = np.zeros(n, bool)
+    in_a[np.asarray(sel_a, dtype=np.int64)] = True
+    if sel_b is None:
+        in_b = ~in_a
+    else:
+        in_b = np.zeros(n, bool)
+        in_b[np.asarray(sel_b, dtype=np.int64)] = True
+    cross = (in_a[:, None] & in_b[None, :]) | (in_b[:, None] & in_a[None, :])
+    mask = jnp.logical_and(ffp.nb_mask, jnp.asarray(cross))
+    dtype = forces.dtype
+    pos = jnp.asarray(np.asarray(pos), dtype=dtype)
+    if pos.ndim == 3:
+        pos = pos[:, :, 0]
+    box_j = (jnp.zeros(3, dtype) if box is None
+             else jnp.asarray(np.asarray(box).reshape(-1)[:3], dtype))
+    vsg = getattr(forces, "vsites", None)
+    if vsg:
+        from .vsites import apply_vsites
+
+        pos = apply_vsites(vsg, pos, box_j)
+    out = nonbonded_energies(ffp._replace(nb_mask=mask), pos, box_j,
+                             forces.config)
+    return {k: float(v) for k, v in out.items()}
+
+
 def normal_modes(forces, pos, box=None):
     """Harmonic normal-mode analysis at a (minimized) geometry.
 

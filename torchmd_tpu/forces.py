@@ -284,25 +284,59 @@ class Forces:
 
         self.bonded_ef_one = bonded_ef_one
 
+        # The "slow" (nonbonded + reciprocal) evaluator -- kept separate
+        # from the bonded part so the r-RESPA multiple-timestep scan can
+        # split the force field (Integrator(mts=n)). NOTE: nb_ef_one and
+        # bonded_ef_one are pre-vsite-wrap; the composed ef_one below is
+        # the vsite-correct full evaluator.
+        nb_ef_one = None
         if self.use_pallas:
             self._nb_data = prepare_nb_data(self.ffparams)
             nb_data = self._nb_data
 
-            def ef_one(pos, box):
-                pot, frc = bonded_ef_one(pos, box)
-                nb_pot, nb_f = pallas_nonbonded_energy_forces(
+            def nb_ef_one(pos, box):
+                return pallas_nonbonded_energy_forces(
                     nb_data, config, pos, box
                 )
-                pot = dict(pot)
-                for k, v in nb_pot.items():
-                    pot[k] = pot.get(k, 0.0) + v
-                return pot, frc + nb_f
 
         elif has_nb:
 
+            def nb_ef_one(pos, box):
+                return nonbonded_energy_forces(ffp_, pos, box, config)
+
+        if self.cell_requested and self._cell_kernel is not None and has_nb:
+            kern = self._cell_kernel
+
+            def nb_ef_one(pos, box):  # noqa: F811 -- cell-path override
+                cl = kern.build(pos, box)
+                return kern.energy_forces(pos, box, cl)
+
+        elif self.verlet_requested and self._verlet_kernel is not None and has_nb:
+            vkern = self._verlet_kernel
+
+            def nb_ef_one(pos, box):  # noqa: F811 -- verlet-path override
+                nlv = vkern.build(pos, box)
+                return vkern.energy_forces(pos, box, nlv)
+
+        if self._ewald is not None:
+            rec = self._ewald
+            inner_nb = nb_ef_one
+
+            def nb_ef_one(pos, box):
+                pot, frc = inner_nb(pos, box)
+                er, eg = jax.value_and_grad(rec.energy)(pos, box)
+                pot = dict(pot)
+                pot["electrostatics"] = pot.get("electrostatics", 0.0) + er
+                return pot, frc - eg
+
+        self.nb_ef_one = nb_ef_one
+
+        if nb_ef_one is not None:
+            nb_local = nb_ef_one
+
             def ef_one(pos, box):
                 pot, frc = bonded_ef_one(pos, box)
-                nb_pot, nb_f = nonbonded_energy_forces(ffp_, pos, box, config)
+                nb_pot, nb_f = nb_local(pos, box)
                 pot = dict(pot)
                 for k, v in nb_pot.items():
                     pot[k] = pot.get(k, 0.0) + v
@@ -310,41 +344,6 @@ class Forces:
 
         else:
             ef_one = bonded_ef_one
-
-        if self.cell_requested and self._cell_kernel is not None and has_nb:
-            kern = self._cell_kernel
-
-            def ef_one(pos, box):  # noqa: F811 -- cell-path override
-                pot, frc = bonded_ef_one(pos, box)
-                cl = kern.build(pos, box)
-                nb_pot, nb_f = kern.energy_forces(pos, box, cl)
-                pot = dict(pot)
-                for k, v in nb_pot.items():
-                    pot[k] = pot.get(k, 0.0) + v
-                return pot, frc + nb_f
-
-        elif self.verlet_requested and self._verlet_kernel is not None and has_nb:
-            vkern = self._verlet_kernel
-
-            def ef_one(pos, box):  # noqa: F811 -- verlet-path override
-                pot, frc = bonded_ef_one(pos, box)
-                nlv = vkern.build(pos, box)
-                nb_pot, nb_f = vkern.energy_forces(pos, box, nlv)
-                pot = dict(pot)
-                for k, v in nb_pot.items():
-                    pot[k] = pot.get(k, 0.0) + v
-                return pot, frc + nb_f
-
-        if self._ewald is not None:
-            rec = self._ewald
-            inner_ef = ef_one
-
-            def ef_one(pos, box):
-                pot, frc = inner_ef(pos, box)
-                er, eg = jax.value_and_grad(rec.energy)(pos, box)
-                pot = dict(pot)
-                pot["electrostatics"] = pot.get("electrostatics", 0.0) + er
-                return pot, frc - eg
 
         # Virtual sites (TIP4P-family waters, GROMACS [virtual_sitesN]):
         # outermost wrap -- every inner path (dense/Pallas/cell/verlet/

@@ -99,7 +99,7 @@ class Integrator:
     def __init__(self, systems, forces, timestep, device=None, gamma=None,
                  T=None, batch=None, seed=1, mesh=None, mesh_axis="dp",
                  constraints=None, shard="replica", thermostat=None,
-                 tau=None, nchain=3, barostat=None):
+                 tau=None, nchain=3, barostat=None, mts=None):
         self.dt = timestep / TIMEFACTOR
         self.systems = systems
         self.forces = forces
@@ -324,6 +324,24 @@ class Integrator:
                 )
             self._sharding = NamedSharding(mesh, P(mesh_axis))
 
+        # r-RESPA multiple timestepping: `timestep` is the OUTER step at
+        # which the expensive nonbonded/reciprocal forces fire; bonded
+        # forces integrate on `mts` inner substeps (impulse splitting).
+        self.mts = None if mts in (None, 0, False) else int(mts)
+        if self.mts is not None:
+            if self.mts < 1:
+                raise ValueError(f"mts must be >= 1, got {mts}")
+            if self._npt is not None:
+                raise NotImplementedError("mts + MTK barostat")
+            if self._thermostat is not None:
+                raise NotImplementedError(
+                    "mts supports the Langevin thermostat only"
+                )
+            if self.vsites is not None:
+                raise NotImplementedError("mts + virtual sites")
+            if batch is not None:
+                raise NotImplementedError("mts + atom batching")
+
         self.key = jax.random.PRNGKey(seed)
         # device-state cache (avoids host<->device round trips per step();
         # critical when the TPU is reached through a network tunnel)
@@ -362,6 +380,15 @@ class Integrator:
             self._use_cell = getattr(forces, "cell_requested", False)
         if getattr(forces, "ewald_requested", False) and not self._host_path:
             forces.ensure_ewald(np.asarray(systems.box_diag)[0])
+        if self.mts is not None and (
+            self._use_cell or self._use_verlet or self._spatial is not None
+            or self._host_path
+        ):
+            raise NotImplementedError(
+                "mts (r-RESPA) currently supports the dense jittable "
+                "force path only (no cell/verlet kernels, no spatial "
+                "sharding, no host-loop providers)"
+            )
         if self._npt is not None:
             if self._host_path:
                 raise ValueError("MTK barostat needs a jittable force "
@@ -421,6 +448,8 @@ class Integrator:
                 box_all[0], pos0=np.asarray(systems.pos)[0]
             )
             self._scan_fn = self._build_scan_cell()
+        elif self.mts is not None and not self._host_path:
+            self._scan_fn = self._build_scan_mts()
         elif not self._host_path:
             self._scan_fn = self._build_scan()
 
@@ -523,6 +552,109 @@ class Integrator:
                     else:
                         vel, aux = thermo_post(vel, aux)
                 return (SimState(pos, vel, frc, key), aux), epot
+
+            carry, epots = jax.lax.scan(body, carry, None, length=niter)
+            return carry, epots[-1]
+
+        return run
+
+    def _build_scan_mts(self):
+        """r-RESPA multiple-timestep scan (impulse/Verlet-I splitting,
+        Tuckerman, Berne & Martyna 1992 -- capability the reference
+        lacks): the expensive slow forces (nonbonded + Ewald reciprocal +
+        external) kick the velocities at the OUTER timestep, while the
+        stiff bonded forces integrate on `mts` inner substeps. With
+        mts=1 the trajectory is exactly the standard velocity-Verlet
+        scan's. The scan carry's `forces` slot holds the SLOW component
+        (a one-time startup impulse error of dt/2 x F_bonded occurs if
+        the seeded System.forces held totals).
+
+        Langevin: friction + noise apply on the inner substeps with the
+        substep-scaled noise coefficient. SHAKE/RATTLE project every
+        inner position/velocity update plus the outer kicks."""
+        forces_obj = self.forces
+        dt = self.dt
+        n = int(self.mts)
+        ddt = dt / n
+        gamma = self.gamma
+        use_thermostat = self._use_langevin_T and gamma is not None
+        # vcoeff was built for the OUTER dt; inner noise scales as
+        # sqrt(ddt/dt) = 1/sqrt(n)
+        vcoeff = (self.vcoeff / np.sqrt(n)) if use_thermostat else None
+        masses = self.masses
+        ext_energy = getattr(forces_obj.external, "energy_fn", None)
+        use_pbc = bool(np.any(np.asarray(self.systems.box_diag) != 0))
+
+        bonded_one = forces_obj.bonded_ef_one
+        nb_one = forces_obj.nb_ef_one
+
+        def fast_one(pos, box):
+            pot, frc = bonded_one(pos, box if use_pbc else None)
+            leaves = jax.tree_util.tree_leaves(pot)
+            e = sum(leaves) if leaves else jnp.zeros((), pos.dtype)
+            return e, frc
+
+        def slow_one(pos, box):
+            if nb_one is None:
+                e = jnp.zeros((), pos.dtype)
+                frc = jnp.zeros_like(pos)
+            else:
+                pot, frc = nb_one(pos, box if use_pbc else None)
+                e = sum(jax.tree_util.tree_leaves(pot))
+            if ext_energy is not None:
+                ee, eg = jax.value_and_grad(ext_energy)(pos, box)
+                e = e + ee
+                frc = frc - eg
+            return e, frc
+
+        fast_v = jax.vmap(fast_one, in_axes=(0, 0))
+        slow_v = jax.vmap(slow_one, in_axes=(0, 0))
+
+        cs = self.constraints
+        if cs is not None:
+            from .constraints import (
+                apply_position_constraints,
+                apply_velocity_constraints,
+            )
+
+            shake_v = jax.vmap(
+                lambda pn, pr: apply_position_constraints(cs, pn, pr)
+            )
+            rattle_v = jax.vmap(
+                lambda p, v: apply_velocity_constraints(cs, p, v)
+            )
+
+        @partial(jax.jit, static_argnames=("niter",), donate_argnums=(0,))
+        def run(carry, box, niter: int):
+            def body(c, _):
+                st, aux = c
+                # outer half-kick with the carried slow forces
+                vel = st.vel + 0.5 * dt * _safe_accel(st.forces, masses)
+                pos = st.pos
+                key = st.key
+                e_fast, ffrc = fast_v(pos, box)
+                for _i in range(n):  # static unroll (n is small)
+                    pos_new, vel = _first_vv(pos, vel, ffrc, masses, ddt)
+                    if cs is not None:
+                        pos_c = shake_v(pos_new, pos)
+                        vel = vel + (pos_c - pos_new) / ddt
+                        pos_new = pos_c
+                    pos = pos_new
+                    e_fast, ffrc = fast_v(pos, box)
+                    if use_thermostat:
+                        key, sub = jax.random.split(key)
+                        noise = jax.random.normal(sub, vel.shape,
+                                                  dtype=vel.dtype)
+                        vel = vel - gamma * vel * ddt + noise * vcoeff
+                    vel = _second_vv(vel, ffrc, masses, ddt)
+                    if cs is not None:
+                        vel = rattle_v(pos, vel)
+                e_slow, sfrc = slow_v(pos, box)
+                vel = vel + 0.5 * dt * _safe_accel(sfrc, masses)
+                if cs is not None:
+                    vel = rattle_v(pos, vel)
+                epot = e_fast + e_slow
+                return (SimState(pos, vel, sfrc, key), aux), epot
 
             carry, epots = jax.lax.scan(body, carry, None, length=niter)
             return carry, epots[-1]

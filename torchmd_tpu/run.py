@@ -49,6 +49,9 @@ def get_args(arguments=None):
                              "(default 100 * timestep)")
     parser.add_argument("--solvent-dielectric", default=78.5, type=float,
                         help="Reaction-field solvent dielectric (with --rfa)")
+    parser.add_argument("--mts", default=None, type=int,
+                        help="r-RESPA multiple timestepping: number of "
+                             "inner bonded substeps per (outer) timestep")
     parser.add_argument("--gbsa", action="store_true", default=False,
                         help="GB/OBC implicit solvent + ACE surface area "
                              "(radii from prmtop RADII/SCREEN or element "
@@ -342,6 +345,7 @@ def dynamics(args, mol, system, forces):
         thermostat=thermo_name,
         tau=getattr(args, "thermostat_tau", None),
         barostat=mtk,
+        mts=getattr(args, "mts", None),
     )
     wrapper = Wrapper(mol.numAtoms, mol.bonds if len(mol.bonds) else None,
                       args.device)
