@@ -197,3 +197,48 @@ def test_normal_modes_diatomic():
     m = modes[5]
     assert abs(m[0, 0]) > 10 * abs(m[0, 1]) + 1e-12
     assert np.sign(m[0, 0]) == -np.sign(m[1, 0])
+
+
+def test_interaction_energies_groups():
+    """Group-group decomposition equals the hand-summed cross pairs."""
+    import numpy as np
+
+    from torchmd_tpu.analysis import interaction_energies
+    from torchmd_tpu.forcefields.ff_yaml import YamlForcefield
+    from torchmd_tpu.forces import Forces
+    from torchmd_tpu.io import Molecule
+    from torchmd_tpu.parameters import Parameters
+    from torchmd_tpu.units import ELEC_FACTOR
+
+    rs = np.random.RandomState(1)
+    n = 6
+    mol = Molecule()
+    mol.numAtoms = n
+    mol.atomtype = np.array(["A"] * n, dtype=object)
+    mol.charge = rs.randn(n) * 0.3
+    mol.masses = np.full(n, 12.0)
+    mol.bonds = np.zeros((0, 2), dtype=np.int64)
+    coords = rs.rand(n, 3) * 8.0
+    mol.coords = coords[:, :, None]
+    ff = YamlForcefield(mol, {
+        "atomtypes": ["A"],
+        "lj": {"A": {"sigma": 3.0, "epsilon": 0.2}},
+        "electrostatics": {"A": {"charge": 0.0}},
+        "masses": {"A": 12.0},
+    })
+    par = Parameters(ff, mol, ["lj", "electrostatics"], precision="double")
+    par.charges = np.asarray(mol.charge)
+    forces = Forces(par, terms=["lj", "electrostatics"],
+                    precision="double")
+    sel_a = [0, 1, 2]
+    out = interaction_energies(forces, coords, sel_a=sel_a)
+
+    e_lj = e_el = 0.0
+    for i in sel_a:
+        for j in range(3, n):
+            r = np.linalg.norm(coords[i] - coords[j])
+            s6 = (3.0 / r) ** 6
+            e_lj += 4 * 0.2 * (s6 * s6 - s6)
+            e_el += ELEC_FACTOR * mol.charge[i] * mol.charge[j] / r
+    assert out["lj"] == pytest.approx(e_lj, rel=1e-9)
+    assert out["electrostatics"] == pytest.approx(e_el, rel=1e-9)

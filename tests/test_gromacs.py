@@ -1372,3 +1372,53 @@ gen-vel = no
     mol2, system, forces = runmod.setup(args)
     expected = vels * 10.0 * (TIMEFACTOR / 1000.0)  # nm/ps->A/ps->internal
     assert np.allclose(np.asarray(system.vel)[0], expected, atol=1e-9)
+
+
+def test_gen_pairs_comb_rule1(tmp_path):
+    """gen-pairs under comb-rule 1 combines C6/C12 geometrically (not
+    sigma arithmetically) and scales both by fudgeLJ."""
+    top = write(tmp_path / "g1.top", """
+[ defaults ]
+  1 1 yes 0.5 1.0
+
+[ atomtypes ]
+  A1 10.0 0.1 A 6.0e-03 1.0e-05
+  A2 10.0 -0.1 A 9.0e-03 2.5e-05
+
+[ moleculetype ]
+  M 2
+
+[ atoms ]
+  1 A1 1 M A 1  0.1 10.0
+  2 A1 1 M B 1  0.0 10.0
+  3 A2 1 M C 1 -0.1 10.0
+
+[ bonds ]
+  1 2 1 0.30 1000.0
+  2 3 1 0.30 1000.0
+
+[ pairs ]
+  1 3 1
+
+[ system ]
+g1
+
+[ molecules ]
+M 1
+""")
+    mol = Molecule(top)
+    coords = np.array([[0.0, 0.0, 0.0], [3.0, 0.0, 0.0], [5.5, 1.0, 0.0]])
+    mol.coords = coords[:, :, None]
+    ff = ForceField.create(mol, top)
+    terms = ["bonds", "dihedrals", "1-4", "lj", "electrostatics"]
+    par = Parameters(ff, mol, terms, precision="double")
+    forces = Forces(par, terms=terms, precision="double")
+    pots = forces.compute(coords[None], None, returnDetails=True)[0]
+
+    r = np.linalg.norm(coords[0] - coords[2])
+    c6 = np.sqrt(6.0e-03 * 9.0e-03) * KJ2KCAL * 1e6 * 0.5   # x fudgeLJ
+    c12 = np.sqrt(1.0e-05 * 2.5e-05) * KJ2KCAL * 1e12 * 0.5
+    e_lj = c12 / r**12 - c6 / r**6
+    e_el = 1.0 * ELEC_FACTOR * 0.1 * (-0.1) / r  # fudgeQQ = 1
+    assert pots["lj"] == pytest.approx(e_lj, rel=1e-9)
+    assert pots["electrostatics"] == pytest.approx(e_el, rel=1e-9)

@@ -284,7 +284,26 @@ def main(argv=None):
         _jax.config.update("jax_platforms", "cpu")
 
     if args.traj is not None:
-        traj = np.load(os.path.join(args.log_dir, args.traj))
+        path = os.path.join(args.log_dir, args.traj)
+        if not os.path.exists(path) and os.path.exists(args.traj):
+            path = args.traj
+        ext = os.path.splitext(path)[-1].lower()
+        if ext == ".npy":
+            traj = np.load(path)
+        elif ext == ".xtc":
+            from .io.xtc import read_xtc
+
+            traj = read_xtc(path)["coords"]
+        elif ext == ".dcd":
+            from .io.dcd import read_dcd
+
+            traj = read_dcd(path)["coords"]
+        elif ext == ".trr":
+            from .io.trr import read_trr
+
+            traj = read_trr(path)["coords"]
+        else:
+            raise SystemExit(f"unsupported trajectory format: {path}")
         if args.view:
             from .viz import view_frame
 

@@ -696,13 +696,20 @@ class GromacsForcefield:
                 if pt is not None:
                     a, b = _pair_ab_from_vw(pt[0], pt[1], self.comb_rule)
                 elif d["gen_pairs"]:
-                    s1, e1 = self.get_LJ(t1)
-                    s2, e2 = self.get_LJ(t2)
-                    sig = (np.sqrt(s1 * s2) if self.comb_rule == 3
-                           else 0.5 * (s1 + s2))
-                    eps = np.sqrt(e1 * e2) * fudgeLJ
-                    s6 = sig**6
-                    a, b = 4.0 * eps * s6 * s6, 4.0 * eps * s6
+                    if self.comb_rule == 1:
+                        # geometric combination acts on C6/C12 directly
+                        ti = self._attype(t1)
+                        tj = self._attype(t2)
+                        b = np.sqrt(ti["V"] * tj["V"]) * C6_CONV * fudgeLJ
+                        a = np.sqrt(ti["W"] * tj["W"]) * C12_CONV * fudgeLJ
+                    else:
+                        s1, e1 = self.get_LJ(t1)
+                        s2, e2 = self.get_LJ(t2)
+                        sig = (np.sqrt(s1 * s2) if self.comb_rule == 3
+                               else 0.5 * (s1 + s2))
+                        eps = np.sqrt(e1 * e2) * fudgeLJ
+                        s6 = sig**6
+                        a, b = 4.0 * eps * s6 * s6, 4.0 * eps * s6
                 else:
                     raise ValueError(
                         f"no pairtype for {b1}-{b2} and gen-pairs is off "
