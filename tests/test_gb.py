@@ -44,6 +44,11 @@ def test_ace_surface_area_isolated():
     assert float(gb.energy_fn(pos, None)) == pytest.approx(
         expected, rel=1e-10
     )
+    # literal pin against OpenMM's prefactor: 4*pi*sigma must equal
+    # 28.3919551 kJ/mol/nm^2 = 0.06786 kcal/mol/A^2
+    assert 4 * np.pi * ACE_SIGMA == pytest.approx(
+        28.3919551 / 4.184 / 100.0, rel=2e-2
+    )
 
 
 def test_distant_pair_limit():

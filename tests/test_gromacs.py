@@ -1049,7 +1049,6 @@ def test_mdp_translation():
 def test_mdp_variants(monkeypatch):
     from torchmd_tpu.io.mdp import mdp_to_args, read_mdp
 
-    monkeypatch.delenv("TMD_GMX_DEFINES", raising=False)
     args = mdp_to_args(read_mdp("""
 integrator = md
 tcoupl     = v-rescale
@@ -1065,7 +1064,9 @@ define     = -DPOSRES -DFLEXIBLE
     assert args["elec"] == "pme"
     assert args["pressure"] == pytest.approx(1.0)
     assert args["barostat_mode"] == "mtk"
-    assert os.environ["TMD_GMX_DEFINES"] == "POSRES,FLEXIBLE"
+    # defines are carried on the namespace, not leaked into the env
+    assert args["gmx_defines"] == ["POSRES", "FLEXIBLE"]
+    assert "TMD_GMX_DEFINES" not in os.environ
 
     em = mdp_to_args(read_mdp("""
 integrator = steep
@@ -1422,3 +1423,96 @@ M 1
     e_el = 1.0 * ELEC_FACTOR * 0.1 * (-0.1) / r  # fudgeQQ = 1
     assert pots["lj"] == pytest.approx(e_lj, rel=1e-9)
     assert pots["electrostatics"] == pytest.approx(e_el, rel=1e-9)
+
+
+def test_bond_funct6_does_not_exclude(tmp_path):
+    """funct 6 'bonds' are harmonic restraints WITHOUT connectivity: the
+    pair keeps its nonbonded interaction and stays out of the molecule
+    graph, while the spring energy still applies."""
+    top = write(tmp_path / "f6.top", """
+[ defaults ]
+  1 2 no 1.0 1.0
+
+[ atomtypes ]
+  AR 39.95 0.0 A 0.34 1.0
+
+[ moleculetype ]
+  M 3
+
+[ atoms ]
+  1 AR 1 M A 1 0.2 39.95
+  2 AR 1 M B 1 -0.2 39.95
+
+[ bonds ]
+  1 2 6 0.40 500.0
+
+[ system ]
+f6
+
+[ molecules ]
+M 1
+""")
+    mol = Molecule(top)
+    assert mol.bonds.shape == (0, 2)  # no connectivity edge
+    coords = np.array([[0.0, 0.0, 0.0], [4.6, 0.0, 0.0]])
+    mol.coords = coords[:, :, None]
+    ff = ForceField.create(mol, top)
+    terms = ["bonds", "lj", "electrostatics"]
+    par = Parameters(ff, mol, terms, precision="double")
+    assert par.get_exclusions() == []  # funct 6 generates no exclusions
+    forces = Forces(par, terms=terms, precision="double")
+    pots = forces.compute(coords[None], None, returnDetails=True)[0]
+    r = 4.6
+    sig, eps = 3.4, 1.0 * KJ2KCAL
+    e_lj = 4 * eps * ((sig / r) ** 12 - (sig / r) ** 6)
+    e_el = ELEC_FACTOR * 0.2 * (-0.2) / r
+    e_bond = (500.0 * KJ2KCAL / 100.0 / 2.0) * (r - 4.0) ** 2
+    assert pots["lj"] == pytest.approx(e_lj, rel=1e-9)
+    assert pots["electrostatics"] == pytest.approx(e_el, rel=1e-9)
+    assert pots["bonds"] == pytest.approx(e_bond, rel=1e-9)
+
+
+def test_old_two_atom_improper_dihedraltypes(tmp_path):
+    """Legacy 2-atom [dihedraltypes] for funct 2 name the OUTER atoms."""
+    top = write(tmp_path / "oldimp.top", """
+[ defaults ]
+  1 2 no 1.0 1.0
+
+[ atomtypes ]
+  CA 12.0 0.0 A 0.3 0.3
+  CB 12.0 0.0 A 0.3 0.3
+  NB 14.0 0.0 A 0.3 0.3
+  HX  1.0 0.0 A 0.1 0.1
+
+[ dihedraltypes ]
+; outer atoms (i, l) for harmonic impropers
+  CA HX 2 35.264 334.72
+
+[ moleculetype ]
+  M 1
+
+[ atoms ]
+  1 CA 1 M C1 1 0.0 12.0
+  2 CB 1 M C2 1 0.0 12.0
+  3 NB 1 M N1 1 0.0 14.0
+  4 HX 1 M H1 1 0.0 1.0
+
+[ dihedrals ]
+  1 2 3 4 2
+
+[ system ]
+oldimp
+
+[ molecules ]
+M 1
+""")
+    mol = Molecule(top)
+    coords = butane_coords(20.0)
+    mol.coords = coords[:, :, None]
+    ff = ForceField.create(mol, top)
+    par = Parameters(ff, mol, ["impropers"], precision="double")
+    # harmonic row: [k/2 conv, xi0, per=0]
+    row = par.improper_params["params"][0]
+    assert row[2] == 0.0
+    assert row[0] == pytest.approx(334.72 * KJ2KCAL / 2.0, rel=1e-9)
+    assert row[1] == pytest.approx(np.radians(35.264), rel=1e-9)

@@ -155,6 +155,8 @@ def interaction_energies(forces, pos, box=None, sel_a=None, sel_b=None):
     ffp = forces.ffparams
     if ffp.nb_mask is None:
         raise ValueError("forces has no nonbonded terms")
+    if sel_a is None:
+        raise ValueError("sel_a (the first atom group) is required")
     n = int(ffp.charges.shape[0])
     in_a = np.zeros(n, bool)
     in_a[np.asarray(sel_a, dtype=np.int64)] = True

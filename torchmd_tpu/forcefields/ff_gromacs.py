@@ -76,15 +76,24 @@ def load_gmx_top(path, include_dirs=(), defines=None):
                 name, _, val = tok.partition("=")
                 defines[name] = val if val else None
     key = (
-        os.path.abspath(path), os.path.getmtime(path),
+        os.path.abspath(path),
         tuple(include_dirs), tuple(sorted((defines or {}).items())),
     )
-    if key not in _CACHE:
-        top = parse_top(path, include_dirs=include_dirs, defines=defines)
-        _CACHE[key] = (top, build_molecule_arrays(top))
-        if len(_CACHE) > 16:
-            _CACHE.pop(next(iter(_CACHE)))
-    return _CACHE[key]
+    hit = _CACHE.get(key)
+    if hit is not None:
+        mtimes, parsed = hit
+        # invalidate when the .top OR any #include'd file changed
+        if all(
+            os.path.exists(f) and os.path.getmtime(f) == t
+            for f, t in mtimes.items()
+        ):
+            return parsed
+    top = parse_top(path, include_dirs=include_dirs, defines=defines)
+    mtimes = {f: os.path.getmtime(f) for f in top.source_files}
+    _CACHE[key] = (mtimes, (top, build_molecule_arrays(top)))
+    if len(_CACHE) > 16:
+        _CACHE.pop(next(iter(_CACHE)))
+    return _CACHE[key][1]
 
 
 # ----------------------------------------------------------------------
@@ -727,46 +736,44 @@ class GromacsForcefield:
         }
 
     # ------------------------------------------------------------------
-    def _build_exclusions(self):
-        """GROMACS exclusion generation: bond-graph neighbours to depth
-        `nrexcl` of each molecule type, plus explicit [exclusions], plus
-        every [pairs] entry (1-4 pairs are evaluated by the nb14 table,
-        never by the all-pairs term)."""
-        arr = self.arrays
+    @staticmethod
+    def _moltype_exclusions(mt):
+        """Local (within-molecule) exclusion pairs for one moleculetype:
+        bond-graph neighbours to depth nrexcl, explicit [exclusions],
+        and every [pairs] entry (1-4 pairs are evaluated by the nb14
+        table, never by the all-pairs term). Computed ONCE per type and
+        replicated by atom offset per instance (exclusions never cross
+        molecules in GROMACS)."""
         adj = defaultdict(set)
-        for gi, funct, prm, _ in arr["bonds_full"]:
-            adj[gi[0]].add(gi[1])
-            adj[gi[1]].add(gi[0])
-        for i, j, funct, b0 in arr["constraints_full"]:
+        for idx, funct, prm in mt.bonds:
+            if funct == 6:
+                # harmonic-potential "bonds" restrain without creating
+                # chemical connectivity: no exclusions (GROMACS manual)
+                continue
+            adj[idx[0]].add(idx[1])
+            adj[idx[1]].add(idx[0])
+        for (i, j), funct, prm in mt.constraints:
             if funct == 1:  # funct 2 constraints do not generate exclusions
                 adj[i].add(j)
                 adj[j].add(i)
-        for o, h1, h2, doh, dhh in arr["settles_full"]:
-            for a, b in ((o, h1), (o, h2), (h1, h2)):
+        for o, funct, doh, dhh in mt.settles:
+            for a, b in ((o, o + 1), (o, o + 2), (o + 1, o + 2)):
                 adj[a].add(b)
                 adj[b].add(a)
-        for idx, _nk, _funct, _prm in arr["vsites_full"]:
-            # site <-> first host edge: approximates GROMACS's "vsite
-            # inherits its constructing atom's exclusions" (published
-            # vsite topologies also carry explicit [exclusions], which
-            # are authoritative below)
-            adj[idx[0]].add(idx[1])
-            adj[idx[1]].add(idx[0])
-
-        # per-atom nrexcl from the owning moleculetype
-        nrexcl = np.zeros(arr["natoms"], dtype=np.int64)
-        off = 0
-        for mname, count in self.top.molecules:
-            mt = self.top.moleculetypes[mname]
-            nat = len(mt.atoms)
-            nrexcl[off:off + nat * count] = mt.nrexcl
-            off += nat * count
+        for vs in (mt.vsites2, mt.vsites3, mt.vsites4):
+            for idx, funct, prm in vs:
+                # site <-> first host edge: approximates GROMACS's "vsite
+                # inherits its constructing atom's exclusions" (published
+                # vsite topologies also carry explicit [exclusions],
+                # which are authoritative below)
+                adj[idx[0]].add(idx[1])
+                adj[idx[1]].add(idx[0])
 
         pairs = set()
-        for i in range(arr["natoms"]):
-            depth = int(nrexcl[i])
+        depth = int(mt.nrexcl)
+        for i in range(len(mt.atoms)):
             if depth <= 0:
-                continue
+                break
             frontier = {i}
             visited = {i}
             for _ in range(depth):
@@ -779,9 +786,26 @@ class GromacsForcefield:
                         pairs.add((i, j))
                 visited |= nxt
                 frontier = nxt
-        for i, js in arr["exclusions_full"]:
+        for i, js in mt.exclusions:
             for j in js:
                 pairs.add((min(i, j), max(i, j)))
-        for gi, funct, prm, _ in arr["pairs_full"]:
-            pairs.add((min(gi), max(gi)))
+        for idx, funct, prm in mt.pairs:
+            pairs.add((min(idx), max(idx)))
         return sorted(pairs)
+
+    def _build_exclusions(self):
+        """Whole-system exclusion list: per-moleculetype local pairs
+        (cached) shifted by each instance's atom offset."""
+        local: dict = {}
+        pairs = []
+        off = 0
+        for mname, count in self.top.molecules:
+            mt = self.top.moleculetypes[mname]
+            if mname not in local:
+                local[mname] = self._moltype_exclusions(mt)
+            nat = len(mt.atoms)
+            lp = local[mname]
+            for _ in range(count):
+                pairs.extend((i + off, j + off) for i, j in lp)
+                off += nat
+        return pairs

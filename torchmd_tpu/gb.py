@@ -36,7 +36,12 @@ from .units import ELEC_FACTOR
 
 OFFSET = 0.09          # dielectric offset [A]
 ALPHA, BETA, GAMMA = 1.0, 0.8, 4.85   # OBC-II
-ACE_SIGMA = 0.0216     # kcal/mol/A^2  (28.3919551 kJ/mol/nm^2)
+# ACE nonpolar prefactor: OpenMM's 28.3919551 kJ/mol/nm^2 already
+# includes the 4*pi of the sphere area, i.e. 4*pi*sigma with
+# sigma = 0.0054 kcal/mol/A^2 (the Amber gbsa surface tension); the
+# energy expression below multiplies by 4*pi explicitly, so the bare
+# sigma goes here.
+ACE_SIGMA = 0.0054     # kcal/mol/A^2
 PROBE = 1.4            # water probe radius [A]
 
 # mbondi2 intrinsic radii [A] and HCT screening factors by element

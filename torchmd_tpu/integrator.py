@@ -626,13 +626,20 @@ class Integrator:
 
         @partial(jax.jit, static_argnames=("niter",), donate_argnums=(0,))
         def run(carry, box, niter: int):
+            state0, aux0 = carry
+            # fast forces at the chunk's starting positions: computed once
+            # here and then carried through the scan (the last inner
+            # substep of each body evaluates them at the next body's
+            # starting positions already)
+            _, ffrc0 = fast_v(state0.pos, box)
+
             def body(c, _):
-                st, aux = c
+                st, ffrc = c
                 # outer half-kick with the carried slow forces
                 vel = st.vel + 0.5 * dt * _safe_accel(st.forces, masses)
                 pos = st.pos
                 key = st.key
-                e_fast, ffrc = fast_v(pos, box)
+                e_fast = jnp.zeros(pos.shape[0], pos.dtype)
                 for _i in range(n):  # static unroll (n is small)
                     pos_new, vel = _first_vv(pos, vel, ffrc, masses, ddt)
                     if cs is not None:
@@ -654,10 +661,12 @@ class Integrator:
                 if cs is not None:
                     vel = rattle_v(pos, vel)
                 epot = e_fast + e_slow
-                return (SimState(pos, vel, sfrc, key), aux), epot
+                return (SimState(pos, vel, sfrc, key), ffrc), epot
 
-            carry, epots = jax.lax.scan(body, carry, None, length=niter)
-            return carry, epots[-1]
+            (state, _), epots = jax.lax.scan(
+                body, (state0, ffrc0), None, length=niter
+            )
+            return (state, aux0), epots[-1]
 
         return run
 

@@ -74,6 +74,7 @@ class GmxTopology:
     system_name: str = ""
     molecules: list = field(default_factory=list)      # [(name, count)...]
     skipped_sections: list = field(default_factory=list)
+    source_files: list = field(default_factory=list)   # incl. #includes
 
 
 _SECTION_RE = re.compile(r"^\[\s*([a-zA-Z0-9_\-]+)\s*\]")
@@ -86,11 +87,16 @@ def _strip(line: str) -> str:
     return line.strip()
 
 
-def _preprocess(path, include_dirs, defines, out_lines, depth=0):
+def _preprocess(path, include_dirs, defines, out_lines, depth=0,
+                files=None):
     """Resolve includes/conditionals; append (source, fields-line) to
-    out_lines. `defines` maps NAME -> None (flag) or substitution string."""
+    out_lines. `defines` maps NAME -> None (flag) or substitution string.
+    `files` (optional list) collects every file opened, for cache
+    invalidation."""
     if depth > 40:
         raise ValueError(f"#include nesting too deep at {path}")
+    if files is not None:
+        files.append(os.path.abspath(path))
     with open(path) as fh:
         raw = fh.read().splitlines()
 
@@ -149,7 +155,7 @@ def _preprocess(path, include_dirs, defines, out_lines, depth=0):
                     cand = os.path.join(base, inc)
                     if os.path.exists(cand):
                         _preprocess(cand, include_dirs, defines, out_lines,
-                                    depth + 1)
+                                    depth + 1, files=files)
                         break
                 else:
                     raise FileNotFoundError(
@@ -191,7 +197,10 @@ def parse_top(path, include_dirs=(), defines=None, strict=False):
     top = GmxTopology()
     defs = dict(defines or {})
     lines: list = []
-    _preprocess(os.path.abspath(path), tuple(include_dirs), defs, lines)
+    files: list = []
+    _preprocess(os.path.abspath(path), tuple(include_dirs), defs, lines,
+                files=files)
+    top.source_files = sorted(set(files))
 
     section = None
     cur: GmxMoleculeType | None = None
@@ -385,7 +394,13 @@ def _parse_dihedraltype(table, toks):
         key = (toks[0], toks[1], toks[2], toks[3], int(toks[4]))
         prm = _floats(toks[5:])
     else:
-        key = ("X", toks[0], toks[1], "X", int(toks[2]))
+        funct2 = int(toks[2])
+        if funct2 in (2, 4):
+            # old 2-atom improper types name the OUTER atoms (i, l)
+            key = (toks[0], "X", "X", toks[1], funct2)
+        else:
+            # old 2-atom proper types name the INNER atoms (j, k)
+            key = ("X", toks[0], toks[1], "X", funct2)
         prm = _floats(toks[3:])
     funct = key[4]
     if funct == 9:
@@ -467,7 +482,10 @@ def build_molecule_arrays(top: GmxTopology):
             for idx, funct, prm in mt.bonds:
                 gi = tuple(g(i) for i in idx)
                 bonds_full.append((gi, funct, prm, mname))
-                bond_idx.append(gi)
+                if funct != 6:
+                    # funct 6 restrains without connectivity: keep it out
+                    # of the molecule graph (wrapping, constraints)
+                    bond_idx.append(gi)
             for idx, funct, prm in mt.pairs:
                 pairs_full.append((tuple(g(i) for i in idx), funct, prm,
                                    mname))

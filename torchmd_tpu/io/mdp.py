@@ -158,9 +158,9 @@ def mdp_to_args(mdp: dict, warn=print) -> dict:
         names = [tok[2:] for tok in mdp["define"].split()
                  if tok.startswith("-D")]
         if names:
-            existing = [t for t in os.environ.get(
-                "TMD_GMX_DEFINES", "").split(",") if t]
-            merged = existing + [n for n in names if n not in existing]
-            os.environ["TMD_GMX_DEFINES"] = ",".join(merged)
+            # carried on the namespace; run.py applies them scoped to the
+            # topology parse (a process-global env mutation would leak
+            # POSRES/FLEXIBLE into every later parse in the same process)
+            args["gmx_defines"] = names
 
     return args

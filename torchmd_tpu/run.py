@@ -207,6 +207,32 @@ def _instantiate_external(args, mol, is_npz):
     return factory(weights, embeddings, device=args.device, **spec)
 
 
+def _gmx_define_scope(args):
+    """Context manager applying an .mdp's `define = -D...` names to
+    TMD_GMX_DEFINES only for the duration of the topology parse."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def scope():
+        names = getattr(args, "gmx_defines", None)
+        if not names:
+            yield
+            return
+        prev = os.environ.get("TMD_GMX_DEFINES")
+        merged = [t for t in (prev or "").split(",") if t]
+        merged += [n for n in names if n not in merged]
+        os.environ["TMD_GMX_DEFINES"] = ",".join(merged)
+        try:
+            yield
+        finally:
+            if prev is None:
+                os.environ.pop("TMD_GMX_DEFINES", None)
+            else:
+                os.environ["TMD_GMX_DEFINES"] = prev
+
+    return scope()
+
+
 def setup(args, batch_comp=False):
     from .forcefields import ForceField
     from .parameters import Parameters
@@ -215,14 +241,16 @@ def setup(args, batch_comp=False):
     from .integrator import maxwell_boltzmann
 
     _select_platform(args.device)
-    mol, is_npz = _load_molecule(args)
-    batch_comp = batch_comp or is_npz
+    with _gmx_define_scope(args):
+        mol, is_npz = _load_molecule(args)
+        batch_comp = batch_comp or is_npz
 
-    print("Force terms: ", args.forceterms)
-    ff = ForceField.create(mol, args.forcefield)
-    parameters = Parameters(
-        ff, mol, args.forceterms, precision=args.precision, device=args.device
-    )
+        print("Force terms: ", args.forceterms)
+        ff = ForceField.create(mol, args.forcefield)
+        parameters = Parameters(
+            ff, mol, args.forceterms, precision=args.precision,
+            device=args.device,
+        )
     if getattr(args, "hmr", None):
         from .constraints import repartition_hydrogen_masses
 
