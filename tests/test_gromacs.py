@@ -1516,3 +1516,59 @@ M 1
     assert row[2] == 0.0
     assert row[0] == pytest.approx(334.72 * KJ2KCAL / 2.0, rel=1e-9)
     assert row[1] == pytest.approx(np.radians(35.264), rel=1e-9)
+
+
+def test_ndx_roundtrip_and_groups(tmp_path):
+    from torchmd_tpu.io.ndx import read_ndx, write_ndx
+
+    ndx = write(tmp_path / "index.ndx", """
+[ Protein ]
+1 2 3 4 5
+6 7
+; a comment
+[ SOL ]
+8 9 10
+[ Protein_LIG ]
+1 2 3 11
+""")
+    g = read_ndx(ndx)
+    assert list(g) == ["Protein", "SOL", "Protein_LIG"]
+    assert list(g["Protein"]) == [0, 1, 2, 3, 4, 5, 6]
+    assert list(g["SOL"]) == [7, 8, 9]
+
+    out = str(tmp_path / "out.ndx")
+    write_ndx(out, g)
+    g2 = read_ndx(out)
+    for k in g:
+        assert np.array_equal(g[k], g2[k])
+
+
+def test_ndx_with_interaction_energies(tmp_path):
+    """The energygrps workflow: groups from .ndx feed the decomposition."""
+    from torchmd_tpu.analysis import interaction_energies
+    from torchmd_tpu.io.ndx import read_ndx
+
+    top = write(tmp_path / "spc.top", SPC_TOP)
+    mol = Molecule(top)
+    coords = spc_coords()
+    mol.coords = coords[:, :, None]
+    ff = ForceField.create(mol, top)
+    par = Parameters(ff, mol, ["bonds", "lj", "electrostatics"],
+                     precision="double")
+    forces = Forces(par, terms=["bonds", "lj", "electrostatics"],
+                    precision="double")
+    ndx = write(tmp_path / "index.ndx", """
+[ W1 ]
+1 2 3
+[ W2 ]
+4 5 6
+""")
+    g = read_ndx(ndx)
+    out = interaction_energies(forces, coords, sel_a=g["W1"],
+                               sel_b=g["W2"])
+    # equals the full intermolecular energy of the 2-water system
+    pots = forces.compute(coords[None], None, returnDetails=True)[0]
+    assert out["lj"] == pytest.approx(pots["lj"], rel=1e-9)
+    assert out["electrostatics"] == pytest.approx(
+        pots["electrostatics"], rel=1e-9
+    )
