@@ -1572,3 +1572,46 @@ def test_ndx_with_interaction_energies(tmp_path):
     assert out["electrostatics"] == pytest.approx(
         pots["electrostatics"], rel=1e-9
     )
+
+
+def test_mdp_defines_do_not_leak_between_setups(tmp_path, monkeypatch):
+    """Two setup() calls in one process: the first .mdp's -DPOSRES must
+    not bleed into a second run without defines (regression: the env var
+    used to be mutated globally)."""
+    from torchmd_tpu import run as runmod
+
+    monkeypatch.delenv("TMD_GMX_DEFINES", raising=False)
+    top = write(tmp_path / "posres.top", POSRES_TOP)
+    mol = Molecule(top)
+    mol.coords = np.array([[1.0, 2.0, 3.0], [8.0, 2.0, 3.0],
+                           [1.0, 6.0, 3.0], [8.0, 6.0, 3.0]])[:, :, None]
+    gro = str(tmp_path / "c.gro")
+    mol.box = np.full((3, 1), 30.0)
+    mol.write(gro)
+
+    mdp_pr = write(tmp_path / "pr.mdp", """
+integrator = md
+dt = 0.001
+nsteps = 10
+define = -DPOSRES
+""")
+    mdp_plain = write(tmp_path / "plain.mdp", """
+integrator = md
+dt = 0.001
+nsteps = 10
+""")
+
+    def build(conf):
+        args = runmod.get_args([
+            "--conf", conf, "--topology", top, "--coordinates", gro,
+            "--forcefield", top, "--forceterms", "lj",
+            "--precision", "double", "--device", "cpu",
+            "--log-dir", str(tmp_path / "out"),
+        ])
+        return runmod.setup(args)
+
+    _, _, forces1 = build(mdp_pr)
+    assert forces1.par.gmx_posres  # POSRES active in run 1
+    assert "TMD_GMX_DEFINES" not in os.environ  # scope restored
+    _, _, forces2 = build(mdp_plain)
+    assert forces2.par.gmx_posres == []  # no leak into run 2
