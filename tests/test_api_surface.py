@@ -76,3 +76,23 @@ def test_cli_help_runs():
     )
     assert out.returncode == 0
     assert "--forceterms" in out.stdout and "--constraints" in out.stdout
+
+
+def test_lazy_exports_resolve():
+    """Every name in the lazy-export table resolves (catches stale
+    entries after module moves)."""
+    import torchmd_tpu
+
+    for name in torchmd_tpu._LAZY:
+        obj = getattr(torchmd_tpu, name)
+        assert obj is not None, name
+    # names in __all__ that claim lazy re-export must be in the table
+    modules = {
+        "io", "forcefields", "parameters", "systems", "forces",
+        "integrator", "minimizers", "wrapper", "neighbors", "potentials",
+        "parallel", "train", "external", "checkpoint", "profiling",
+        "units", "run",
+    }
+    for name in torchmd_tpu.__all__:
+        if name not in modules:
+            assert name in torchmd_tpu._LAZY, name
