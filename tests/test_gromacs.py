@@ -808,6 +808,113 @@ def test_tip4p_nve_energy_conservation(tmp_path):
     assert np.isfinite(float(np.asarray(ek).reshape(-1)[0]))
 
 
+def _tip4p_box8(tmp_path):
+    top_text = TIP4P2005_TOP.replace("SOL 2", "SOL 8")
+    top = write(tmp_path / "tip4p8.top", top_text)
+    mol = Molecule(top)
+    pts = []
+    for ix in range(2):
+        for iy in range(2):
+            for iz in range(2):
+                pts.append(tip4p_water(np.array([ix, iy, iz]) * 5.2 + 1.2))
+    mol.coords = np.concatenate(pts)[:, :, None]
+    mol.box = np.full((3, 1), 10.4)
+    ff = ForceField.create(mol, top)
+    terms = ["bonds", "lj", "electrostatics"]
+    par = Parameters(ff, mol, terms, precision="double")
+    forces = Forces(par, terms=terms, precision="double", cutoff=4.5,
+                    switch_dist=3.5, rfa=True)
+    return mol, par, forces
+
+
+def test_tip4p_mtk_virial_matches_finite_difference(tmp_path):
+    """Per-axis scaling virial with virtual sites: sites reconstruct from
+    the SCALED hosts but their internal offsets (fixed A lengths) do not
+    scale with the box — the AD dU/ds must equal the numeric derivative
+    of the energy evaluated at snapped geometry."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchmd_tpu.potentials import compute_potentials
+    from torchmd_tpu.vsites import apply_vsites
+
+    mol, par, forces, = _tip4p_box8(tmp_path)
+    ffp, cfg = forces.ffparams, forces.config
+    pos = jnp.asarray(mol.coords[:, :, 0])
+    box = jnp.asarray([10.4, 10.4, 10.4])
+
+    def etot(p, s):
+        p2 = apply_vsites(par.vsites, p * s, box * s)
+        pot = compute_potentials(ffp, p2, box * s, cfg)
+        return sum(jax.tree_util.tree_leaves(pot))
+
+    one = jnp.ones((3,))
+    vir_ad = -jax.grad(etot, argnums=1)(pos, one)
+    h = 1e-6
+    for k in range(3):
+        sp = np.ones(3); sp[k] += h
+        sm = np.ones(3); sm[k] -= h
+        fd = -(float(etot(pos, jnp.asarray(sp)))
+               - float(etot(pos, jnp.asarray(sm)))) / (2 * h)
+        np.testing.assert_allclose(float(vir_ad[k]), fd, rtol=1e-5,
+                                   atol=1e-8)
+    # the site rows carry no direct force (they are overwritten by the
+    # reconstruction): grad wrt pos must vanish there
+    gp = jax.grad(etot, argnums=0)(pos, one)
+    site_rows = np.arange(3, mol.numAtoms, 4)
+    np.testing.assert_allclose(np.asarray(gp)[site_rows], 0.0, atol=1e-12)
+
+
+def test_tip4p_mtk_settle_npt(tmp_path):
+    """True NPT of TIP4P water: MTK barostat + SETTLE + virtual sites all
+    compose in one compiled scan. Checks sites stay snapped, constraints
+    hold through the barostat-scaled drift, the conserved quantity is
+    bounded, and the box stays liquid-like."""
+    import jax.numpy as jnp
+
+    from torchmd_tpu.barostat import MTKBarostat
+    from torchmd_tpu.constraints import build_constraint_spec
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.systems import System
+    from torchmd_tpu.vsites import apply_vsites
+
+    mol, par, forces = _tip4p_box8(tmp_path)
+    syst = System(mol.numAtoms, 1, "double")
+    syst.set_positions(mol.coords)
+    syst.set_box(mol.box)
+    syst.set_velocities(maxwell_boltzmann(par.masses, 300.0, 1, seed=5))
+    integ = Integrator(syst, forces, timestep=2.0, T=300.0,
+                       thermostat="nhc", constraints="settle",
+                       barostat=MTKBarostat(1.0, 300.0, tau_fs=1000.0),
+                       seed=5)
+    v0 = float(np.prod(np.asarray(syst.box_diag)[0]))
+    hs = []
+    for _ in range(4):
+        ek, ep, T = integ.step(niter=25)
+        hs.append(ek[0] + ep[0] + integ.thermostat_energy()[0]
+                  + integ.npt_energy()[0])
+    assert np.all(np.isfinite(np.asarray(syst.pos)))
+    box = np.asarray(syst.box_diag)[0]
+    pos = np.asarray(syst.pos)[0]
+    # sites track their construction after the scan (box changed!)
+    snapped = np.asarray(
+        apply_vsites(par.vsites, jnp.asarray(pos), jnp.asarray(box))
+    )
+    site_rows = np.arange(3, mol.numAtoms, 4)
+    np.testing.assert_allclose(pos[site_rows], snapped[site_rows],
+                               atol=1e-9)
+    # SETTLE held through the barostat drift
+    cs = build_constraint_spec(par, np.asarray(par.masses), mode="settle")
+    d_oh1 = np.linalg.norm(pos[cs.settle.oidx] - pos[cs.settle.h1], axis=1)
+    np.testing.assert_allclose(d_oh1, np.asarray(cs.settle.r_oh),
+                               atol=1e-8)
+    # box stayed liquid-like and the conserved quantity is bounded
+    v1 = float(np.prod(box))
+    assert 0.5 * v0 < v1 < 2.0 * v0
+    drift = abs(hs[-1] - hs[0])
+    assert drift < 5.0, f"MTK+SETTLE+vsites drifted {drift}: {hs}"
+
+
 def test_run_cli_gromacs(tmp_path):
     """run.py end to end from .top + .gro (the GROMACS user workflow)."""
     from torchmd_tpu import run as runmod

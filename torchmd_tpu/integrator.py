@@ -217,12 +217,6 @@ class Integrator:
         if barostat is not None and getattr(barostat, "is_dynamic", False):
             if np.any(np.asarray(systems.box_diag) <= 0):
                 raise ValueError("MTK barostat requires a periodic box")
-            if self.vsites is not None:
-                raise NotImplementedError(
-                    "virtual sites + MTK barostat not yet supported (the "
-                    "scaling virial does not account for site-force "
-                    "spreading); use the MC barostat"
-                )
             if mesh is not None:
                 raise NotImplementedError("MTK barostat + mesh sharding")
             if self._thermostat is None:
@@ -394,6 +388,13 @@ class Integrator:
                 raise ValueError("MTK barostat needs a jittable force "
                                  "provider")
             if self._use_cell:
+                if self.vsites is not None:
+                    raise NotImplementedError(
+                        "virtual sites + MTK barostat on the cell/column "
+                        "kernel path (the analytic pair virial does not "
+                        "spread site forces); the dense path composes — "
+                        "force kernel='dense' or use the MC barostat"
+                    )
                 # large periodic systems: true NPT through the cell /
                 # column kernel (analytic pair virial from the kernels +
                 # value_and_grad of the cheap box-differentiable terms)
@@ -835,7 +836,19 @@ class Integrator:
 
         from .potentials import compute_potentials
 
+        # virtual sites: reconstruct inside the pure energy so ONE
+        # value_and_grad over (pos, s) both spreads site forces onto the
+        # hosts (vjp of the reconstruction) and carries the rigid-geometry
+        # contribution into the scaling virial dU/ds — the site offsets
+        # (fixed lengths in A) do NOT scale with the box, and AD accounts
+        # for that exactly.
+        vsg = self.vsites
+        if vsg is not None:
+            from .vsites import apply_vsites as _apply_vs
+
         def etot_pure(pos, box):
+            if vsg is not None:
+                pos = _apply_vs(vsg, pos, box)
             pot = compute_potentials(ffp, pos, box, cfg)
             e = sum(jax.tree_util.tree_leaves(pot))
             if ewald is not None:
@@ -907,7 +920,8 @@ class Integrator:
             x = (v_eps + jnp.sum(v_eps) / ndof) * dt2     # (3,)
             vel = (
                 vel * jnp.exp(-x)
-                + dt2 * (frc / masses) * jnp.exp(-0.5 * x) * phi(0.5 * x)
+                + dt2 * _safe_accel(frc, masses)
+                * jnp.exp(-0.5 * x) * phi(0.5 * x)
             )
             # (4) position + box update (component-wise)
             u = v_eps * dt
@@ -928,6 +942,12 @@ class Integrator:
                 delta = pos_c - pos
                 vel = vel + delta / drift
                 pos = pos_c
+            if vsg is not None:
+                # carried site rows were box-scaled like real atoms above;
+                # re-snap onto the reconstructed geometry (ef_vir snaps
+                # internally for forces/virial — this keeps the carry and
+                # any trajectory output consistent with it)
+                pos = _apply_vs(vsg, pos, box)
             # (5) energy / forces / virial at the new phase point
             epot, frc, vir = ef_vir(pos, box)
             if cs is not None:
@@ -936,7 +956,8 @@ class Integrator:
             # (6) mirror velocity update
             vel = (
                 vel * jnp.exp(-x)
-                + dt2 * (frc / masses) * jnp.exp(-0.5 * x) * phi(0.5 * x)
+                + dt2 * _safe_accel(frc, masses)
+                * jnp.exp(-0.5 * x) * phi(0.5 * x)
             )
             # (7) mirror barostat kick, (8) half chain updates (reverse order)
             v_eps = eps_kick(v_eps, vel, vir, box)
