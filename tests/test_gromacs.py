@@ -808,6 +808,124 @@ def test_tip4p_nve_energy_conservation(tmp_path):
     assert np.isfinite(float(np.asarray(ek).reshape(-1)[0]))
 
 
+G96_TOP = """
+[ defaults ]
+  1 1 no 1.0 1.0
+
+[ atomtypes ]
+  CG  6 12.011 0.0 A 0.0 0.0
+
+[ moleculetype ]
+  TRI 3
+
+[ atoms ]
+  1 CG 1 TRI C1 1 0.0 12.011
+  2 CG 1 TRI C2 1 0.0 12.011
+  3 CG 1 TRI C3 1 0.0 12.011
+
+[ bonds ]
+; i j funct b0(nm) kb(kJ/mol/nm^4)
+  1 2 2 0.153 7.15e6
+  2 3 2 0.153 7.15e6
+
+[ angles ]
+; i j k funct th0(deg) k(kJ/mol)
+  1 2 3 2 111.0 530.0
+
+[ system ]
+g96 triatomic
+
+[ molecules ]
+TRI 1
+"""
+
+
+def test_g96_quartic_bond_cosine_angle(tmp_path):
+    """GROMOS-96 bonded forms (bond/angle funct 2): energies match the
+    hand-evaluated GROMACS formulas in both the hot path
+    (Forces.compute) and the pure-AD path, and forces agree between
+    them (the hot path folds g96 terms in via a CMAP-style AD rider)."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchmd_tpu.potentials import compute_potentials
+
+    top = write(tmp_path / "g96.top", G96_TOP)
+    mol = Molecule(top)
+    pos = np.array([[0.0, 0.0, 0.0],
+                    [1.57, 0.0, 0.0],
+                    [2.2, 1.4, 0.1]])
+    mol.coords = pos[:, :, None]
+    ff = ForceField.create(mol, top)
+    terms = ["bonds", "angles"]
+    par = Parameters(ff, mol, terms, precision="double")
+    assert par.bond_g96_params is not None
+    assert par.angle_g96_params is not None
+    assert par.bond_params is None
+
+    forces = Forces(par, terms=terms, precision="double")
+    frc = np.zeros((1, 3, 3))
+    pots = forces.compute(pos[None], None, frc, returnDetails=True)[0]
+
+    # GROMACS formulas, hand-evaluated in kJ/nm then converted
+    kb, b0, ka, th0 = 7.15e6, 0.153, 530.0, np.radians(111.0)
+    e_bond = 0.0
+    for i, j in ((0, 1), (1, 2)):
+        r = np.linalg.norm(pos[i] - pos[j]) / 10.0  # nm
+        e_bond += 0.25 * kb * (r * r - b0 * b0) ** 2
+    v1 = pos[0] - pos[1]
+    v2 = pos[2] - pos[1]
+    cth = v1 @ v2 / (np.linalg.norm(v1) * np.linalg.norm(v2))
+    e_ang = 0.5 * ka * (cth - np.cos(th0)) ** 2
+    assert pots["bonds"] == pytest.approx(e_bond * KJ2KCAL, rel=1e-9)
+    assert pots["angles"] == pytest.approx(e_ang * KJ2KCAL, rel=1e-9)
+
+    # pure-AD path agrees with the hot path (energy and forces)
+    ffp, cfg = forces.ffparams, forces.config
+    pot_ad = compute_potentials(ffp, jnp.asarray(pos), None, cfg)
+    assert float(pot_ad["bonds"]) == pytest.approx(pots["bonds"], rel=1e-12)
+    assert float(pot_ad["angles"]) == pytest.approx(pots["angles"],
+                                                    rel=1e-12)
+    g = jax.grad(
+        lambda p: sum(
+            jax.tree_util.tree_leaves(compute_potentials(ffp, p, None, cfg))
+        )
+    )(jnp.asarray(pos))
+    np.testing.assert_allclose(frc[0], -np.asarray(g), atol=1e-10)
+    # funct-2 bonds create chemical connectivity (1-2/1-3 exclusions)
+    assert (0, 1) in par.explicit_exclusions or (0, 2) in [
+        tuple(sorted(p)) for p in par.explicit_exclusions
+    ]
+
+
+def test_vsite4_fdn_construction():
+    """[virtual_sites4] funct 2 (4fdn): the site sits at distance c along
+    the normal of the plane spanned by (a r_ik - r_ij, b r_il - r_ij)."""
+    import jax.numpy as jnp
+
+    from torchmd_tpu.vsites import apply_vsites, build_vsite_groups
+
+    a, b, c_nm = 0.3, 0.4, 0.105
+    groups = build_vsite_groups([
+        ((4, 0, 1, 2, 3), 4, 2, [a, b, c_nm]),
+    ])
+    assert groups[0].kind == (4, 2)
+    assert groups[0].hosts.shape == (1, 4)
+    pos = np.array([[0.2, 0.1, 0.0],     # i
+                    [1.3, 0.0, 0.2],     # j
+                    [0.1, 1.2, -0.1],    # k
+                    [-0.2, 0.3, 1.4],    # l
+                    [0.0, 0.0, 0.0]])    # site placeholder
+    out = np.asarray(apply_vsites(groups, jnp.asarray(pos), None))
+    ri = pos[0]
+    rij, rik, ril = pos[1] - ri, pos[2] - ri, pos[3] - ri
+    rm = np.cross(a * rik - rij, b * ril - rij)
+    expected = ri + 10.0 * c_nm * rm / np.linalg.norm(rm)
+    np.testing.assert_allclose(out[4], expected, atol=1e-12)
+    np.testing.assert_allclose(np.linalg.norm(out[4] - ri), 1.05,
+                               atol=1e-12)
+
+
 def _tip4p_box8(tmp_path):
     top_text = TIP4P2005_TOP.replace("SOL 2", "SOL 8")
     top = write(tmp_path / "tip4p8.top", top_text)

@@ -493,8 +493,9 @@ class GromacsForcefield:
     def _assemble_bonds(self, par):
         arr = self.arrays
         entries = []  # (i, j, [k0, r0])
+        g96 = []      # (i, j, [kq, b0]): GROMOS quartic (funct 2)
         for gi, funct, prm, mname in arr["bonds_full"]:
-            if funct in (1, 6):  # harmonic / harmonic-non-excluding
+            if funct in (1, 2, 6):
                 if prm is None:
                     bt = [self._btype(self.arrays["atomtype"][i])
                           for i in gi]
@@ -504,15 +505,20 @@ class GromacsForcefield:
                             f"no bondtype for {bt[0]}-{bt[1]} "
                             f"(molecule {mname})"
                         )
-                entries.append((gi[0], gi[1],
-                                [prm[1] * BOND_K, prm[0] * NM2ANG]))
+                if funct == 2:
+                    # GROMOS-96: V = 1/4 kb (r^2 - b0^2)^2, kb kJ/mol/nm^4
+                    g96.append((gi[0], gi[1],
+                                [0.25 * prm[1] * KJ2KCAL / NM2ANG**4,
+                                 prm[0] * NM2ANG]))
+                else:  # harmonic / harmonic-non-excluding
+                    entries.append((gi[0], gi[1],
+                                    [prm[1] * BOND_K, prm[0] * NM2ANG]))
             elif funct == 5:
                 continue  # "connection": topology edge, no potential
             else:
                 raise NotImplementedError(
                     f"bond funct {funct} (molecule {mname}) is not "
-                    "supported (GROMOS quartic bonds: convert with "
-                    "gmx or use harmonic parameters)"
+                    "supported"
                 )
         # constraints and settles as zero-k bonds: the framework's rigid-
         # geometry idiom (constraints.build_constraints / build_settle
@@ -523,33 +529,37 @@ class GromacsForcefield:
             entries.append((o, h1, [0.0, doh * NM2ANG]))
             entries.append((o, h2, [0.0, doh * NM2ANG]))
             entries.append((h1, h2, [0.0, dhh * NM2ANG]))
-        if not entries:
-            par.bond_params = None
-            return
-        rows, add = self._dedup_rows()
-        seen = {}
-        idx, mapping = [], []
-        for i, j, prm in entries:
-            key = (min(i, j), max(i, j))
-            p = add(prm)
-            if key in seen:
-                mapping.append([seen[key], p])
-                continue
-            seen[key] = len(idx)
-            mapping.append([len(idx), p])
-            idx.append([key[0], key[1]])
-        par.bond_params = {
-            "idx": np.asarray(idx, np.int64),
-            "map": np.asarray(mapping, np.int64),
-            "params": np.asarray(rows, np.float64),
-        }
+
+        def pack(ent):
+            rows, add = self._dedup_rows()
+            seen = {}
+            idx, mapping = [], []
+            for i, j, prm in ent:
+                key = (min(i, j), max(i, j))
+                p = add(prm)
+                if key in seen:
+                    mapping.append([seen[key], p])
+                    continue
+                seen[key] = len(idx)
+                mapping.append([len(idx), p])
+                idx.append([key[0], key[1]])
+            return {
+                "idx": np.asarray(idx, np.int64),
+                "map": np.asarray(mapping, np.int64),
+                "params": np.asarray(rows, np.float64),
+            }
+
+        par.bond_params = pack(entries) if entries else None
+        par.bond_g96_params = pack(g96) if g96 else None
 
     def _assemble_angles(self, par):
         arr = self.arrays
         rows, add = self._dedup_rows()
         ub_rows, ub_add = self._dedup_rows()
+        g96_rows, g96_add = self._dedup_rows()
         idx, mapping = [], []
         ub_idx, ub_mapping = [], []
+        g96_idx, g96_mapping = [], []
         for gi, funct, prm, mname in arr["angles_full"]:
             if prm is None:
                 bt = [self._btype(arr["atomtype"][i]) for i in gi]
@@ -560,6 +570,16 @@ class GromacsForcefield:
                         f"no angletype for {'-'.join(bt)} funct {funct} "
                         f"(molecule {mname})"
                     )
+            a = gi if gi[0] < gi[2] else gi[::-1]
+            if funct == 2:
+                # GROMOS-96 cosine-based: V = 1/2 k (cos th - cos th0)^2
+                g96_mapping.append([
+                    len(g96_idx),
+                    g96_add([0.5 * prm[1] * KJ2KCAL,
+                             np.cos(np.radians(prm[0]))]),
+                ])
+                g96_idx.append(list(a))
+                continue
             if funct == 1:
                 pass
             elif funct == 5:  # Urey-Bradley: angle + 1-3 spring
@@ -572,9 +592,8 @@ class GromacsForcefield:
             else:
                 raise NotImplementedError(
                     f"angle funct {funct} (molecule {mname}) is not "
-                    "supported (GROMOS cosine angles not implemented)"
+                    "supported"
                 )
-            a = gi if gi[0] < gi[2] else gi[::-1]
             mapping.append([len(idx),
                             add([prm[1] * ANGLE_K, np.radians(prm[0])])])
             idx.append(list(a))
@@ -590,6 +609,13 @@ class GromacsForcefield:
                 "idx": np.asarray(ub_idx, np.int64),
                 "map": np.asarray(ub_mapping, np.int64),
                 "params": np.asarray(ub_rows, np.float64),
+            }
+        )
+        par.angle_g96_params = (
+            None if not g96_idx else {
+                "idx": np.asarray(g96_idx, np.int64),
+                "map": np.asarray(g96_mapping, np.int64),
+                "params": np.asarray(g96_rows, np.float64),
             }
         )
 

@@ -282,6 +282,37 @@ class Forces:
                 pot["cmap"] = pot.get("cmap", 0.0) + ec
                 return pot, frc - gc
 
+        if ffp_.bonds_g96 is not None or ffp_.angles_g96 is not None:
+            # GROMOS-96 bonded forms ride on the bonded stage in every
+            # path (fused, Pallas, cell, sharded) via AD, like CMAP:
+            # tiny term counts, not worth kernel variants.
+            from .potentials import g96_angle_energy, g96_bond_energy
+
+            inner_bonded_g96 = bonded_ef_one
+            bt_, at_ = ffp_.bonds_g96, ffp_.angles_g96
+            want_b = "bonds" in self.energies and bt_ is not None
+            want_a = "angles" in self.energies and at_ is not None
+
+            def bonded_ef_one(pos, box):
+                pot, frc = inner_bonded_g96(pos, box)
+                pot = dict(pot)
+
+                def e_g96(p):
+                    eb = (g96_bond_energy(bt_, p, box) if want_b
+                          else jnp.zeros((), p.dtype))
+                    ea = (g96_angle_energy(at_, p, box) if want_a
+                          else jnp.zeros((), p.dtype))
+                    return eb + ea, (eb, ea)
+
+                (_, (eb, ea)), g = jax.value_and_grad(
+                    e_g96, has_aux=True
+                )(pos)
+                if want_b:
+                    pot["bonds"] = pot.get("bonds", 0.0) + eb
+                if want_a:
+                    pot["angles"] = pot.get("angles", 0.0) + ea
+                return pot, frc - g
+
         self.bonded_ef_one = bonded_ef_one
 
         # The "slow" (nonbonded + reciprocal) evaluator -- kept separate

@@ -52,6 +52,8 @@ class Parameters:
         self.nbfix = np.zeros((0, 4))  # rows: [type_i, type_j, eps, rmin]
         self.urey_bradley_params = None
         self.cmap_params = None
+        self.bond_g96_params = None   # GROMOS quartic bonds (funct 2)
+        self.angle_g96_params = None  # GROMOS cosine angles (funct 2)
 
         if terms is None:
             terms = ("bonds", "angles", "dihedrals", "impropers", "1-4", "lj")

@@ -74,6 +74,12 @@ class FFParams(NamedTuple):
     lj_ab: Optional[tuple] = None   # (A_table, B_table)
     # CHARMM36 CMAP cross-terms (capability beyond the reference):
     cmap: Optional["CMapTable"] = None  # torchmd_tpu.cmap.CMapTable
+    # GROMOS-96 bonded forms (GROMACS bond/angle funct 2; beyond the
+    # reference). Rows: bonds [kq, b0] with E = kq (r^2 - b0^2)^2;
+    # angles [kc, cos0] with E = kc (cos th - cos0)^2 (prefactors folded
+    # into kq/kc at assembly time, see ff_gromacs).
+    bonds_g96: Optional[TermTable] = None
+    angles_g96: Optional[TermTable] = None
 
 
 class ForceTermConfig(NamedTuple):
@@ -129,6 +135,32 @@ def bond_energy(table: TermTable, pos, box, cutoff=None):
         # The reference drops bonds beyond the cutoff (forces.py:128-136).
         e = jnp.where(r[table.map_term] <= cutoff, e, 0.0)
     return jnp.sum(e)
+
+
+def g96_bond_energy(table: TermTable, pos, box):
+    """GROMOS-96 quartic bond (GROMACS bond funct 2):
+    E = kq (r^2 - b0^2)^2, rows [kq, b0] (the 1/4 and unit conversion
+    folded into kq). Cheaper than harmonic on paper (no sqrt); evaluated
+    via AD like every bonded term."""
+    p = table.params[table.map_param]
+    dv = _gather_disp(pos, table.idx[:, 0], table.idx[:, 1], box)
+    r2 = jnp.sum(dv * dv, axis=1)
+    x = r2[table.map_term] - p[:, 1] * p[:, 1]
+    return jnp.sum(p[:, 0] * x * x)
+
+
+def g96_angle_energy(table: TermTable, pos, box):
+    """GROMOS-96 cosine-based angle (GROMACS angle funct 2):
+    E = kc (cos th - cos th0)^2, rows [kc, cos th0] (1/2 folded in)."""
+    p = table.params[table.map_param]
+    r21 = _gather_disp(pos, table.idx[:, 0], table.idx[:, 1], box)
+    r23 = _gather_disp(pos, table.idx[:, 2], table.idx[:, 1], box)
+    dot = jnp.sum(r21 * r23, axis=1)
+    cos_theta = jnp.clip(
+        dot / (_safe_norm(r21) * _safe_norm(r23)), -1.0, 1.0
+    )
+    x = cos_theta[table.map_term] - p[:, 1]
+    return jnp.sum(p[:, 0] * x * x)
 
 
 def angle_energy(table: TermTable, pos, box):
@@ -290,8 +322,16 @@ def compute_potentials(par: FFParams, pos, box, cfg: ForceTermConfig,
     pot = {}
     if "bonds" in cfg.terms and par.bonds is not None:
         pot["bonds"] = bond_energy(par.bonds, pos, box, cfg.cutoff)
+    if "bonds" in cfg.terms and par.bonds_g96 is not None:
+        pot["bonds"] = pot.get("bonds", 0.0) + g96_bond_energy(
+            par.bonds_g96, pos, box
+        )
     if "angles" in cfg.terms and par.angles is not None:
         pot["angles"] = angle_energy(par.angles, pos, box)
+    if "angles" in cfg.terms and par.angles_g96 is not None:
+        pot["angles"] = pot.get("angles", 0.0) + g96_angle_energy(
+            par.angles_g96, pos, box
+        )
     if "urey-bradley" in cfg.terms and par.urey_bradley is not None:
         # harmonic 1-3 spring, same functional form as bonds
         pot["urey-bradley"] = bond_energy(par.urey_bradley, pos, box)
@@ -616,5 +656,11 @@ def make_ffparams(parameters, exclusions=("bonds", "angles", "1-4"),
         nb_mask=jnp.asarray(nb_mask),
         urey_bradley=_term_table(
             getattr(parameters, "urey_bradley_params", None), dtype
+        ),
+        bonds_g96=_term_table(
+            getattr(parameters, "bond_g96_params", None), dtype
+        ),
+        angles_g96=_term_table(
+            getattr(parameters, "angle_g96_params", None), dtype
         ),
     )

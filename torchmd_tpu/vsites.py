@@ -18,6 +18,8 @@ Supported constructions (GROMACS manual ch. 5.5; codes = (nhosts, funct)):
   (3, 3) fixed angle:     r = r_i + d cos(th) u1 + d sin(th) u2
   (3, 4) out-of-plane:    r = r_i + a r_ij + b r_ik + c (r_ij x r_ik)
                           (TIP5P lone pairs)
+  (4, 2) 4fdn:            r = r_i + c * unit((a r_ik - r_ij) x
+                          (b r_il - r_ij))  (GROMACS manual 5.5.2.4)
 All parameters are stored pre-converted to Angstrom units.
 
 The integrator treats virtual sites as massless rows: zero acceleration,
@@ -44,7 +46,7 @@ class VSiteGroup(NamedTuple):
 
     kind: tuple           # (nhosts, funct) -- static
     sites: jnp.ndarray    # (s,) int32 site atom rows
-    hosts: jnp.ndarray    # (s, 3) int32 host atom rows (unused repeat)
+    hosts: jnp.ndarray    # (s, 4) int32 host atom rows (unused repeat)
     params: jnp.ndarray   # (s, 3) float, Angstrom units
 
 
@@ -81,6 +83,14 @@ def _group_positions(g: VSiteGroup, pos, box):
         return ri + b * (jnp.cos(a) * u1 + jnp.sin(a) * u2)
     if kind == (3, 4):
         return ri + a * rij + b * rik + c * jnp.cross(rij, rik)
+    if kind == (4, 2):
+        # 4fdn: c along the normal of the (a r_ik - r_ij, b r_il - r_ij)
+        # plane (the non-deprecated 4-body construction; funct 1 [4fd]
+        # has different, order-dependent semantics and is rejected)
+        ril = wrap_displacement(pos[g.hosts[:, 3]] - ri, box)
+        rja = a * rik - rij
+        rjb = b * ril - rij
+        return ri + c * _unit(jnp.cross(rja, rjb))
     raise NotImplementedError(f"virtual-site kind {kind}")
 
 
@@ -145,13 +155,15 @@ def build_vsite_groups(vsites_full):
             p = [np.radians(prm[0]), prm[1] * 10.0, 0.0]
         elif kind == (3, 4):
             p = [prm[0], prm[1], prm[2] / 10.0]
+        elif kind == (4, 2):
+            p = [prm[0], prm[1], prm[2] * 10.0]
         else:
             raise NotImplementedError(
                 f"virtual_sites{nk} funct {funct} is not supported"
             )
         site = idx[0]
-        hosts = list(idx[1:]) + [idx[-1]] * (4 - len(idx))
-        by_kind.setdefault(kind, []).append((site, hosts[:3], p))
+        hosts = list(idx[1:]) + [idx[-1]] * (5 - len(idx))
+        by_kind.setdefault(kind, []).append((site, hosts[:4], p))
     groups = []
     for kind, rows in sorted(by_kind.items()):
         groups.append(VSiteGroup(
