@@ -303,10 +303,6 @@ class Integrator:
                 raise NotImplementedError(
                     "constraints + spatial sharding not yet supported"
                 )
-            if self.vsites is not None:
-                raise NotImplementedError(
-                    "virtual sites + spatial sharding not yet supported"
-                )
             self._spatial = (mesh, mesh_axis)
         elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -1258,6 +1254,16 @@ class Integrator:
         ext_energy = getattr(forces_obj.external, "energy_fn", None)
         bonded_ef = forces_obj.bonded_ef_one
 
+        # virtual sites: positions snap on the gathered full array (the
+        # per-step all_gather already exists on this path), and site
+        # forces spread to hosts via the vjp of the reconstruction over
+        # ONE extra force all_gather — sites and hosts can land on
+        # different ranks, so the spread needs the full force vector.
+        vsg = self.vsites
+        if vsg is not None:
+            from .vsites import apply_vsites as _apply_vs
+            from .vsites import spread_vsite_forces as _spread_vs
+
         dt = self.dt
         gamma = self.gamma
         use_thermostat = self._use_langevin_T and self.gamma is not None
@@ -1329,9 +1335,31 @@ class Integrator:
                         pad_rows(f_full), row0, rows, 0
                     )
 
+                def snap_full(pos_full, boxv_):
+                    """Snapped full positions (padded) at gathered geometry."""
+                    pos_n = _apply_vs(vsg, pos_full[:natoms], boxv_)
+                    return pad_rows(pos_n)
+
+                def spread_rows(pos_full, f_rows):
+                    """Site forces -> hosts: gather the distributed rows,
+                    vjp-spread on the replicated array, re-slice."""
+                    f_full = jax.lax.all_gather(f_rows, ax, axis=0,
+                                                tiled=True)
+                    f_spread = _spread_vs(
+                        vsg, pos_full[:natoms], f_full[:natoms], boxe
+                    )
+                    return jax.lax.dynamic_slice_in_dim(
+                        pad_rows(f_spread), row0, rows, 0
+                    )
+
                 def ef_rows(pos_loc):
                     pos_full = jax.lax.all_gather(pos_loc, ax, axis=0,
                                                   tiled=True)
+                    if vsg is not None:
+                        pos_full = snap_full(pos_full, boxe)
+                        pos_loc = jax.lax.dynamic_slice_in_dim(
+                            pos_full, row0, rows, 0
+                        )
                     e = jnp.zeros((), pos_loc.dtype)
                     f_rows = jnp.zeros_like(pos_loc)
                     if has_nb:
@@ -1343,13 +1371,21 @@ class Integrator:
                         )
                         f_rows = f_rows + f_nb
                     eb, fb_rows = bonded_part(pos_full[:natoms])
-                    return e + eb, f_rows + fb_rows
+                    f_rows = f_rows + fb_rows
+                    if vsg is not None:
+                        f_rows = spread_rows(pos_full, f_rows)
+                    return e + eb, f_rows, pos_loc
 
                 def ef_rows_cell(pos_loc, cl):
                     """Slab-sharded cell evaluation: this rank's cell
                     columns only; psum combines slab forces/energies."""
                     pos_full = jax.lax.all_gather(pos_loc, ax, axis=0,
                                                   tiled=True)
+                    if vsg is not None:
+                        pos_full = snap_full(pos_full, boxv)
+                        pos_loc = jax.lax.dynamic_slice_in_dim(
+                            pos_full, row0, rows, 0
+                        )
                     pos_n = pos_full[:natoms]
                     cl_n = kern.update(pos_n, cl, boxv)
                     cl = cl_n._replace(overflow=cl_n.overflow | cl.overflow)
@@ -1368,15 +1404,21 @@ class Integrator:
                         pad_rows(f_nb), ax, scatter_dimension=0, tiled=True
                     )
                     eb, fb_rows = bonded_part(pos_n)
-                    return e + eb, f_rows + fb_rows, cl
+                    f_rows = f_rows + fb_rows
+                    if vsg is not None:
+                        f_rows = spread_rows(pos_full, f_rows)
+                    return e + eb, f_rows, pos_loc, cl
 
                 def thermo_and_kicks(p_l, v_l, f_l, k, a, e_f):
-                    """Shared VV/thermostat sequence around a force eval."""
+                    """Shared VV/thermostat sequence around a force eval.
+                    e_f returns (e, forces, possibly-snapped positions,
+                    extra) — with virtual sites the local position rows
+                    come back snapped onto the reconstructed geometry."""
                     if thermo is not None:
                         # psum-reduced KE; identical chain on every rank
                         v_l, a = thermo.pre(v_l, a, m_l, dt, axis_name=ax)
                     p_l, v_l = _first_vv(p_l, v_l, f_l, m_l, dt)
-                    e, f_l, extra = e_f(p_l)
+                    e, f_l, p_l, extra = e_f(p_l)
                     if use_thermostat:
                         k, sub = jax.random.split(k)
                         sub = jax.random.fold_in(sub, jax.lax.axis_index(ax))
@@ -1401,8 +1443,7 @@ class Integrator:
                         p_l, v_l, f_l, k, a, cl = carry
 
                         def e_f(p):
-                            e, f_r, cl_n = ef_rows_cell(p, cl)
-                            return e, f_r, cl_n
+                            return ef_rows_cell(p, cl)
 
                         p_l, v_l, f_l, k, a, e, cl = thermo_and_kicks(
                             p_l, v_l, f_l, k, a, e_f
@@ -1411,6 +1452,8 @@ class Integrator:
 
                     pos_full0 = jax.lax.all_gather(pos_l, ax, axis=0,
                                                    tiled=True)
+                    if vsg is not None:
+                        pos_full0 = snap_full(pos_full0, boxv)
                     cl0 = kern.build(pos_full0[:natoms], boxv)
                     carry, epots = jax.lax.scan(
                         body, (pos_l, vel_l, frc_l, key, aux, cl0),
@@ -1423,8 +1466,8 @@ class Integrator:
                         p_l, v_l, f_l, k, a = carry
 
                         def e_f(p):
-                            e, f_r = ef_rows(p)
-                            return e, f_r, None
+                            e, f_r, p_s = ef_rows(p)
+                            return e, f_r, p_s, None
 
                         p_l, v_l, f_l, k, a, e, _unused = thermo_and_kicks(
                             p_l, v_l, f_l, k, a, e_f
