@@ -139,3 +139,93 @@ def test_mts_with_settle_water():
                      + float(np.asarray(epot).reshape(-1)[0]))
     assert np.isfinite(etots[-1])
     assert abs(etots[-1] - etots[0]) < 10.0, etots
+
+
+def run_traj_nhc(mol, par, timestep, nsteps, mts=None, thermostat="nhc",
+                 seed=5):
+    forces = Forces(par, terms=["bonds", "lj"], precision="double")
+    syst = System(mol.numAtoms, 1, "double")
+    syst.set_positions(mol.coords)
+    syst.set_velocities(maxwell_boltzmann(par.masses, 200.0, 1, seed=seed))
+    integ = Integrator(syst, forces, timestep=timestep, T=300.0,
+                       thermostat=thermostat, seed=seed, mts=mts)
+    temp = None
+    for _ in range(nsteps // 10):
+        _, _, temp = integ.step(niter=10)
+    return np.asarray(syst.pos)[0], np.asarray(syst.vel)[0], temp
+
+
+def test_mts1_matches_standard_nhc():
+    """XO-RESPA chain bracketing reduces to the plain NHC scan at n=1:
+    same ordering, same (key-free) chain updates -> identical dynamics."""
+    mol, par = stiff_dimer_gas()
+    pos_a, vel_a, _ = run_traj_nhc(mol, par, 0.5, 40, mts=None)
+    pos_b, vel_b, _ = run_traj_nhc(mol, par, 0.5, 40, mts=1)
+    assert np.allclose(pos_a, pos_b, atol=1e-12)
+    assert np.allclose(vel_a, vel_b, atol=1e-12)
+
+
+def test_mts1_matches_standard_csvr():
+    """Stochastic CSVR draws the same per-outer-step key sequence at n=1."""
+    mol, par = stiff_dimer_gas()
+    pos_a, vel_a, _ = run_traj_nhc(mol, par, 0.5, 40, mts=None,
+                                   thermostat="csvr")
+    pos_b, vel_b, _ = run_traj_nhc(mol, par, 0.5, 40, mts=1,
+                                   thermostat="csvr")
+    assert np.allclose(pos_a, pos_b, atol=1e-12)
+    assert np.allclose(vel_a, vel_b, atol=1e-12)
+
+
+def test_mts_nhc_controls_temperature():
+    mol, par = stiff_dimer_gas()
+    _, _, temp = run_traj_nhc(mol, par, 2.0, 400, mts=4)
+    t = float(np.asarray(temp).reshape(-1)[0])
+    assert 100.0 < t < 700.0  # small system: loose band around target
+
+
+def test_mts_with_virtual_sites(tmp_path):
+    """MTS + TIP4P virtual sites + SETTLE: the fast/slow evaluators each
+    vjp-spread their own site forces; NVE total energy stays bounded
+    and the carried site rows re-snap every outer step."""
+    import jax.numpy as jnp
+
+    from test_gromacs import TIP4P2005_TOP, tip4p_water, write
+
+    from torchmd_tpu.forcefields import ForceField
+    from torchmd_tpu.vsites import apply_vsites
+
+    top = write(tmp_path / "tip4p8.top",
+                TIP4P2005_TOP.replace("SOL 2", "SOL 8"))
+    mol = Molecule(top)
+    pts = []
+    for ix in range(2):
+        for iy in range(2):
+            for iz in range(2):
+                pts.append(tip4p_water(np.array([ix, iy, iz]) * 5.2 + 1.2))
+    mol.coords = np.concatenate(pts)[:, :, None]
+    mol.box = np.full((3, 1), 10.4)
+    ff = ForceField.create(mol, top)
+    terms = ["bonds", "lj", "electrostatics"]
+    par = Parameters(ff, mol, terms, precision="double")
+    forces = Forces(par, terms=terms, precision="double", cutoff=4.5,
+                    switch_dist=3.5, rfa=True)
+    syst = System(mol.numAtoms, 1, "double")
+    syst.set_positions(mol.coords)
+    syst.set_box(mol.box)
+    syst.set_velocities(maxwell_boltzmann(par.masses, 150.0, 1, seed=11))
+    integ = Integrator(syst, forces, timestep=2.0, seed=11,
+                       constraints="settle", mts=2)
+    etots = []
+    for _ in range(8):
+        ekin, epot, _ = integ.step(niter=20)
+        etots.append(float(np.asarray(ekin).reshape(-1)[0])
+                     + float(np.asarray(epot).reshape(-1)[0]))
+    drift = abs(etots[-1] - etots[0])
+    assert np.isfinite(etots[-1]) and drift < 0.5, (drift, etots)
+    out = np.asarray(syst.pos)[0]
+    snapped = np.asarray(
+        apply_vsites(par.vsites, jnp.asarray(out), jnp.asarray([10.4] * 3))
+    )
+    site_rows = np.arange(3, out.shape[0], 4)
+    np.testing.assert_allclose(out[site_rows], snapped[site_rows],
+                               atol=1e-9)

@@ -323,12 +323,6 @@ class Integrator:
                 raise ValueError(f"mts must be >= 1, got {mts}")
             if self._npt is not None:
                 raise NotImplementedError("mts + MTK barostat")
-            if self._thermostat is not None:
-                raise NotImplementedError(
-                    "mts supports the Langevin thermostat only"
-                )
-            if self.vsites is not None:
-                raise NotImplementedError("mts + virtual sites")
             if batch is not None:
                 raise NotImplementedError("mts + atom batching")
 
@@ -567,8 +561,12 @@ class Integrator:
         the seeded System.forces held totals).
 
         Langevin: friction + noise apply on the inner substeps with the
-        substep-scaled noise coefficient. SHAKE/RATTLE project every
-        inner position/velocity update plus the outer kicks."""
+        substep-scaled noise coefficient. NHC/CSVR couple at the OUTER
+        step boundary (XO-RESPA: chain half-updates bracket the full
+        r-RESPA step). SHAKE/RATTLE project every inner position/velocity
+        update plus the outer kicks. Virtual sites: the fast and slow
+        evaluators each snap sites and vjp-spread their own site forces;
+        the carried positions re-snap once per outer step."""
         forces_obj = self.forces
         dt = self.dt
         n = int(self.mts)
@@ -604,8 +602,43 @@ class Integrator:
                 frc = frc - eg
             return e, frc
 
+        vsg = self.vsites
+        if vsg is not None:
+            from .vsites import apply_vsites as _apply_vs
+
+            apply_vs_v = jax.vmap(lambda p, b: _apply_vs(vsg, p, b))
+
+            def _vs_wrap(ef):
+                def wrapped(pos, box):
+                    p2, vjp = jax.vjp(
+                        lambda p: _apply_vs(vsg, p, box), pos
+                    )
+                    e, frc = ef(p2, box)
+                    (frc2,) = vjp(frc)
+                    return e, frc2
+
+                return wrapped
+
+            fast_one = _vs_wrap(fast_one)
+            slow_one = _vs_wrap(slow_one)
+
         fast_v = jax.vmap(fast_one, in_axes=(0, 0))
         slow_v = jax.vmap(slow_one, in_axes=(0, 0))
+
+        thermo = self._thermostat
+        nreplicas = self.systems.nreplicas
+        if thermo is not None:
+            thermo_pre = jax.vmap(
+                lambda v, a: thermo.pre(v, a, masses, dt)
+            )
+            if thermo.stochastic:
+                thermo_post = jax.vmap(
+                    lambda v, a, k: thermo.post(v, a, masses, dt, key=k)
+                )
+            else:
+                thermo_post = jax.vmap(
+                    lambda v, a: thermo.post(v, a, masses, dt)
+                )
 
         cs = self.constraints
         if cs is not None:
@@ -631,9 +664,12 @@ class Integrator:
             _, ffrc0 = fast_v(state0.pos, box)
 
             def body(c, _):
-                st, ffrc = c
+                st, ffrc, aux = c
+                vel = st.vel
+                if thermo is not None:
+                    vel, aux = thermo_pre(vel, aux)
                 # outer half-kick with the carried slow forces
-                vel = st.vel + 0.5 * dt * _safe_accel(st.forces, masses)
+                vel = vel + 0.5 * dt * _safe_accel(st.forces, masses)
                 pos = st.pos
                 key = st.key
                 e_fast = jnp.zeros(pos.shape[0], pos.dtype)
@@ -653,17 +689,30 @@ class Integrator:
                     vel = _second_vv(vel, ffrc, masses, ddt)
                     if cs is not None:
                         vel = rattle_v(pos, vel)
+                if vsg is not None:
+                    # evaluators snap internally; re-snap the carry once
+                    # per outer step so output positions stay consistent
+                    pos = apply_vs_v(pos, box)
                 e_slow, sfrc = slow_v(pos, box)
                 vel = vel + 0.5 * dt * _safe_accel(sfrc, masses)
                 if cs is not None:
                     vel = rattle_v(pos, vel)
+                if thermo is not None:
+                    if thermo.stochastic:
+                        key, sub = jax.random.split(key)
+                        subs = jax.random.split(sub, nreplicas)
+                        vel, aux = thermo_post(vel, aux, subs)
+                    else:
+                        vel, aux = thermo_post(vel, aux)
+                    if cs is not None:
+                        vel = rattle_v(pos, vel)
                 epot = e_fast + e_slow
-                return (SimState(pos, vel, sfrc, key), ffrc), epot
+                return (SimState(pos, vel, sfrc, key), ffrc, aux), epot
 
-            (state, _), epots = jax.lax.scan(
-                body, (state0, ffrc0), None, length=niter
+            (state, _, aux1), epots = jax.lax.scan(
+                body, (state0, ffrc0, aux0), None, length=niter
             )
-            return (state, aux0), epots[-1]
+            return (state, aux1), epots[-1]
 
         return run
 
