@@ -299,10 +299,6 @@ class Integrator:
         if mesh is not None and shard == "spatial":
             if systems.nreplicas != 1:
                 raise ValueError("spatial sharding supports nreplicas=1")
-            if constraints:
-                raise NotImplementedError(
-                    "constraints + spatial sharding not yet supported"
-                )
             self._spatial = (mesh, mesh_axis)
         elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -1313,6 +1309,18 @@ class Integrator:
             from .vsites import apply_vsites as _apply_vs
             from .vsites import spread_vsite_forces as _spread_vs
 
+        # SHAKE/RATTLE/SETTLE on sharded rows: constraint clusters can
+        # straddle rank boundaries, so the projection runs REPLICATED on
+        # gathered full arrays (like the bonded terms on this path) and
+        # the local rows are re-sliced. Costs extra all_gathers per step;
+        # the halo path is the comm-scalable alternative.
+        cs = self.constraints
+        if cs is not None:
+            from .constraints import (
+                apply_position_constraints as _shake_full,
+                apply_velocity_constraints as _rattle_full,
+            )
+
         dt = self.dt
         gamma = self.gamma
         use_thermostat = self._use_langevin_T and self.gamma is not None
@@ -1466,7 +1474,20 @@ class Integrator:
                     if thermo is not None:
                         # psum-reduced KE; identical chain on every rank
                         v_l, a = thermo.pre(v_l, a, m_l, dt, axis_name=ax)
+                    p_ref = p_l
                     p_l, v_l = _first_vv(p_l, v_l, f_l, m_l, dt)
+                    if cs is not None:
+                        p_new_f = jax.lax.all_gather(p_l, ax, axis=0,
+                                                     tiled=True)
+                        p_ref_f = jax.lax.all_gather(p_ref, ax, axis=0,
+                                                     tiled=True)
+                        p_c = _shake_full(cs, p_new_f[:natoms],
+                                          p_ref_f[:natoms])
+                        p_c_l = jax.lax.dynamic_slice_in_dim(
+                            pad_rows(p_c), row0, rows, 0
+                        )
+                        v_l = v_l + (p_c_l - p_l) / dt
+                        p_l = p_c_l
                     e, f_l, p_l, extra = e_f(p_l)
                     if use_thermostat:
                         k, sub = jax.random.split(k)
@@ -1475,6 +1496,15 @@ class Integrator:
                                                   dtype=v_l.dtype)
                         v_l = v_l - gamma * v_l * dt + noise * vc_l
                     v_l = _second_vv(v_l, f_l, m_l, dt)
+                    if cs is not None:
+                        p_f = jax.lax.all_gather(p_l, ax, axis=0,
+                                                 tiled=True)
+                        v_f = jax.lax.all_gather(v_l, ax, axis=0,
+                                                 tiled=True)
+                        v_c = _rattle_full(cs, p_f[:natoms], v_f[:natoms])
+                        v_l = jax.lax.dynamic_slice_in_dim(
+                            pad_rows(v_c), row0, rows, 0
+                        )
                     if thermo is not None:
                         if thermo.stochastic:
                             # UN-folded key: the same global rescale factor
