@@ -180,3 +180,58 @@ def test_halo_exclusions_respected():
     h.init(posj, jnp.zeros_like(posj))
     _, epot, _ = h.step(niter=1)
     assert epot == pytest.approx(e_dense, rel=1e-5)
+
+
+def test_halo_nbfix_matches_dense():
+    """NBFIX (ntypes, ntypes) A/B tables on the halo path: atom types
+    travel with the migrating rows and per-pair A/B come from one-hot
+    matmuls; the energy must match the dense NBFIX evaluation (this
+    raised NotImplementedError before round 3)."""
+    rs = np.random.RandomState(4)
+    natoms, L = 1000, 96.0
+    mol = Molecule()
+    mol.numAtoms = natoms
+    mol.atomtype = np.array(["AR", "XE"] * (natoms // 2), dtype=object)
+    mol.charge = np.zeros(natoms)
+    mol.masses = np.where(np.arange(natoms) % 2 == 0, 39.948, 131.29)
+    mol.bonds = np.zeros((0, 2), dtype=np.int64)
+    m = int(np.ceil(natoms ** (1 / 3)))
+    grid = np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"),
+                    axis=-1).reshape(-1, 3)[:natoms]
+    mol.coords = ((grid + 0.5) * (L / m)
+                  + rs.randn(natoms, 3) * 0.3)[:, :, None]
+    mol.box = np.full((3, 1), L)
+    ff = YamlForcefield(mol, {
+        "atomtypes": ["AR", "XE"],
+        "lj": {"AR": {"sigma": 3.405, "epsilon": 0.238},
+               "XE": {"sigma": 3.96, "epsilon": 0.43}},
+        "electrostatics": {"AR": {"charge": 0.0}, "XE": {"charge": 0.0}},
+        "masses": {"AR": 39.948, "XE": 131.29},
+    })
+    par = Parameters(ff, mol, ["lj"], precision="single")
+    # pair-specific AR-XE override, strong enough to matter
+    uq = sorted(set(np.asarray(mol.atomtype)))
+    par.nbfix = np.asarray([[uq.index("AR"), uq.index("XE"),
+                             -0.9, 4.4]])
+    forces = Forces(par, terms=["lj"], precision="single", cutoff=9.0,
+                    nbfix=True)
+    assert forces.ffparams.lj_ab is not None
+
+    pos = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+    box = jnp.asarray([L] * 3, jnp.float32)
+    pot_d, f_d = nonbonded_energy_forces(forces.ffparams, pos, box,
+                                         forces.config)
+    e_dense = float(sum(jax.tree_util.tree_leaves(pot_d)))
+
+    h = HaloMD(forces.ffparams, forces.config, _mesh(8),
+               np.asarray([L] * 3), timestep=1.0)
+    h.init(pos, jnp.zeros_like(pos))
+    ekin, epot, T = h.step(niter=1)
+    assert epot == pytest.approx(e_dense, rel=1e-5)
+    # the override actually changes the answer vs plain LB mixing
+    f_lb = Forces(par, terms=["lj"], precision="single", cutoff=9.0,
+                  nbfix=False)
+    pot_lb, _ = nonbonded_energy_forces(f_lb.ffparams, pos, box,
+                                        f_lb.config)
+    assert abs(e_dense - float(sum(jax.tree_util.tree_leaves(pot_lb))
+                               )) > 1e-2

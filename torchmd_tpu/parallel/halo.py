@@ -109,14 +109,16 @@ def make_halo_spec(box, cutoff, R, natoms, skin=2.0, nexcl=0,
 
 # Row layout of the packed per-atom table (columns of `atoms`):
 # 0 id (float; natoms = padding), 1:4 pos, 4:7 vel, 7:10 force,
-# 10:13 ref pos, 13 q, 14 sig, 15 eps, 16: exclusion ids.
-_ID, _POS, _VEL, _FRC, _REF, _Q, _SIG, _EPS, _EXCL = (
-    0, slice(1, 4), slice(4, 7), slice(7, 10), slice(10, 13), 13, 14, 15, 16
+# 10:13 ref pos, 13 q, 14 sig, 15 eps, 16 atom type (float),
+# 17: exclusion ids.
+_ID, _POS, _VEL, _FRC, _REF, _Q, _SIG, _EPS, _TYPE, _EXCL = (
+    0, slice(1, 4), slice(4, 7), slice(7, 10), slice(10, 13),
+    13, 14, 15, 16, 17,
 )
 
 
 def _atom_rows(ffp: FFParams, excl_table, pos, vel, frc, box=None):
-    """(natoms, 16 + nexcl) packed float rows (f32); positions wrapped
+    """(natoms, 17 + nexcl) packed float rows (f32); positions wrapped
     into the primary image when a box is given (the slab band/owner
     tests work on in-box coordinates)."""
     n = pos.shape[0]
@@ -135,6 +137,7 @@ def _atom_rows(ffp: FFParams, excl_table, pos, vel, frc, box=None):
         pos, jnp.asarray(vel, f32),
         jnp.asarray(frc, f32), pos,
         ffp.charges.astype(f32)[:, None], sig[:, None], eps[:, None],
+        ffp.mapped_atom_types.astype(f32)[:, None],
     ]
     if excl_table is not None and excl_table.shape[1]:
         cols.append(jnp.asarray(excl_table, f32))
@@ -189,9 +192,6 @@ class HaloMD:
         if cfg.ewald_alpha is not None:
             raise NotImplementedError("halo path: Ewald reciprocal terms "
                                       "are not distributed yet")
-        if ffp.lj_ab is not None:
-            raise NotImplementedError("halo path: NBFIX tables not "
-                                      "supported (LB mixing only)")
         self.ffp = ffp
         self.cfg = cfg
         self.mesh = mesh
@@ -251,6 +251,12 @@ class HaloMD:
         band = spec.band_w
         fwd = [(i, (i + 1) % R) for i in range(R)]
         bwd = [(i, (i - 1) % R) for i in range(R)]
+        ab_tables = None
+        if self.ffp.lj_ab is not None:
+            ab_tables = (
+                jnp.asarray(self.ffp.lj_ab[0], jnp.float32),
+                jnp.asarray(self.ffp.lj_ab[1], jnp.float32),
+            )
 
         from ..ops.pallas_nonbonded import pair_terms
 
@@ -301,12 +307,25 @@ class HaloMD:
             idj = allr[:, _ID][None, :]
             mask = (idi < n) & (idj < n) & (idi != idj)
             for e in range(nexcl):
-                mask = mask & (atoms[:, 16 + e][:, None] != idj)
+                mask = mask & (atoms[:, _EXCL + e][:, None] != idj)
             si, sj = atoms[:, _SIG][:, None], allr[:, _SIG][None, :]
             ei, ej = atoms[:, _EPS][:, None], allr[:, _EPS][None, :]
             qi, qj = atoms[:, _Q][:, None], allr[:, _Q][None, :]
+            A = B = None
+            if ab_tables is not None:
+                # NBFIX: per-pair A/B via one-hot matmuls on the type
+                # column (rows migrate between ranks, so types travel
+                # with the atoms; MXU-friendly, no 2-D gather)
+                At, Bt = ab_tables
+                ntypes = At.shape[0]
+                oi = jax.nn.one_hot(atoms[:, _TYPE].astype(jnp.int32),
+                                    ntypes, dtype=jnp.float32)
+                oj = jax.nn.one_hot(allr[:, _TYPE].astype(jnp.int32),
+                                    ntypes, dtype=jnp.float32)
+                A = (oi @ At) @ oj.T
+                B = (oi @ Bt) @ oj.T
             e_lj, e_el, g = pair_terms(kcfg, d2, mask, si, sj, ei, ej,
-                                       qi, qj)
+                                       qi, qj, A=A, B=B)
             fx = -jnp.sum(g * dx, axis=1)
             fy = -jnp.sum(g * dy, axis=1)
             fz = -jnp.sum(g * dz, axis=1)
