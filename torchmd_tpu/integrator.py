@@ -217,8 +217,11 @@ class Integrator:
         if barostat is not None and getattr(barostat, "is_dynamic", False):
             if np.any(np.asarray(systems.box_diag) <= 0):
                 raise ValueError("MTK barostat requires a periodic box")
-            if mesh is not None:
-                raise NotImplementedError("MTK barostat + mesh sharding")
+            if mesh is not None and shard != "replica":
+                raise NotImplementedError(
+                    "MTK barostat + spatial sharding (replica-sharded "
+                    "NPT ensembles are supported)"
+                )
             if self._thermostat is None:
                 if self._use_langevin_T and gamma is not None:
                     raise ValueError(
@@ -1877,6 +1880,16 @@ class Integrator:
             state0 = self._state_from_system()
             box_d = jnp.asarray(np.asarray(systems.box_diag), self.dtype)
             v_eps0, aux_b0, vir0 = self._npt_extra
+            if self._sharding is not None:
+                # replica-sharded NPT: every extended-state leaf has a
+                # leading replica axis; place them like the SimState so
+                # GSPMD keeps the scan ensemble-parallel
+                box_d, v_eps0, aux_b0, vir0, self._thermo_aux = (
+                    jax.device_put(
+                        (box_d, v_eps0, aux_b0, vir0, self._thermo_aux),
+                        self._sharding,
+                    )
+                )
             if self._use_cell:
                 # cell/column-kernel NPT: the neighbor structure rides in
                 # the scan carry; capacity overflow redoes the chunk with
