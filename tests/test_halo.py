@@ -235,3 +235,49 @@ def test_halo_nbfix_matches_dense():
                                         f_lb.config)
     assert abs(e_dense - float(sum(jax.tree_util.tree_leaves(pot_lb))
                                )) > 1e-2
+
+
+def test_halo_ewald_matches_dense():
+    """Distributed classic Ewald on the halo path: partial structure
+    factors psum over the slab axis (comm O(n_k), independent of N);
+    the total energy must match the dense erfc real-space + EwaldRecip
+    evaluation, and the NVE trajectory must be rank-count invariant
+    (this raised NotImplementedError before round 3)."""
+    mol, par, forces_plain, L = _gas(natoms=1500, seed=8)
+    forces = Forces(par, terms=["lj", "electrostatics"],
+                    precision="single", cutoff=9.0, elec="ewald")
+    forces.ensure_ewald(np.asarray([L] * 3))
+    assert forces.config.ewald_alpha is not None
+
+    pos = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+    box = jnp.asarray([L] * 3, jnp.float32)
+    pot_d, f_d = nonbonded_energy_forces(forces.ffparams, pos, box,
+                                         forces.config)
+    e_dense = float(sum(jax.tree_util.tree_leaves(pot_d))) \
+        + float(forces._ewald.energy(pos, box))
+
+    h = HaloMD(forces.ffparams, forces.config, _mesh(8),
+               np.asarray([L] * 3), timestep=1.0)
+    h.init(pos, jnp.zeros_like(pos))
+    ekin, epot, T = h.step(niter=1)
+    assert epot == pytest.approx(e_dense, rel=2e-5)
+
+    # rank-count invariance with reciprocal forces in the dynamics
+    from torchmd_tpu.integrator import maxwell_boltzmann
+
+    vel0 = np.asarray(maxwell_boltzmann(par.masses, 120.0, 1, seed=4))[0]
+    results = {}
+    for r in (1, 8):
+        h = HaloMD(forces.ffparams, forces.config, _mesh(r),
+                   np.asarray([L] * 3), timestep=5.0)
+        h.init(pos, jnp.asarray(vel0, jnp.float32))
+        es = [h.step(niter=4)[1] for _ in range(2)]
+        p, v = h.gather()
+        results[r] = (np.asarray(es), p, v)
+    e1, p1, v1 = results[1]
+    e8, p8, v8 = results[8]
+    # f32: the complex structure-factor psum reassociates across rank
+    # counts, so the chaotic trajectories decorrelate faster than the
+    # pure pair path; bound the 8-step drift rather than demand bitness
+    np.testing.assert_allclose(e8, e1, rtol=2e-3)
+    np.testing.assert_allclose(p8, p1, atol=5e-3)

@@ -189,9 +189,6 @@ class HaloMD:
                  axis="sp", seed=1, slack=1.35):
         if cfg.cutoff is None:
             raise ValueError("halo exchange requires a cutoff")
-        if cfg.ewald_alpha is not None:
-            raise NotImplementedError("halo path: Ewald reciprocal terms "
-                                      "are not distributed yet")
         self.ffp = ffp
         self.cfg = cfg
         self.mesh = mesh
@@ -258,6 +255,50 @@ class HaloMD:
                 jnp.asarray(self.ffp.lj_ab[1], jnp.float32),
             )
 
+        # Distributed classic Ewald: each slab computes PARTIAL structure
+        # factors over its local atoms and psums them (comm O(n_k) per
+        # step, independent of N and of the slab surface); energy and the
+        # local-atom reciprocal forces come from one value_and_grad
+        # through the psum. Self/net-charge terms are position-free
+        # topology constants. The per-pair erf exclusion correction rides
+        # in the real-space loop (bonded partners sit inside the ghost
+        # band by construction).
+        use_ewald = kcfg["ewald_alpha"] is not None
+        alpha_e = recip_pref = e_selfnet = None
+        nxa = nya = nza = None
+        if use_ewald:
+            from ..ewald import choose_parameters
+            from ..units import ELEC_FACTOR
+
+            alpha_e = jnp.float32(kcfg["ewald_alpha"])
+            ecfg = choose_parameters(spec.box, spec.cutoff)
+            kxm, kym, kzm = ecfg.kmax
+            nxa = jnp.arange(-kxm, kxm + 1).astype(jnp.float32)
+            nya = jnp.arange(-kym, kym + 1).astype(jnp.float32)
+            nza = jnp.arange(-kzm, kzm + 1).astype(jnp.float32)
+            two_pi = 2.0 * np.pi
+            kx = (two_pi / lx) * np.arange(-kxm, kxm + 1)
+            ky = (two_pi / ly) * np.arange(-kym, kym + 1)
+            kz = (two_pi / lz) * np.arange(-kzm, kzm + 1)
+            k2 = (kx[:, None, None] ** 2 + ky[None, :, None] ** 2
+                  + kz[None, None, :] ** 2)
+            a2 = float(kcfg["ewald_alpha"]) ** 2
+            V = float(lx * ly * lz)
+            pref = np.where(k2 > 0, np.exp(-k2 / (4.0 * a2))
+                            / np.where(k2 > 0, k2, 1.0), 0.0)
+            recip_pref = jnp.asarray(
+                ELEC_FACTOR * (two_pi / V) * pref.reshape(
+                    (2 * kxm + 1) * (2 * kym + 1), 2 * kzm + 1
+                ),
+                jnp.float32,
+            )
+            q_all = np.asarray(self.ffp.charges, np.float64)
+            e_self = -ELEC_FACTOR * float(kcfg["ewald_alpha"]) \
+                / np.sqrt(np.pi) * float(np.sum(q_all * q_all))
+            e_net = -ELEC_FACTOR * np.pi / (2.0 * V * a2) \
+                * float(np.sum(q_all)) ** 2
+            e_selfnet = jnp.float32(e_self + e_net)
+
         from ..ops.pallas_nonbonded import pair_terms
 
         def ghost_exchange(atoms, rank):
@@ -311,6 +352,23 @@ class HaloMD:
             si, sj = atoms[:, _SIG][:, None], allr[:, _SIG][None, :]
             ei, ej = atoms[:, _EPS][:, None], allr[:, _EPS][None, :]
             qi, qj = atoms[:, _Q][:, None], allr[:, _Q][None, :]
+            if use_ewald and nexcl:
+                # excluded pairs: cancel their full-lattice reciprocal
+                # interaction with -qq erf(alpha r)/r (energy halved for
+                # the symmetric double count; each owner's row force is
+                # complete)
+                exm = jnp.zeros_like(mask)
+                for e in range(nexcl):
+                    exm = exm | (atoms[:, _EXCL + e][:, None] == idj)
+                exm = exm & (idi < n) & (idj < n) & (idi != idj)
+                fex = exm.astype(jnp.float32)
+                d2s = jnp.where(exm, d2, 1.0)
+                rr = jnp.sqrt(d2s)
+                qq = jnp.float32(kcfg["elec_factor"]) * qi * qj
+                erf_r = jax.lax.erf(alpha_e * rr) / rr
+                gauss = (2.0 * alpha_e / np.sqrt(np.pi)) * jnp.exp(
+                    -(alpha_e * rr) ** 2
+                )
             A = B = None
             if ab_tables is not None:
                 # NBFIX: per-pair A/B via one-hot matmuls on the type
@@ -326,10 +384,39 @@ class HaloMD:
                 B = (oi @ Bt) @ oj.T
             e_lj, e_el, g = pair_terms(kcfg, d2, mask, si, sj, ei, ej,
                                        qi, qj, A=A, B=B)
+            if use_ewald and nexcl:
+                # E = -qq erf(ar)/r; g = (dE/dr)/r = -qq(gauss-erf_r)/d2
+                e_el = e_el - 0.5 * jnp.sum(fex * qq * erf_r)
+                g = g - fex * qq * (gauss - erf_r) / d2s
             fx = -jnp.sum(g * dx, axis=1)
             fy = -jnp.sum(g * dy, axis=1)
             fz = -jnp.sum(g * dz, axis=1)
             return e_lj + e_el, jnp.stack([fx, fy, fz], axis=1)
+
+        def recip_local(atoms):
+            """Global reciprocal energy + THIS rank's atom forces: partial
+            structure factors psum'd over the slab axis; grad flows back
+            through the psum to the local positions only."""
+            valid = atoms[:, _ID] < n
+            q = jnp.where(valid, atoms[:, _Q], 0.0)
+            qc = q.astype(jnp.complex64)
+            two_pi = jnp.float32(2.0 * np.pi)
+
+            def e_fn(pos_l):
+                def phase(coords, nn, L):
+                    ang = (two_pi / jnp.float32(L)) * jnp.outer(coords, nn)
+                    return jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+
+                Ax = phase(pos_l[:, 0], nxa, lx) * qc[:, None]
+                Ay = phase(pos_l[:, 1], nya, ly)
+                Az = phase(pos_l[:, 2], nza, lz)
+                Wxy = jnp.einsum("jx,jy->xyj", Ax, Ay)
+                S = Wxy.reshape(-1, pos_l.shape[0]) @ Az   # (X*Y, Z)
+                S = jax.lax.psum(S, axis)
+                return jnp.sum(recip_pref * (S.real**2 + S.imag**2))
+
+            e, gpos = jax.value_and_grad(e_fn)(atoms[:, _POS])
+            return e + e_selfnet, -gpos
 
         def migrate(atoms, rank):
             """Rebuild: re-wrap positions into the primary box image
@@ -407,6 +494,10 @@ class HaloMD:
                 ghosts, of_g = ghost_exchange(atoms, rank)
                 of = of | of_g
                 epot_part, frc = energy_forces_local(atoms, ghosts)
+                e_recip = jnp.float32(0.0)
+                if use_ewald:
+                    e_recip, f_recip = recip_local(atoms)
+                    frc = frc + f_recip
                 atoms = atoms.at[:, _FRC].set(frc)
                 vel = atoms[:, _VEL]
                 if use_langevin:
@@ -418,7 +509,7 @@ class HaloMD:
                     vel = vel - gamma * vel * dt + noise * vc[:, None]
                 vel = vel + 0.5 * dt * frc / m
                 atoms = atoms.at[:, _VEL].set(vel)
-                epot = jax.lax.psum(epot_part, axis)
+                epot = jax.lax.psum(epot_part, axis) + e_recip
                 return (atoms, of), epot
 
             niter = niter_arr.shape[0]
