@@ -282,16 +282,21 @@ class Forces:
                 pot["cmap"] = pot.get("cmap", 0.0) + ec
                 return pot, frc - gc
 
-        if ffp_.bonds_g96 is not None or ffp_.angles_g96 is not None:
+        _g96_want_b = ("bonds" in self.energies
+                       and ffp_.bonds_g96 is not None)
+        _g96_want_a = ("angles" in self.energies
+                       and ffp_.angles_g96 is not None)
+        if _g96_want_b or _g96_want_a:
             # GROMOS-96 bonded forms ride on the bonded stage in every
             # path (fused, Pallas, cell, sharded) via AD, like CMAP:
-            # tiny term counts, not worth kernel variants.
+            # tiny term counts, not worth kernel variants. Gated on the
+            # active term set so inactive tables don't pay a no-op
+            # value_and_grad every evaluation.
             from .potentials import g96_angle_energy, g96_bond_energy
 
             inner_bonded_g96 = bonded_ef_one
             bt_, at_ = ffp_.bonds_g96, ffp_.angles_g96
-            want_b = "bonds" in self.energies and bt_ is not None
-            want_a = "angles" in self.energies and at_ is not None
+            want_b, want_a = _g96_want_b, _g96_want_a
 
             def bonded_ef_one(pos, box):
                 pot, frc = inner_bonded_g96(pos, box)

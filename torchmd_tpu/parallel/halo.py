@@ -211,6 +211,7 @@ class HaloMD:
 
     # ------------------------------------------------------------------
     def init(self, pos, vel):
+        self._check_exclusion_reach(pos)
         frc = jnp.zeros_like(jnp.asarray(pos, jnp.float32))
         rows = _atom_rows(self.ffp, self.excl_table, pos, vel, frc,
                           box=self.spec.box)
@@ -222,6 +223,39 @@ class HaloMD:
             tables,
             jax.sharding.NamedSharding(self.mesh, P(self.axis)),
         )
+
+    def _check_exclusion_reach(self, pos):
+        """Excluded partners are only visible to a slab if they sit inside
+        the ghost band (cutoff + skin): an exclusion pair beyond the band
+        would silently keep its pair interaction masked-OFF nowhere (the
+        pair is already outside the cutoff) but — under Ewald — would LOSE
+        its reciprocal-space erf cancellation. Guard it at init: excluded
+        pairs are bonded-topology pairs, so their rest separation must be
+        well inside the band."""
+        if self.excl_table is None or self.excl_table.shape[1] == 0:
+            return
+        p = np.asarray(pos, np.float64).reshape(-1, 3)
+        box = np.asarray(self.spec.box, np.float64)
+        tab = np.asarray(self.excl_table)
+        n = p.shape[0]
+        ii, jj = np.nonzero(tab < n)
+        partners = tab[ii, jj]
+        d = p[ii] - p[partners]
+        d -= box * np.round(d / box)
+        dmax = float(np.sqrt(np.max(np.sum(d * d, axis=1)))) if len(ii) else 0.0
+        if dmax > 0.9 * self.spec.band_w:
+            raise ValueError(
+                f"exclusion pair separation {dmax:.2f} A reaches "
+                f"{dmax / self.spec.band_w:.0%} of the ghost band "
+                f"({self.spec.band_w:.2f} A): its Ewald reciprocal-space "
+                f"cancellation would be lost when the partner leaves the "
+                f"band. Increase skin or reduce rank count."
+            )
+
+    def _barostat_none_invariant(self):
+        """True iff this HaloMD carries no box-changing machinery — the
+        guard behind the frozen Ewald k-space tables in _build_step."""
+        return not hasattr(self, "barostat") or self.barostat is None
 
     # ------------------------------------------------------------------
     def _build_step(self):
@@ -267,6 +301,13 @@ class HaloMD:
         alpha_e = recip_pref = e_selfnet = None
         nxa = nya = nza = None
         if use_ewald:
+            # FIXED-BOX INVARIANT: the k-vectors, recip_pref (1/V factor)
+            # and the self/net-charge terms below are frozen to spec.box at
+            # build time. HaloMD has no barostat (the slab geometry itself
+            # is box-derived), so this is correct today — any future NPT
+            # extension must rebuild these tables (and the slab spec) on
+            # every box change rather than reuse them.
+            assert self._barostat_none_invariant()
             from ..ewald import choose_parameters
             from ..units import ELEC_FACTOR
 
