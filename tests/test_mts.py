@@ -183,6 +183,136 @@ def test_mts_nhc_controls_temperature():
     assert 100.0 < t < 700.0  # small system: loose band around target
 
 
+def periodic_dimer_gas(nside=4, spacing=7.0):
+    """Stiff dimers on a periodic grid: fast/slow testbed for the
+    neighbor-kernel r-RESPA path (box large enough for rc-wide cells)."""
+    ndimers = nside ** 3
+    n = 2 * ndimers
+    mol = Molecule()
+    mol.numAtoms = n
+    mol.atomtype = np.array(["X", "HX"] * ndimers, dtype=object)
+    mol.charge = np.zeros(n)
+    mol.masses = np.array([16.0, 1.008] * ndimers)
+    mol.bonds = np.array([[2 * i, 2 * i + 1] for i in range(ndimers)])
+    coords = []
+    for ix in range(nside):
+        for iy in range(nside):
+            for iz in range(nside):
+                base = np.array([ix, iy, iz]) * spacing + 1.0
+                coords.append(base)
+                coords.append(base + np.array([0.97, 0.0, 0.0]))
+    mol.coords = np.asarray(coords)[:, :, None]
+    mol.box = np.full((3, 1), nside * spacing)
+    ff = YamlForcefield(mol, {
+        "atomtypes": ["X", "HX"],
+        "bonds": {"(X, HX)": {"k0": 450.0, "req": 0.97}},
+        "lj": {
+            "X": {"sigma": 3.2, "epsilon": 0.15},
+            "HX": {"sigma": 1.0, "epsilon": 0.0},
+        },
+        "electrostatics": {"X": {"charge": 0.0}, "HX": {"charge": 0.0}},
+        "masses": {"X": 16.0, "HX": 1.008},
+    })
+    par = Parameters(ff, mol, ["bonds", "lj"], precision="double")
+    return mol, par
+
+
+def run_traj_kernel(mol, par, timestep, nsteps, kernel, mts=None,
+                    gamma=None, T=None, seed=5, cutoff=6.5):
+    forces = Forces(par, terms=["bonds", "lj"], precision="double",
+                    cutoff=cutoff, kernel=kernel)
+    syst = System(mol.numAtoms, 1, "double")
+    syst.set_positions(mol.coords)
+    syst.set_box(mol.box)
+    syst.set_velocities(maxwell_boltzmann(par.masses, 200.0, 1, seed=seed))
+    integ = Integrator(syst, forces, timestep=timestep, gamma=gamma, T=T,
+                       seed=seed, mts=mts)
+    etots = []
+    temp = None
+    for _ in range(nsteps // 10):
+        ekin, epot, temp = integ.step(niter=10)
+        etots.append(float(np.asarray(ekin).reshape(-1)[0])
+                     + float(np.asarray(epot).reshape(-1)[0]))
+    return np.asarray(syst.pos)[0], np.asarray(syst.vel)[0], etots, temp
+
+
+def test_mts1_cell_matches_cell_standard():
+    """On the cell-kernel path, mts=1 reduces to the standard cell scan
+    (identical kick ordering, same rebuild cadence)."""
+    mol, par = periodic_dimer_gas()
+    pos_a, vel_a, e_a, _ = run_traj_kernel(mol, par, 0.5, 40, "cell")
+    pos_b, vel_b, e_b, _ = run_traj_kernel(mol, par, 0.5, 40, "cell", mts=1)
+    assert np.allclose(pos_a, pos_b, atol=1e-12)
+    assert np.allclose(vel_a, vel_b, atol=1e-12)
+    assert np.allclose(e_a, e_b, atol=1e-9)
+
+
+@pytest.mark.parametrize("kernel", ["cell", "verlet"])
+def test_mts_kernel_matches_dense_mts(kernel):
+    """The same r-RESPA trajectory through the neighbor kernels and the
+    dense path (cutoff pair sets are identical; float op order differs)."""
+    mol, par = periodic_dimer_gas()
+    pos_d, vel_d, _, _ = run_traj_kernel(mol, par, 2.0, 30, "dense", mts=3)
+    pos_k, vel_k, _, _ = run_traj_kernel(mol, par, 2.0, 30, kernel, mts=3)
+    np.testing.assert_allclose(pos_k, pos_d, atol=1e-6)
+    np.testing.assert_allclose(vel_k, vel_d, atol=1e-6)
+
+
+def test_mts_cell_rescues_large_outer_step():
+    """The neighbor-kernel r-RESPA path shows the same stability rescue
+    as the dense path: 2.5 fs outer + 5 bonded substeps conserves where
+    plain VV at 2.5 fs blows up."""
+    mol, par = periodic_dimer_gas()
+    _, _, e_plain, _ = run_traj_kernel(mol, par, 2.5, 120, "cell")
+    _, _, e_mts, _ = run_traj_kernel(mol, par, 2.5, 120, "cell", mts=5)
+    drift_plain = abs(e_plain[-1] - e_plain[0])
+    drift_mts = abs(e_mts[-1] - e_mts[0])
+    assert np.isfinite(e_mts[-1])
+    assert drift_mts < 0.5, (drift_mts, e_mts)
+    assert (not np.isfinite(e_plain[-1])) or drift_plain > 10 * drift_mts, (
+        drift_plain, drift_mts
+    )
+
+
+def test_mts_cell_langevin_matches_dense():
+    """Same PRNG stream on both paths: inner-substep Langevin kicks draw
+    the identical key sequence through the kernel scan."""
+    mol, par = periodic_dimer_gas()
+    pos_d, vel_d, _, _ = run_traj_kernel(mol, par, 2.0, 30, "dense", mts=2,
+                                         gamma=1.0, T=300.0)
+    pos_c, vel_c, _, _ = run_traj_kernel(mol, par, 2.0, 30, "cell", mts=2,
+                                         gamma=1.0, T=300.0)
+    np.testing.assert_allclose(pos_c, pos_d, atol=1e-6)
+    np.testing.assert_allclose(vel_c, vel_d, atol=1e-6)
+
+
+def test_mts_cell_ewald():
+    """mts + kernel='cell' + elec='ewald': the reciprocal/self/exclusion
+    terms ride the slow stage; trajectory matches the dense+ewald r-RESPA
+    path."""
+    mol, par = periodic_dimer_gas()
+    # give the dimers charges so the Ewald terms are nonzero
+    q = np.tile([0.4, -0.4], mol.numAtoms // 2)
+    par.charges = np.asarray(q, dtype=np.float64)
+
+    def run(kernel):
+        forces = Forces(par, terms=["bonds", "lj", "electrostatics"],
+                        precision="double", cutoff=6.5, kernel=kernel,
+                        elec="ewald")
+        syst = System(mol.numAtoms, 1, "double")
+        syst.set_positions(mol.coords)
+        syst.set_box(mol.box)
+        syst.set_velocities(
+            maxwell_boltzmann(par.masses, 200.0, 1, seed=5)
+        )
+        integ = Integrator(syst, forces, timestep=2.0, seed=5, mts=2)
+        for _ in range(2):
+            integ.step(niter=10)
+        return np.asarray(syst.pos)[0]
+
+    np.testing.assert_allclose(run("cell"), run("dense"), atol=1e-6)
+
+
 def test_mts_with_virtual_sites(tmp_path):
     """MTS + TIP4P virtual sites + SETTLE: the fast/slow evaluators each
     vjp-spread their own site forces; NVE total energy stays bounded

@@ -364,13 +364,12 @@ class Integrator:
         if getattr(forces, "ewald_requested", False) and not self._host_path:
             forces.ensure_ewald(np.asarray(systems.box_diag)[0])
         if self.mts is not None and (
-            self._use_cell or self._use_verlet or self._spatial is not None
-            or self._host_path
+            self._spatial is not None or self._host_path
         ):
             raise NotImplementedError(
-                "mts (r-RESPA) currently supports the dense jittable "
-                "force path only (no cell/verlet kernels, no spatial "
-                "sharding, no host-loop providers)"
+                "mts (r-RESPA) supports the dense and cell/column/verlet "
+                "jittable force paths (no spatial sharding, no host-loop "
+                "providers)"
             )
         if self._npt is not None:
             if self._host_path:
@@ -426,7 +425,7 @@ class Integrator:
             self._cell_kernel = forces.ensure_cell_kernel(
                 box_all[0], pos0=np.asarray(systems.pos)[0]
             )
-            self._scan_fn = self._build_scan_cell()
+            self._scan_fn = self._build_scan_cell_dispatch()
         elif self._use_verlet:
             # `_cell_kernel` is the generic neighbor-kernel slot: the
             # VerletKernel duck-types CellKernel, so the kernel-carrying
@@ -437,7 +436,7 @@ class Integrator:
             self._cell_kernel = forces.ensure_verlet_kernel(
                 box_all[0], pos0=np.asarray(systems.pos)[0]
             )
-            self._scan_fn = self._build_scan_cell()
+            self._scan_fn = self._build_scan_cell_dispatch()
         elif self.mts is not None and not self._host_path:
             self._scan_fn = self._build_scan_mts()
         elif not self._host_path:
@@ -847,6 +846,187 @@ class Integrator:
             return carry, epots[-1]
 
         return run
+
+    def _build_scan_mts_cell(self):
+        """r-RESPA on the neighbor-kernel path (cell/column/verlet).
+
+        Same impulse splitting as `_build_scan_mts` -- bonded forces
+        integrate on `mts` inner substeps, the expensive kernel
+        nonbonded + Ewald reciprocal + external forces kick at the OUTER
+        step -- but the slow stage evaluates through the carried
+        neighbor structure. The skin-criterion rebuild fires once per
+        outer step, right before the slow impulse (the fast bonded
+        forces never touch the neighbor tables, so inner-substep drift
+        only matters at the next slow evaluation, which the skin/2
+        criterion already covers). This is exactly where MTS pays:
+        large-N systems whose nonbonded stage dominates the step.
+        Carry/return signature matches `_build_scan_cell` so step()'s
+        grow/retry loop is shared."""
+        forces_obj = self.forces
+        kern = self._cell_kernel
+        dt = self.dt
+        n = int(self.mts)
+        ddt = dt / n
+        gamma = self.gamma
+        use_thermostat = self._use_langevin_T and gamma is not None
+        # inner-substep noise scales as sqrt(ddt/dt) = 1/sqrt(n)
+        vcoeff = (self.vcoeff / np.sqrt(n)) if use_thermostat else None
+        masses = self.masses
+        thermo = self._thermostat
+        nreplicas = self.systems.nreplicas
+        if thermo is not None:
+            thermo_pre = jax.vmap(
+                lambda v, a: thermo.pre(v, a, masses, dt)
+            )
+            if thermo.stochastic:
+                thermo_post = jax.vmap(
+                    lambda v, a, k: thermo.post(v, a, masses, dt, key=k)
+                )
+            else:
+                thermo_post = jax.vmap(
+                    lambda v, a: thermo.post(v, a, masses, dt)
+                )
+        ewald = getattr(forces_obj, "_ewald", None)
+        ext_energy = getattr(forces_obj.external, "energy_fn", None)
+
+        def fast_one(pos, box):
+            pot, frc = forces_obj.bonded_ef_one(pos, box)
+            leaves = jax.tree_util.tree_leaves(pot)
+            e = sum(leaves) if leaves else jnp.zeros((), pos.dtype)
+            return e, frc
+
+        def slow_one(pos, box, cl):
+            nb_pot, nb_f = kern.energy_forces(pos, box, cl)
+            e = sum(jax.tree_util.tree_leaves(nb_pot))
+            frc = nb_f
+            if ewald is not None:
+                er, eg = jax.value_and_grad(ewald.energy)(pos, box)
+                e = e + er
+                frc = frc - eg
+            if ext_energy is not None:
+                ee, eg = jax.value_and_grad(ext_energy)(pos, box)
+                e = e + ee
+                frc = frc - eg
+            return e, frc
+
+        vsg = self.vsites
+        if vsg is not None:
+            from .vsites import apply_vsites as _apply_vs
+
+            apply_vs_v = jax.vmap(lambda p, b: _apply_vs(vsg, p, b))
+
+            _inner_fast = fast_one
+            _inner_slow = slow_one
+
+            def fast_one(pos, box):  # noqa: F811 -- vsite wrap
+                p2, vjp = jax.vjp(lambda p: _apply_vs(vsg, p, box), pos)
+                e, frc = _inner_fast(p2, box)
+                (frc2,) = vjp(frc)
+                return e, frc2
+
+            def slow_one(pos, box, cl):  # noqa: F811 -- vsite wrap
+                p2, vjp = jax.vjp(lambda p: _apply_vs(vsg, p, box), pos)
+                e, frc = _inner_slow(p2, box, cl)
+                (frc2,) = vjp(frc)
+                return e, frc2
+
+        fast_v = jax.vmap(fast_one, in_axes=(0, 0))
+        slow_v = jax.vmap(slow_one, in_axes=(0, 0, 0))
+
+        build_v = jax.vmap(kern.build)
+
+        def update_all(pos_b, cl_b, box_b):
+            pred = jnp.any(
+                jax.vmap(
+                    lambda c, p, b: kern.needs_rebuild(c, p, b)
+                )(cl_b, pos_b, box_b)
+            )
+
+            def rebuild():
+                new = build_v(pos_b, box_b)
+                return new._replace(overflow=new.overflow | cl_b.overflow)
+
+            return jax.lax.cond(pred, rebuild, lambda: cl_b)
+
+        cs = self.constraints
+        if cs is not None:
+            from .constraints import (
+                apply_position_constraints,
+                apply_velocity_constraints,
+            )
+
+            shake_v = jax.vmap(
+                lambda pn, pr: apply_position_constraints(cs, pn, pr)
+            )
+            rattle_v = jax.vmap(
+                lambda p, v: apply_velocity_constraints(cs, p, v)
+            )
+
+        @partial(jax.jit, static_argnames=("niter",))
+        def run(carry, box, niter: int):
+            state0, cl0, aux0 = carry
+            _, ffrc0 = fast_v(state0.pos, box)
+
+            def body(c, _):
+                st, cl, ffrc, aux = c
+                vel = st.vel
+                if thermo is not None:
+                    vel, aux = thermo_pre(vel, aux)
+                # outer half-kick with the carried slow forces
+                vel = vel + 0.5 * dt * _safe_accel(st.forces, masses)
+                pos = st.pos
+                key = st.key
+                e_fast = jnp.zeros(pos.shape[0], pos.dtype)
+                for _i in range(n):  # static unroll (n is small)
+                    pos_new, vel = _first_vv(pos, vel, ffrc, masses, ddt)
+                    if cs is not None:
+                        pos_c = shake_v(pos_new, pos)
+                        vel = vel + (pos_c - pos_new) / ddt
+                        pos_new = pos_c
+                    pos = pos_new
+                    e_fast, ffrc = fast_v(pos, box)
+                    if use_thermostat:
+                        key, sub = jax.random.split(key)
+                        noise = jax.random.normal(sub, vel.shape,
+                                                  dtype=vel.dtype)
+                        vel = vel - gamma * vel * ddt + noise * vcoeff
+                    vel = _second_vv(vel, ffrc, masses, ddt)
+                    if cs is not None:
+                        vel = rattle_v(pos, vel)
+                if vsg is not None:
+                    # evaluators snap internally; re-snap the carry once
+                    # per outer step (the neighbor rebuild below must bin
+                    # the true site geometry)
+                    pos = apply_vs_v(pos, box)
+                cl = update_all(pos, cl, box)
+                e_slow, sfrc = slow_v(pos, box, cl)
+                vel = vel + 0.5 * dt * _safe_accel(sfrc, masses)
+                if cs is not None:
+                    vel = rattle_v(pos, vel)
+                if thermo is not None:
+                    if thermo.stochastic:
+                        key, sub = jax.random.split(key)
+                        subs = jax.random.split(sub, nreplicas)
+                        vel, aux = thermo_post(vel, aux, subs)
+                    else:
+                        vel, aux = thermo_post(vel, aux)
+                    if cs is not None:
+                        vel = rattle_v(pos, vel)
+                epot = e_fast + e_slow
+                return (SimState(pos, vel, sfrc, key), cl, ffrc, aux), epot
+
+            (state, cl, _, aux1), epots = jax.lax.scan(
+                body, (state0, cl0, ffrc0, aux0), None, length=niter
+            )
+            return (state, cl, aux1), epots[-1]
+
+        return run
+
+    def _build_scan_cell_dispatch(self):
+        """Neighbor-kernel scan: r-RESPA variant when mts is set."""
+        if self.mts is not None:
+            return self._build_scan_mts_cell()
+        return self._build_scan_cell()
 
     def _build_scan_npt(self):
         """MTK isotropic NPT scan: the box, the barostat velocity v_eps and
@@ -1848,7 +2028,7 @@ class Integrator:
                 elif self._npt is not None:
                     self._scan_fn = self._build_scan_npt_cell()
                 else:
-                    self._scan_fn = self._build_scan_cell()
+                    self._scan_fn = self._build_scan_cell_dispatch()
         box = self._dev_box
 
         if self._host_path:
@@ -1986,7 +2166,7 @@ class Integrator:
                 # rebuild the Forces closures too, or compute()/ef_one keep
                 # referencing the old smaller-capacity kernel
                 self.forces._build_evaluators()
-                self._scan_fn = self._build_scan_cell()
+                self._scan_fn = self._build_scan_cell_dispatch()
             else:
                 raise RuntimeError("neighbor kernel capacity kept overflowing")
         else:
