@@ -1033,6 +1033,82 @@ def test_tip4p_mtk_settle_npt(tmp_path):
     assert drift < 5.0, f"MTK+SETTLE+vsites drifted {drift}: {hs}"
 
 
+def _tip4p_box216(tmp_path):
+    """6x6x6 TIP4P lattice at 3.25 A spacing (19.5 A box, near liquid
+    density): large enough to host a cell grid at a 4.0 A cutoff
+    (rc = 6.0 with the default skin), dense enough that LJ repulsion is
+    active and a short NPT run stays tame."""
+    top_text = TIP4P2005_TOP.replace("SOL 2", "SOL 216")
+    top = write(tmp_path / "tip4p216.top", top_text)
+    mol = Molecule(top)
+    pts = []
+    for ix in range(6):
+        for iy in range(6):
+            for iz in range(6):
+                pts.append(tip4p_water(np.array([ix, iy, iz]) * 3.25 + 0.9))
+    mol.coords = np.concatenate(pts)[:, :, None]
+    mol.box = np.full((3, 1), 19.5)
+    ff = ForceField.create(mol, top)
+    terms = ["bonds", "lj", "electrostatics"]
+    par = Parameters(ff, mol, terms, precision="double")
+    return mol, par, terms
+
+
+def test_tip4p_mtk_cell_matches_dense(tmp_path):
+    """Virtual sites + SETTLE + MTK NPT on the cell-kernel path: the
+    kernel's analytic pair virial is vjp-spread onto the hosts and
+    jvp-corrected for the non-scaling site offsets; the trajectory,
+    box and conserved quantity must match the dense NPT scan (whose
+    E(s*pos, s*box) AD handles sites exactly) to f64 round-off."""
+    from torchmd_tpu.barostat import MTKBarostat
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.systems import System
+
+    mol, par, terms = _tip4p_box216(tmp_path)
+
+    def run(kernel):
+        forces = Forces(par, terms=terms, precision="double", cutoff=4.0,
+                        switch_dist=3.2, rfa=True, kernel=kernel)
+        syst = System(mol.numAtoms, 1, "double")
+        syst.set_positions(mol.coords)
+        syst.set_box(mol.box)
+        syst.set_velocities(
+            maxwell_boltzmann(par.masses, 300.0, 1, seed=5)
+        )
+        forces.compute(syst.pos, syst.box, syst.forces)
+        integ = Integrator(syst, forces, timestep=2.0, T=300.0,
+                           thermostat="nhc", constraints="settle",
+                           barostat=MTKBarostat(1.0, 300.0,
+                                                tau_fs=1000.0),
+                           seed=5)
+        hs = []
+        for _ in range(2):
+            ek, ep, _T = integ.step(niter=15)
+            hs.append(ek[0] + ep[0] + integ.thermostat_energy()[0]
+                      + integ.npt_energy()[0])
+        return (syst.pos.copy(), syst.box_diag.copy(), hs,
+                getattr(integ, "_cell_kernel", None))
+
+    pos_d, box_d, hs_d, k_d = run("auto")
+    pos_c, box_c, hs_c, k_c = run("cell")
+    assert k_d is None and k_c is not None
+    np.testing.assert_allclose(box_c, box_d, rtol=1e-9)
+    np.testing.assert_allclose(pos_c, pos_d, atol=1e-6)
+    np.testing.assert_allclose(hs_c, hs_d, atol=1e-6)
+    # sites stayed snapped through the kernel-path NPT scan
+    import jax.numpy as jnp
+
+    from torchmd_tpu.vsites import apply_vsites
+
+    pos = pos_c[0]
+    snapped = np.asarray(apply_vsites(
+        par.vsites, jnp.asarray(pos), jnp.asarray(box_c[0])
+    ))
+    site_rows = np.arange(3, mol.numAtoms, 4)
+    np.testing.assert_allclose(pos[site_rows], snapped[site_rows],
+                               atol=1e-9)
+
+
 def test_run_cli_gromacs(tmp_path):
     """run.py end to end from .top + .gro (the GROMACS user workflow)."""
     from torchmd_tpu import run as runmod

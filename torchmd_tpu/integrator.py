@@ -376,13 +376,6 @@ class Integrator:
                 raise ValueError("MTK barostat needs a jittable force "
                                  "provider")
             if self._use_cell:
-                if self.vsites is not None:
-                    raise NotImplementedError(
-                        "virtual sites + MTK barostat on the cell/column "
-                        "kernel path (the analytic pair virial does not "
-                        "spread site forces); the dense path composes — "
-                        "force kernel='dense' or use the MC barostat"
-                    )
                 # large periodic systems: true NPT through the cell /
                 # column kernel (analytic pair virial from the kernels +
                 # value_and_grad of the cheap box-differentiable terms)
@@ -1264,18 +1257,34 @@ class Integrator:
 
         from .potentials import compute_potentials
 
+        # virtual sites on the kernel NPT path: the cheap terms
+        # reconstruct sites INSIDE the (pos, s) value_and_grad (AD spreads
+        # site forces onto hosts and carries the rigid-geometry dU/ds
+        # exactly, as on the dense path); the kernel's analytic pair
+        # virial treats every row as a real atom scaling with the box, so
+        # its site-row forces are (a) vjp-spread onto hosts and (b) the
+        # per-axis virial is corrected by sum_i F_i*(r_i - dr_i/ds),
+        # where dr/ds comes from ONE jvp of the reconstruction -- the
+        # fixed-length site offsets do NOT scale with the box.
+        vsg = self.vsites
+        if vsg is not None:
+            from .vsites import apply_vsites as _apply_vs
+
         def e_cheap(pos, box):
             def inner(p, s):
-                pot = compute_potentials(ffp, p * s, box * s, cfg,
+                ps = p * s
+                if vsg is not None:
+                    ps = _apply_vs(vsg, ps, box * s)
+                pot = compute_potentials(ffp, ps, box * s, cfg,
                                          nonbonded=False)
                 # explicit zero: a bonded-term-free system (pure LJ gas)
                 # yields an empty dict, and sum([]) is an int
                 e = sum(jax.tree_util.tree_leaves(pot),
                         jnp.zeros((), p.dtype))
                 if ewald is not None:
-                    e = e + ewald.energy(p * s, box * s)
+                    e = e + ewald.energy(ps, box * s)
                 if ext_energy is not None:
-                    e = e + ext_energy(p * s, box * s)
+                    e = e + ext_energy(ps, box * s)
                 return e
 
             return inner
@@ -1286,7 +1295,32 @@ class Integrator:
             e_ch, (gp, dUds) = jax.value_and_grad(
                 inner, argnums=(0, 1)
             )(pos, one)
-            nb_pot, nb_f, nb_vir = kern.energy_forces_virial(pos, box, cl)
+            if vsg is not None:
+                # evaluate the kernel at the SNAPPED geometry (in-scan
+                # positions are already snapped; entry-state positions
+                # may not be -- the dense NPT path snaps inside its AD
+                # energy, and vir0 must agree or v_eps picks up a
+                # permanent offset at the first step)
+                p2, vjp_fn = jax.vjp(
+                    lambda p: _apply_vs(vsg, p, box), pos
+                )
+                nb_pot, nb_f, nb_vir = kern.energy_forces_virial(
+                    p2, box, cl
+                )
+                (nb_f_spread,) = vjp_fn(nb_f)
+                # dr/ds of the snapped geometry (tangents = (pos, box)
+                # since r(s) = snap(s*pos, s*box)); host rows give
+                # T == r exactly, site rows differ by the rigid offset
+                _, T = jax.jvp(
+                    lambda p, b: _apply_vs(vsg, p, b),
+                    (pos, box), (pos, box),
+                )
+                nb_vir = nb_vir - jnp.sum(nb_f * (p2 - T), axis=0)
+                nb_f = nb_f_spread
+            else:
+                nb_pot, nb_f, nb_vir = kern.energy_forces_virial(
+                    pos, box, cl
+                )
             e = e_ch + sum(jax.tree_util.tree_leaves(nb_pot))
             return e, -gp + nb_f, -dUds + nb_vir
 
@@ -1341,7 +1375,8 @@ class Integrator:
             x = (v_eps + jnp.sum(v_eps) / ndof) * dt2
             vel = (
                 vel * jnp.exp(-x)
-                + dt2 * (frc / masses) * jnp.exp(-0.5 * x) * phi(0.5 * x)
+                + dt2 * _safe_accel(frc, masses)
+                * jnp.exp(-0.5 * x) * phi(0.5 * x)
             )
             u = v_eps * dt
             drift = dt * jnp.exp(0.5 * u) * phi(0.5 * u)
@@ -1356,6 +1391,11 @@ class Integrator:
                 pos = pos_c
             else:
                 delta = jnp.zeros_like(pos)
+            if vsg is not None:
+                # site rows were box-scaled like real atoms above; re-snap
+                # onto the reconstructed geometry before the neighbor
+                # rebuild bins them and ef_vir evaluates
+                pos = _apply_vs(vsg, pos, box)
             return pos, vel, box, v_eps, aux_p, aux_b, x, drift, delta
 
         # --- evaluation at the new phase point (+ constraint virial) --
@@ -1370,7 +1410,8 @@ class Integrator:
         def post_one(pos, vel, frc, vir, box, v_eps, aux_p, aux_b, x, kr):
             vel = (
                 vel * jnp.exp(-x)
-                + dt2 * (frc / masses) * jnp.exp(-0.5 * x) * phi(0.5 * x)
+                + dt2 * _safe_accel(frc, masses)
+                * jnp.exp(-0.5 * x) * phi(0.5 * x)
             )
             v_eps = eps_kick(v_eps, vel, vir, box)
             if thermo.stochastic:
