@@ -412,6 +412,69 @@ def _argon_npt_kernel(kernel, seed=2, T=120.0):
     return mol, par, forces, system
 
 
+def _dimer_npt(kernel, mts=None, timestep=2.0, nchunks=2, niter=20,
+               seed=5, tau_fs=2000.0):
+    """Periodic stiff-dimer gas under MTK NPT (bonds = fast stage)."""
+    from test_mts import periodic_dimer_gas
+
+    mol, par = periodic_dimer_gas()
+    forces = Forces(par, terms=["bonds", "lj"], precision="double",
+                    cutoff=6.5, kernel=kernel)
+    syst = System(mol.numAtoms, 1, "double")
+    syst.set_positions(mol.coords)
+    syst.set_box(mol.box)
+    syst.set_velocities(maxwell_boltzmann(par.masses, 200.0, 1, seed=seed))
+    forces.compute(syst.pos, syst.box, syst.forces)
+    L = float(mol.box[0, 0])
+    P = ideal_gas_pressure(mol.numAtoms, 200.0, L ** 3)
+    integ = Integrator(syst, forces, timestep=timestep, T=200.0,
+                       thermostat="nhc", seed=seed, mts=mts,
+                       barostat=MTKBarostat(P, 200.0, tau_fs=tau_fs))
+    hs = []
+    for _ in range(nchunks):
+        ek, ep, _T = integ.step(niter=niter)
+        hs.append(ek[0] + ep[0] + integ.thermostat_energy()[0]
+                  + integ.npt_energy()[0])
+    return (syst.pos.copy(), syst.box_diag.copy(), hs,
+            getattr(integ, "_cell_kernel", None))
+
+
+def test_mtk_mts1_converges_to_standard():
+    """The r-RESPA MTK composition at n=1 is the same reversible
+    splitting as the standard MTK scan up to an O(dt^3) rearrangement of
+    the slow-kick decay factors: at a small timestep short trajectories
+    must agree tightly."""
+    pos_a, box_a, hs_a, _ = _dimer_npt("dense", mts=None, timestep=0.5)
+    pos_b, box_b, hs_b, _ = _dimer_npt("dense", mts=1, timestep=0.5)
+    np.testing.assert_allclose(box_b, box_a, rtol=1e-8)
+    np.testing.assert_allclose(pos_b, pos_a, atol=1e-5)
+    np.testing.assert_allclose(hs_b, hs_a, atol=1e-4)
+
+
+def test_mtk_mts_conserved_and_stable():
+    """MTS+MTK at a 2.5 fs outer step (beyond the stiff bond's plain-VV
+    stability limit) with 5 bonded substeps: the NPT conserved quantity
+    stays bounded and the box stays finite/liquid-like."""
+    pos, box, hs, _ = _dimer_npt("dense", mts=5, timestep=2.5,
+                                 nchunks=4, niter=30)
+    assert np.all(np.isfinite(pos))
+    drift = abs(hs[-1] - hs[0])
+    assert drift < 1.0, (drift, hs)
+    v_rel = float(np.prod(box[0])) / 28.0 ** 3
+    assert 0.3 < v_rel < 3.0
+
+
+def test_mtk_mts_cell_matches_dense():
+    """The cell-kernel r-RESPA NPT scan (analytic pair virial + cheap AD)
+    drives the same trajectory as the dense r-RESPA NPT scan."""
+    pos_d, box_d, hs_d, k_d = _dimer_npt("dense", mts=3)
+    pos_c, box_c, hs_c, k_c = _dimer_npt("cell", mts=3)
+    assert k_d is None and k_c is not None
+    np.testing.assert_allclose(box_c, box_d, rtol=1e-9)
+    np.testing.assert_allclose(pos_c, pos_d, atol=1e-6)
+    np.testing.assert_allclose(hs_c, hs_d, atol=1e-6)
+
+
 def test_mtk_cell_matches_dense():
     """True NPT on the cell-kernel path: the per-axis pair virial
     accumulated by the neighbor kernel + value_and_grad of the cheap

@@ -320,8 +320,6 @@ class Integrator:
         if self.mts is not None:
             if self.mts < 1:
                 raise ValueError(f"mts must be >= 1, got {mts}")
-            if self._npt is not None:
-                raise NotImplementedError("mts + MTK barostat")
             if batch is not None:
                 raise NotImplementedError("mts + atom batching")
 
@@ -387,9 +385,9 @@ class Integrator:
                 self._cell_kernel = forces.ensure_cell_kernel(
                     box_all[0], pos0=np.asarray(systems.pos)[0]
                 )
-                self._scan_fn = self._build_scan_npt_cell()
+                self._scan_fn = self._build_scan_npt_dispatch(cell=True)
             else:
-                self._scan_fn = self._build_scan_npt()
+                self._scan_fn = self._build_scan_npt_dispatch(cell=False)
         elif self._spatial is not None:
             if self._host_path:
                 raise ValueError("spatial sharding needs a jittable force "
@@ -1475,6 +1473,370 @@ class Integrator:
         )
         return run
 
+    def _build_scan_npt_dispatch(self, cell: bool):
+        """MTK NPT scan: r-RESPA variant when mts is set."""
+        if self.mts is not None:
+            return self._build_scan_npt_mts(cell)
+        return self._build_scan_npt_cell() if cell else self._build_scan_npt()
+
+    def _build_scan_npt_mts(self, use_cell: bool):
+        """r-RESPA + MTK NPT (XO-RESPA-style composition).
+
+        Splitting per outer step (dt, n = mts inner substeps, ddt = dt/n):
+          baro-chain half + particle-chain half (outer)
+          -> eps half-kick with the carried TOTAL virial
+          -> slow impulse dt/2 (plain kick; the v_eps decay factors ride
+             the inner propagator)
+          -> n x [MTK core at ddt with the FAST (bonded) forces:
+               exp-coupled fast half-kick, box+position drift,
+               SHAKE-ROLL, vsite re-snap, fast force eval (last substep
+               adds the fast dU/ds), mirror fast half-kick, RATTLE]
+          -> neighbor rebuild + slow evaluation at the new phase point
+             (kernel analytic virial on the cell/column path, dense
+             nonbonded (p, s) AD otherwise; + Ewald recip + external)
+          -> slow impulse dt/2 -> eps half-kick -> chains (reverse).
+        At n=1 this is the same reversible MTK splitting as
+        `_build_scan_npt(_cell)` up to where the exp(v_eps*dt) decay
+        factors multiply the slow kick (an O(dt^3) rearrangement), so
+        trajectories agree in the dt->0 limit rather than bitwise.
+        Langevin friction is rejected with MTK (thermostats couple at
+        the outer boundary via NHC/CSVR as in the plain NPT scans)."""
+        forces_obj = self.forces
+        kern = self._cell_kernel if use_cell else None
+        ffp = forces_obj.ffparams
+        cfg = forces_obj.config
+        ewald = forces_obj._ewald
+        ext_energy = getattr(forces_obj.external, "energy_fn", None)
+        dt = self.dt
+        dt2 = 0.5 * dt
+        n = int(self.mts)
+        ddt = dt / n
+        ddt2 = 0.5 * ddt
+        masses = self.masses
+        thermo = self._thermostat
+        npt = self._npt
+        W = npt["W"]
+        ndof = npt["ndof"]
+        P = npt["P"]
+        chain_b = npt["chain_b"]
+        mode = npt["mode"]
+        gamma_st = npt["gamma_st"]
+        axes_mask = jnp.asarray(npt["scale_axes"], self.dtype)
+        nreplicas = self.systems.nreplicas
+
+        from .potentials import compute_potentials, nonbonded_energies
+
+        vsg = self.vsites
+        if vsg is not None:
+            from .vsites import apply_vsites as _apply_vs
+
+        def fast_energy(p, s, box):
+            ps = p * s
+            if vsg is not None:
+                ps = _apply_vs(vsg, ps, box * s)
+            pot = compute_potentials(ffp, ps, box * s, cfg,
+                                     nonbonded=False)
+            return sum(jax.tree_util.tree_leaves(pot),
+                       jnp.zeros((), p.dtype))
+
+        def fast_ef(pos, box):
+            e, g = jax.value_and_grad(fast_energy)(
+                pos, jnp.ones((3,), pos.dtype), box
+            )
+            return e, -g
+
+        def fast_ef_vir(pos, box):
+            e, (g, dUds) = jax.value_and_grad(
+                fast_energy, argnums=(0, 1)
+            )(pos, jnp.ones((3,), pos.dtype), box)
+            return e, -g, -dUds
+
+        def slow_extra_energy(p, s, box):
+            """Box-differentiable slow terms outside the pair kernel."""
+            ps = p * s
+            if vsg is not None:
+                ps = _apply_vs(vsg, ps, box * s)
+            e = jnp.zeros((), p.dtype)
+            if ewald is not None:
+                e = e + ewald.energy(ps, box * s)
+            if ext_energy is not None:
+                e = e + ext_energy(ps, box * s)
+            return e
+
+        has_extra = ewald is not None or ext_energy is not None
+
+        if use_cell:
+            def slow_ef_vir(pos, box, cl):
+                if has_extra:
+                    e_x, (gx, dUds_x) = jax.value_and_grad(
+                        slow_extra_energy, argnums=(0, 1)
+                    )(pos, jnp.ones((3,), pos.dtype), box)
+                else:
+                    e_x = jnp.zeros((), pos.dtype)
+                    gx = jnp.zeros_like(pos)
+                    dUds_x = jnp.zeros((3,), pos.dtype)
+                if vsg is not None:
+                    p2, vjp_fn = jax.vjp(
+                        lambda p: _apply_vs(vsg, p, box), pos
+                    )
+                    nb_pot, nb_f, nb_vir = kern.energy_forces_virial(
+                        p2, box, cl
+                    )
+                    (nb_f_spread,) = vjp_fn(nb_f)
+                    _, T = jax.jvp(
+                        lambda p, b: _apply_vs(vsg, p, b),
+                        (pos, box), (pos, box),
+                    )
+                    nb_vir = nb_vir - jnp.sum(nb_f * (p2 - T), axis=0)
+                    nb_f = nb_f_spread
+                else:
+                    nb_pot, nb_f, nb_vir = kern.energy_forces_virial(
+                        pos, box, cl
+                    )
+                e = e_x + sum(jax.tree_util.tree_leaves(nb_pot))
+                return e, -gx + nb_f, -dUds_x + nb_vir
+        else:
+            def slow_energy_dense(p, s, box):
+                ps = p * s
+                if vsg is not None:
+                    ps = _apply_vs(vsg, ps, box * s)
+                pot = nonbonded_energies(ffp, ps, box * s, cfg)
+                e = sum(jax.tree_util.tree_leaves(pot),
+                        jnp.zeros((), p.dtype))
+                if ewald is not None:
+                    e = e + ewald.energy(ps, box * s)
+                if ext_energy is not None:
+                    e = e + ext_energy(ps, box * s)
+                return e
+
+            def slow_ef_vir(pos, box):
+                e, (g, dUds) = jax.value_and_grad(
+                    slow_energy_dense, argnums=(0, 1)
+                )(pos, jnp.ones((3,), pos.dtype), box)
+                return e, -g, -dUds
+
+        def phi(x):
+            x2 = x * x
+            small = jnp.abs(x) < 1e-3
+            safe = jnp.where(small, 1.0, x)
+            return jnp.where(
+                small, 1.0 + x2 / 6.0 + x2 * x2 / 120.0,
+                jnp.sinh(safe) / safe,
+            )
+
+        def project(g):
+            if mode == "iso":
+                return jnp.full((3,), jnp.mean(g), g.dtype)
+            if mode == "membrane":
+                gxy = 0.5 * (g[0] + g[1])
+                return jnp.stack([gxy, gxy, g[2]])
+            return g * axes_mask
+
+        def baro_half(v_eps, aux_b):
+            vb = v_eps[None, :]
+            mb = jnp.full((1, 1), W, v_eps.dtype)
+            vb, xi, vxi = chain_b._chain_half(
+                vb, aux_b["xi"], aux_b["vxi"], mb, 0.5 * dt
+            )
+            return vb[0], {"xi": xi, "vxi": vxi}
+
+        def eps_kick(v_eps, vel, vir, box):
+            K2ax = jnp.sum(masses * vel * vel, axis=0)
+            V = box[0] * box[1] * box[2]
+            G = K2ax + jnp.sum(K2ax) / ndof + vir - V * P
+            if mode == "membrane" and gamma_st != 0.0:
+                A = box[0] * box[1]
+                G = G + gamma_st * A * jnp.asarray(
+                    [1.0, 1.0, 0.0], v_eps.dtype
+                )
+            return project(v_eps + dt2 * project(G) / W)
+
+        cs = self.constraints
+        if cs is not None:
+            from .constraints import (
+                apply_position_constraints,
+                apply_velocity_constraints,
+            )
+
+        def inner_one(pos, vel, box, v_eps, ffrc):
+            """One full r-RESPA outer step minus the slow evaluation:
+            outer slow impulse is applied by the caller; this advances
+            the fast MTK core n times and returns the new phase point,
+            the fast energy/forces/virial at it, and the last substep's
+            constraint data for the virial accounting."""
+            e_fast = jnp.zeros((), pos.dtype)
+            vir_f = jnp.zeros((3,), pos.dtype)
+            delta = jnp.zeros_like(pos)
+            drift = jnp.full((3,), 1.0, pos.dtype)
+            for i in range(n):  # static unroll (n is small)
+                x = (v_eps + jnp.sum(v_eps) / ndof) * ddt2
+                vel = (
+                    vel * jnp.exp(-x)
+                    + ddt2 * _safe_accel(ffrc, masses)
+                    * jnp.exp(-0.5 * x) * phi(0.5 * x)
+                )
+                u = v_eps * ddt
+                drift = ddt * jnp.exp(0.5 * u) * phi(0.5 * u)
+                pos_prev = pos
+                pos = pos * jnp.exp(u) + vel * drift
+                box = box * jnp.exp(u)
+                if cs is not None:
+                    ref = pos_prev * jnp.exp(u)
+                    pos_c = apply_position_constraints(cs, pos, ref)
+                    delta = pos_c - pos
+                    vel = vel + delta / drift
+                    pos = pos_c
+                if vsg is not None:
+                    pos = _apply_vs(vsg, pos, box)
+                if i == n - 1:
+                    e_fast, ffrc, vir_f = fast_ef_vir(pos, box)
+                else:
+                    e_fast, ffrc = fast_ef(pos, box)
+                vel = (
+                    vel * jnp.exp(-x)
+                    + ddt2 * _safe_accel(ffrc, masses)
+                    * jnp.exp(-0.5 * x) * phi(0.5 * x)
+                )
+                if cs is not None:
+                    vel = apply_velocity_constraints(cs, pos, vel)
+            return pos, vel, box, e_fast, ffrc, vir_f, delta, drift
+
+        def pre_one(pos, vel, sfrc, ffrc, vir, box, v_eps, aux_p, aux_b):
+            v_eps, aux_b = baro_half(v_eps, aux_b)
+            vel, aux_p = thermo.pre(vel, aux_p, masses, dt)
+            v_eps = eps_kick(v_eps, vel, vir, box)
+            # outer slow impulse (carried slow forces)
+            vel = vel + dt2 * _safe_accel(sfrc, masses)
+            pos, vel, box, e_fast, ffrc, vir_f, delta, drift = inner_one(
+                pos, vel, box, v_eps, ffrc
+            )
+            return (pos, vel, box, v_eps, aux_p, aux_b, e_fast, ffrc,
+                    vir_f, delta, drift)
+
+        def post_one(pos, vel, sfrc, vir, box, v_eps, aux_p, aux_b, kr):
+            vel = vel + dt2 * _safe_accel(sfrc, masses)
+            if cs is not None:
+                vel = apply_velocity_constraints(cs, pos, vel)
+            v_eps = eps_kick(v_eps, vel, vir, box)
+            if thermo.stochastic:
+                vel, aux_p = thermo.post(vel, aux_p, masses, dt, key=kr)
+            else:
+                vel, aux_p = thermo.post(vel, aux_p, masses, dt)
+            v_eps, aux_b = baro_half(v_eps, aux_b)
+            if cs is not None:
+                vel = apply_velocity_constraints(cs, pos, vel)
+            return vel, v_eps, aux_p, aux_b
+
+        pre_v = jax.vmap(pre_one)
+        post_v = jax.vmap(post_one)
+
+        if use_cell:
+            slow_v = jax.vmap(slow_ef_vir, in_axes=(0, 0, 0))
+            build_v = jax.vmap(kern.build)
+
+            def update_all(pos_b, cl_b, box_b):
+                pred = jnp.any(
+                    jax.vmap(
+                        lambda c, p, b: kern.needs_rebuild(c, p, b)
+                    )(cl_b, pos_b, box_b)
+                )
+
+                def rebuild():
+                    new = build_v(pos_b, box_b)
+                    return new._replace(
+                        overflow=new.overflow | cl_b.overflow
+                    )
+
+                return jax.lax.cond(pred, rebuild, lambda: cl_b)
+        else:
+            slow_v = jax.vmap(slow_ef_vir, in_axes=(0, 0))
+
+        def con_vir_v(delta, drift, pos):
+            """Constraint-force virial of the LAST inner substep (the
+            instantaneous estimate entering the outer eps kick)."""
+            f_con = 2.0 * masses * delta / (drift * drift)
+            return jnp.sum(f_con * pos, axis=0)
+
+        con_v = jax.vmap(con_vir_v)
+
+        # total-virial evaluator for the entry state (step() calls this
+        # once per chunk start / resume)
+        if use_cell:
+            def ef_vir_total(pos, box, cl):
+                e_f, f_f, vir_f = fast_ef_vir(pos, box)
+                e_s, f_s, vir_s = slow_ef_vir(pos, box, cl)
+                return e_f + e_s, f_f + f_s, vir_f + vir_s
+
+            self._npt_ef_vir_cell = jax.jit(
+                jax.vmap(ef_vir_total, in_axes=(0, 0, 0))
+            )
+        else:
+            def ef_vir_total(pos, box):
+                e_f, f_f, vir_f = fast_ef_vir(pos, box)
+                e_s, f_s, vir_s = slow_ef_vir(pos, box)
+                return e_f + e_s, f_f + f_s, vir_f + vir_s
+
+            self._npt_ef_vir = jax.jit(jax.vmap(ef_vir_total))
+
+        @partial(jax.jit, static_argnames=("niter",))
+        def run(carry, niter: int):
+            if use_cell:
+                state0, box0, v_eps0, aux_p0, aux_b0, vir0, cl0 = carry
+            else:
+                state0, box0, v_eps0, aux_p0, aux_b0, vir0 = carry
+                cl0 = None
+            # fast forces at the chunk's starting positions (the carry's
+            # forces slot holds the SLOW component between outer steps)
+            _, ffrc0 = jax.vmap(fast_ef)(state0.pos, box0)
+
+            def body(c, _):
+                if use_cell:
+                    st, box, v_eps, aux_p, aux_b, vir, cl, ffrc = c
+                else:
+                    st, box, v_eps, aux_p, aux_b, vir, ffrc = c
+                key = st.key
+                if thermo.stochastic:
+                    key, sub = jax.random.split(key)
+                    krs = jax.random.split(sub, nreplicas)
+                else:
+                    krs = jnp.zeros((nreplicas, 2), jnp.uint32)
+                (pos, vel, box, v_eps, aux_p, aux_b, e_fast, ffrc, vir_f,
+                 delta, drift) = pre_v(
+                    st.pos, st.vel, st.forces, ffrc, vir, box, v_eps,
+                    aux_p, aux_b,
+                )
+                if use_cell:
+                    cl = update_all(pos, cl, box)
+                    e_slow, sfrc, vir_s = slow_v(pos, box, cl)
+                else:
+                    e_slow, sfrc, vir_s = slow_v(pos, box)
+                vir = vir_f + vir_s
+                if cs is not None:
+                    vir = vir + con_v(delta, drift, pos)
+                vel, v_eps, aux_p, aux_b = post_v(
+                    pos, vel, sfrc, vir, box, v_eps, aux_p, aux_b, krs
+                )
+                epot = e_fast + e_slow
+                if use_cell:
+                    out = (SimState(pos, vel, sfrc, key), box, v_eps,
+                           aux_p, aux_b, vir, cl, ffrc)
+                else:
+                    out = (SimState(pos, vel, sfrc, key), box, v_eps,
+                           aux_p, aux_b, vir, ffrc)
+                return out, epot
+
+            carry0 = ((state0, box0, v_eps0, aux_p0, aux_b0, vir0, cl0,
+                       ffrc0) if use_cell else
+                      (state0, box0, v_eps0, aux_p0, aux_b0, vir0, ffrc0))
+            out, epots = jax.lax.scan(body, carry0, None, length=niter)
+            if use_cell:
+                st, box, v_eps, aux_p, aux_b, vir, cl, _ = out
+                return (st, box, v_eps, aux_p, aux_b, vir, cl), epots[-1]
+            st, box, v_eps, aux_p, aux_b, vir, _ = out
+            return (st, box, v_eps, aux_p, aux_b, vir), epots[-1]
+
+        return run
+
     def _build_scan_spatial(self):
         """Scan variant for ONE large system sharded over a mesh axis.
 
@@ -2067,7 +2429,7 @@ class Integrator:
                 if self._spatial is not None:
                     self._scan_fn = self._build_scan_spatial()
                 elif self._npt is not None:
-                    self._scan_fn = self._build_scan_npt_cell()
+                    self._scan_fn = self._build_scan_npt_dispatch(cell=True)
                 else:
                     self._scan_fn = self._build_scan_cell_dispatch()
         box = self._dev_box
@@ -2135,7 +2497,7 @@ class Integrator:
                     self._cell_kernel = self._cell_kernel.grow()
                     self.forces._cell_kernel = self._cell_kernel
                     self.forces._build_evaluators()
-                    self._scan_fn = self._build_scan_npt_cell()
+                    self._scan_fn = self._build_scan_npt_dispatch(cell=True)
                 else:
                     raise RuntimeError(
                         "cell list capacity kept overflowing"
