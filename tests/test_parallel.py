@@ -583,6 +583,67 @@ def test_spatial_sharded_settle_matches_single():
                                    atol=1e-8)
 
 
+def test_spatial_sharded_mtk_npt_matches_single():
+    """MTK NPT with ONE system's atom rows sharded over 8 devices must
+    reproduce the single-device NPT trajectory (positions, box, epot):
+    the extended state replicates across ranks and the barostat force
+    psums the per-axis kinetic energy and the row-block virial (closed
+    the last round-3 sharding x ensemble NotImplementedError)."""
+    from test_mtk import _argon_npt
+
+    from torchmd_tpu.barostat import MTKBarostat
+    from torchmd_tpu.integrator import Integrator
+    from torchmd_tpu.observables import ideal_gas_pressure
+
+    def run(mesh):
+        mol, par, forces, system = _argon_npt(nrep=1, seed=6)
+        P = ideal_gas_pressure(mol.numAtoms, 120.0, 77.395**3)
+        kw = {} if mesh is None else dict(mesh=mesh, mesh_axis="sp",
+                                          shard="spatial")
+        integ = Integrator(system, forces, timestep=2.0, T=120.0,
+                           thermostat="nhc",
+                           barostat=MTKBarostat(4.0 * P, 120.0,
+                                                tau_fs=2000.0),
+                           seed=7, **kw)
+        epots = []
+        for _ in range(3):
+            _, ep, _ = integ.step(niter=20)
+            epots.append(ep[0])
+        return (system.pos.copy(), np.asarray(epots),
+                np.diag(system.box[0]).copy())
+
+    pos_1, e_1, box_1 = run(None)
+    mesh = make_mesh(8, axes=("sp",))
+    pos_8, e_8, box_8 = run(mesh)
+    np.testing.assert_allclose(box_8, box_1, rtol=1e-9)
+    np.testing.assert_allclose(pos_8, pos_1, atol=1e-7)
+    np.testing.assert_allclose(e_8, e_1, rtol=1e-8)
+    # the barostat actually moved the box (4x natural pressure)
+    assert np.all(box_8 < 77.395)
+
+
+def test_spatial_sharded_mtk_csvr():
+    """Stochastic CSVR + spatial MTK NPT: every rank must draw the same
+    global rescale key; run stays finite and thermostatted."""
+    from test_mtk import _argon_npt
+
+    from torchmd_tpu.barostat import MTKBarostat
+    from torchmd_tpu.integrator import Integrator
+    from torchmd_tpu.observables import ideal_gas_pressure
+
+    mol, par, forces, system = _argon_npt(nrep=1, seed=6)
+    P = ideal_gas_pressure(mol.numAtoms, 120.0, 77.395**3)
+    mesh = make_mesh(8, axes=("sp",))
+    integ = Integrator(system, forces, timestep=2.0, T=120.0,
+                       thermostat="csvr",
+                       barostat=MTKBarostat(P, 120.0, tau_fs=2000.0),
+                       seed=7, mesh=mesh, mesh_axis="sp", shard="spatial")
+    for _ in range(3):
+        _, _, T = integ.step(niter=20)
+    assert np.all(np.isfinite(system.pos))
+    assert 40.0 < float(T[0]) < 360.0
+
+
 def test_replica_sharded_mtk_npt_matches_single():
     """MTK NPT with the replica axis sharded over the mesh: 8 replicas on
     8 devices must reproduce the unsharded per-replica trajectories

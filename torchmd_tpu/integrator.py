@@ -217,10 +217,14 @@ class Integrator:
         if barostat is not None and getattr(barostat, "is_dynamic", False):
             if np.any(np.asarray(systems.box_diag) <= 0):
                 raise ValueError("MTK barostat requires a periodic box")
-            if mesh is not None and shard != "replica":
+            if mesh is not None and shard == "spatial" and (
+                self.vsites is not None or self.constraints is not None
+            ):
                 raise NotImplementedError(
-                    "MTK barostat + spatial sharding (replica-sharded "
-                    "NPT ensembles are supported)"
+                    "MTK + spatial sharding currently integrates "
+                    "unconstrained point atoms (no virtual sites / "
+                    "SHAKE-SETTLE); use the replica-sharded or "
+                    "single-device NPT paths for those"
                 )
             if self._thermostat is None:
                 if self._use_langevin_T and gamma is not None:
@@ -373,7 +377,28 @@ class Integrator:
             if self._host_path:
                 raise ValueError("MTK barostat needs a jittable force "
                                  "provider")
-            if self._use_cell:
+            if self._spatial is not None:
+                if self._use_cell:
+                    raise NotImplementedError(
+                        "MTK + spatial sharding runs on the row-block "
+                        "path (kernel='dense'); the slab-sharded cell "
+                        "kernel has no virial form yet"
+                    )
+                # spatial state has no replica axis (nreplicas==1):
+                # strip it from the thermostat aux and the extended
+                # barostat state, as the plain spatial scan does
+                if self._thermostat is not None:
+                    self._thermo_aux = jax.tree_util.tree_map(
+                        lambda a: a[0], self._thermo_aux
+                    )
+                v0, b0, _ = self._npt_extra
+                self._npt_extra = (
+                    v0[0],
+                    jax.tree_util.tree_map(lambda a: a[0], b0),
+                    None,
+                )
+                self._scan_fn = self._build_scan_spatial_npt()
+            elif self._use_cell:
                 # large periodic systems: true NPT through the cell /
                 # column kernel (analytic pair virial from the kernels +
                 # value_and_grad of the cheap box-differentiable terms)
@@ -1837,6 +1862,235 @@ class Integrator:
 
         return run
 
+    def _build_scan_spatial_npt(self):
+        """MTK NPT with ONE system's atom rows sharded over the mesh.
+
+        Every rank advances an identical copy of the extended state
+        (box, v_eps, particle + barostat chains): the barostat force
+        needs only psum-reduced scalars -- the per-axis twice-kinetic
+        energy and the virial -- so the extended dynamics stays
+        replicated-deterministic across ranks (same flops, same order,
+        bitwise-identical updates). Cost of the virial: one extra
+        backward through the LOCAL row-block nonbonded energy wrt the
+        per-axis scaling (psummed over the mesh, the 'one extra psum'
+        of SURVEY §2.9's strong-scaling obligation) plus the replicated
+        cheap-term (pos, s) value_and_grad that the dense NPT scan
+        already does. v1 scope: row-block nonbonded path, no
+        constraints/vsites (rejected at construction)."""
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+        from functools import partial as _partial
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.spatial import (
+            pad_ffparams_rows,
+            rowblock_energy_forces,
+        )
+        from .potentials import NONBONDED_TERMS, compute_potentials
+
+        mesh, ax = self._spatial
+        forces_obj = self.forces
+        ffp = forces_obj.ffparams
+        cfg = forces_obj.config
+        natoms = int(ffp.charges.shape[0])
+        sp = mesh.shape[ax]
+        npad = -(-natoms // sp) * sp
+        rows = npad // sp
+        self._spatial_npad = npad
+
+        has_nb = (
+            any(t in cfg.terms for t in NONBONDED_TERMS)
+            and ffp.nb_mask is not None
+        )
+        ffp_pad = pad_ffparams_rows(ffp, npad) if has_nb else ffp
+        ewald = getattr(forces_obj, "_ewald", None)
+        ext_energy = getattr(forces_obj.external, "energy_fn", None)
+
+        dt = self.dt
+        dt2 = 0.5 * dt
+        masses = self.masses
+        thermo = self._thermostat
+        npt = self._npt
+        W = npt["W"]
+        ndof = npt["ndof"]
+        Pext = npt["P"]
+        chain_b = npt["chain_b"]
+        mode = npt["mode"]
+        gamma_st = npt["gamma_st"]
+        axes_mask = jnp.asarray(npt["scale_axes"], self.dtype)
+
+        def pad_rows_h(a, value=0.0):
+            return jnp.pad(a, ((0, npad - a.shape[0]), (0, 0)),
+                           constant_values=value)
+
+        masses_pad = pad_rows_h(self.masses, 1.0)
+        self._spatial_masses_pad = masses_pad
+        self._spatial_sharding = NamedSharding(mesh, P(ax))
+
+        def phi(x):
+            x2 = x * x
+            small = jnp.abs(x) < 1e-3
+            safe = jnp.where(small, 1.0, x)
+            return jnp.where(
+                small, 1.0 + x2 / 6.0 + x2 * x2 / 120.0,
+                jnp.sinh(safe) / safe,
+            )
+
+        def project(g):
+            if mode == "iso":
+                return jnp.full((3,), jnp.mean(g), g.dtype)
+            if mode == "membrane":
+                gxy = 0.5 * (g[0] + g[1])
+                return jnp.stack([gxy, gxy, g[2]])
+            return g * axes_mask
+
+        def baro_half(v_eps, aux_b):
+            vb = v_eps[None, :]
+            mb = jnp.full((1, 1), W, v_eps.dtype)
+            vb, xi, vxi = chain_b._chain_half(
+                vb, aux_b["xi"], aux_b["vxi"], mb, 0.5 * dt
+            )
+            return vb[0], {"xi": xi, "vxi": vxi}
+
+        @_partial(jax.jit, static_argnames=("niter",))
+        def run(state: SimState, aux_p0, aux_b0, v_eps0, box0,
+                niter: int):
+            @_partial(
+                shard_map, mesh=mesh,
+                in_specs=(P(ax), P(ax), P(ax), P(), P(), P(), P(), P()),
+                out_specs=(P(ax), P(ax), P(ax), P(), P(), P(), P(), P(),
+                           P()),
+                check_vma=False,
+            )
+            def inner(pos_l, vel_l, frc_l, key, a_p, a_b, v_eps, boxv):
+                row0 = jax.lax.axis_index(ax) * rows
+                m_l = jax.lax.dynamic_slice_in_dim(
+                    masses_pad, row0, rows, 0
+                )
+
+                def eps_kick(v_eps_, vel_, vir_, box_):
+                    # per-axis 2K over ALL atoms: psum of the local rows
+                    K2ax = jax.lax.psum(
+                        jnp.sum(m_l * vel_ * vel_, axis=0), ax
+                    )
+                    V = box_[0] * box_[1] * box_[2]
+                    G = K2ax + jnp.sum(K2ax) / ndof + vir_ - V * Pext
+                    if mode == "membrane" and gamma_st != 0.0:
+                        A = box_[0] * box_[1]
+                        G = G + gamma_st * A * jnp.asarray(
+                            [1.0, 1.0, 0.0], v_eps_.dtype
+                        )
+                    return project(v_eps_ + dt2 * project(G) / W)
+
+                def e_cheap_inner(p, s, box_):
+                    pot = compute_potentials(ffp, p * s, box_ * s, cfg,
+                                             nonbonded=False)
+                    e = sum(jax.tree_util.tree_leaves(pot),
+                            jnp.zeros((), p.dtype))
+                    if ewald is not None:
+                        e = e + ewald.energy(p * s, box_ * s)
+                    if ext_energy is not None:
+                        e = e + ext_energy(p * s, box_ * s)
+                    return e
+
+                def ef_vir_rows(p_l, box_):
+                    p_f = jax.lax.all_gather(p_l, ax, axis=0, tiled=True)
+                    e_loc = jnp.zeros((), p_l.dtype)
+                    f_rows = jnp.zeros_like(p_l)
+                    one = jnp.ones((3,), p_l.dtype)
+                    if has_nb:
+                        def e_nb_s(s):
+                            pot_s, _ = rowblock_energy_forces(
+                                ffp_pad, cfg, p_l * s, p_f * s,
+                                box_ * s, row0,
+                            )
+                            return sum(
+                                jax.tree_util.tree_leaves(pot_s),
+                                jnp.zeros((), p_l.dtype),
+                            )
+
+                        pot_nb, f_nb = rowblock_energy_forces(
+                            ffp_pad, cfg, p_l, p_f, box_, row0
+                        )
+                        e_loc = e_loc + sum(
+                            jax.tree_util.tree_leaves(pot_nb)
+                        )
+                        f_rows = f_rows + f_nb
+                        dUds_nb = jax.grad(e_nb_s)(one)
+                    else:
+                        dUds_nb = jnp.zeros((3,), p_l.dtype)
+                    p_n = p_f[:natoms]
+                    e_ch, (g_ch, dUds_ch) = jax.value_and_grad(
+                        e_cheap_inner, argnums=(0, 1)
+                    )(p_n, one, box_)
+                    f_rows = f_rows + jax.lax.dynamic_slice_in_dim(
+                        pad_rows_h(-g_ch), row0, rows, 0
+                    )
+                    e_tot = jax.lax.psum(e_loc, ax) + e_ch
+                    vir = jax.lax.psum(-dUds_nb, ax) - dUds_ch
+                    return e_tot, f_rows, vir
+
+                # fresh virial at the chunk's entry state (identical to
+                # the last eval of the previous chunk, so nothing stale
+                # is carried across host boundaries)
+                _, _, vir0 = ef_vir_rows(pos_l, boxv)
+
+                def body(carry, _):
+                    p_l, v_l, f_l, k, ap, ab, ve, vir, box_ = carry
+                    ve, ab = baro_half(ve, ab)
+                    v_l, ap = thermo.pre(v_l, ap, m_l, dt, axis_name=ax)
+                    ve = eps_kick(ve, v_l, vir, box_)
+                    x = (ve + jnp.sum(ve) / ndof) * dt2
+                    v_l = (
+                        v_l * jnp.exp(-x)
+                        + dt2 * _safe_accel(f_l, m_l)
+                        * jnp.exp(-0.5 * x) * phi(0.5 * x)
+                    )
+                    u = ve * dt
+                    drift = dt * jnp.exp(0.5 * u) * phi(0.5 * u)
+                    p_l = p_l * jnp.exp(u) + v_l * drift
+                    box_ = box_ * jnp.exp(u)
+                    e, f_l, vir = ef_vir_rows(p_l, box_)
+                    v_l = (
+                        v_l * jnp.exp(-x)
+                        + dt2 * _safe_accel(f_l, m_l)
+                        * jnp.exp(-0.5 * x) * phi(0.5 * x)
+                    )
+                    ve = eps_kick(ve, v_l, vir, box_)
+                    if thermo.stochastic:
+                        # UN-folded key: every rank must draw the same
+                        # global rescale factor
+                        k, sub = jax.random.split(k)
+                        v_l, ap = thermo.post(v_l, ap, m_l, dt, key=sub,
+                                              axis_name=ax)
+                    else:
+                        v_l, ap = thermo.post(v_l, ap, m_l, dt,
+                                              axis_name=ax)
+                    ve, ab = baro_half(ve, ab)
+                    return (p_l, v_l, f_l, k, ap, ab, ve, vir, box_), e
+
+                carry, epots = jax.lax.scan(
+                    body,
+                    (pos_l, vel_l, frc_l, key, a_p, a_b, v_eps, vir0,
+                     boxv),
+                    None, length=niter,
+                )
+                p_l, v_l, f_l, k, ap, ab, ve, vir, box_ = carry
+                return p_l, v_l, f_l, k, ap, ab, ve, box_, epots[-1]
+
+            pos, vel, frc, key, aux_p, aux_b, v_eps, box_out, epot = (
+                inner(state.pos, state.vel, state.forces, state.key,
+                      aux_p0, aux_b0, v_eps0,
+                      jnp.reshape(box0, (-1,))[:3])
+            )
+            return (SimState(pos, vel, frc, key), aux_p, aux_b, v_eps,
+                    box_out, epot)
+
+        return run
+
     def _build_scan_spatial(self):
         """Scan variant for ONE large system sharded over a mesh axis.
 
@@ -2345,9 +2599,19 @@ class Integrator:
             box = jax.device_put(box, self._sharding)
         if self._spatial is not None:
             state0 = self._spatial_state_from_system()
-            lowered = self._scan_fn.lower(
-                state0, self._thermo_aux, box, int(niter)
-            )
+            if self._npt is not None:
+                v_eps0, aux_b0, _ = self._npt_extra
+                box_d = jnp.asarray(
+                    np.asarray(self.systems.box_diag), self.dtype
+                )[0]
+                lowered = self._scan_fn.lower(
+                    state0, self._thermo_aux, aux_b0, v_eps0, box_d,
+                    int(niter)
+                )
+            else:
+                lowered = self._scan_fn.lower(
+                    state0, self._thermo_aux, box, int(niter)
+                )
         elif self._npt is not None:
             state0 = self._state_from_system()
             box_d = jnp.asarray(np.asarray(self.systems.box_diag),
@@ -2458,6 +2722,27 @@ class Integrator:
             Ekin = np.asarray(ke).flatten()
             T = kinetic_to_temp(Ekin, self.natoms) * self._dof_scale
             return Ekin, epot, T
+
+        if self._npt is not None and self._spatial is not None:
+            state0 = self._spatial_state_from_system()
+            v_eps0, aux_b0, _ = self._npt_extra
+            box_d = jnp.asarray(
+                np.asarray(systems.box_diag), self.dtype
+            )[0]
+            state, aux_p, aux_b, v_eps, box_out, epot_dev = self._scan_fn(
+                state0, self._thermo_aux, aux_b0, v_eps0, box_d,
+                int(niter)
+            )
+            self._thermo_aux = aux_p
+            self._npt_extra = (v_eps, aux_b, None)
+            ekin, epot = self._spatial_sync_to_host(state, epot_dev)
+            box_h = np.asarray(box_out, dtype=np.float64).reshape(-1)[:3]
+            for r in range(systems.nreplicas):
+                np.fill_diagonal(systems.box[r], box_h)
+            self._box_snap = None  # box evolved on device
+            Ekin = np.asarray(ekin, dtype=np.float64).flatten()
+            T = kinetic_to_temp(Ekin, self.natoms) * self._dof_scale
+            return Ekin, np.asarray(epot, dtype=np.float64), T
 
         if self._npt is not None:
             state0 = self._state_from_system()
