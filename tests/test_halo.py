@@ -148,6 +148,237 @@ def test_halo_comm_scales_with_surface():
     assert 100_000 * 3 * 4 == 2 * allgather   # all_gather doubles
 
 
+def _chain_gas(nchains=60, L=90.0, seed=7):
+    """Periodic gas of 4-atom butane-like chains: bonds + angles +
+    dihedrals + 1-4 + LJ + charges — the full bonded stack on a box
+    large enough for 8 slabs at cutoff 9."""
+    rs = np.random.RandomState(seed)
+    n = 4 * nchains
+    mol = Molecule()
+    mol.numAtoms = n
+    mol.atomtype = np.array(["CT", "CM", "CM", "CT"] * nchains,
+                            dtype=object)
+    mol.charge = np.tile([0.08, -0.08, -0.08, 0.08], nchains)
+    mol.masses = np.full(n, 14.0)
+    mol.bonds = np.concatenate([
+        np.array([[0, 1], [1, 2], [2, 3]]) + 4 * i for i in range(nchains)
+    ])
+    mol.angles = np.concatenate([
+        np.array([[0, 1, 2], [1, 2, 3]]) + 4 * i for i in range(nchains)
+    ])
+    mol.dihedrals = np.concatenate([
+        np.array([[0, 1, 2, 3]]) + 4 * i for i in range(nchains)
+    ])
+    # gauche-ish chain geometry on a jittered grid
+    base = np.array([
+        [0.0, 0.0, 0.0],
+        [1.53, 0.0, 0.0],
+        [2.05, 1.44, 0.0],
+        [3.58, 1.44, 0.4],
+    ])
+    m = int(np.ceil(nchains ** (1 / 3)))
+    grid = np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"),
+                    axis=-1).reshape(-1, 3)[:nchains]
+    coords = np.concatenate([
+        base + (g + 0.5) * (L / m) + rs.randn(3) * 0.4 for g in grid
+    ])
+    mol.coords = coords[:, :, None]
+    mol.box = np.full((3, 1), L)
+    ffd = {
+        "atomtypes": ["CT", "CM"],
+        "bonds": {
+            "(CT, CM)": {"k0": 310.0, "req": 1.526},
+            "(CM, CM)": {"k0": 310.0, "req": 1.526},
+        },
+        "angles": {
+            "(CT, CM, CM)": {"k0": 40.0, "theta0": 109.5},
+            "(CM, CM, CT)": {"k0": 40.0, "theta0": 109.5},
+        },
+        "dihedrals": {
+            "(CT, CM, CM, CT)": {
+                "terms": [{"phi_k": 1.4, "phase": 0.0, "per": 3}],
+                "scnb": 2.0, "scee": 1.2,
+            },
+        },
+        "lj": {
+            "CT": {"sigma": 3.4, "epsilon": 0.109,
+                   "sigma14": 3.4, "epsilon14": 0.0545},
+            "CM": {"sigma": 3.4, "epsilon": 0.109,
+                   "sigma14": 3.4, "epsilon14": 0.0545},
+        },
+        "electrostatics": {"CT": {"charge": 0.08},
+                           "CM": {"charge": -0.08}},
+        "masses": {"CT": 14.0, "CM": 14.0},
+    }
+    ff = YamlForcefield(mol, ffd)
+    terms = ["bonds", "angles", "dihedrals", "1-4", "lj",
+             "electrostatics"]
+    par = Parameters(ff, mol, terms, precision="single")
+    par.charges = mol.charge.copy()
+    forces = Forces(par, terms=terms, precision="single", cutoff=9.0,
+                    rfa=True)
+    return mol, par, forces, L
+
+
+def test_halo_bonded_energy_matches_dense():
+    """Zero-velocity step on the chain gas: halo epot must equal the
+    dense path's TOTAL energy (bonded + 1-4 + nonbonded)."""
+    from torchmd_tpu.potentials import compute_potentials
+
+    mol, par, forces, L = _chain_gas()
+    pos = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+    box = jnp.asarray([L] * 3, jnp.float32)
+    pot = compute_potentials(forces.ffparams, pos, box, forces.config)
+    e_dense = float(sum(jax.tree_util.tree_leaves(pot)))
+
+    from torchmd_tpu.neighbors import build_exclusion_table
+
+    excl = build_exclusion_table(par, mol.numAtoms, 0)
+    h = HaloMD(forces.ffparams, forces.config, _mesh(8),
+               np.asarray([L] * 3), excl_table=excl, timestep=1.0)
+    h.init(pos, jnp.zeros_like(pos))
+    ekin, epot, T = h.step(niter=1)
+    assert epot == pytest.approx(e_dense, rel=2e-5)
+
+
+def test_halo_bonded_rank_invariance_nve():
+    """The same chain-gas NVE trajectory out of 1, 2 and 8 slabs: the
+    ownership-weighted bonded energies and visibility-gated forces must
+    cancel across rank counts (including migrations)."""
+    from torchmd_tpu.integrator import maxwell_boltzmann
+
+    mol, par, forces, L = _chain_gas(seed=9)
+    vel0 = np.asarray(maxwell_boltzmann(par.masses, 150.0, 1, seed=2))[0]
+    pos0 = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+
+    results = {}
+    from torchmd_tpu.neighbors import build_exclusion_table
+
+    excl = build_exclusion_table(par, mol.numAtoms, 0)
+    for r in (1, 2, 8):
+        h = HaloMD(forces.ffparams, forces.config, _mesh(r),
+                   np.asarray([L] * 3), excl_table=excl,
+                   timestep=2.0)
+        h.init(pos0, jnp.asarray(vel0, jnp.float32))
+        es = []
+        for _ in range(3):
+            ekin, epot, T = h.step(niter=8)
+            es.append(epot)
+        pos, vel = h.gather()
+        results[r] = (np.asarray(es), pos, vel)
+
+    e1, p1, v1 = results[1]
+    for r in (2, 8):
+        er, pr, vr = results[r]
+        np.testing.assert_allclose(er, e1, rtol=5e-5)
+        np.testing.assert_allclose(pr, p1, atol=2e-3)
+        np.testing.assert_allclose(vr, v1, atol=2e-3)
+
+
+def _tile_x(mol, k):
+    """Supercell: replicate a periodic system k times along x."""
+    n = mol.numAtoms
+    out = Molecule()
+    out.numAtoms = n * k
+    Lx = float(mol.box[0, 0])
+    coords = []
+    for i in range(k):
+        c = mol.coords[:, :, 0].copy()
+        c[:, 0] += i * Lx
+        coords.append(c)
+    out.coords = np.concatenate(coords)[:, :, None]
+    out.box = mol.box.copy()
+    out.box[0, 0] = Lx * k
+    for attr in ("atomtype", "charge", "masses", "element"):
+        v = getattr(mol, attr, None)
+        if v is not None and np.size(v):
+            setattr(out, attr, np.concatenate([v] * k))
+    for attr in ("bonds", "angles", "dihedrals", "impropers"):
+        v = getattr(mol, attr, None)
+        if v is None or not np.size(v):
+            setattr(out, attr, v)
+        else:
+            setattr(
+                out, attr,
+                np.concatenate([np.asarray(v) + i * n for i in range(k)]),
+            )
+    return out
+
+
+def test_halo_alanine_8mesh_matches_dense():
+    """A real biomolecule (alanine dipeptide in water, AMBER FF) runs
+    HaloMD on the 8-mesh: a 4x supercell along x hosts 8 slabs at
+    cutoff 6. Zero-velocity energy parity vs the dense path, plus
+    2-vs-8-rank NVE trajectory invariance."""
+    import os
+
+    from common import load_system
+    from conftest import DATA_DIR
+    from torchmd_tpu.integrator import maxwell_boltzmann
+    from torchmd_tpu.potentials import compute_potentials
+
+    mol0, ff, _nb = load_system(
+        os.path.join(DATA_DIR, "prod_alanine_dipeptide_amber")
+    )
+    mol = _tile_x(mol0, 4)
+    terms = ["bonds", "angles", "dihedrals", "impropers", "1-4", "lj",
+             "electrostatics"]
+    par = Parameters(ff, mol, terms, precision="single")
+    forces = Forces(par, terms=terms, precision="single", cutoff=6.0,
+                    rfa=True)
+    box = np.asarray([mol.box[0, 0], mol.box[1, 0], mol.box[2, 0]])
+    pos = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+    pot = compute_potentials(forces.ffparams, pos,
+                             jnp.asarray(box, jnp.float32),
+                             forces.config)
+    e_dense = float(sum(jax.tree_util.tree_leaves(pot)))
+
+    from torchmd_tpu.neighbors import build_exclusion_table
+
+    excl = build_exclusion_table(par, mol.numAtoms, 0)
+    h = HaloMD(forces.ffparams, forces.config, _mesh(8), box,
+               excl_table=excl, timestep=1.0)
+    h.init(pos, jnp.zeros_like(pos))
+    _, epot, _ = h.step(niter=1)
+    assert epot == pytest.approx(e_dense, rel=5e-5)
+
+    # short NVE: 2 slabs vs 8 slabs give the same trajectory
+    vel0 = np.asarray(maxwell_boltzmann(par.masses, 300.0, 1, seed=4))[0]
+    out = {}
+    for r in (2, 8):
+        h = HaloMD(forces.ffparams, forces.config, _mesh(r), box,
+                   excl_table=excl, timestep=1.0)
+        h.init(pos, jnp.asarray(vel0, jnp.float32))
+        es = []
+        for _ in range(2):
+            _, epot, _ = h.step(niter=5)
+            es.append(epot)
+        p, v = h.gather()
+        out[r] = (np.asarray(es), p, v)
+    e2, p2, v2 = out[2]
+    e8, p8, v8 = out[8]
+    np.testing.assert_allclose(e8, e2, rtol=5e-5)
+    np.testing.assert_allclose(p8, p2, atol=2e-3)
+    np.testing.assert_allclose(v8, v2, atol=2e-3)
+
+
+def test_halo_bonded_reach_guard():
+    """A bonded pair stretched across the box must trip the init
+    guard (its partners would leave the ghost band)."""
+    mol, par, forces, L = _chain_gas(nchains=30)
+    pos = mol.coords[:, :, 0].copy()
+    pos[1] = pos[0] + np.array([30.0, 0.0, 0.0])  # stretch one bond
+    from torchmd_tpu.neighbors import build_exclusion_table
+
+    excl = build_exclusion_table(par, mol.numAtoms, 0)
+    h = HaloMD(forces.ffparams, forces.config, _mesh(8),
+               np.asarray([L] * 3), excl_table=excl,
+               timestep=1.0)
+    with pytest.raises(ValueError, match="bonded term extent|exclusion"):
+        h.init(jnp.asarray(pos, jnp.float32),
+               jnp.zeros((mol.numAtoms, 3), jnp.float32))
+
+
 def test_halo_exclusions_respected():
     """Excluded pairs must drop from the halo evaluation exactly as the
     dense mask drops them (fabricated bond between nearby atoms)."""

@@ -24,10 +24,13 @@ instead:
     ghost / migration) raise a sticky flag that the host-side retry
     loop turns into a grow + redo, mirroring the cell path.
 
-Scope (v1): single replica, Lorentz-Berthelot LJ (+ plain/RFA
-electrostatics, Ewald real-space NOT included), Langevin or NVE,
-orthorhombic static box. Larger term sets fall back to the row-block
-spatial scan.
+Scope: single replica, Lorentz-Berthelot/NBFIX LJ + plain/RFA/Ewald
+electrostatics + the full bonded stack (bonds incl. G96, angles incl.
+G96, Urey-Bradley, dihedrals, impropers, 1-4 -- see halo_bonded.py:
+replicated static term tables, ownership-weighted energies,
+visibility-gated forces, zero extra comm), Langevin or NVE,
+orthorhombic static box. CMAP and constraints fall back to the
+row-block spatial scan.
 
 The reference has no distributed code at all (SURVEY.md §2.9); this is
 the TPU-native halo-exchange design its O(N^2) single-device engine
@@ -200,6 +203,9 @@ class HaloMD:
         self.excl_table = excl_table
         self.spec = make_halo_spec(box, cfg.cutoff, self.R, natoms,
                                    skin=2.0, nexcl=nexcl, slack=slack)
+        from .halo_bonded import build_halo_bonded_plan
+
+        self._bonded_plan = build_halo_bonded_plan(ffp, cfg)
         self.kcfg = make_kernel_cfg(cfg, True)
         self.dt = float(timestep) / TIMEFACTOR
         self.T = T
@@ -212,6 +218,7 @@ class HaloMD:
     # ------------------------------------------------------------------
     def init(self, pos, vel):
         self._check_exclusion_reach(pos)
+        self._check_bonded_reach(pos)
         frc = jnp.zeros_like(jnp.asarray(pos, jnp.float32))
         rows = _atom_rows(self.ffp, self.excl_table, pos, vel, frc,
                           box=self.spec.box)
@@ -250,6 +257,25 @@ class HaloMD:
                 f"({self.spec.band_w:.2f} A): its Ewald reciprocal-space "
                 f"cancellation would be lost when the partner leaves the "
                 f"band. Increase skin or reduce rank count."
+            )
+
+    def _check_bonded_reach(self, pos):
+        """A rank can only compute complete forces for the owned atoms of
+        a bonded term if the whole term is visible (owned + ghost bands).
+        Terms touch atoms within the largest bonded extent of an owned
+        atom, so that extent must sit well inside the band."""
+        if self._bonded_plan is None:
+            return
+        from .halo_bonded import max_bonded_extent
+
+        dmax = max_bonded_extent(self._bonded_plan, pos, self.spec.box)
+        if dmax > 0.9 * self.spec.band_w:
+            raise ValueError(
+                f"bonded term extent {dmax:.2f} A reaches "
+                f"{dmax / self.spec.band_w:.0%} of the ghost band "
+                f"({self.spec.band_w:.2f} A): owned atoms of that term "
+                f"could lose sight of their partners. Increase skin or "
+                f"reduce rank count."
             )
 
     def _barostat_none_invariant(self):
@@ -459,6 +485,43 @@ class HaloMD:
             e, gpos = jax.value_and_grad(e_fn)(atoms[:, _POS])
             return e + e_selfnet, -gpos
 
+        bplan = self._bonded_plan
+        if bplan is not None:
+            from .halo_bonded import (
+                default_positions,
+                weighted_bonded_energy,
+            )
+
+            pg_default = default_positions(n)
+
+        def bonded_local(atoms, ghosts):
+            """Ownership-weighted bonded energy + complete forces on the
+            OWNED rows, from the full replicated term tables evaluated
+            against every locally visible atom (halo_bonded.py)."""
+            allr = jnp.concatenate([atoms, ghosts])
+            ids = allr[:, _ID].astype(jnp.int32)
+            valid = allr[:, _ID] < n
+            posg = pg_default.at[ids].set(
+                jnp.where(valid[:, None], allr[:, _POS],
+                          pg_default[ids])
+            )
+            visg = jnp.zeros((n + 1,), jnp.float32).at[ids].set(
+                valid.astype(jnp.float32)
+            )
+            own_ids = atoms[:, _ID].astype(jnp.int32)
+            own_valid = atoms[:, _ID] < n
+            owng = jnp.zeros((n + 1,), jnp.float32).at[own_ids].set(
+                own_valid.astype(jnp.float32)
+            )
+            e_own = weighted_bonded_energy(bplan, posg, owng, box3,
+                                           "mean")
+            g = jax.grad(
+                lambda p: weighted_bonded_energy(bplan, p, visg, box3,
+                                                 "prod")
+            )(posg)
+            f_own = jnp.where(own_valid[:, None], -g[own_ids], 0.0)
+            return e_own, f_own
+
         def migrate(atoms, rank):
             """Rebuild: re-wrap positions into the primary box image
             (between rebuilds drift is bounded by skin/2, so the raw-x
@@ -535,6 +598,10 @@ class HaloMD:
                 ghosts, of_g = ghost_exchange(atoms, rank)
                 of = of | of_g
                 epot_part, frc = energy_forces_local(atoms, ghosts)
+                if bplan is not None:
+                    e_b, f_b = bonded_local(atoms, ghosts)
+                    epot_part = epot_part + e_b
+                    frc = frc + f_b
                 e_recip = jnp.float32(0.0)
                 if use_ewald:
                     e_recip, f_recip = recip_local(atoms)
