@@ -104,6 +104,99 @@ def test_forces_finite_difference():
             assert g[atom, k] == pytest.approx(fd, rel=5e-5, abs=1e-7)
 
 
+@pytest.mark.parametrize("sa", [False, True])
+@pytest.mark.parametrize("cutoff", [None, 6.0])
+def test_analytic_forces_match_ad(sa, cutoff):
+    """energy_forces_fn (the O(N)-state multi-pass formulation with
+    forward-mode descreening derivatives) must reproduce jax.grad of
+    energy_fn to f64 round-off — same model, different evaluation
+    order."""
+    import jax
+
+    rs = np.random.RandomState(3)
+    n = 24
+    q = rs.randn(n) * 0.5
+    radii = 1.3 + 0.5 * rs.rand(n)
+    screen = 0.7 + 0.25 * rs.rand(n)
+    gb = GBSA(q, radii, screen, sa=sa, cutoff=cutoff)
+    pos = rs.rand(n, 3) * 9.0
+
+    e_ad, g = jax.value_and_grad(lambda p: gb.energy_fn(p, None))(pos)
+    e_an, f_an = gb.energy_forces_fn(pos, None)
+    assert float(e_an) == pytest.approx(float(e_ad), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(f_an), -np.asarray(g),
+                               rtol=1e-9, atol=1e-10)
+
+
+def test_analytic_forces_match_ad_pbc():
+    """Same equivalence under a periodic box (wrapped displacements)."""
+    import jax
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(5)
+    n = 20
+    gb = GBSA(rs.randn(n) * 0.4, 1.4 + 0.4 * rs.rand(n),
+              0.75 + 0.2 * rs.rand(n), sa=True, cutoff=5.0)
+    pos = rs.rand(n, 3) * 12.0
+    box = jnp.asarray([12.0, 12.0, 12.0])
+    e_ad, g = jax.value_and_grad(lambda p: gb.energy_fn(p, box))(pos)
+    e_an, f_an = gb.energy_forces_fn(pos, box)
+    assert float(e_an) == pytest.approx(float(e_ad), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(f_an), -np.asarray(g),
+                               rtol=1e-9, atol=1e-10)
+
+
+def test_gbsa_md_analytic_matches_ad_scan():
+    """The compiled MD scan picks the analytic GB force path through
+    external_ef; the trajectory must match a run forced onto the AD
+    path (JaxExternal with only energy_fn)."""
+    from torchmd_tpu.external import JaxExternal
+    from torchmd_tpu.forcefields.ff_yaml import YamlForcefield
+    from torchmd_tpu.forces import Forces
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.io import Molecule
+    from torchmd_tpu.parameters import Parameters
+    from torchmd_tpu.systems import System
+
+    rs = np.random.RandomState(7)
+    n = 10
+    mol = Molecule()
+    mol.numAtoms = n
+    mol.atomtype = np.array(["CX"] * n, dtype=object)
+    mol.element = np.array(["C"] * n, dtype=object)
+    mol.charge = rs.randn(n) * 0.2
+    mol.masses = np.full(n, 12.011)
+    mol.bonds = np.zeros((0, 2), dtype=np.int64)
+    mol.coords = rs.rand(n, 3, 1) * 7.0
+    ff = YamlForcefield(mol, {
+        "atomtypes": ["CX"],
+        "lj": {"CX": {"sigma": 3.4, "epsilon": 0.1}},
+        "electrostatics": {"CX": {"charge": 0.0}},
+        "masses": {"CX": 12.011},
+    })
+    par = Parameters(ff, mol, ["lj", "electrostatics"],
+                     precision="double")
+    par.charges = np.asarray(mol.charge)
+    gb = make_gbsa(par, mol, sa=True)
+
+    def run(external):
+        forces = Forces(par, terms=["lj", "electrostatics"],
+                        precision="double", external=external)
+        syst = System(n, 1, "double")
+        syst.set_positions(mol.coords)
+        syst.set_velocities(
+            maxwell_boltzmann(par.masses, 300.0, 1, seed=4)
+        )
+        integ = Integrator(syst, forces, timestep=1.0, seed=4)
+        es = [integ.step(niter=10)[1][0] for _ in range(2)]
+        return syst.pos.copy(), np.asarray(es)
+
+    pos_an, e_an = run(gb)                       # analytic path
+    pos_ad, e_ad = run(JaxExternal(gb.energy_fn))  # AD-only path
+    np.testing.assert_allclose(pos_an, pos_ad, atol=1e-10)
+    np.testing.assert_allclose(e_an, e_ad, rtol=1e-10)
+
+
 def test_make_gbsa_from_prmtop():
     """Amber's own RADII/SCREEN load and produce a finite implicit-solvent
     energy + forces through the Forces external slot."""

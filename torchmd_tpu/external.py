@@ -26,11 +26,17 @@ class JaxExternal:
     """Adapter for a pure-JAX potential `energy_fn(pos, box) -> scalar`.
 
     Satisfies both protocol levels: `energy_fn` for in-jit folding and
-    `calculate` for the batched host API.
-    """
+    `calculate` for the batched host API. An optional analytic
+    `energy_forces_fn(pos, box) -> (energy, forces)` overrides the
+    value_and_grad force path (e.g. GB/OBC's two-pass formulation,
+    which avoids reverse-mode's O(N^2) stored residuals)."""
 
-    def __init__(self, energy_fn):
+    def __init__(self, energy_fn, energy_forces_fn=None):
         self._efn = energy_fn
+        if energy_forces_fn is not None:
+            # bound attribute, only present when an analytic path exists
+            # (external_ef() dispatches on attribute presence)
+            self.energy_forces_fn = energy_forces_fn
 
     def energy_fn(self, pos, box):
         return self._efn(pos, box)
@@ -47,8 +53,31 @@ class JaxExternal:
             boxd = jnp.asarray(np.asarray(box), pos.dtype)
             if boxd.ndim == 3:
                 boxd = jnp.diagonal(boxd, axis1=1, axis2=2)
-        e, g = jax.vmap(jax.value_and_grad(self._efn))(pos, boxd)
-        return np.asarray(e), -np.asarray(g)
+        ef = external_ef(self)
+        e, frc = jax.vmap(ef)(pos, boxd)
+        return np.asarray(e), np.asarray(frc)
+
+
+def external_ef(external):
+    """(pos, box) -> (energy, forces) closure for a jittable external:
+    the object's analytic `energy_forces_fn` when present, else
+    value_and_grad of `energy_fn`. None for host-coupled externals."""
+    if external is None:
+        return None
+    ef = getattr(external, "energy_forces_fn", None)
+    if ef is not None:
+        return ef
+    fn = getattr(external, "energy_fn", None)
+    if fn is None:
+        return None
+
+    def _ef(pos, box):
+        import jax
+
+        e, g = jax.value_and_grad(fn)(pos, box)
+        return e, -g
+
+    return _ef
 
 
 class External:

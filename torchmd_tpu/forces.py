@@ -409,16 +409,20 @@ class Forces:
                 pot["external"] = ext_energy_fn(pos, box)
             return pot
 
+        from .external import external_ef
+
+        _ext_ef = external_ef(external)
+
         def _pot_and_forces(pos, box):
             # fused analytic (or Pallas) nonbonded + AD bonded -- identical
             # numbers to the pure-AD path (tests/test_fused.py) and far
             # cheaper to compile/execute
             pot, frc = ef_one(pos, box)
-            if ext_energy_fn is not None:
-                ee, eg = jax.value_and_grad(ext_energy_fn)(pos, box)
+            if _ext_ef is not None:
+                ee, ef = _ext_ef(pos, box)
                 pot = dict(pot)
                 pot["external"] = ee
-                frc = frc - eg
+                frc = frc + ef
             return pot, frc
 
         self._potentials_one = _potentials_one

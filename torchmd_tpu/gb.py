@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -152,10 +153,161 @@ class GBSA:
             )
         return e
 
+    # ------------------------------------------------------------------
+    def _born_radii_chain(self, pos, box=None):
+        """Pass 1 of the analytic force path: Born radii B plus the
+        chain factor c_i = dB_i/dI_i (all O(N) state)."""
+        from .potentials import wrap_displacement
+
+        rho = (self.radii - OFFSET).astype(pos.dtype)
+        R = self.radii.astype(pos.dtype)
+        sr = (self.screen * (self.radii - OFFSET)).astype(pos.dtype)
+        dv = pos[:, None, :] - pos[None, :, :]
+        dv = wrap_displacement(dv, box)
+        d2 = jnp.sum(dv * dv, axis=-1)
+        d2 = jnp.where(self._eye, 1.0, d2)
+        r = jnp.sqrt(d2)
+
+        rho_i = rho[:, None]
+        S_j = sr[None, :]
+        L = jnp.maximum(jnp.abs(r - S_j), rho_i)
+        U = r + S_j
+        inv_L = 1.0 / L
+        inv_U = 1.0 / U
+        term = (
+            inv_L - inv_U
+            + 0.25 * r * (inv_U**2 - inv_L**2)
+            + (0.5 / r) * jnp.log(L * inv_U)
+            + (0.25 * S_j * S_j / r) * (inv_L**2 - inv_U**2)
+        )
+        term = term + jnp.where(
+            rho_i < S_j - r, 2.0 * (1.0 / rho_i - inv_L), 0.0
+        )
+        active = jnp.logical_and(~self._eye, rho_i < U)
+        if self.cutoff is not None:
+            active = jnp.logical_and(active, r <= self.cutoff)
+        I = jnp.sum(jnp.where(active, term, 0.0), axis=1)
+
+        psi = 0.5 * I * rho
+        u = ALPHA * psi - BETA * psi**2 + GAMMA * psi**3
+        t = jnp.tanh(u)
+        inv_B = 1.0 / rho - t / R
+        B = 1.0 / inv_B
+        # dB/dI = (dB/dt)(dt/du)(du/dpsi)(dpsi/dI)
+        #       = (B^2/R)(1 - t^2)(a - 2b psi + 3g psi^2)(rho/2)
+        c = (B * B / R) * (1.0 - t * t) * (
+            ALPHA - 2.0 * BETA * psi + 3.0 * GAMMA * psi**2
+        ) * 0.5 * rho
+        return B, c
+
+    def energy_forces_fn(self, pos, box=None):
+        """Analytic multi-pass OBC energy + forces (the structure of
+        OpenMM's ReferenceObc::computeBornEnergyForces + obcChain):
+
+          pass 1  Born radii B_i and the chain factor dB_i/dI_i,
+          pass 2  GB pair energy, its explicit r-space gradient and the
+                  accumulated dE/dB_i,
+          pass 3  dE/dB chained through the HCT descreening integrals,
+                  with d(term)/dr from elementwise FORWARD-mode jvp.
+
+        Identical values to jax.grad of `energy_fn`, but all cross-pass
+        state is O(N): reverse-mode AD through the Born-radius chain
+        stores ~10 N^2 f32 residuals between the forward and backward
+        sweeps (HBM-bound at 88 ms/step on thrombin, docs/PERF.md);
+        forward-mode elementwise derivatives fuse into the pair loops
+        and store nothing."""
+        from .potentials import wrap_displacement
+
+        B, c = self._born_radii_chain(pos, box)
+        q = self.charges.astype(pos.dtype)
+        rho = (self.radii - OFFSET).astype(pos.dtype)
+        sr = (self.screen * (self.radii - OFFSET)).astype(pos.dtype)
+        R = self.radii.astype(pos.dtype)
+
+        dv = pos[:, None, :] - pos[None, :, :]
+        dv = wrap_displacement(dv, box)
+        d2 = jnp.sum(dv * dv, axis=-1)
+
+        # ---- pass 2: GB pair energy, r-gradient, dE/dB ----
+        BB = B[:, None] * B[None, :]
+        e_exp = jnp.exp(-d2 / (4.0 * BB))
+        f2 = d2 + BB * e_exp
+        f_gb = jnp.sqrt(f2)
+        pref = -0.5 * ELEC_FACTOR * (1.0 / self.eps_in
+                                     - 1.0 / self.eps_out)
+        qq = q[:, None] * q[None, :]
+        e_pair = pref * qq / f_gb
+        keep = None
+        if self.cutoff is not None:
+            keep = jnp.logical_or(self._eye, d2 <= self.cutoff**2)
+            e_pair = jnp.where(keep, e_pair, 0.0)
+        e = jnp.sum(e_pair)
+
+        inv_f2 = 1.0 / f2
+        # dE_ij/dd2 = -pref qq (1 - e/4) / (2 f^3)   (symmetric)
+        dEdd2 = -pref * qq * (1.0 - 0.25 * e_exp) * inv_f2 / (
+            2.0 * f_gb
+        )
+        # dE_ij/dB_i (first slot) = -pref qq e (B_j + d2/(4 B_i)) / (2 f^3)
+        G1 = -pref * qq * e_exp * (
+            B[None, :] + d2 / (4.0 * B[:, None])
+        ) * inv_f2 / (2.0 * f_gb)
+        if keep is not None:
+            dEdd2 = jnp.where(keep, dEdd2, 0.0)
+            G1 = jnp.where(keep, G1, 0.0)
+        # dE/dB_k = sum_j [first-slot (k,j) + second-slot (j,k)]; by the
+        # (r, f) symmetry the second-slot derivative of pair (j,k) wrt
+        # B_k equals the first-slot expression with indices (k,j), so
+        # both sums are the same row reduction (diagonal counted twice =
+        # the full q^2/B^2 self derivative, as required)
+        dEdB = 2.0 * jnp.sum(G1, axis=1)
+        grad2 = jnp.einsum("ij,ijk->ik", 4.0 * dEdd2, dv)
+
+        if self.sa:
+            Rp = (self.radii + PROBE).astype(pos.dtype)
+            ratio = (R / B) ** 6
+            e = e + jnp.sum(ACE_SIGMA * 4.0 * jnp.pi * Rp * Rp * ratio)
+            dEdB = dEdB - 6.0 * ACE_SIGMA * 4.0 * jnp.pi * Rp * Rp \
+                * ratio / B
+
+        # ---- pass 3: chain through the descreening integrals ----
+        d2g = jnp.where(self._eye, 1.0, d2)
+        r = jnp.sqrt(d2g)
+        rho_i = rho[:, None]
+        S_j = sr[None, :]
+
+        def hct_term(rr):
+            L = jnp.maximum(jnp.abs(rr - S_j), rho_i)
+            U = rr + S_j
+            inv_L = 1.0 / L
+            inv_U = 1.0 / U
+            tm = (
+                inv_L - inv_U
+                + 0.25 * rr * (inv_U**2 - inv_L**2)
+                + (0.5 / rr) * jnp.log(L * inv_U)
+                + (0.25 * S_j * S_j / rr) * (inv_L**2 - inv_U**2)
+            )
+            return tm + jnp.where(
+                rho_i < S_j - rr, 2.0 * (1.0 / rho_i - inv_L), 0.0
+            )
+
+        _, dterm = jax.jvp(hct_term, (r,), (jnp.ones_like(r),))
+        active = jnp.logical_and(~self._eye, rho_i < r + S_j)
+        if self.cutoff is not None:
+            active = jnp.logical_and(active, r <= self.cutoff)
+        dterm = jnp.where(active, dterm, 0.0)
+        w = dEdB * c
+        H = w[:, None] * dterm / r
+        grad3 = jnp.einsum("ij,ijk->ik", H + H.T, dv)
+
+        return e, -(grad2 + grad3)
+
     def calculate(self, pos, box):
         from .external import JaxExternal
 
-        return JaxExternal(self.energy_fn).calculate(pos, box)
+        return JaxExternal(
+            self.energy_fn, energy_forces_fn=self.energy_forces_fn
+        ).calculate(pos, box)
 
 
 def make_gbsa(parameters, mol=None, solvent_dielectric=78.5,

@@ -463,7 +463,9 @@ class Integrator:
         forces_obj = self.forces
         ffp = forces_obj.ffparams
         cfg = forces_obj.config
-        ext_energy = getattr(forces_obj.external, "energy_fn", None)
+        from .external import external_ef
+
+        ext_ef = external_ef(forces_obj.external)
         dt = self.dt
         gamma = self.gamma
         use_thermostat = self._use_langevin_T and gamma is not None
@@ -502,10 +504,10 @@ class Integrator:
         def ef_one(pos, box):
             pot, frc = fused_one(pos, box if use_pbc else None)
             e = sum(jax.tree_util.tree_leaves(pot))
-            if ext_energy is not None:
-                ee, eg = jax.value_and_grad(ext_energy)(pos, box)
+            if ext_ef is not None:
+                ee, ef = ext_ef(pos, box)
                 e = e + ee
-                frc = frc - eg
+                frc = frc + ef
             return e, frc
 
         e_and_f = jax.vmap(ef_one, in_axes=(0, 0))
@@ -591,7 +593,9 @@ class Integrator:
         # sqrt(ddt/dt) = 1/sqrt(n)
         vcoeff = (self.vcoeff / np.sqrt(n)) if use_thermostat else None
         masses = self.masses
-        ext_energy = getattr(forces_obj.external, "energy_fn", None)
+        from .external import external_ef
+
+        ext_ef = external_ef(forces_obj.external)
         use_pbc = bool(np.any(np.asarray(self.systems.box_diag) != 0))
 
         bonded_one = forces_obj.bonded_ef_one
@@ -610,10 +614,10 @@ class Integrator:
             else:
                 pot, frc = nb_one(pos, box if use_pbc else None)
                 e = sum(jax.tree_util.tree_leaves(pot))
-            if ext_energy is not None:
-                ee, eg = jax.value_and_grad(ext_energy)(pos, box)
+            if ext_ef is not None:
+                ee, ef = ext_ef(pos, box)
                 e = e + ee
-                frc = frc - eg
+                frc = frc + ef
             return e, frc
 
         vsg = self.vsites
@@ -755,7 +759,9 @@ class Integrator:
                 thermo_post = jax.vmap(
                     lambda v, a: thermo.post(v, a, masses, dt)
                 )
-        ext_energy = getattr(forces_obj.external, "energy_fn", None)
+        from .external import external_ef
+
+        ext_ef = external_ef(forces_obj.external)
         # Ewald reciprocal/self/exclusion terms: the cell kernel only covers
         # the erfc-damped real-space part, so fold the rest in exactly as
         # Forces._build_evaluators does (without it, elec='ewald' +
@@ -794,10 +800,10 @@ class Integrator:
                 er, eg = jax.value_and_grad(ewald.energy)(pos, box)
                 e = e + er
                 frc = frc - eg
-            if ext_energy is not None:
-                ee, eg = jax.value_and_grad(ext_energy)(pos, box)
+            if ext_ef is not None:
+                ee, ef = ext_ef(pos, box)
                 e = e + ee
-                frc = frc - eg
+                frc = frc + ef
             return e, frc
 
         if vsg is not None:
@@ -903,7 +909,9 @@ class Integrator:
                     lambda v, a: thermo.post(v, a, masses, dt)
                 )
         ewald = getattr(forces_obj, "_ewald", None)
-        ext_energy = getattr(forces_obj.external, "energy_fn", None)
+        from .external import external_ef
+
+        ext_ef = external_ef(forces_obj.external)
 
         def fast_one(pos, box):
             pot, frc = forces_obj.bonded_ef_one(pos, box)
@@ -919,10 +927,10 @@ class Integrator:
                 er, eg = jax.value_and_grad(ewald.energy)(pos, box)
                 e = e + er
                 frc = frc - eg
-            if ext_energy is not None:
-                ee, eg = jax.value_and_grad(ext_energy)(pos, box)
+            if ext_ef is not None:
+                ee, ef = ext_ef(pos, box)
                 e = e + ee
-                frc = frc - eg
+                frc = frc + ef
             return e, frc
 
         vsg = self.vsites

@@ -314,10 +314,22 @@ def setup(args, batch_comp=False):
                 )
             fns.append(external.energy_fn)
 
-        from .external import JaxExternal
+        from .external import JaxExternal, external_ef
+
+        sources = list(restr) + ([external] if external is not None
+                                 else [])
+        efs = [external_ef(s) for s in sources]
+
+        def _combined_ef(pos, box):
+            # each source's analytic energy_forces_fn when it has one
+            # (GB/OBC's two-pass path), value_and_grad otherwise
+            parts = [ef(pos, box) for ef in efs]
+            return (sum(e for e, _ in parts),
+                    sum(f for _, f in parts))
 
         external = JaxExternal(
-            lambda pos, box: sum(fn(pos, box) for fn in fns)
+            lambda pos, box: sum(fn(pos, box) for fn in fns),
+            energy_forces_fn=_combined_ef,
         )
 
     forces = Forces(
