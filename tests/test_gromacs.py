@@ -1109,6 +1109,84 @@ def test_tip4p_mtk_cell_matches_dense(tmp_path):
                                atol=1e-9)
 
 
+def test_tip4p_production_config_cell_matches_dense(tmp_path):
+    """The production water-box configuration, downsampled: TIP4P vsites
+    + SETTLE + Ewald electrostatics + NHC on the cell-kernel scan must
+    match the dense f64 path step for step (the correctness anchor for
+    the 62k-atom TPU run in scripts/bench_waterbox.py)."""
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.systems import System
+
+    mol, par, terms = _tip4p_box216(tmp_path)
+
+    def run(kernel):
+        forces = Forces(par, terms=terms, precision="double", cutoff=4.0,
+                        kernel=kernel, elec="ewald")
+        syst = System(mol.numAtoms, 1, "double")
+        syst.set_positions(mol.coords)
+        syst.set_box(mol.box)
+        syst.set_velocities(
+            maxwell_boltzmann(par.masses, 300.0, 1, seed=9)
+        )
+        integ = Integrator(syst, forces, timestep=2.0, T=300.0,
+                           thermostat="nhc", constraints="settle",
+                           seed=9)
+        es = []
+        for _ in range(2):
+            _ek, ep, _T = integ.step(niter=15)
+            es.append(ep[0])
+        return (syst.pos.copy(), np.asarray(es),
+                getattr(integ, "_cell_kernel", None))
+
+    pos_d, e_d, k_d = run("auto")
+    pos_c, e_c, k_c = run("cell")
+    assert k_d is None and k_c is not None
+    np.testing.assert_allclose(e_c, e_d, rtol=1e-9)
+    np.testing.assert_allclose(pos_c, pos_d, atol=1e-6)
+
+
+def test_tip4p_production_config_column_matches_cell(tmp_path):
+    """Same production configuration through the z-sorted COLUMN kernel
+    (the TPU large-N default, interpret mode on CPU) vs the ghost-cell
+    kernel at f32: the exclusion-aware Pallas column path must carry the
+    full vsites + SETTLE + Ewald composition."""
+    from torchmd_tpu.columns import ColumnKernel
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.systems import System
+
+    mol, par, terms = _tip4p_box216(tmp_path)
+    vel = maxwell_boltzmann(
+        np.asarray(par.masses, np.float64), 300.0, 1, seed=9
+    )
+
+    def run(column):
+        forces = Forces(par, terms=terms, precision="single", cutoff=4.0,
+                        kernel="cell", elec="ewald")
+        syst = System(mol.numAtoms, 1, "single")
+        syst.set_positions(mol.coords)
+        syst.set_box(mol.box)
+        syst.set_velocities(vel)
+        if column:
+            forces._cell_kernel = ColumnKernel(
+                forces.ffparams, forces.config, par,
+                np.full(3, 19.5), pos0=mol.coords[:, :, 0],
+                interpret=True)
+            forces.cell_requested = True
+        integ = Integrator(syst, forces, timestep=2.0, T=300.0,
+                           thermostat="nhc", constraints="settle",
+                           seed=9)
+        es = []
+        for _ in range(2):
+            _ek, ep, _T = integ.step(niter=10)
+            es.append(ep[0])
+        return syst.pos.copy(), np.asarray(es)
+
+    pos_c, e_c = run(False)
+    pos_q, e_q = run(True)
+    np.testing.assert_allclose(e_q, e_c, rtol=2e-4)
+    np.testing.assert_allclose(pos_q, pos_c, atol=5e-3)
+
+
 def test_run_cli_gromacs(tmp_path):
     """run.py end to end from .top + .gro (the GROMACS user workflow)."""
     from torchmd_tpu import run as runmod
