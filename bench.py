@@ -135,7 +135,11 @@ def pair_flop_accounting(forces, niter_steps_per_sec):
     return slots, slots * FLOPS_PER_SLOT * niter_steps_per_sec
 
 
-def measure_mine(niter=100, rounds=3):
+def measure_mine(niter=500, rounds=3):
+    # 500-step chunks: the ~35 ms per-chunk tunnel sync is 0.07 ms/step
+    # here vs 0.35 at niter=100 (production runs use long chunks; the
+    # in-scan step time is the honest device number, see
+    # scripts/bench_step_anatomy.py)
     import jax
 
     from torchmd_tpu.io import Molecule

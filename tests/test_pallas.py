@@ -83,6 +83,47 @@ def test_pallas_kernel_ewald_real_space():
     assert float(jnp.abs(f_p - f_d).max()) < 1e-4 * max(scale, 1.0)
 
 
+def test_pallas_kernel_multi_tile_lane_partials():
+    """>=3x3 tile grid: stresses the revisited (TILE_I, 128) row-partial
+    blocks across the j sweep and several dynamic column slices of the
+    Newton accumulator (tile geometry the 688-atom systems never reach)."""
+    from torchmd_tpu.forcefields import ForceField
+    from torchmd_tpu.io import Molecule
+    from torchmd_tpu.ops.pallas_nonbonded import TILE_I
+
+    n = 2 * TILE_I + TILE_I // 2  # 2.5 tiles -> ni = 3
+    rs = np.random.RandomState(7)
+    mol, ff, nbconf = load_system(os.path.join(DATA_DIR, "waterbox"))
+    par = Parameters(ff, mol, ALL_TERMS, precision="single")
+    forces = Forces(par, terms=ALL_TERMS, precision="single", **nbconf)
+    ffp, cfg = forces.ffparams, forces.config
+
+    # synthetic n-atom system reusing waterbox types cyclically
+    nt = ffp.charges.shape[0]
+    idx = jnp.asarray(rs.randint(0, nt, n))
+    ffp_big = ffp._replace(
+        charges=ffp.charges[idx],
+        lj_params=ffp.lj_params,
+        mapped_atom_types=ffp.mapped_atom_types[idx],
+        nb_mask=jnp.ones((n, n)).at[jnp.arange(n), jnp.arange(n)].set(0.0),
+    )
+    pos = jnp.asarray(rs.rand(n, 3) * 40.0, jnp.float32)
+    box = jnp.asarray([40.0, 40.0, 40.0], jnp.float32)
+
+    pot_d, f_d = nonbonded_energy_forces(ffp_big, pos, box, cfg)
+    data = prepare_nb_data(ffp_big)
+    pot_p, f_p = pallas_nonbonded_energy_forces(
+        data, cfg, pos, box, interpret=True
+    )
+    for k in pot_d:
+        np.testing.assert_allclose(
+            float(pot_p[k]), float(pot_d[k]), rtol=2e-5, atol=2e-2,
+            err_msg=k,
+        )
+    scale = float(jnp.abs(f_d).max())
+    assert float(jnp.abs(f_p - f_d).max()) < 5e-5 * max(scale, 1.0)
+
+
 def test_pallas_kernel_nbfix_tables(monkeypatch):
     """NBFIX pair-specific A/B tables ride the Pallas kernel via the
     one-hot MXU gather (exact in f32): parity with the dense jnp path

@@ -322,7 +322,75 @@ class PmeRecip:
 
     # ---------------------------------------------------------------
     def _spread(self, pos, box, q):
-        """B-spline charge spreading -> (Kx, Ky, Kz) real mesh."""
+        """B-spline charge spreading -> (Kx, Ky, Kz) real mesh.
+
+        TPU-native layout: ONE windowed scatter-add of N rows, each row
+        a dense (n, n, Kz) patch (x/y stencils ride a mesh padded by
+        n-1 so windows never wrap — two roll-folds restore periodicity;
+        the z axis stays fully dense inside the row, built with n
+        compare-selects). The naive formulation (N * n^3 scalar rows
+        through segment_sum) costs ~10 ns/row on TPU — 40 ms/step at
+        62.5k atoms, the measured waterbox bottleneck; the windowed form
+        is n^3 (64x) fewer scatter rows for an O(N n^2 Kz) streamed
+        update tensor (~320 MB at 62.5k/order 4 — revisit with atom
+        chunking if N*Kz outgrows HBM)."""
+        n = self.ORDER
+        Kx, Ky, Kz = self.cfg.kmax
+        if min(Kx, Ky, Kz) < n:
+            return self._spread_segsum(pos, box, q)
+        dtype = pos.dtype
+        Ks = jnp.asarray([Kx, Ky, Kz], dtype)
+        u = pos / box
+        u = (u - jnp.floor(u)) * Ks            # scaled coords in [0, K)
+        base = jnp.floor(u)
+        frac = u - base
+        w = self._spline_weights(frac)         # (N, 3, n), tap t pairs
+        # with grid point floor(u) - t: ascending windows start at
+        # base - (n-1) with the taps REVERSED
+        wrev = w[:, :, ::-1]
+        start = jnp.mod(
+            base.astype(jnp.int32) - (n - 1),
+            jnp.asarray([Kx, Ky, Kz], jnp.int32)[None, :],
+        )                                       # (N, 3) in [0, K)
+        wx, wy, wz = wrev[:, 0, :], wrev[:, 1, :], wrev[:, 2, :]
+
+        # dense periodic z row: zrow[a, m] = wz[a, t] where
+        # mod(m - sz_a, Kz) == t, else 0
+        off = jnp.mod(
+            jnp.arange(Kz, dtype=jnp.int32)[None, :] - start[:, 2:3], Kz
+        )                                       # (N, Kz)
+        zrow = jnp.zeros((pos.shape[0], Kz), dtype)
+        for t in range(n):
+            zrow = zrow + jnp.where(off == t, wz[:, t:t + 1], 0.0)
+
+        upd = (
+            (q * jnp.asarray(1.0, dtype))[:, None, None, None]
+            * wx[:, :, None, None]
+            * wy[:, None, :, None]
+            * zrow[:, None, None, :]
+        )                                       # (N, n, n, Kz)
+
+        mesh_pad = jnp.zeros((Kx + n - 1, Ky + n - 1, Kz), dtype)
+        dnums = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1, 2, 3),
+            inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0, 1),
+        )
+        mesh_pad = jax.lax.scatter_add(
+            mesh_pad, start[:, :2], upd, dnums,
+            indices_are_sorted=False, unique_indices=False,
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )
+        # fold the x/y overflow bands back (periodic wrap)
+        mesh_pad = mesh_pad.at[:n - 1, :, :].add(mesh_pad[Kx:, :, :])
+        mesh = mesh_pad[:Kx]
+        mesh = mesh.at[:, :n - 1, :].add(mesh[:, Ky:, :])
+        return mesh[:, :Ky].astype(dtype)
+
+    def _spread_segsum(self, pos, box, q):
+        """Scalar-row spreading fallback (meshes smaller than the spline
+        order); also the independent reference for the windowed path's
+        equivalence test."""
         n = self.ORDER
         Kx, Ky, Kz = self.cfg.kmax
         dtype = pos.dtype
@@ -331,8 +399,7 @@ class PmeRecip:
         u = (u - jnp.floor(u)) * Ks            # scaled coords in [0, K)
         base = jnp.floor(u)
         frac = u - base
-        w = self._spline_weights(frac)         # (N, 3, n)? frac is (N,3)
-        # frac (N, 3) -> weights (N, 3, n)
+        w = self._spline_weights(frac)         # (N, 3, n)
         idx = (
             base[..., None].astype(jnp.int32)
             - jnp.arange(n, dtype=jnp.int32)

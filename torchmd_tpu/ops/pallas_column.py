@@ -161,12 +161,16 @@ def _kernel(w_ref, s_ref, i_ref, j_ref, f_ref, jacc_ref, elj_ref,
                 vir_ref[0, 1] = vir_ref[0, 1] + jnp.sum(g * dy * dy) * wt
                 vir_ref[0, 2] = vir_ref[0, 2] + jnp.sum(g * dz * dz) * wt
 
-            f_ref[0, bi, 0] = f_ref[0, bi, 0] - jnp.sum(g * dx,
-                                                        axis=(0, 2))
-            f_ref[0, bi, 1] = f_ref[0, bi, 1] - jnp.sum(g * dy,
-                                                        axis=(0, 2))
-            f_ref[0, bi, 2] = f_ref[0, bi, 2] - jnp.sum(g * dz,
-                                                        axis=(0, 2))
+            # i-side forces as (IBLK, 128) LANE PARTIALS: summing only
+            # the leading Wq panel axis is Wq-1 plain vector adds; the
+            # old axis=(0, 2) form also reduced the 128 lanes and relaid
+            # the (IBLK,) result lane-major every block visit (measured
+            # 4-6x its arithmetic cost on the dense kernel roofline,
+            # docs/PERF.md). The caller does the final lane reduction
+            # once per slot in XLA.
+            f_ref[0, bi, 0] = f_ref[0, bi, 0] - jnp.sum(g * dx, axis=0)
+            f_ref[0, bi, 1] = f_ref[0, bi, 1] - jnp.sum(g * dy, axis=0)
+            f_ref[0, bi, 2] = f_ref[0, bi, 2] - jnp.sum(g * dz, axis=0)
 
             @pl.when(o != 0)
             def _jacc():
@@ -224,8 +228,8 @@ def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
         nfloat=float(nfloat), ncol=ncol, P=P, virial=with_virial,
     )
     out_specs = [
-        pl.BlockSpec((1, NB, 3, IBLK),
-                     lambda c, o, *p: (c, 0, 0, 0),
+        pl.BlockSpec((1, NB, 3, IBLK, 128),
+                     lambda c, o, *p: (c, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         # resident extended-slot j-force accumulator: one constant
         # block for the whole sequential grid (safe to revisit)
@@ -238,7 +242,7 @@ def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
                      memory_space=pltpu.SMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((ncol, NB, 3, IBLK), f32),
+        jax.ShapeDtypeStruct((ncol, NB, 3, IBLK, 128), f32),
         jax.ShapeDtypeStruct((ncol, P, CEq, 3, 128), f32),
         jax.ShapeDtypeStruct((1, 1), f32),
         jax.ShapeDtypeStruct((1, 1), f32),
@@ -274,6 +278,7 @@ def column_pair_call(cfg, ncx, ncy, i_data, j_data, wstart, shifts,
       i_data, j_data)
     if with_virial:
         f_out, jacc, e_lj, e_el, vir = outs
-        return e_lj[0, 0], e_el[0, 0], f_out, jacc, vir[0]
+        return e_lj[0, 0], e_el[0, 0], f_out.sum(axis=-1), jacc, vir[0]
     f_out, jacc, e_lj, e_el = outs
-    return e_lj[0, 0], e_el[0, 0], f_out, jacc
+    # deferred lane reduction of the i-force partials (once per slot)
+    return e_lj[0, 0], e_el[0, 0], f_out.sum(axis=-1), jacc

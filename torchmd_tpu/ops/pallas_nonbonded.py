@@ -272,7 +272,17 @@ def _kernel_tri(*refs, cfg, tile):
     off-diagonal tiles count each pair once (weight 2 on the 0.5 factor),
     send row sums to the i force block and column sums (+g.dv = the force
     on j) to a full-length accumulator block that is one constant output
-    block for the whole sequential grid (safe to revisit)."""
+    block for the whole sequential grid (safe to revisit).
+
+    Row forces accumulate as (tile, 128) LANE-GROUP PARTIALS, not fully
+    reduced (1, tile) rows: a full lane-axis sum materializes a
+    sublane-major (tile,) vector into a lane-major row every tile visit
+    (log-step shuffles + a relayout), which the round-4 roofline measured
+    at 4-6x its arithmetic cost (docs/PERF.md). Summing vreg-aligned
+    128-lane column groups instead costs tile/128 - 1 plain vector adds
+    per element row; the final 128-lane reduction happens once per atom
+    in XLA after the call. Column (j-side) sums stay full in-kernel
+    reductions — sublane-axis sums are cheap on the VPU."""
     if cfg["nbfix"]:
         (xi_ref, yi_ref, zi_ref, qi_ref, si_ref, ei_ref,
          xj_ref, yj_ref, zj_ref, qj_ref, sj_ref, ej_ref,
@@ -340,26 +350,38 @@ def _kernel_tri(*refs, cfg, tile):
         elj_ref[0, 0] = elj_ref[0, 0] + e_lj * wt
         eel_ref[0, 0] = eel_ref[0, 0] + e_el * wt
 
-        fx = -jnp.sum(g * dx, axis=1)
-        fy = -jnp.sum(g * dy, axis=1)
-        fz = -jnp.sum(g * dz, axis=1)
+        px = g * dx
+        py = g * dy
+        pz = g * dz
+
+        def _lgsum(p):
+            # vreg-aligned 128-lane column-group partial sums (no
+            # cross-lane shuffles, no relayout)
+            acc = p[:, 0:128]
+            for k in range(1, tile // 128):
+                acc = acc + p[:, k * 128:(k + 1) * 128]
+            return acc
+
+        fxp = _lgsum(px)
+        fyp = _lgsum(py)
+        fzp = _lgsum(pz)
 
         @pl.when(diag)
         def _init_rows():
-            fx_ref[0, :] = fx
-            fy_ref[0, :] = fy
-            fz_ref[0, :] = fz
+            fx_ref[...] = fxp
+            fy_ref[...] = fyp
+            fz_ref[...] = fzp
 
         @pl.when(jnp.logical_not(diag))
         def _acc():
-            fx_ref[0, :] = fx_ref[0, :] + fx
-            fy_ref[0, :] = fy_ref[0, :] + fy
-            fz_ref[0, :] = fz_ref[0, :] + fz
+            fx_ref[...] = fx_ref[...] + fxp
+            fy_ref[...] = fy_ref[...] + fyp
+            fz_ref[...] = fz_ref[...] + fzp
             # force ON the j atoms: +sum_i g . dv
             sl = pl.ds(j * tile, tile)
-            fcx_ref[0, sl] = fcx_ref[0, sl] + jnp.sum(g * dx, axis=0)
-            fcy_ref[0, sl] = fcy_ref[0, sl] + jnp.sum(g * dy, axis=0)
-            fcz_ref[0, sl] = fcz_ref[0, sl] + jnp.sum(g * dz, axis=0)
+            fcx_ref[0, sl] = fcx_ref[0, sl] + jnp.sum(px, axis=0)
+            fcy_ref[0, sl] = fcy_ref[0, sl] + jnp.sum(py, axis=0)
+            fcz_ref[0, sl] = fcz_ref[0, sl] + jnp.sum(pz, axis=0)
 
 
 class PallasNBData(NamedTuple):
@@ -480,6 +502,7 @@ def pallas_nonbonded_energy_forces(data: PallasNBData, cfg, pos, box,
 
     triangular = (
         TILE_I == TILE_J
+        and TILE_I % 128 == 0
         and _os.environ.get("TMD_PALLAS_TRI", "1") != "0"
     )
     if triangular:
@@ -497,11 +520,13 @@ def pallas_nonbonded_energy_forces(data: PallasNBData, cfg, pos, box,
                              memory_space=pltpu.SMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, TILE_I), lambda i, j: (0, i),
+                # row-force lane-group partials: (TILE_I, 128) per i,
+                # revisited across the j sweep (see _kernel_tri)
+                pl.BlockSpec((TILE_I, 128), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TILE_I), lambda i, j: (0, i),
+                pl.BlockSpec((TILE_I, 128), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TILE_I), lambda i, j: (0, i),
+                pl.BlockSpec((TILE_I, 128), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM),
                 # column-force accumulators: ONE constant full-length block
                 pl.BlockSpec((1, npad), lambda i, j: (0, 0),
@@ -520,9 +545,9 @@ def pallas_nonbonded_energy_forces(data: PallasNBData, cfg, pos, box,
         fx, fy, fz, fcx, fcy, fcz, e_lj, e_el = pl.pallas_call(
             functools.partial(_kernel_tri, cfg=kcfg, tile=TILE_J),
             out_shape=[
-                jax.ShapeDtypeStruct((1, npad), jnp.float32),
-                jax.ShapeDtypeStruct((1, npad), jnp.float32),
-                jax.ShapeDtypeStruct((1, npad), jnp.float32),
+                jax.ShapeDtypeStruct((npad, 128), jnp.float32),
+                jax.ShapeDtypeStruct((npad, 128), jnp.float32),
+                jax.ShapeDtypeStruct((npad, 128), jnp.float32),
                 jax.ShapeDtypeStruct((1, npad), jnp.float32),
                 jax.ShapeDtypeStruct((1, npad), jnp.float32),
                 jax.ShapeDtypeStruct((1, npad), jnp.float32),
@@ -542,11 +567,14 @@ def pallas_nonbonded_energy_forces(data: PallasNBData, cfg, pos, box,
             *ab_args,
             data.mask, box_in,
         )
+        # the deferred 128-lane reduction of the row partials (once per
+        # atom, in XLA) — the kernel accumulates +sum_j g*dv, the row
+        # force is its negative
         forces = jnp.stack(
             [
-                fx[0, :n] + fcx[0, :n],
-                fy[0, :n] + fcy[0, :n],
-                fz[0, :n] + fcz[0, :n],
+                fcx[0, :n] - jnp.sum(fx[:n], axis=1),
+                fcy[0, :n] - jnp.sum(fy[:n], axis=1),
+                fcz[0, :n] - jnp.sum(fz[:n], axis=1),
             ],
             axis=1,
         )
