@@ -1,0 +1,193 @@
+"""Stage anatomy of the 62.5k-atom TIP4P waterbox step (docs/PERF.md).
+
+Slope-times each stage of the production water-box configuration
+(column kernel + PME + vsites + SETTLE, the bench_waterbox.py system)
+inside its own jitted lax.scan, cancelling the axon-tunnel dispatch
+constant — same methodology as bench_pair_production.py. Prints one
+JSON line per stage.
+
+Usage: python scripts/bench_waterbox_anatomy.py [--n 25] [--stages all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+import numpy as np  # noqa: E402
+
+
+def slope_time(make, k1=4, k2=20, rounds=3):
+    import jax
+
+    def timed(K):
+        fn = make(K)
+        out = fn()
+        float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+        best = float("inf")
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            out = fn()
+            float(np.asarray(
+                jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (timed(k2) - timed(k1)) / (k2 - k1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=25)
+    ap.add_argument("--cutoff", type=float, default=8.5)
+    ap.add_argument("--stages", default="all")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench_waterbox import build_box
+
+    from torchmd_tpu.forces import Forces
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.systems import System
+
+    t0 = time.time()
+    mol, par, terms, L = build_box(args.n)
+    natoms = mol.numAtoms
+    print(f"# built {natoms} atoms, box {L:.1f} A in {time.time()-t0:.1f}s",
+          flush=True)
+
+    forces = Forces(par, terms=terms, precision="single",
+                    cutoff=args.cutoff, elec="ewald")
+    box = np.full((3,), L, np.float32)
+    forces.resolve_kernel_for_box(box)
+    forces.ensure_ewald(box)
+    forces.ensure_cell_kernel(box, pos0=mol.coords[:, :, 0])
+    kern = forces._cell_kernel
+    rec = forces._ewald
+    pos0 = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+    boxj = jnp.asarray(box)
+    print(f"# kernel={type(kern).__name__} recip={type(rec).__name__} "
+          f"order={getattr(rec, 'ORDER', None)} "
+          f"kmesh={getattr(rec.cfg, 'kmax', None)}", flush=True)
+
+    want = args.stages.split(",") if args.stages != "all" else None
+
+    def report(name, fn_maker):
+        if want is not None and name not in want:
+            return
+        per = slope_time(fn_maker)
+        print(json.dumps({"stage": name, "ms": round(per * 1e3, 3)}),
+              flush=True)
+
+    # jitter positions through the scan carry so XLA cannot hoist the
+    # stage out of the loop
+    def scan_over(body_fn):
+        def make(K):
+            @jax.jit
+            def go():
+                def body(carry, _):
+                    p = pos0 + carry * jnp.float32(1e-37)
+                    out = body_fn(p)
+                    e = jax.tree_util.tree_leaves(out)[0]
+                    e = jnp.sum(e) if e.ndim else e
+                    return e.astype(jnp.float32), e
+                _, es = jax.lax.scan(
+                    body, jnp.zeros((), jnp.float32), None, length=K)
+                return es[-1]
+            return go
+        return make
+
+    cl0 = jax.jit(kern.build)(pos0, boxj)
+    jax.block_until_ready(cl0)
+
+    def all_sum(out):
+        return sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(out)
+                   if jnp.issubdtype(l.dtype, jnp.floating))
+
+    def pair_full(p):
+        pot, frc = kern.energy_forces(p, boxj, cl0)
+        return all_sum(pot) + jnp.sum(frc)
+
+    report("pair eval+forces (column kernel, fixed cl)",
+           scan_over(pair_full))
+    report("pair eval+forces vmapped batch-1",
+           scan_over(lambda p: jax.vmap(
+               lambda q: pair_full(q))(p[None])[0]))
+    report("neighbor rebuild (kern.build)",
+           scan_over(lambda p: all_sum(kern.build(p, boxj))))
+    if forces.vsites:
+        from torchmd_tpu.vsites import apply_vsites
+
+        def vs_roundtrip(p):
+            p2, vjp = jax.vjp(
+                lambda x: apply_vsites(forces.vsites, x, boxj), p)
+            (fr,) = vjp(p2 * jnp.float32(1e-3))
+            return jnp.sum(p2) + jnp.sum(fr)
+
+        report("vsite snap + vjp spread", scan_over(vs_roundtrip))
+    try:
+        from torchmd_tpu.constraints import (
+            apply_position_constraints, apply_velocity_constraints,
+            build_constraint_spec)
+
+        import jax.numpy as _jnp
+        masses = _jnp.asarray(par.masses, jnp.float32)
+        cs = build_constraint_spec(par, masses, mode="settle")
+        if cs is not None:
+            report("settle shake+rattle", scan_over(
+                lambda p: jnp.sum(apply_position_constraints(
+                    cs, p, p + jnp.float32(1e-3)))
+                + jnp.sum(apply_velocity_constraints(
+                    cs, p, p * jnp.float32(1e-3)))))
+    except Exception as e:  # API drift guard: anatomy stays best-effort
+        print(f"# settle stage skipped: {e!r}", flush=True)
+    report("pme energy (fwd)", scan_over(lambda p: rec.energy(p, boxj)))
+    report("pme energy+grad",
+           scan_over(lambda p: jax.value_and_grad(rec.energy)(p, boxj)[0]))
+    report("pme spread only",
+           scan_over(lambda p: jnp.sum(
+               rec._spread(p, boxj, rec.charges))))
+    report("fftn of mesh", scan_over(
+        lambda p: jnp.sum(jnp.abs(jnp.fft.fftn(
+            rec._spread(jax.lax.stop_gradient(p), boxj, rec.charges))))))
+    report("bonded_ef_one",
+           scan_over(lambda p: forces.bonded_ef_one(p, boxj)[1]))
+    report("full ef_one (vsites+pair+pme+bonded)",
+           scan_over(lambda p: forces.ef_one(p, boxj)[1]))
+
+    # full MD step: slope over niter through Integrator.step
+    if want is None or "step" in want:
+        syst = System(natoms, 1, "single")
+        syst.set_positions(mol.coords)
+        syst.set_box(mol.box)
+        syst.set_velocities(maxwell_boltzmann(par.masses, 300.0, 1, seed=3))
+        integ = Integrator(syst, forces, timestep=2.0, thermostat="nhc",
+                           T=300.0, constraints="settle", seed=3)
+
+        def timed(K):
+            integ.step(niter=K)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                integ.step(niter=K)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        per = (timed(100) - timed(20)) / 80
+        print(json.dumps({"stage": "full NVT step (in scan)",
+                          "ms": round(per * 1e3, 3)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -251,12 +251,11 @@ def test_pme_matches_ewald_energy_and_forces():
     assert float(jnp.max(jnp.abs(g1 - g2))) < 5e-4 * scale
 
 
-def test_pme_windowed_spread_matches_segsum():
-    """The windowed-scatter spreading (one (n, n, Kz) dense patch per
-    atom, padded-mesh x/y folds) is bit-level equivalent to the scalar
-    segment_sum formulation — values AND position-gradients, at both
-    spline orders, including atoms exactly on mesh nodes and in the
-    wrap bands."""
+def test_pme_spread_variants_equivalent():
+    """All three spreading formulations — MXU matmul (the TPU default),
+    windowed scatter-add, scalar segment_sum — are bit-level equivalent
+    in f64: values AND position-gradients, at both spline orders,
+    including atoms exactly on mesh nodes and in the wrap bands."""
     from torchmd_tpu.ewald import PmeRecip
 
     pos, q, box = _nacl_supercell(jitter=0.3)
@@ -264,26 +263,29 @@ def test_pme_windowed_spread_matches_segsum():
                                 [box[0] - 1e-4, 0.1, 0.2]]])  # wrap band
     q = np.concatenate([q, [0.7, -0.7]])
     b = jnp.asarray(box)
+    rs = np.random.RandomState(3)
     for order in (4, 6):
         pm = PmeRecip(q, box, 5.0, tol=1e-6, dtype=jnp.float64,
                       order=order)
         p = jnp.asarray(pos)
         qd = jnp.asarray(q, jnp.float64)
-        m_w = pm._spread(p, b, qd)
         m_s = pm._spread_segsum(p, b, qd)
         scale = float(jnp.max(jnp.abs(m_s)))
-        assert float(jnp.max(jnp.abs(m_w - m_s))) < 1e-12 * scale
-
-        # gradients through each formulation agree (probe: a fixed
-        # random linear functional of the mesh)
-        rs = np.random.RandomState(3)
         probe = jnp.asarray(rs.randn(*m_s.shape))
-        g_w = jax.grad(
-            lambda x: jnp.vdot(probe, pm._spread(x, b, qd)))(p)
         g_s = jax.grad(
             lambda x: jnp.vdot(probe, pm._spread_segsum(x, b, qd)))(p)
         gscale = float(jnp.max(jnp.abs(g_s)))
-        assert float(jnp.max(jnp.abs(g_w - g_s))) < 1e-11 * max(gscale, 1.0)
+        for variant in (pm._spread_matmul, pm._spread_scatter):
+            m_v = variant(p, b, qd)
+            assert float(jnp.max(jnp.abs(m_v - m_s))) < 1e-12 * scale, (
+                variant.__name__)
+            # gradients through each formulation agree (probe: a fixed
+            # random linear functional of the mesh)
+            g_v = jax.grad(
+                lambda x, v=variant: jnp.vdot(probe, v(x, b, qd)))(p)
+            assert float(jnp.max(jnp.abs(g_v - g_s))) < 1e-11 * max(
+                gscale, 1.0), variant.__name__
+        assert pm.spread_mode == "matmul"  # the default routes to MXU
 
 
 def test_pme_madelung():

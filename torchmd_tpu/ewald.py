@@ -25,6 +25,7 @@ traced box, so small NPT volume changes remain correct.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -307,6 +308,11 @@ class PmeRecip:
             self.excl = jnp.asarray(pairs, jnp.int32)
         else:
             self.excl = None
+        self.spread_mode = os.environ.get("TMD_PME_SPREAD", "matmul")
+        if self.spread_mode not in ("matmul", "scatter", "segsum"):
+            raise ValueError(
+                f"TMD_PME_SPREAD={self.spread_mode!r} "
+                "(want matmul | scatter | segsum)")
         # Euler-spline |b(m)|^2 correction factors, static per mesh axis
         self._b2 = tuple(
             jnp.asarray(self._spline_b2(K), jnp.float64).astype(dtype)
@@ -324,20 +330,115 @@ class PmeRecip:
     def _spread(self, pos, box, q):
         """B-spline charge spreading -> (Kx, Ky, Kz) real mesh.
 
-        TPU-native layout: ONE windowed scatter-add of N rows, each row
-        a dense (n, n, Kz) patch (x/y stencils ride a mesh padded by
-        n-1 so windows never wrap — two roll-folds restore periodicity;
-        the z axis stays fully dense inside the row, built with n
-        compare-selects). The naive formulation (N * n^3 scalar rows
-        through segment_sum) costs ~10 ns/row on TPU — 40 ms/step at
-        62.5k atoms, the measured waterbox bottleneck; the windowed form
-        is n^3 (64x) fewer scatter rows for an O(N n^2 Kz) streamed
-        update tensor (~320 MB at 62.5k/order 4 — revisit with atom
-        chunking if N*Kz outgrows HBM)."""
+        Dispatches on TMD_PME_SPREAD (read at construction):
+        'matmul' (default) routes the contraction through the MXU
+        (`_spread_matmul`), 'scatter' uses the windowed scatter-add
+        (`_spread_scatter`), 'segsum' the scalar-row fallback. All three
+        are equivalence-tested against each other (values AND position
+        gradients) in tests/test_ewald.py."""
         n = self.ORDER
         Kx, Ky, Kz = self.cfg.kmax
         if min(Kx, Ky, Kz) < n:
             return self._spread_segsum(pos, box, q)
+        if self.spread_mode == "matmul":
+            return self._spread_matmul(pos, box, q)
+        if self.spread_mode == "segsum":
+            return self._spread_segsum(pos, box, q)
+        return self._spread_scatter(pos, box, q)
+
+    def _tap_starts(self, pos, box):
+        """Shared spreading geometry: spline taps + dense-row starts.
+
+        Returns (w, start): w (N, 3, n) the Cox-de Boor tap weights in
+        ASCENDING grid order (reversed taps), start (N, 3) int32 the
+        first grid index of each atom's n-point stencil, already wrapped
+        into [0, K). Tap t of the reversed row lands on grid point
+        mod(start + t, K)."""
+        n = self.ORDER
+        Kx, Ky, Kz = self.cfg.kmax
+        dtype = pos.dtype
+        Ks = jnp.asarray([Kx, Ky, Kz], dtype)
+        u = pos / box
+        u = (u - jnp.floor(u)) * Ks            # scaled coords in [0, K)
+        base = jnp.floor(u)
+        frac = u - base
+        w = self._spline_weights(frac)         # (N, 3, n), tap t pairs
+        # with grid point floor(u) - t: ascending windows start at
+        # base - (n-1) with the taps REVERSED
+        start = jnp.mod(
+            base.astype(jnp.int32) - (n - 1),
+            jnp.asarray([Kx, Ky, Kz], jnp.int32)[None, :],
+        )                                       # (N, 3) in [0, K)
+        return w[:, :, ::-1], start
+
+    def _dense_rows(self, wrev_ax, start_ax, K):
+        """Dense periodic tap rows R[a, k] = wrev_ax[a, t] where
+        mod(k - start_ax[a], K) == t, else 0 — n compare-selects over a
+        (N, K) block, no gather/scatter."""
+        n = self.ORDER
+        off = jnp.mod(
+            jnp.arange(K, dtype=jnp.int32)[None, :] - start_ax[:, None], K
+        )
+        row = jnp.zeros((wrev_ax.shape[0], K), wrev_ax.dtype)
+        for t in range(n):
+            row = row + jnp.where(off == t, wrev_ax[:, t:t + 1], 0.0)
+        return row
+
+    def _spread_matmul(self, pos, box, q):
+        """MXU charge spreading: mesh(x,y,z) = sum_a Rx[a,x] Ry[a,y]
+        (q Rz)[a,z] evaluated as chunked (Kx*Ky, M) @ (M, Kz) matmuls.
+
+        TPU rationale (measured, docs/PERF.md): XLA serializes
+        overlapping scatter windows — the windowed scatter-add form
+        costs 184 ms/step at 62.5k atoms/80^3 mesh, and the scalar
+        segment_sum ~40 ms. Spreading is a rank-N CP contraction of the
+        three dense per-axis tap-row matrices (N compare-selects, no
+        scatter), which the MXU brute-forces: 2*N*Kx*Ky*Kz FLOPs
+        (~64 GF here) beats any serialized scatter by >20x. f32 runs at
+        precision=HIGHEST so spread charges keep ~1e-7 relative error
+        (single-pass bf16 would cost ~4e-3 — too lossy for forces)."""
+        Kx, Ky, Kz = self.cfg.kmax
+        dtype = pos.dtype
+        wrev, start = self._tap_starts(pos, box)
+        Rx = self._dense_rows(wrev[:, 0, :], start[:, 0], Kx)
+        Ry = self._dense_rows(wrev[:, 1, :], start[:, 1], Ky)
+        Rz = self._dense_rows(wrev[:, 2, :], start[:, 2], Kz)
+        Rz = Rz * q.astype(dtype)[:, None]
+        N = pos.shape[0]
+        M = int(os.environ.get("TMD_PME_CHUNK", "4096"))
+        M = min(M, max(256, N))
+        C = -(-N // M)
+        pad = C * M - N
+        if pad:
+            Rx = jnp.concatenate([Rx, jnp.zeros((pad, Kx), dtype)])
+            Ry = jnp.concatenate([Ry, jnp.zeros((pad, Ky), dtype)])
+            Rz = jnp.concatenate([Rz, jnp.zeros((pad, Kz), dtype)])
+        prec = (jax.lax.Precision.HIGHEST
+                if dtype != jnp.float64 else jax.lax.Precision.DEFAULT)
+
+        def body(mesh, rows):
+            rx, ry, rz = rows
+            p2 = (rx[:, :, None] * ry[:, None, :]).reshape(M, Kx * Ky)
+            return mesh + jnp.einsum(
+                "ap,az->pz", p2, rz, precision=prec), None
+
+        mesh0 = jnp.zeros((Kx * Ky, Kz), dtype)
+        mesh, _ = jax.lax.scan(
+            body, mesh0,
+            (Rx.reshape(C, M, Kx), Ry.reshape(C, M, Ky),
+             Rz.reshape(C, M, Kz)),
+        )
+        return mesh.reshape(Kx, Ky, Kz)
+
+    def _spread_scatter(self, pos, box, q):
+        """Windowed scatter-add spreading: one scatter of N dense
+        (n, n, Kz) patches on an x/y-padded mesh + two periodic folds.
+        n^3 (64x) fewer scatter rows than the scalar segment_sum form,
+        but XLA still serializes the overlapping windows — kept as the
+        TMD_PME_SPREAD=scatter variant and as a second equivalence
+        reference; the MXU matmul form above is the TPU default."""
+        n = self.ORDER
+        Kx, Ky, Kz = self.cfg.kmax
         dtype = pos.dtype
         Ks = jnp.asarray([Kx, Ky, Kz], dtype)
         u = pos / box
