@@ -147,6 +147,51 @@ def test_settle_positions_machine_precision():
     np.testing.assert_allclose(com_fix, com_bad, atol=1e-9)
 
 
+def test_settle_strided_fast_path_matches_generic():
+    """The strided-layout SETTLE fast path (static slices + reshapes for
+    repeating [O,H,H,...] solvent blocks — the TPU row-gather
+    workaround) is bit-equivalent to the generic gather/scatter path,
+    for positions AND velocities; and a permuted (non-strided) water
+    set correctly falls back to the generic path."""
+    import jax
+
+    from torchmd_tpu.constraints import (
+        _settle_strided_layout, build_settle, settle_positions,
+        settle_velocities)
+
+    mol, par, forces = _waterbox()
+    ss = build_settle(par, par.masses)
+    n = mol.numAtoms
+    assert _settle_strided_layout(ss, n) == (0, 3, n // 3)
+    pos0 = jnp.asarray(mol.coords[:, :, 0])
+    rs = np.random.RandomState(7)
+    bad = pos0 + jnp.asarray(rs.randn(n, 3) * 0.05)
+    vel = jnp.asarray(rs.randn(n, 3) * 0.1)
+
+    p_fast = settle_positions(ss, bad, pos0)
+    v_fast = settle_velocities(ss, p_fast, vel)
+    os.environ["TMD_SETTLE_STRIDED"] = "0"
+    try:
+        p_gen = settle_positions(ss, bad, pos0)
+        v_gen = settle_velocities(ss, p_gen, vel)
+    finally:
+        del os.environ["TMD_SETTLE_STRIDED"]
+    np.testing.assert_array_equal(np.asarray(p_fast), np.asarray(p_gen))
+    np.testing.assert_array_equal(np.asarray(v_fast), np.asarray(v_gen))
+
+    # permuted water order (last water first) breaks the stride: the
+    # layout probe must decline and results must be a row permutation
+    # of the strided system's
+    perm_w = np.r_[n // 3 - 1, np.arange(n // 3 - 1)]
+    ss_p = jax.tree_util.tree_map(
+        lambda a: a[jnp.asarray(perm_w)] if a.shape[:1] == ss.oidx.shape
+        else a, ss)
+    assert _settle_strided_layout(ss_p, n) is None
+    p_perm = settle_positions(ss_p, bad, pos0)
+    np.testing.assert_allclose(np.asarray(p_perm), np.asarray(p_fast),
+                               rtol=0, atol=1e-12)
+
+
 def test_settle_velocities_exact():
     from torchmd_tpu.constraints import (
         build_settle, settle_positions, settle_velocities,
