@@ -355,18 +355,20 @@ def build_columns(pos, cfg: ColumnConfig, ffp: FFParams, excl_table,
         [jnp.arange(n, dtype=dtype), jnp.full((1,), float(n), dtype)]
     )
 
-    irows = [q[islot], sig[islot], eps[islot], idf[islot]]
+    # ONE wide gather per side: rows of a stacked (n+1, 4+nexcl) atom
+    # attribute matrix. TPU gathers pay per ROW, not per element, so one
+    # (4+nexcl)-wide row gather beats 4+nexcl separate scalar gathers of
+    # the same slot table by ~that factor (rebuild was gather-bound at
+    # 62.5k atoms, docs/PERF.md).
+    attr = jnp.stack([q, sig, eps, idf], axis=1)        # (n+1, 4)
     if cfg.nexcl:
         excl_pad = jnp.concatenate(
             [jnp.asarray(excl_table, dtype),
              jnp.full((1, cfg.nexcl), float(n), dtype)]
         )
-        EX = excl_pad[islot]                    # (ncol, C, nexcl)
-        irows += [EX[..., e] for e in range(cfg.nexcl)]
-    iattr = jnp.stack(irows, axis=1)            # (ncol, 4+nexcl, C)
-    jattr = jnp.stack(
-        [q[jslot], sig[jslot], eps[jslot], idf[jslot]], axis=1
-    )                                           # (ncol, 4, CE)
+        attr = jnp.concatenate([attr, excl_pad], axis=1)
+    iattr = jnp.swapaxes(attr[islot], 1, 2)     # (ncol, 4+nexcl, C)
+    jattr = jnp.swapaxes(attr[jslot, :4], 1, 2)  # (ncol, 4, CE)
 
     return ColumnState(
         islot, jslot, jzshift, wstart, iattr, jattr, pos,
