@@ -15,6 +15,7 @@ of iterations with under-relaxation.
 
 from __future__ import annotations
 
+import logging
 from typing import NamedTuple, Optional
 
 import jax
@@ -239,7 +240,14 @@ def _settle_strided_layout(ss: SettleSet, nrows: int):
         O = np.asarray(ss.oidx)
         H1 = np.asarray(ss.h1)
         H2 = np.asarray(ss.h2)
-    except Exception:  # traced (e.g. donated) index arrays: generic path
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        # Traced (e.g. jit-arg or donated) index arrays force the generic
+        # (gather-based, ~14.5 ms vs sub-ms) path; log so the perf cliff
+        # is observable instead of silent.
+        logging.debug(
+            "SETTLE strided fast path declined: index arrays are traced "
+            "(pass SettleSet as a static/closure value to enable it)")
         return None
     W = int(O.shape[0])
     if W < 2:

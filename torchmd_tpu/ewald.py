@@ -339,6 +339,18 @@ class PmeRecip:
         n = self.ORDER
         Kx, Ky, Kz = self.cfg.kmax
         if min(Kx, Ky, Kz) < n:
+            # _dense_rows drops taps t >= K, so sub-order meshes MUST take
+            # the segsum form regardless of the requested mode. Warn once
+            # so small-mesh runs aren't mistaken for matmul measurements.
+            if self.spread_mode != "segsum" and not getattr(
+                    self, "_warned_segsum_override", False):
+                self._warned_segsum_override = True
+                import warnings
+                warnings.warn(
+                    f"PME mesh {self.cfg.kmax} has an axis smaller than "
+                    f"the spline order {n}; TMD_PME_SPREAD="
+                    f"{self.spread_mode!r} is overridden with 'segsum' "
+                    "(the only mode correct for K < order).")
             return self._spread_segsum(pos, box, q)
         if self.spread_mode == "matmul":
             return self._spread_matmul(pos, box, q)
@@ -406,6 +418,9 @@ class PmeRecip:
         Rz = Rz * q.astype(dtype)[:, None]
         N = pos.shape[0]
         M = int(os.environ.get("TMD_PME_CHUNK", "4096"))
+        if M <= 0:
+            raise ValueError(
+                f"TMD_PME_CHUNK={M} (want a positive chunk size)")
         M = min(M, max(256, N))
         C = -(-N // M)
         pad = C * M - N
