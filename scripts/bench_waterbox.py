@@ -73,6 +73,11 @@ def main():
                     help="waters per box edge (atoms = 4 n^3)")
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--warmup", type=int, default=100)
+    ap.add_argument("--equil", type=int, default=0,
+                    help="equilibration steps before timing (the "
+                         "lattice-melt hot start is a rebuild-cadence "
+                         "worst case; pass ~4000 for the 300 K "
+                         "steady-state production number)")
     ap.add_argument("--cutoff", type=float, default=8.5)
     ap.add_argument("--timestep", type=float, default=2.0)
     ap.add_argument("--phases", default="nvt,npt")
@@ -116,6 +121,13 @@ def main():
         t0 = time.time()
         integ.step(niter=args.warmup)   # compile + warmup
         t_compile = time.time() - t0
+        done_eq = 0
+        while done_eq < args.equil:
+            ek, ep, T = integ.step(niter=min(500, args.equil - done_eq))
+            done_eq += 500
+            print(f"# equil {done_eq}/{args.equil}: "
+                  f"T={float(np.asarray(T).reshape(-1)[0]):.1f}",
+                  flush=True)
         ek, ep, T = integ.step(niter=10)  # settle caches
         t0 = time.time()
         done = 0

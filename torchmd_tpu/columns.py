@@ -168,21 +168,32 @@ def _occupancy_probe(pos0, cfg: ColumnConfig):
     cole = np.concatenate([col, col[ghost_hi], col[ghost_lo]])
     ze = np.concatenate([z, z[ghost_hi] + b[2], z[ghost_lo] - b[2]])
     occ_e = np.bincount(cole, minlength=cfg.ncol).max() if len(cole) else 1
-    # worst window need: per column, sort z; for IBLK-chunks find count of
-    # extended entries within [zlo-rc, zhi+rc] in each neighbour column
+    # worst window need: per column, sort z; for IBLK-chunks find count
+    # of extended entries within the BIN-QUANTIZED [zlo-rc, zhi+rc]
+    # window in each neighbour column (the device build sorts z at
+    # nbins granularity and rounds windows outward to bin edges, so the
+    # probe must count the same bin-superset)
     wneed = 1
     ncol = cfg.ncol
-    ze_by_col = [np.sort(ze[cole == c]) for c in range(ncol)]
+    span = b[2] + 2 * rc
+    binw = span / cfg.nbins
+    zbin_e = np.clip(((ze + rc) / span * cfg.nbins).astype(int),
+                     0, cfg.nbins - 1)
+    bins_by_col = [np.sort(zbin_e[cole == c]) for c in range(ncol)]
     nbr = column_neighbor_table(cfg)
     for c in range(ncol):
         zc = np.sort(z[col == c])
         for s in range(0, len(zc), cfg.IBLK):
             chunk = zc[s:s + cfg.IBLK]
-            lo, hi = chunk[0] - rc, chunk[-1] + rc
+            lo, hi = chunk[0] - binw - rc, chunk[-1] + binw + rc
+            lob = int(np.clip((lo + rc) / span * cfg.nbins, 0,
+                              cfg.nbins - 1))
+            hib = int(np.clip((hi + rc) / span * cfg.nbins, 0,
+                              cfg.nbins - 1))
             for c2 in nbr[c]:
-                arr = ze_by_col[c2]
-                need = np.searchsorted(arr, hi, side="right") - \
-                    np.searchsorted(arr, lo, side="left")
+                arr = bins_by_col[c2]
+                need = np.searchsorted(arr, hib, side="right") - \
+                    np.searchsorted(arr, lob, side="left")
                 wneed = max(wneed, int(need))
     return int(occ), int(occ_e), int(wneed)
 
@@ -224,15 +235,22 @@ class ColumnState(NamedTuple):
     overflow: jnp.ndarray  # bool scalar (capacity or window overflow)
 
 
-def _rank_in_group(sorted_keys):
-    n = sorted_keys.shape[0]
-    first = jnp.searchsorted(sorted_keys, sorted_keys, side="left")
-    return jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
-
-
 def build_columns(pos, cfg: ColumnConfig, ffp: FFParams, excl_table,
                   box=None) -> ColumnState:
-    """Jittable (vmap-compatible) rebuild: sort, slot, window, attrs."""
+    """Jittable (vmap-compatible) rebuild: sort, slot, window, attrs.
+
+    Scatter-free design (round 5): XLA serializes TPU scatters, and the
+    original rebuild spent most of its 43 ms in `.at[col, rank].set`
+    slot scatters + the rank/histogram machinery feeding them
+    (docs/PERF.md). Instead, each side is ONE stable `lax.sort` on a
+    fused int32 key `col * nbins + zbin`; the sorted order is already
+    grouped by column, so the padded (ncol, C/CE) slot tables come from
+    gathering contiguous runs (destination-indexed — no scatter), and
+    the per-block window starts come from `searchsorted` directly into
+    the sorted keys (no histogram, no cumsum, no take_along_axis).
+    z ordering inside a column is bin-granular (nbins over the extended
+    span); windows quantize outward by one bin, which the occupancy
+    probe's W sizing accounts for."""
     n = pos.shape[0]
     dtype = pos.dtype
     b = jnp.asarray(cfg.box if box is None else box, dtype).reshape(3)
@@ -240,24 +258,40 @@ def build_columns(pos, cfg: ColumnConfig, ffp: FFParams, excl_table,
     ncx, ncy = cfg.ncols
     ncol = cfg.ncol
     C, CE, W, IBLK, NB = cfg.C, cfg.CE, cfg.W, cfg.IBLK, cfg.NB
+    nbins = cfg.nbins
+    span = b[2] + 2 * rc
+    binw = span / nbins
 
     pos_w = pos - b * jnp.floor(pos / b)
     x, y, z = pos_w[:, 0], pos_w[:, 1], pos_w[:, 2]
     cx = jnp.clip((x / b[0] * ncx).astype(jnp.int32), 0, ncx - 1)
     cy = jnp.clip((y / b[1] * ncy).astype(jnp.int32), 0, ncy - 1)
     col = cx * ncy + cy
-    ids = jnp.arange(n, dtype=jnp.int32)
 
-    # ---- i side: sort by (column, z) --------------------------------
-    order_i = jnp.lexsort((z, col))
-    col_s = col[order_i]
-    rank = _rank_in_group(col_s)
-    overflow_i = jnp.any(rank >= C)
-    islot = jnp.full((ncol, C), n, jnp.int32).at[
-        col_s, jnp.minimum(rank, C - 1)
-    ].set(order_i.astype(jnp.int32), mode="drop")
+    col_edges = jnp.arange(ncol + 1, dtype=jnp.int32) * nbins
 
-    # ---- j side: main + z-ghost duplicates --------------------------
+    # ---- i side: one fused-key sort + contiguous-run gather ---------
+    zbin_i = jnp.clip(((z + rc) / span * nbins).astype(jnp.int32),
+                      0, nbins - 1)
+    key_i = col * nbins + zbin_i
+    iota_i = jnp.arange(n, dtype=jnp.int32)
+    key_is, order_i, z_is = jax.lax.sort(
+        (key_i, iota_i, z), num_keys=1
+    )
+    starts_i = jnp.searchsorted(key_is, col_edges).astype(jnp.int32)
+    cnt_i = starts_i[1:] - starts_i[:-1]        # (ncol,)
+    overflow_i = jnp.any(cnt_i > C)
+    slotpos = starts_i[:-1, None] + jnp.arange(C, dtype=jnp.int32)
+    valid_i = jnp.arange(C, dtype=jnp.int32)[None, :] < \
+        jnp.minimum(cnt_i, C)[:, None]
+    order_i_pad = jnp.concatenate(
+        [order_i, jnp.full((1,), n, jnp.int32)]
+    )
+    islot = jnp.where(
+        valid_i, order_i_pad[jnp.minimum(slotpos, n)], n
+    ).astype(jnp.int32)                         # (ncol, C)
+
+    # ---- j side: main + z-ghost duplicates, same design --------------
     ghost_hi = z < rc               # duplicated above the top face
     ghost_lo = z > b[2] - rc        # duplicated below z = 0
     colj = jnp.concatenate([
@@ -266,59 +300,64 @@ def build_columns(pos, cfg: ColumnConfig, ffp: FFParams, excl_table,
         jnp.where(ghost_lo, col, ncol),
     ])
     zj = jnp.concatenate([z, z + b[2], z - b[2]])
-    # ghost z shift stored as a UNIT count (+-1/0); the eval path
-    # multiplies by the CURRENT box Lz so in-scan box changes stay exact
-    shiftj = jnp.concatenate([
-        jnp.zeros(n, dtype), jnp.full((n,), 1.0, dtype),
-        jnp.full((n,), -1.0, dtype),
-    ])
-    idj = jnp.concatenate([ids, ids, ids])
-    order_j = jnp.lexsort((zj, colj))
-    colj_s = colj[order_j]
-    rankj = _rank_in_group(colj_s)
-    validj = colj_s < ncol
-    overflow_j = jnp.any(validj & (rankj >= CE))
-    rowj = jnp.where(validj, colj_s, ncol)
-    rj = jnp.minimum(rankj, CE - 1)
-    jslot = jnp.full((ncol + 1, CE), n, jnp.int32).at[rowj, rj].set(
-        idj[order_j], mode="drop"
-    )[:ncol]
-    jzshift = jnp.zeros((ncol + 1, CE), dtype).at[rowj, rj].set(
-        shiftj[order_j], mode="drop"
-    )[:ncol]
+    zbin_j = jnp.clip(((zj + rc) / span * nbins).astype(jnp.int32),
+                      0, nbins - 1)
+    key_j = colj * nbins + zbin_j
+    iota_j = jnp.arange(3 * n, dtype=jnp.int32)
+    key_js, order_j = jax.lax.sort((key_j, iota_j), num_keys=1)
+    starts_j = jnp.searchsorted(key_js, col_edges).astype(jnp.int32)
+    cnt_j = starts_j[1:] - starts_j[:-1]
+    overflow_j = jnp.any(cnt_j > CE)
+    slotposj = starts_j[:-1, None] + jnp.arange(CE, dtype=jnp.int32)
+    valid_j = jnp.arange(CE, dtype=jnp.int32)[None, :] < \
+        jnp.minimum(cnt_j, CE)[:, None]
+    order_j_pad = jnp.concatenate(
+        [order_j, jnp.full((1,), 3 * n, jnp.int32)]
+    )
+    g = jnp.where(valid_j, order_j_pad[jnp.minimum(slotposj, 3 * n)],
+                  3 * n)                        # (ncol, CE) entry ids
+    # entry id k < n is the atom itself, [n, 2n) the +Lz ghost copy,
+    # [2n, 3n) the -Lz copy, 3n padding; ghost z shift stored as a UNIT
+    # count (+-1/0) — the eval path multiplies by the CURRENT box Lz so
+    # in-scan box changes (MTK barostat) stay exact
+    jslot = jnp.where(g < 3 * n, g % n, n).astype(jnp.int32)
+    jzshift = jnp.where(
+        g < n, 0.0, jnp.where(g < 2 * n, 1.0,
+                              jnp.where(g < 3 * n, -1.0, 0.0))
+    ).astype(dtype)
 
-    # ---- per-column cumulative z histogram over extended entries ----
-    span = b[2] + 2 * rc
-    nbins = cfg.nbins
-    zbin = jnp.clip(((zj + rc) / span * nbins).astype(jnp.int32),
-                    0, nbins - 1)
-    key = jnp.minimum(colj, ncol) * nbins + zbin
-    hist = jax.ops.segment_sum(
-        jnp.ones(3 * n, jnp.int32), key, num_segments=(ncol + 1) * nbins
-    ).reshape(ncol + 1, nbins)[:ncol]
-    cum = jnp.concatenate(
-        [jnp.zeros((ncol, 1), jnp.int32), jnp.cumsum(hist, axis=1)], axis=1
-    )                                           # (ncol, nbins + 1)
-
-    # ---- i-block z ranges + window starts ---------------------------
+    # ---- i-block z ranges + window starts via searchsorted ----------
+    # blocks are contiguous IBLK runs of the sorted i side; z is
+    # ascending within a column up to one bin of disorder, so the block
+    # z range is [z(first) - binw, z(last) + binw]
+    ends_i_cap = jnp.minimum(starts_i[:-1] + jnp.minimum(cnt_i, C),
+                             starts_i[:-1] + C)
+    blk0 = starts_i[:-1, None] + \
+        jnp.arange(NB, dtype=jnp.int32)[None, :] * IBLK     # (ncol, NB)
+    block_valid = blk0 < ends_i_cap[:, None]
+    blk_last = jnp.clip(
+        jnp.minimum(blk0 + IBLK, ends_i_cap[:, None]) - 1, 0, n - 1
+    )
     big = jnp.asarray(np.finfo(np.float32).max / 4, dtype)
-    z_lo_pad = jnp.concatenate([z, jnp.full((1,), big, dtype)])
-    z_hi_pad = jnp.concatenate([z, jnp.full((1,), -big, dtype)])
-    isl3 = islot.reshape(ncol, NB, IBLK)
-    zlo = z_lo_pad[isl3].min(axis=2) - rc       # (ncol, NB)
-    zhi = z_hi_pad[isl3].max(axis=2) + rc
-    block_valid = jnp.any(isl3 < n, axis=2)
-
+    z_is_pad = jnp.concatenate([z_is, jnp.full((1,), big, dtype)])
+    zlo = z_is_pad[jnp.minimum(blk0, n)] - binw - rc
+    zhi = z_is_pad[blk_last] + binw + rc
     lob = jnp.clip(((zlo + rc) / span * nbins).astype(jnp.int32),
                    0, nbins - 1)
     hib = jnp.clip(((zhi + rc) / span * nbins).astype(jnp.int32),
                    0, nbins - 1)
     nbr = jnp.asarray(column_neighbor_table(cfg))      # (ncol, 9)
-    cum_n = cum[nbr]                                   # (ncol, 9, nbins+1)
-    lob_b = jnp.broadcast_to(lob[:, None, :], (ncol, 9, NB))
-    hib_b = jnp.broadcast_to(hib[:, None, :], (ncol, 9, NB))
-    start = jnp.take_along_axis(cum_n, lob_b, axis=2)
-    end_need = jnp.take_along_axis(cum_n, hib_b + 1, axis=2)
+    q_start = nbr[:, :, None] * nbins + lob[:, None, :]
+    q_end = nbr[:, :, None] * nbins + hib[:, None, :] + 1
+    start_g = jnp.searchsorted(key_js, q_start.reshape(-1)).reshape(
+        ncol, 9, NB
+    ).astype(jnp.int32)
+    end_g = jnp.searchsorted(key_js, q_end.reshape(-1)).reshape(
+        ncol, 9, NB
+    ).astype(jnp.int32)
+    col_base = starts_j[:-1][nbr]                      # (ncol, 9)
+    start = start_g - col_base[:, :, None]
+    end_need = end_g - col_base[:, :, None]
     # Windows are (128 // P)-slot granular: the kernel's j layout is
     # panel-major with P phase-shifted replicas, so a window select is a
     # free leading-dim (phase, panel) dynamic index. Starts round down
@@ -378,10 +417,12 @@ def build_columns(pos, cfg: ColumnConfig, ffp: FFParams, excl_table,
 
 def column_needs_rebuild(st: ColumnState, pos, cfg: ColumnConfig,
                          box=None):
+    from .neighbors import displacement_trigger
+
     d = pos - st.ref_pos
     b = jnp.asarray(cfg.box if box is None else box, pos.dtype).reshape(3)
     d = d - b * jnp.round(d / b)
-    return jnp.any(jnp.sum(d * d, axis=1) > (cfg.skin * 0.5) ** 2)
+    return displacement_trigger(jnp.sum(d * d, axis=1), cfg.skin)
 
 
 def column_energy_forces(ffp: FFParams, cfg: ForceTermConfig,

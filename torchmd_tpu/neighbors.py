@@ -174,12 +174,42 @@ def anchored_positions(pos, ref, box):
     return ref_w + d
 
 
+def displacement_trigger(d2, skin):
+    """Rebuild predicate from squared displacements since the build.
+
+    A pair absent from the structure had build-time separation beyond
+    cutoff+skin, so it can only have entered the cutoff once the two
+    atoms' combined displacement exceeds the skin: d_i + d_j > skin.
+    The default ('top2') triggers on the sum of the TWO largest
+    displacements — exactly sufficient, and it fires about half as often
+    as the classical conservative max-displacement > skin/2 rule (one
+    hot atom no longer rebuilds the whole box unless a second atom also
+    moved; measured cadence gain on the 62.5k water box in
+    docs/PERF.md). TMD_NBR_TRIGGER=max restores the classic rule.
+    Beyond-reference machinery: the reference has no neighbor structure
+    at all (torchmd/forces.py:348-357)."""
+    import os as _os
+
+    skin = jnp.asarray(skin, d2.dtype)
+    if (d2.shape[0] < 2
+            or _os.environ.get("TMD_NBR_TRIGGER", "top2") == "max"):
+        return jnp.any(d2 > (skin * 0.5) ** 2)
+    # exact second max from three cheap reductions (lax.top_k costs
+    # ~1.5 ms at 62.5k atoms on v5e — 30x this form): if the max is
+    # attained more than once the second max IS the max, else it is the
+    # max with all max-valued entries masked out
+    m1 = jnp.max(d2)
+    tied = jnp.sum(jnp.where(d2 == m1, 1, 0)) > 1
+    m2 = jnp.where(tied, m1, jnp.max(jnp.where(d2 == m1, -1.0, d2)))
+    return jnp.sqrt(m1) + jnp.sqrt(jnp.maximum(m2, 0.0)) > skin
+
+
 def needs_rebuild(cl: CellList, pos, cfg: CellListConfig, box=None):
-    """True when any atom moved further than skin/2 since the build."""
+    """True when the structure may no longer cover all cutoff pairs."""
     d = pos - cl.ref_pos
     box = jnp.asarray(cfg.box if box is None else box, pos.dtype).reshape(3)
     d = d - box * jnp.round(d / box)
-    return jnp.any(jnp.sum(d * d, axis=1) > (cfg.skin * 0.5) ** 2)
+    return displacement_trigger(jnp.sum(d * d, axis=1), cfg.skin)
 
 
 def candidate_matrix(cl: CellList, pos, cfg: CellListConfig, box=None):
@@ -697,14 +727,14 @@ def build_verlet_list(pos, nb_mask, vcfg: VerletConfig,
 
 def verlet_needs_rebuild(nl: NeighborList, pos, vcfg: VerletConfig,
                          box=None):
-    """True when any atom moved further than skin/2 since the build."""
+    """True when the list may no longer cover all cutoff pairs."""
     d = pos - nl.ref_pos
     if vcfg.pbc:
         box = jnp.asarray(
             vcfg.box if box is None else box, pos.dtype
         ).reshape(3)
         d = d - box * jnp.round(d / box)
-    return jnp.any(jnp.sum(d * d, axis=1) > (vcfg.skin * 0.5) ** 2)
+    return displacement_trigger(jnp.sum(d * d, axis=1), vcfg.skin)
 
 
 def verlet_nonbonded_energy_forces(
