@@ -512,3 +512,140 @@ def test_halo_ewald_matches_dense():
     # pure pair path; bound the 8-step drift rather than demand bitness
     np.testing.assert_allclose(e8, e1, rtol=2e-3)
     np.testing.assert_allclose(p8, p1, atol=5e-3)
+
+# ----------------------------------------------------------------------
+# SETTLE + virtual sites on halo (round 5): molecule-atomic ownership
+# ----------------------------------------------------------------------
+
+def _tip4p_gas(tmp_path, nside=5, L=80.0):
+    """nside^3 rigid TIP4P/2005 waters on a dilute grid (box L): small
+    enough for the dense single-chip oracle, box wide enough for 8
+    slabs at cutoff 5 + skin 2 + the vsite/SETTLE group widening."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_gromacs import TIP4P2005_TOP, tip4p_water, write
+
+    from torchmd_tpu.forcefields import ForceField
+
+    nw = nside ** 3
+    top = write(tmp_path / "tip4p.top",
+                TIP4P2005_TOP.replace("SOL 2", f"SOL {nw}"))
+    mol = Molecule(top)
+    ff = ForceField.create(mol, top)
+    rs = np.random.RandomState(11)
+    grid = np.stack(
+        np.meshgrid(*[np.arange(nside)] * 3, indexing="ij"), axis=-1
+    ).reshape(-1, 3) * (L / nside) + 2.0
+    pts = [tip4p_water(g + rs.randn(3) * 0.4) for g in grid]
+    mol.coords = np.concatenate(pts).astype(np.float64)[:, :, None]
+    mol.box = np.full((3, 1), L)
+    terms = ["bonds", "lj", "electrostatics"]
+    par = Parameters(ff, mol, terms, precision="single")
+    forces = Forces(par, terms=terms, precision="single", cutoff=5.0,
+                    rfa=True)
+    return mol, par, forces
+
+
+def _tip4p_halo(forces, par, mol, r, L, timestep=2.0):
+    from torchmd_tpu.constraints import build_constraint_spec
+    from torchmd_tpu.neighbors import build_exclusion_table
+
+    cs = build_constraint_spec(par, np.asarray(par.masses), mode="settle")
+    excl = build_exclusion_table(par, mol.numAtoms, 0)
+    return HaloMD(forces.ffparams, forces.config, _mesh(r),
+                  np.asarray([L] * 3), excl_table=excl,
+                  timestep=timestep, constraints=cs, vsites=par.vsites)
+
+
+def test_halo_tip4p_settle_vsites_matches_dense_integrator(tmp_path):
+    """The flagship composition (rigid TIP4P water: SETTLE + M-site
+    vsites + LJ + electrostatics) steps HaloMD on the 8-mesh and must
+    reproduce the single-chip dense Integrator's NVE trajectory: same
+    VV/SHAKE/snap/eval/RATTLE ordering, molecule-local constraint and
+    vsite work gated by group ownership."""
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.systems import System
+
+    L = 80.0
+    mol, par, forces = _tip4p_gas(tmp_path, nside=5, L=L)
+    n = mol.numAtoms
+    vel0 = np.array(maxwell_boltzmann(par.masses, 200.0, 1, seed=6))[0]
+    vel0[np.asarray(par.masses).reshape(-1) <= 0] = 0.0
+    pos0 = mol.coords[:, :, 0]
+
+    # single-chip dense oracle (zero initial forces, same convention)
+    syst = System(n, 1, "single")
+    syst.set_positions(mol.coords)
+    syst.set_box(mol.box)
+    syst.set_velocities(vel0[None])
+    integ = Integrator(syst, forces, timestep=2.0, constraints="settle")
+    es_d = []
+    for _ in range(3):
+        ek, ep, T = integ.step(niter=8)
+        es_d.append(float(np.asarray(ep).reshape(-1)[0]))
+    pos_d = np.asarray(syst.pos[0])
+
+    for r in (1, 8):
+        h = _tip4p_halo(forces, par, mol, r, L)
+        h.init(jnp.asarray(pos0, jnp.float32),
+               jnp.asarray(vel0, jnp.float32))
+        assert h.spec.eps > 0.9  # the group widening is actually on
+        es = []
+        for _ in range(3):
+            ekin, epot, T = h.step(niter=8)
+            es.append(epot)
+        pos_h, vel_h = h.gather()
+        np.testing.assert_allclose(np.asarray(es), np.asarray(es_d),
+                                   rtol=5e-5)
+        # positions match up to the periodic image (halo wraps rigidly)
+        d = pos_h - pos_d
+        d -= L * np.round(d / L)
+        assert np.max(np.abs(d)) < 2e-3
+        # rigid geometry held: O-H and H-H at the SETTLE targets
+        cs = h.constraints_obj.settle
+        O = pos_h[np.asarray(cs.oidx)]
+        H1 = pos_h[np.asarray(cs.h1)]
+        H2 = pos_h[np.asarray(cs.h2)]
+        doh = np.linalg.norm(O - H1, axis=1)
+        dhh = np.linalg.norm(H1 - H2, axis=1)
+        np.testing.assert_allclose(doh, np.asarray(cs.r_oh), atol=2e-4)
+        np.testing.assert_allclose(dhh, np.asarray(cs.r_hh), atol=2e-4)
+        # M sites on their construction (snap applied on owned rows)
+        from torchmd_tpu.vsites import apply_vsites
+
+        snapped = np.asarray(apply_vsites(
+            par.vsites, jnp.asarray(pos_h, jnp.float32),
+            jnp.asarray([L] * 3, jnp.float32),
+        ))
+        np.testing.assert_allclose(pos_h, snapped, atol=2e-4)
+
+
+def test_halo_tip4p_migration_keeps_molecules_whole(tmp_path):
+    """A thermostatted run hot enough to trigger migrations: every
+    molecule's four atoms must stay co-owned on one rank (the
+    molecule-atomic ownership invariant), and atoms stay conserved."""
+    from torchmd_tpu.integrator import maxwell_boltzmann
+
+    L = 80.0
+    mol, par, forces = _tip4p_gas(tmp_path, nside=5, L=L)
+    n = mol.numAtoms
+    vel0 = np.array(maxwell_boltzmann(par.masses, 400.0, 1, seed=9))[0]
+    vel0[np.asarray(par.masses).reshape(-1) <= 0] = 0.0
+    h = _tip4p_halo(forces, par, mol, 8, L, timestep=4.0)
+    h.init(jnp.asarray(mol.coords[:, :, 0], jnp.float32),
+           jnp.asarray(vel0, jnp.float32))
+    h.T = None  # NVE after init; velocities already hot
+    for _ in range(4):
+        ekin, epot, T = h.step(niter=12)
+        assert np.isfinite(epot) and np.isfinite(ekin)
+    t = np.asarray(h._tables)
+    ids = t[:, :, 0].astype(int)             # (R, Acap)
+    real = np.sort(ids[ids < n])
+    assert np.array_equal(real, np.arange(n))
+    # co-ownership: each molecule's atoms on exactly one rank
+    rank_of = np.full(n, -1)
+    for r in range(ids.shape[0]):
+        sel = ids[r][ids[r] < n]
+        rank_of[sel] = r
+    mol_ranks = rank_of.reshape(-1, 4)
+    assert np.all(mol_ranks == mol_ranks[:, :1])

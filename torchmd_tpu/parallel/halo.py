@@ -28,9 +28,13 @@ Scope: single replica, Lorentz-Berthelot/NBFIX LJ + plain/RFA/Ewald
 electrostatics + the full bonded stack (bonds incl. G96, angles incl.
 G96, Urey-Bradley, dihedrals, impropers, 1-4 -- see halo_bonded.py:
 replicated static term tables, ownership-weighted energies,
-visibility-gated forces, zero extra comm), Langevin or NVE,
-orthorhombic static box. CMAP and constraints fall back to the
-row-block spatial scan.
+visibility-gated forces, zero extra comm) + SETTLE/SHAKE constraints
+and virtual sites (round 5: molecule-atomic ownership -- whole
+rigid/vsite groups are owned by one rank and migrate together, so
+constraint solves and vsite snap/spread are rank-local; the ghost band
+widens by twice the largest member-to-rep extent to keep pair coverage
+exact), Langevin or NVE, orthorhombic static box. CMAP falls back to
+the row-block spatial scan.
 
 The reference has no distributed code at all (SURVEY.md §2.9); this is
 the TPU-native halo-exchange design its O(N^2) single-device engine
@@ -70,6 +74,11 @@ class HaloSpec(NamedTuple):
     Gcap: int           # ghost-band capacity per direction
     Mcap: int           # migration capacity per direction per rebuild
     nexcl: int
+    # largest member-to-representative distance of any rigid/vsite group
+    # (molecule-atomic ownership, round 5): owners are assigned by the
+    # group REP's x, so a member can sit up to eps outside its owner
+    # slab — the ghost band widens by 2*eps to keep pair coverage exact
+    eps: float = 0.0
 
     @property
     def slab_w(self):
@@ -77,7 +86,7 @@ class HaloSpec(NamedTuple):
 
     @property
     def band_w(self):
-        return self.cutoff + self.skin
+        return self.cutoff + self.skin + 2.0 * self.eps
 
     def comm_bytes_per_step(self):
         """Per-chip per-step halo traffic (send+recv, both directions):
@@ -88,26 +97,28 @@ class HaloSpec(NamedTuple):
 
 
 def make_halo_spec(box, cutoff, R, natoms, skin=2.0, nexcl=0,
-                   slack=1.35) -> HaloSpec:
+                   slack=1.35, eps=0.0) -> HaloSpec:
     box = tuple(float(b) for b in np.asarray(box).reshape(-1)[:3])
     if min(box) <= 0:
         raise ValueError("halo exchange requires a periodic box")
     slab_w = box[0] / R
-    if slab_w < cutoff + skin:
+    band = cutoff + skin + 2.0 * eps
+    if slab_w < band:
         raise ValueError(
-            f"slab width {slab_w:.2f} < cutoff+skin {cutoff + skin:.2f}: "
-            f"too many ranks for this box"
+            f"slab width {slab_w:.2f} < ghost band {band:.2f} "
+            f"(cutoff+skin+2*group_eps): too many ranks for this box"
         )
     per = natoms / R
     Acap = _round_up(per * slack + 4 * np.sqrt(per) + 8, 8)
-    band_frac = min(1.0, (cutoff + skin) / slab_w)
+    band_frac = min(1.0, band / slab_w)
     Gcap = _round_up(per * band_frac * (slack + 0.3)
                      + 4 * np.sqrt(max(per * band_frac, 1)) + 8, 8)
-    mig_frac = min(1.0, skin / slab_w)
+    mig_frac = min(1.0, (skin + eps) / slab_w)
     Mcap = _round_up(per * mig_frac * (slack + 0.3)
                      + 4 * np.sqrt(max(per * mig_frac, 1)) + 8, 8)
     return HaloSpec(int(R), box, float(cutoff), float(skin),
-                    int(Acap), int(Gcap), int(Mcap), int(nexcl))
+                    int(Acap), int(Gcap), int(Mcap), int(nexcl),
+                    float(eps))
 
 
 # Row layout of the packed per-atom table (columns of `atoms`):
@@ -147,6 +158,56 @@ def _atom_rows(ffp: FFParams, excl_table, pos, vel, frc, box=None):
     return jnp.concatenate(cols, axis=1)
 
 
+def group_reps(natoms, constraints=None, vsites=()) -> np.ndarray:
+    """(natoms,) int32 map atom -> representative atom id of its
+    rigid/vsite group (itself when free). Groups union every SETTLE
+    triplet, SHAKE pair and virtual site with its hosts; the halo path
+    owns and migrates whole groups so constraint solves and vsite
+    snap/spread stay rank-local (host-side, once per topology)."""
+    parent = np.arange(natoms, dtype=np.int64)
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    def union(a, b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    if constraints is not None:
+        if constraints.settle is not None:
+            ss = constraints.settle
+            for o, h1, h2 in zip(np.asarray(ss.oidx), np.asarray(ss.h1),
+                                 np.asarray(ss.h2)):
+                union(o, h1)
+                union(o, h2)
+        if constraints.shake is not None:
+            for a, b in np.asarray(constraints.shake.pairs):
+                union(a, b)
+    for g in vsites or ():
+        sites = np.asarray(g.sites)
+        hosts = np.asarray(g.hosts)
+        nh = g.kind[0]
+        for s in range(len(sites)):
+            for h in range(nh):
+                union(sites[s], hosts[s, h])
+    return np.asarray([find(i) for i in range(natoms)], np.int32)
+
+
+def group_extent(pos, box, rep_of) -> float:
+    """Largest min-image distance of any atom from its group rep."""
+    p = np.asarray(pos, np.float64).reshape(-1, 3)
+    b = np.asarray(box, np.float64).reshape(3)
+    d = p - p[rep_of]
+    d -= b * np.round(d / b)
+    return float(np.sqrt(np.max(np.sum(d * d, axis=1)))) if len(p) else 0.0
+
+
 def _pack(mask, rows, cap, pad_row):
     """Take up to `cap` rows where mask (valid-first, stable order).
     Returns (packed (cap, D), overflow bool)."""
@@ -156,10 +217,14 @@ def _pack(mask, rows, cap, pad_row):
     return out, jnp.sum(mask) > cap
 
 
-def distribute(spec: HaloSpec, rows):
+def distribute(spec: HaloSpec, rows, rep_of=None):
     """Host-side initial distribution: global packed rows ->
-    (R, Acap, D) slab tables. Returns (tables, overflow)."""
+    (R, Acap, D) slab tables. Owners come from the group REP's x when
+    `rep_of` is given (molecule-atomic ownership), so rigid groups land
+    whole on one rank. Returns (tables, overflow)."""
     x = np.asarray(rows[:, 1])
+    if rep_of is not None:
+        x = x[np.asarray(rep_of)]
     lx = spec.box[0]
     xw = x - lx * np.floor(x / lx)
     owner = np.clip((xw / lx * spec.R).astype(int), 0, spec.R - 1)
@@ -189,7 +254,8 @@ class HaloMD:
 
     def __init__(self, ffp: FFParams, cfg: ForceTermConfig, mesh: Mesh,
                  box, excl_table=None, timestep=1.0, T=None, gamma=None,
-                 axis="sp", seed=1, slack=1.35):
+                 axis="sp", seed=1, slack=1.35, constraints=None,
+                 vsites=None):
         if cfg.cutoff is None:
             raise ValueError("halo exchange requires a cutoff")
         self.ffp = ffp
@@ -201,6 +267,27 @@ class HaloMD:
         self.natoms = natoms
         nexcl = int(excl_table.shape[1]) if excl_table is not None else 0
         self.excl_table = excl_table
+        self._box_arg = box
+        self._slack = slack
+        # SETTLE/SHAKE constraints (a constraints.Constraints) and
+        # virtual-site groups ride the halo path via molecule-atomic
+        # ownership: whole rigid/vsite groups are owned and migrate
+        # together, so constraint solves and vsite snap/spread are
+        # rank-local (round 5; the round-4 scope excluded both)
+        self.constraints_obj = constraints
+        self.vsite_groups = tuple(vsites) if vsites else ()
+        self._rep_of = None
+        if constraints is not None or self.vsite_groups:
+            self._rep_of = group_reps(natoms, constraints,
+                                      self.vsite_groups)
+        from ..vsites import vsite_mask
+
+        self._virt_mask = (
+            vsite_mask(self.vsite_groups, natoms)
+            if self.vsite_groups else np.zeros(natoms, bool)
+        )
+        self._ncon = int(constraints.ncon) if constraints is not None else 0
+        self._n_real = natoms - int(self._virt_mask.sum())
         self.spec = make_halo_spec(box, cfg.cutoff, self.R, natoms,
                                    skin=2.0, nexcl=nexcl, slack=slack)
         from .halo_bonded import build_halo_bonded_plan
@@ -213,16 +300,58 @@ class HaloMD:
         self.masses = ffp.masses  # (natoms, 1)
         self.key = jax.random.PRNGKey(seed)
         self._tables = None
-        self._step_fn = self._build_step()
+        self._step_fn = None if self._rep_of is not None \
+            else self._build_step()
 
     # ------------------------------------------------------------------
     def init(self, pos, vel):
+        if self._rep_of is not None:
+            # group ownership: measure the member-to-rep extent at the
+            # real geometry and widen the ghost band by 2*eps (rigid
+            # groups keep it constant; +25% margin for vibration)
+            eps = 1.25 * group_extent(pos, self._box_arg, self._rep_of)
+            if self._step_fn is None or eps > self.spec.eps * (1 + 1e-6):
+                old = self.spec
+                new = make_halo_spec(
+                    self._box_arg, self.cfg.cutoff, self.R, self.natoms,
+                    skin=2.0, nexcl=old.nexcl, slack=self._slack,
+                    eps=max(eps, old.eps),
+                )
+                # never shrink capacities the grow/retry loop raised
+                self.spec = new._replace(
+                    Acap=max(new.Acap, old.Acap),
+                    Gcap=max(new.Gcap, old.Gcap),
+                    Mcap=max(new.Mcap, old.Mcap),
+                )
+                self._step_fn = self._build_step()
         self._check_exclusion_reach(pos)
         self._check_bonded_reach(pos)
-        frc = jnp.zeros_like(jnp.asarray(pos, jnp.float32))
-        rows = _atom_rows(self.ffp, self.excl_table, pos, vel, frc,
-                          box=self.spec.box)
-        tables, overflow = distribute(self.spec, rows)
+        pos = jnp.asarray(pos, jnp.float32)
+        vel = jnp.asarray(vel, jnp.float32)
+        if self._virt_mask.any():
+            # virtual sites carry no momentum; snap their geometry
+            from ..vsites import apply_vsites
+
+            vel = jnp.where(
+                jnp.asarray(self._virt_mask)[:, None], 0.0, vel
+            )
+            pos = apply_vsites(
+                self.vsite_groups, pos,
+                jnp.asarray(self.spec.box, jnp.float32),
+            )
+        frc = jnp.zeros_like(pos)
+        if self._rep_of is not None:
+            # group-rigid wrap: every member takes its REP's image shift
+            # so molecules stay spatially continuous (SETTLE/vsites use
+            # raw coordinates, and local pair dx is unwrapped in x)
+            b = jnp.asarray(self.spec.box, jnp.float32)
+            shift = -b * jnp.floor(pos[jnp.asarray(self._rep_of)] / b)
+            rows = _atom_rows(self.ffp, self.excl_table, pos + shift,
+                              vel, frc, box=None)
+        else:
+            rows = _atom_rows(self.ffp, self.excl_table, pos, vel, frc,
+                              box=self.spec.box)
+        tables, overflow = distribute(self.spec, rows, self._rep_of)
         if overflow:
             raise RuntimeError("halo Acap overflow at distribution; "
                                "raise slack")
@@ -295,15 +424,22 @@ class HaloMD:
         lx, ly, lz = spec.box
         box3 = jnp.asarray(spec.box, jnp.float32)
         dt = self.dt
-        masses_pad = jnp.concatenate(
+        m_raw_pad = jnp.concatenate(
             [self.masses.astype(jnp.float32).reshape(-1),
              jnp.ones((1,), jnp.float32)]
         )
+        # massless rows are virtual sites: they do not integrate (zero
+        # acceleration/noise; positions come from the snap)
+        masses_pad = jnp.where(m_raw_pad > 0, m_raw_pad, 1.0)
+        live_pad = (m_raw_pad > 0).astype(jnp.float32)
         use_langevin = self.T is not None and self.gamma is not None
         if use_langevin:
             gamma = self.gamma
-            vcoeff_pad = jnp.sqrt(
-                2.0 * gamma * BOLTZMANN * float(self.T) * dt / masses_pad
+            vcoeff_pad = jnp.where(
+                m_raw_pad > 0,
+                jnp.sqrt(2.0 * gamma * BOLTZMANN * float(self.T) * dt
+                         / masses_pad),
+                0.0,
             ).astype(jnp.float32)
         band = spec.band_w
         fwd = [(i, (i + 1) % R) for i in range(R)]
@@ -486,13 +622,90 @@ class HaloMD:
             return e + e_selfnet, -gpos
 
         bplan = self._bonded_plan
-        if bplan is not None:
+        cs_obj = self.constraints_obj
+        vsg = self.vsite_groups
+        if bplan is not None or cs_obj is not None or vsg:
             from .halo_bonded import (
                 default_positions,
                 weighted_bonded_energy,
             )
 
             pg_default = default_positions(n)
+
+        rep_of_pad = None
+        if self._rep_of is not None:
+            rep_of_pad = jnp.concatenate([
+                jnp.asarray(self._rep_of, jnp.int32),
+                jnp.asarray([n], jnp.int32),
+            ])
+        virt_pad = jnp.concatenate([
+            jnp.asarray(self._virt_mask, bool),
+            jnp.asarray([False]),
+        ])
+
+        def scatter3(atoms, rows3, base):
+            """Owned rows -> (natoms+1, 3) global-id array (pad row n is
+            scratch; invisible atoms keep the base values)."""
+            ids = atoms[:, _ID].astype(jnp.int32)
+            valid = atoms[:, _ID] < n
+            return base.at[ids].set(
+                jnp.where(valid[:, None], rows3, base[ids])
+            )
+
+        if cs_obj is not None:
+            from ..constraints import (
+                apply_position_constraints,
+                apply_velocity_constraints,
+            )
+
+            def constrain_positions(atoms, pos_prev_rows):
+                """Rank-local SHAKE/SETTLE: groups are co-owned, so the
+                owned rows of the globally-formed constraint solve are
+                complete; rows of unowned groups see non-degenerate
+                default geometry and are never read back."""
+                posn_g = scatter3(atoms, atoms[:, _POS], pg_default)
+                posr_g = scatter3(atoms, pos_prev_rows, pg_default)
+                posc_g = apply_position_constraints(cs_obj, posn_g,
+                                                    posr_g)
+                ids = atoms[:, _ID].astype(jnp.int32)
+                valid = atoms[:, _ID] < n
+                return jnp.where(valid[:, None],
+                                 (posc_g - posn_g)[ids], 0.0)
+
+            def constrain_velocities(atoms):
+                pos_g = scatter3(atoms, atoms[:, _POS], pg_default)
+                vel_g = scatter3(atoms, atoms[:, _VEL],
+                                 jnp.zeros((n + 1, 3), jnp.float32))
+                velc_g = apply_velocity_constraints(cs_obj, pos_g, vel_g)
+                ids = atoms[:, _ID].astype(jnp.int32)
+                valid = atoms[:, _ID] < n
+                return jnp.where(valid[:, None],
+                                 (velc_g - vel_g)[ids], 0.0)
+
+        if vsg:
+            from ..vsites import apply_vsites, spread_vsite_forces
+
+            def snap_vsites(atoms):
+                pos_g = scatter3(atoms, atoms[:, _POS], pg_default)
+                pos_s = apply_vsites(vsg, pos_g, box3)
+                ids = atoms[:, _ID].astype(jnp.int32)
+                take = virt_pad[ids] & (atoms[:, _ID] < n)
+                return atoms.at[:, _POS].set(
+                    jnp.where(take[:, None], pos_s[ids], atoms[:, _POS])
+                )
+
+            def spread_forces(atoms, frc_rows):
+                """J^T-transfer owned vsite forces onto their (co-owned)
+                hosts; unowned rows contribute zero force, so owned host
+                rows receive exactly their own sites' spread."""
+                pos_g = scatter3(atoms, atoms[:, _POS], pg_default)
+                ids = atoms[:, _ID].astype(jnp.int32)
+                valid = atoms[:, _ID] < n
+                f_g = jnp.zeros((n + 1, 3), jnp.float32).at[ids].set(
+                    jnp.where(valid[:, None], frc_rows, 0.0)
+                )
+                f_s = spread_vsite_forces(vsg, pos_g, f_g, box3)
+                return jnp.where(valid[:, None], f_s[ids], 0.0)
 
         def bonded_local(atoms, ghosts):
             """Ownership-weighted bonded energy + complete forces on the
@@ -527,14 +740,27 @@ class HaloMD:
             (between rebuilds drift is bounded by skin/2, so the raw-x
             band/owner tests stay valid), then move atoms that crossed a
             slab face to the neighbour rank; reset ref positions. Fixed
-            Mcap capacity."""
-            pos_w = atoms[:, _POS] - box3 * jnp.floor(
-                atoms[:, _POS] / box3
-            )
-            atoms = atoms.at[:, _POS].set(pos_w)
-            x = atoms[:, 1]
+            Mcap capacity. With rigid/vsite groups the wrap shift and
+            the owner both come from the group REP (co-owned, so its
+            position is local): members keep the rep's image, staying
+            spatially continuous, and whole groups migrate together."""
             valid = atoms[:, _ID] < n
-            owner = jnp.clip((x / lx * R).astype(jnp.int32), 0, R - 1)
+            if rep_of_pad is not None:
+                pos_g = scatter3(atoms, atoms[:, _POS], pg_default)
+                ids = atoms[:, _ID].astype(jnp.int32)
+                prep = pos_g[rep_of_pad[ids]]          # (Acap, 3)
+                shift = -box3 * jnp.floor(prep / box3)
+                pos_w = atoms[:, _POS] + jnp.where(
+                    valid[:, None], shift, 0.0
+                )
+                xo = prep[:, 0] + shift[:, 0]          # rep x in [0, lx)
+            else:
+                pos_w = atoms[:, _POS] - box3 * jnp.floor(
+                    atoms[:, _POS] / box3
+                )
+                xo = pos_w[:, 0]
+            atoms = atoms.at[:, _POS].set(pos_w)
+            owner = jnp.clip((xo / lx * R).astype(jnp.int32), 0, R - 1)
             # owner offset in {-1, 0, +1} around this rank (periodic)
             d_off = jnp.mod(owner - rank + 1 + R, R) - 1
             pad_row = jnp.zeros((atoms.shape[1],), jnp.float32).at[
@@ -579,13 +805,22 @@ class HaloMD:
 
             def body(carry, kr):
                 atoms, of = carry
-                m = masses_pad[atoms[:, _ID].astype(jnp.int32)][:, None]
-                # first VV half
-                acc = atoms[:, _FRC] / m
-                pos = atoms[:, _POS] + atoms[:, _VEL] * dt \
+                ids0 = atoms[:, _ID].astype(jnp.int32)
+                m = masses_pad[ids0][:, None]
+                live = live_pad[ids0][:, None]   # 0 for virtual sites
+                # first VV half (virtual sites do not integrate)
+                acc = live * atoms[:, _FRC] / m
+                pos_prev = atoms[:, _POS]
+                pos = pos_prev + atoms[:, _VEL] * dt \
                     + 0.5 * acc * dt * dt
                 vel = atoms[:, _VEL] + 0.5 * acc * dt
                 atoms = atoms.at[:, _POS].set(pos).at[:, _VEL].set(vel)
+                if cs_obj is not None:
+                    dpos = constrain_positions(atoms, pos_prev)
+                    atoms = atoms.at[:, _POS].add(dpos) \
+                                 .at[:, _VEL].add(dpos / dt)
+                if vsg:
+                    atoms = snap_vsites(atoms)
                 # rebuild (migration) under the skin criterion
                 atoms, of_m = jax.lax.cond(
                     needs_rebuild(atoms),
@@ -606,17 +841,27 @@ class HaloMD:
                 if use_ewald:
                     e_recip, f_recip = recip_local(atoms)
                     frc = frc + f_recip
+                if vsg:
+                    frc = spread_forces(atoms, frc)
                 atoms = atoms.at[:, _FRC].set(frc)
+                ids1 = atoms[:, _ID].astype(jnp.int32)
+                m = masses_pad[ids1][:, None]
+                live = live_pad[ids1][:, None]
                 vel = atoms[:, _VEL]
                 if use_langevin:
                     noise = jax.random.normal(
                         jax.random.fold_in(kr, rank), vel.shape,
                         dtype=vel.dtype,
                     )
-                    vc = vcoeff_pad[atoms[:, _ID].astype(jnp.int32)]
-                    vel = vel - gamma * vel * dt + noise * vc[:, None]
-                vel = vel + 0.5 * dt * frc / m
+                    vc = vcoeff_pad[ids1]
+                    vel = vel - gamma * live * vel * dt \
+                        + noise * vc[:, None]
+                vel = vel + 0.5 * dt * live * frc / m
                 atoms = atoms.at[:, _VEL].set(vel)
+                if cs_obj is not None:
+                    atoms = atoms.at[:, _VEL].add(
+                        constrain_velocities(atoms)
+                    )
                 epot = jax.lax.psum(epot_part, axis) + e_recip
                 return (atoms, of), epot
 
@@ -661,7 +906,8 @@ class HaloMD:
             raise RuntimeError("halo capacities kept overflowing")
         epot = float(np.asarray(epot).reshape(-1)[0])
         ekin = float(np.asarray(ke).reshape(-1)[0])
-        ndof = 3 * self.natoms
+        # virtual sites carry no DOF; constraints remove one each
+        ndof = max(3 * self._n_real - self._ncon, 1)
         temp = 2.0 * ekin / (BOLTZMANN * ndof)
         return ekin, epot, temp
 

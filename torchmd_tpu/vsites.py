@@ -100,7 +100,9 @@ def apply_vsites(groups, pos, box=None):
     and the chain rule (see `spread_vsite_forces`) moves site forces to
     the hosts."""
     for g in groups:
-        pos = pos.at[g.sites].set(_group_positions(g, pos, box))
+        pos = pos.at[g.sites].set(
+            _group_positions(g, pos, box).astype(pos.dtype)
+        )
     return pos
 
 
