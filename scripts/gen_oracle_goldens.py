@@ -143,7 +143,105 @@ def main_v2():
     print("wrote", os.path.join(dst, "oracle_goldens_v2.json"))
 
 
+
+
+def main_v3():
+    """v3 families (round 5): the polarizable stack -- permanent
+    multipoles (hand-derived T-tensor contractions, cross-checked at
+    generation time against a point-charge discretization with
+    Richardson extrapolation), Thole induced-dipole SCF (dense direct
+    solve), a Drude case (first-principles extended topology +
+    FD-Newton SCF), and CMAP (scipy tensor-product periodic splines).
+    Written to oracle_goldens_v3.json."""
+    from common import (
+        oracle_v3_amoeba_case,
+        oracle_v3_cmap_case,
+        oracle_v3_drude_case,
+    )
+
+    out = {}
+
+    # -- permanent multipoles (AMOEBA water dimer) ---------------------
+    elec, pos, raw = oracle_v3_amoeba_case()
+    mp_args = (raw["charges"], pos, raw["sites"], raw["mu_local"],
+               raw["frame_kind"], raw["z_atom"], raw["x_atom"],
+               raw["nb_mask"])
+    terms = oe.multipole_energy(*mp_args, quad_local=raw["quad_local"])
+    # derivation-independent cross-check: point-charge discretization,
+    # Richardson-extrapolated over d and d/2
+    e_d = oe.multipole_point_charge_energy(
+        *mp_args, quad_local=raw["quad_local"], d=2e-2)
+    e_d2 = oe.multipole_point_charge_energy(
+        *mp_args, quad_local=raw["quad_local"], d=1e-2)
+    rich = (4.0 * e_d2 - e_d) / 3.0
+    scale = max(1.0, abs(terms["total"]))
+    assert abs(rich - terms["total"]) < 2e-6 * scale, (
+        rich, terms["total"])
+    fd = oe.multipole_fd_forces(
+        *mp_args, atoms=list(range(6)), quad_local=raw["quad_local"])
+    out["multipoles_water_dimer"] = {
+        "natoms": int(len(raw["charges"])),
+        "terms": {k: float(v) for k, v in terms.items()},
+        "point_charge_extrapolated": float(rich),
+        "fd_forces": fd,
+    }
+    print(f"multipoles_water_dimer: total={terms['total']:.8f} "
+          f"(pc xcheck {rich:.8f})", flush=True)
+
+    # -- Thole induced-dipole SCF --------------------------------------
+    pol_args = (raw["charges"], pos, raw["sites"], raw["mu_local"],
+                raw["frame_kind"], raw["z_atom"], raw["x_atom"],
+                raw["quad_local"], raw["pol_sites"], raw["alpha"],
+                raw["thole"], raw["perm_mask"])
+    e_pol, mu_ind, E_perm = oe.thole_polarization_solve(*pol_args)
+    fd_pol = oe.polarization_fd_forces(*pol_args, atoms=[0, 1, 3, 5])
+    out["polarization_water_dimer"] = {
+        "energy": float(e_pol),
+        "mu_induced": mu_ind.tolist(),
+        "fd_forces": fd_pol,
+    }
+    print(f"polarization_water_dimer: {e_pol:.8f}", flush=True)
+
+    # -- Drude ---------------------------------------------------------
+    ffp_ext, spec, cfg, pos3, p_fixed, draw = oracle_v3_drude_case()
+    parts = oe.drude_extended_energy(
+        draw["charges"], draw["alpha"], draw["nb_mask"], p_fixed,
+        draw["k_drude"], draw["thole"])
+    p_rel, e_scf, mu_d = oe.drude_scf(
+        draw["charges"], draw["alpha"], draw["nb_mask"], pos3,
+        draw["k_drude"], draw["thole"])
+    out["drude_3atom"] = {
+        "fixed_terms": {k: float(v) for k, v in parts.items()},
+        "scf_energy": float(e_scf),
+        "mu_induced": mu_d.tolist(),
+    }
+    print(f"drude_3atom: fixed={parts['total']:.8f} scf={e_scf:.8f}",
+          flush=True)
+
+    # -- CMAP ------------------------------------------------------------
+    grids, cidx, ctypes, pos8 = oracle_v3_cmap_case()
+    e_cmap = oe.cmap_energy_scipy(grids, cidx, ctypes, pos8)
+    fd_cmap = oe.cmap_fd_forces(grids, cidx, ctypes, pos8,
+                                atoms=[0, 2, 4, 7])
+    out["cmap_chain"] = {
+        "energy": float(e_cmap),
+        "fd_forces": fd_cmap,
+    }
+    print(f"cmap_chain: {e_cmap:.8f}", flush=True)
+
+    dst = os.path.join(REPO, "tests", "goldens")
+    with open(os.path.join(dst, "oracle_goldens_v3.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print("wrote", os.path.join(dst, "oracle_goldens_v3.json"))
+
+
 if __name__ == "__main__":
-    if "--v2-only" not in sys.argv:
+    only = [a for a in sys.argv[1:] if a.startswith("--")]
+    if "--v3-only" in only:
+        main_v3()
+    elif "--v2-only" in only:
+        main_v2()
+    else:
         main()
-    main_v2()
+        main_v2()
+        main_v3()

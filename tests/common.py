@@ -156,3 +156,118 @@ def oracle_v2_vsite_arrays(par, forces):
     hosts = [tuple(h[:3]) for h in np.asarray(g.hosts)]
     vparams = [tuple(p[:2]) for p in np.asarray(g.params)]
     return q, sig, eps, keep, sites, hosts, vparams
+
+
+# ----------------------------------------------------------------------
+# Oracle v3 case builders (polarizable stack; shared by the generator
+# and tests/test_oracle.py). Engine-side objects and the RAW arrays the
+# independent numpy oracle consumes are built from the same inputs.
+# ----------------------------------------------------------------------
+
+def oracle_v3_amoeba_case():
+    """AMOEBA water03 dimer near the hydrogen-bonded minimum: permanent
+    multipoles (bisector O + z-then-x H frames, dipoles + traceless
+    quadrupoles) and Thole mutual polarization. Returns
+    (elec, pos (6,3) np, raw dict for the oracle)."""
+    import jax.numpy as jnp
+    from test_amoeba import WATER03_PRM, WATER_DIMER_XYZ, _ffp
+
+    from torchmd_tpu.amoeba import (
+        make_amoeba_electrostatics, parse_tinker_prm, read_tinker_xyz,
+    )
+
+    prm = parse_tinker_prm(WATER03_PRM)
+    coords, types, bonds, _box = read_tinker_xyz(WATER_DIMER_XYZ)
+    N = len(types)
+    mask = np.ones((N, N), bool) & ~np.eye(N, dtype=bool)
+    for m in (0, 3):
+        for a in (m, m + 1, m + 2):
+            for b in (m, m + 1, m + 2):
+                mask[a, b] = False
+    ffp = _ffp(N, nb_mask=jnp.asarray(mask))
+    elec, charges = make_amoeba_electrostatics(ffp, types, bonds, prm)
+    spec = elec.multipoles.spec
+    ps = elec.polarization.pspec
+    raw = {
+        "charges": np.asarray(charges, np.float64),
+        "sites": np.asarray(spec.sites, int),
+        "mu_local": np.asarray(spec.mu_local, np.float64),
+        "frame_kind": np.asarray(spec.frame_kind, int),
+        "z_atom": np.asarray(spec.z_atom, int),
+        "x_atom": np.asarray(spec.x_atom, int),
+        "quad_local": np.asarray(spec.quad_local, np.float64),
+        "nb_mask": mask,
+        "pol_sites": np.asarray(ps.sites, int),
+        "alpha": np.asarray(ps.alpha, np.float64),
+        "thole": np.asarray(ps.thole, np.float64),
+        "perm_mask": np.asarray(ps.perm_mask, bool),
+    }
+    return elec, np.asarray(coords, np.float64), raw
+
+
+def oracle_v3_drude_case():
+    """Three-atom synthetic Drude case: two polarizable atoms (one
+    bonded-excluded pair, so the Thole screened term is active) + one
+    fixed charge; zero-epsilon LJ so electrostatics+springs+Thole is the
+    whole energy. Returns (ffp_ext, spec, cfg, pos (3,3), pos_ext_fixed
+    (5,3), raw dict)."""
+    import jax.numpy as jnp
+    from test_drude import CFG, _bare_ffparams
+
+    from torchmd_tpu.drude import init_drude_positions, make_drude_ffparams
+
+    charges = np.array([0.35, -0.55, 0.20])
+    alpha = np.array([1.1, 0.8, 0.0])
+    k_drude, thole = 500.0, 2.6
+    mask = ~np.eye(3, dtype=bool)
+    mask[0, 1] = mask[1, 0] = False      # bonded-excluded -> Thole pair
+    pos = np.array([[0.0, 0.0, 0.0],
+                    [1.8, 0.3, -0.2],
+                    [0.4, 2.2, 1.1]])
+    ffp = _bare_ffparams(charges.tolist(), mask=mask)
+    ffp_ext, spec = make_drude_ffparams(
+        ffp, alpha.tolist(), k_drude=k_drude, thole=thole
+    )
+    p0 = np.asarray(init_drude_positions(jnp.asarray(pos), spec))
+    # deterministic off-minimum Drude displacements for the fixed-config
+    # energy parity check
+    rs = np.random.RandomState(42)
+    p_fixed = p0.copy()
+    p_fixed[3:] += 0.03 * rs.randn(2, 3)
+    raw = {"charges": charges, "alpha": alpha, "nb_mask": mask,
+           "k_drude": k_drude, "thole": thole}
+    return ffp_ext, spec, CFG, pos, p_fixed, raw
+
+
+def oracle_v3_cmap_case():
+    """Two smooth deterministic 24x24 maps + an 8-atom chain carrying
+    two (phi, psi) cross-terms with shared atoms (the CHARMM backbone
+    pattern). Returns (grids, idx, types, pos)."""
+    n = 24
+    rs = np.random.RandomState(7)
+    ang = -np.pi + np.arange(n) * (2.0 * np.pi / n)
+    P, S = np.meshgrid(ang, ang, indexing="ij")
+    grids = []
+    for _ in range(2):
+        g = np.zeros((n, n))
+        for kp in range(1, 4):
+            for ks in range(1, 4):
+                g += rs.randn() * np.cos(kp * P + rs.uniform(0, 2 * np.pi))
+                g += rs.randn() * np.sin(ks * S + rs.uniform(0, 2 * np.pi))
+                g += 0.5 * rs.randn() * np.cos(
+                    kp * P + ks * S + rs.uniform(0, 2 * np.pi)
+                )
+        grids.append(g)
+    idx = np.array([
+        [0, 1, 2, 3, 1, 2, 3, 4],
+        [2, 3, 4, 5, 3, 4, 5, 6],
+    ], np.int32)
+    types = np.array([0, 1], np.int32)
+    rs2 = np.random.RandomState(11)
+    t = np.arange(8, dtype=np.float64)
+    pos = np.stack([
+        1.4 * t,
+        1.1 * np.sin(1.3 * t + 0.4),
+        0.9 * np.cos(0.9 * t - 0.2),
+    ], axis=1) + 0.15 * rs2.randn(8, 3)
+    return grids, idx, types, pos

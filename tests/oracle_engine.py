@@ -486,3 +486,466 @@ def vsite_fd_forces(q, sig, eps, pos_hosts, box, keep_mask, cutoff,
             f[d] = -(ep - em) / (2.0 * h)
         out[int(a)] = f.tolist()
     return out
+
+
+# ----------------------------------------------------------------------
+# v3 families: permanent multipoles, Thole induced-dipole SCF, Drude,
+# CMAP (round-5 oracle extension -- the polarizable stack's second
+# engine; VERDICT.md round-4 item 5)
+# ----------------------------------------------------------------------
+
+def _frames_loop(pos, sites, frame_kind, z_atom, x_atom, box=None):
+    """Local->lab rotations via per-site scalar Gram-Schmidt loops
+    (independent of multipoles.lab_frames' vectorized formulation).
+    Frame definitions are SPEC (Ren & Ponder 2003): kind 0 = lab,
+    1 = z-then-x, 2 = bisector. Columns of R are (ex, ey, ez)."""
+    out = []
+    for i in range(len(sites)):
+        k = int(frame_kind[i])
+        if k == 0:
+            out.append(np.eye(3))
+            continue
+        a = int(sites[i])
+        vz = _minimum_image(pos[int(z_atom[i])] - pos[a], box)
+        vx = _minimum_image(pos[int(x_atom[i])] - pos[a], box)
+        if k == 2:
+            ez = vz / np.linalg.norm(vz) + vx / np.linalg.norm(vx)
+        else:
+            ez = vz.copy()
+        ez = ez / np.linalg.norm(ez)
+        ex = vx - np.dot(vx, ez) * ez
+        ex = ex / np.linalg.norm(ex)
+        ey = np.cross(ez, ex)
+        out.append(np.stack([ex, ey, ez], axis=1))
+    return np.asarray(out)
+
+
+def _lab_moments(pos, sites, mu_local, frame_kind, z_atom, x_atom,
+                 quad_local=None, box=None):
+    R = _frames_loop(pos, sites, frame_kind, z_atom, x_atom, box)
+    ns = len(sites)
+    mu = np.zeros((ns, 3))
+    Q = np.zeros((ns, 3, 3))
+    for i in range(ns):
+        mu[i] = R[i] @ np.asarray(mu_local[i], np.float64)
+        if quad_local is not None:
+            Q[i] = R[i] @ np.asarray(quad_local[i], np.float64) @ R[i].T
+    return mu, Q
+
+
+def multipole_energy(charges, pos, sites, mu_local, frame_kind, z_atom,
+                     x_atom, nb_mask, quad_local=None, box=None,
+                     cutoff=None):
+    """Permanent multipole interaction energy (kcal/mol) via
+    hand-derived T-tensor contractions in explicit python loops --
+    independent of multipoles.Multipoles.energy_fn, which derives every
+    quadrupole cross term by jax AD of the source potential.
+
+    Interaction classes (matching the engine's registry; monopole-
+    monopole is deliberately absent -- the engine's point-charge term
+    owns it):
+      charge-dipole   q_j (mu_i . r) / r^3            (r = x_j - x_i)
+      dipole-dipole   [mu_i.mu_j - 3 (mu_i.rh)(mu_j.rh)] / r^3 (pairs once)
+      charge-quad     q_j (r.Q_i.r) / (2 r^5)
+      dipole-quad     mu_j . grad phi_Qi(r)            (ordered pairs)
+      quad-quad       (1/6) Q_j : hess phi_Qi(r)       (pairs once)
+    with phi_Q(r) = (r.Q.r)/(2 r^5), Q traceless (Jackson). Returns a
+    dict of per-class energies + 'total'."""
+    pos = np.asarray(pos, np.float64)
+    q = np.asarray(charges, np.float64)
+    mask = np.asarray(nb_mask, bool)
+    sites = np.asarray(sites, int)
+    ns = len(sites)
+    n = len(q)
+    mu, Q = _lab_moments(pos, sites, mu_local, frame_kind, z_atom,
+                         x_atom, quad_local, box)
+
+    e_qd = e_dd = e_qc = e_qmu = e_qq = 0.0
+    for i in range(ns):
+        a = int(sites[i])
+        for j in range(n):
+            if not mask[a, j]:
+                continue
+            r = _minimum_image(pos[j] - pos[a], box)
+            rn = np.linalg.norm(r)
+            if cutoff is not None and rn > cutoff:
+                continue
+            e_qd += ELEC_FACTOR * q[j] * np.dot(mu[i], r) / rn ** 3
+            if quad_local is not None:
+                e_qc += ELEC_FACTOR * q[j] * (r @ Q[i] @ r) \
+                    / (2.0 * rn ** 5)
+    for i in range(ns):
+        for j in range(ns):
+            if i == j:
+                continue
+            a, b = int(sites[i]), int(sites[j])
+            if not mask[a, b]:
+                continue
+            r = _minimum_image(pos[b] - pos[a], box)   # i -> j
+            rn = np.linalg.norm(r)
+            if cutoff is not None and rn > cutoff:
+                continue
+            if quad_local is not None:
+                # dipole-quad, both orderings (engine sums ordered pairs)
+                grad_phi = (Q[i] @ r) / rn ** 5 \
+                    - 2.5 * (r @ Q[i] @ r) * r / rn ** 7
+                e_qmu += ELEC_FACTOR * np.dot(mu[j], grad_phi)
+            if i < j:
+                rh = r / rn
+                e_dd += ELEC_FACTOR * (
+                    np.dot(mu[i], mu[j])
+                    - 3.0 * np.dot(mu[i], rh) * np.dot(mu[j], rh)
+                ) / rn ** 3
+                if quad_local is not None:
+                    Si = r @ Q[i] @ r
+                    Sj = r @ Q[j] @ r
+                    e_qq += ELEC_FACTOR / 6.0 * (
+                        np.trace(Q[j] @ Q[i]) / rn ** 5
+                        - 10.0 * (r @ Q[j] @ Q[i] @ r) / rn ** 7
+                        + 17.5 * Si * Sj / rn ** 9
+                    )
+    out = {"charge_dipole": e_qd, "dipole_dipole": e_dd,
+           "charge_quad": e_qc, "dipole_quad": e_qmu, "quad_quad": e_qq}
+    out["total"] = sum(out.values())
+    return out
+
+
+def multipole_point_charge_energy(charges, pos, sites, mu_local,
+                                  frame_kind, z_atom, x_atom, nb_mask,
+                                  quad_local=None, box=None, d=5e-3):
+    """Derivation-independent cross-check of multipole_energy: realize
+    every dipole as a +-|mu|/(2d) charge pair and every traceless
+    quadrupole as 6 charges lam_k/(6 d^2) at +-d v_k along its
+    eigenvectors (monopole and dipole of the arrangement vanish exactly;
+    leading error is the octupole, O(d^2)), sum bare Coulomb over the
+    masked pairs, and subtract the monopole-monopole part. Richardson-
+    extrapolate externally with two d values. Open boundaries only."""
+    assert box is None, "point-charge cross-check is open-boundary only"
+    pos = np.asarray(pos, np.float64)
+    q = np.asarray(charges, np.float64)
+    mask = np.asarray(nb_mask, bool)
+    sites = np.asarray(sites, int)
+    n = len(q)
+    mu, Q = _lab_moments(pos, sites, mu_local, frame_kind, z_atom,
+                         x_atom, quad_local, box)
+
+    # per-atom charge clouds: list of (offset, charge); monopole first
+    clouds = [[(np.zeros(3), q[a])] for a in range(n)]
+    for i, a in enumerate(sites):
+        m = np.linalg.norm(mu[i])
+        if m > 0:
+            u = mu[i] / m
+            clouds[int(a)].append((d * u, m / (2.0 * d)))
+            clouds[int(a)].append((-d * u, -m / (2.0 * d)))
+        if quad_local is not None and np.any(Q[i] != 0.0):
+            lam, V = np.linalg.eigh(Q[i])
+            for k in range(3):
+                qk = lam[k] / (6.0 * d * d)
+                clouds[int(a)].append((d * V[:, k], qk))
+                clouds[int(a)].append((-d * V[:, k], qk))
+
+    # exact (fsum) accumulation: the discretization charges are
+    # O(lam / d^2) and cancel massively -- naive summation would lose
+    # the answer to rounding
+    import math
+
+    terms = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            if not mask[a, b]:
+                continue
+            for ka, (oa, qa) in enumerate(clouds[a]):
+                if qa == 0.0:
+                    continue
+                for kb, (ob, qb) in enumerate(clouds[b]):
+                    if qb == 0.0:
+                        continue
+                    if ka == 0 and kb == 0:
+                        continue      # monopole-monopole excluded
+                    r = np.linalg.norm(pos[b] + ob - (pos[a] + oa))
+                    terms.append(ELEC_FACTOR * qa * qb / r)
+    return math.fsum(terms)
+
+
+def multipole_fd_forces(charges, pos, sites, mu_local, frame_kind,
+                        z_atom, x_atom, nb_mask, atoms, quad_local=None,
+                        box=None, cutoff=None, h=1e-5):
+    """Central-difference forces of multipole_energy for a subset of
+    atoms, frames re-resolved per displacement (the independent check of
+    the engine's AD torque transfer through the rotation matrices)."""
+    pos = np.asarray(pos, np.float64)
+    out = {}
+    for a in atoms:
+        f = np.zeros(3)
+        for dd in range(3):
+            pp = pos.copy(); pp[a, dd] += h
+            pm = pos.copy(); pm[a, dd] -= h
+            ep = multipole_energy(charges, pp, sites, mu_local,
+                                  frame_kind, z_atom, x_atom, nb_mask,
+                                  quad_local, box, cutoff)["total"]
+            em = multipole_energy(charges, pm, sites, mu_local,
+                                  frame_kind, z_atom, x_atom, nb_mask,
+                                  quad_local, box, cutoff)["total"]
+            f[dd] = -(ep - em) / (2.0 * h)
+        out[int(a)] = f.tolist()
+    return out
+
+
+def _perm_field_loop(charges, pos, sites, mu, Q, pol_sites, perm_mask,
+                     box=None, cutoff=None):
+    """Field (raw Gaussian units, e/A^2) at each polarizable site from
+    the permanent monopole+dipole+quadrupole of every source site the
+    (npol, ns) perm_mask allows, via hand-written field formulas (the
+    engine derives them by AD of the source potential)."""
+    pos = np.asarray(pos, np.float64)
+    q = np.asarray(charges, np.float64)
+    E = np.zeros((len(pol_sites), 3))
+    for i, a in enumerate(pol_sites):
+        for j, b in enumerate(sites):
+            if not perm_mask[i, j]:
+                continue
+            dv = _minimum_image(pos[int(a)] - pos[int(b)], box)
+            r = np.linalg.norm(dv)
+            if cutoff is not None and r > cutoff:
+                continue
+            E[i] += q[int(b)] * dv / r ** 3
+            E[i] += (3.0 * np.dot(mu[j], dv) * dv / r ** 2 - mu[j]) \
+                / r ** 3
+            if Q is not None:
+                E[i] += 2.5 * (dv @ Q[j] @ dv) * dv / r ** 7 \
+                    - (Q[j] @ dv) / r ** 5
+    return E
+
+
+def thole_polarization_solve(charges, pos, sites, mu_local, frame_kind,
+                             z_atom, x_atom, quad_local, pol_sites,
+                             alpha, thole, perm_mask, box=None,
+                             cutoff=None):
+    """Thole mutual induced dipoles by DENSE direct solve (np.linalg.solve
+    on the full (3 npol, 3 npol) matrix -- independent of the engine's
+    matrix-free CG) and the polarization energy -EF/2 sum mu.E_perm.
+
+    Returns (energy_kcal, mu_induced (npol, 3) e*A, E_perm (npol, 3)).
+    Thole damping (Thole 1981, AMOEBA form): lam3 = 1 - exp(-a u^3),
+    lam5 = 1 - (1 + a u^3) exp(-a u^3), u = r / (alpha_i alpha_j)^(1/6),
+    a = min(thole_i, thole_j); damping applies to the mutual coupling
+    only (the engine's convention -- permanent fields use group masks)."""
+    pos = np.asarray(pos, np.float64)
+    alpha = np.asarray(alpha, np.float64)
+    thole = np.asarray(thole, np.float64)
+    npol = len(pol_sites)
+    mu_p, Q_p = _lab_moments(pos, sites, mu_local, frame_kind, z_atom,
+                             x_atom, quad_local, box)
+    E = _perm_field_loop(charges, pos, sites, mu_p,
+                         None if quad_local is None else Q_p,
+                         pol_sites, perm_mask, box, cutoff)
+
+    A = np.zeros((3 * npol, 3 * npol))
+    for i in range(npol):
+        A[3 * i:3 * i + 3, 3 * i:3 * i + 3] = np.eye(3) / alpha[i]
+    for i in range(npol):
+        for j in range(npol):
+            if i == j:
+                continue
+            dv = _minimum_image(
+                pos[int(pol_sites[i])] - pos[int(pol_sites[j])], box
+            )
+            r = np.linalg.norm(dv)
+            if cutoff is not None and r > cutoff:
+                continue
+            a_d = min(thole[i], thole[j])
+            u3 = (r / (alpha[i] * alpha[j]) ** (1.0 / 6.0)) ** 3
+            ex = np.exp(-a_d * u3)
+            lam3 = 1.0 - ex
+            lam5 = 1.0 - (1.0 + a_d * u3) * ex
+            T = 3.0 * lam5 * np.outer(dv, dv) / r ** 5 \
+                - lam3 * np.eye(3) / r ** 3
+            A[3 * i:3 * i + 3, 3 * j:3 * j + 3] = -T
+    mu_ind = np.linalg.solve(A, E.reshape(-1)).reshape(npol, 3)
+    energy = -0.5 * ELEC_FACTOR * float(np.sum(mu_ind * E))
+    return energy, mu_ind, E
+
+
+def polarization_fd_forces(charges, pos, sites, mu_local, frame_kind,
+                           z_atom, x_atom, quad_local, pol_sites, alpha,
+                           thole, perm_mask, atoms, box=None,
+                           cutoff=None, h=1e-5):
+    """Central-difference forces of the polarization energy (the full
+    pipeline -- frames, permanent field, dense solve -- re-run per
+    displacement): the independent check of the engine's envelope-
+    theorem gradients through the CG solve."""
+    pos = np.asarray(pos, np.float64)
+    out = {}
+    for a in atoms:
+        f = np.zeros(3)
+        for dd in range(3):
+            pp = pos.copy(); pp[a, dd] += h
+            pm = pos.copy(); pm[a, dd] -= h
+            ep = thole_polarization_solve(
+                charges, pp, sites, mu_local, frame_kind, z_atom, x_atom,
+                quad_local, pol_sites, alpha, thole, perm_mask, box,
+                cutoff)[0]
+            em = thole_polarization_solve(
+                charges, pm, sites, mu_local, frame_kind, z_atom, x_atom,
+                quad_local, pol_sites, alpha, thole, perm_mask, box,
+                cutoff)[0]
+            f[dd] = -(ep - em) / (2.0 * h)
+        out[int(a)] = f.tolist()
+    return out
+
+
+# -- Drude oscillators -------------------------------------------------
+
+def drude_extended_energy(charges, alpha, nb_mask, pos_ext, k_drude,
+                          thole=2.6, box=None):
+    """Total energy of a Drude-extended system, constructed from first
+    principles (independent of drude.make_drude_ffparams' table
+    surgery): q_D = -sqrt(2 k alpha / EF); core keeps q - q_D; the
+    extended pair mask inherits the parent pattern with same-oscillator
+    core-Drude pairs removed; springs E = k d^2; bonded-excluded
+    oscillator pairs interact through the four Thole-damped charge
+    pairs S(u) qq / r with S(u) = 1 - (1 + u/2) e^-u,
+    u = (a_i + a_j) r / (alpha_i alpha_j)^(1/6), a_i = thole/2.
+
+    LJ is assumed zero (zero-epsilon types), matching the case builder.
+    Returns a dict {coulomb, spring, thole, total}."""
+    q = np.asarray(charges, np.float64)
+    alpha = np.asarray(alpha, np.float64)
+    mask = np.asarray(nb_mask, bool)
+    n = len(q)
+    pol = np.flatnonzero(alpha > 0)
+    npol = len(pol)
+    drude = n + np.arange(npol)
+    q_d = -np.sqrt(2.0 * k_drude * alpha[pol] / ELEC_FACTOR)
+    q_ext = np.concatenate([q, q_d])
+    q_ext[pol] = q[pol] - q_d
+
+    mask_ext = np.zeros((n + npol, n + npol), bool)
+    mask_ext[:n, :n] = mask
+    mask_ext[n:, :n] = mask[pol, :]
+    mask_ext[:n, n:] = mask[:, pol]
+    mask_ext[n:, n:] = mask[np.ix_(pol, pol)]
+    mask_ext[pol, drude] = False
+    mask_ext[drude, pol] = False
+    np.fill_diagonal(mask_ext, False)
+
+    pos_ext = np.asarray(pos_ext, np.float64)
+    e_coul = 0.0
+    for a in range(n + npol):
+        for b in range(a + 1, n + npol):
+            if not mask_ext[a, b]:
+                continue
+            r = np.linalg.norm(
+                _minimum_image(pos_ext[b] - pos_ext[a], box)
+            )
+            e_coul += ELEC_FACTOR * q_ext[a] * q_ext[b] / r
+
+    e_spring = 0.0
+    for i in range(npol):
+        d = np.linalg.norm(
+            _minimum_image(pos_ext[drude[i]] - pos_ext[pol[i]], box)
+        )
+        e_spring += k_drude * d * d
+
+    e_thole = 0.0
+    sub_excl = ~mask[np.ix_(pol, pol)]
+    for i in range(npol):
+        for j in range(i + 1, npol):
+            if not sub_excl[i, j]:
+                continue
+            coeff = thole / (alpha[pol[i]] * alpha[pol[j]]) ** (1.0 / 6.0)
+            for ia, qa in ((pol[i], -q_d[i]), (drude[i], q_d[i])):
+                for jb, qb in ((pol[j], -q_d[j]), (drude[j], q_d[j])):
+                    r = np.linalg.norm(
+                        _minimum_image(pos_ext[jb] - pos_ext[ia], box)
+                    )
+                    u = coeff * r
+                    s = 1.0 - (1.0 + 0.5 * u) * np.exp(-u)
+                    e_thole += s * ELEC_FACTOR * qa * qb / r
+    return {"coulomb": e_coul, "spring": e_spring, "thole": e_thole,
+            "total": e_coul + e_spring + e_thole}
+
+
+def drude_scf(charges, alpha, nb_mask, pos, k_drude, thole=2.6,
+              box=None, iters=500, gtol=1e-9, h=1e-6):
+    """Relax the Drude coordinates by damped-Newton iterations with
+    CENTRAL-DIFFERENCE gradients (no analytic derivatives anywhere):
+    step = g / (2 k). Returns (pos_ext_relaxed, energy, mu_induced)
+    with mu_induced[i] = q_D_i * (x_D_i - x_core_i) in e*A."""
+    q = np.asarray(charges, np.float64)
+    alpha = np.asarray(alpha, np.float64)
+    n = len(q)
+    pol = np.flatnonzero(alpha > 0)
+    npol = len(pol)
+    drude = n + np.arange(npol)
+    q_d = -np.sqrt(2.0 * k_drude * alpha[pol] / ELEC_FACTOR)
+    pos_ext = np.concatenate(
+        [np.asarray(pos, np.float64), np.asarray(pos, np.float64)[pol]]
+    )
+
+    def etot(p):
+        return drude_extended_energy(q, alpha, nb_mask, p, k_drude,
+                                     thole, box)["total"]
+
+    for _ in range(iters):
+        g = np.zeros((npol, 3))
+        for i in range(npol):
+            for dd in range(3):
+                pp = pos_ext.copy(); pp[drude[i], dd] += h
+                pm = pos_ext.copy(); pm[drude[i], dd] -= h
+                g[i, dd] = (etot(pp) - etot(pm)) / (2.0 * h)
+        if np.abs(g).max() < gtol:
+            break
+        pos_ext[drude] -= g / (2.0 * k_drude)
+    mu_ind = q_d[:, None] * (pos_ext[drude] - pos_ext[pol])
+    return pos_ext, etot(pos_ext), mu_ind
+
+
+# -- CMAP --------------------------------------------------------------
+
+def cmap_energy_scipy(grids, idx, types, pos, box=None):
+    """CMAP correction energy via scipy tensor-product PERIODIC cubic
+    splines (CubicSpline bc_type='periodic' applied along psi for every
+    phi node, then along phi) -- the periodic bicubic interpolant is
+    unique, so this must agree with the engine's cyclic-tridiagonal +
+    16-coefficient construction to rounding.
+
+    grids: list of (n, n) maps E(phi_i, psi_j), phi_i = -pi + i 2pi/n;
+    idx: (nc, 8) atom indices of the two dihedrals; types: (nc,)."""
+    from scipy.interpolate import CubicSpline
+
+    pos = np.asarray(pos, np.float64)
+    idx = np.asarray(idx, int)
+    types = np.asarray(types, int)
+    e = 0.0
+    for c in range(idx.shape[0]):
+        g = np.asarray(grids[types[c]], np.float64)
+        n = g.shape[0]
+        nodes = -np.pi + np.arange(n + 1) * (2.0 * np.pi / n)
+        phi = float(_torsion_phi(pos, idx[c:c + 1, 0:4], box)[0])
+        psi = float(_torsion_phi(pos, idx[c:c + 1, 4:8], box)[0])
+        # spline along psi at every phi node, evaluated at psi
+        gwrap = np.concatenate([g, g[:, :1]], axis=1)
+        vals = np.array([
+            CubicSpline(nodes, gwrap[i], bc_type="periodic")(psi)
+            for i in range(n)
+        ])
+        vals = np.concatenate([vals, vals[:1]])
+        e += float(CubicSpline(nodes, vals, bc_type="periodic")(phi))
+    return e
+
+
+def cmap_fd_forces(grids, idx, types, pos, atoms, box=None, h=1e-5):
+    """Central-difference CMAP forces for a subset of atoms."""
+    pos = np.asarray(pos, np.float64)
+    out = {}
+    for a in atoms:
+        f = np.zeros(3)
+        for dd in range(3):
+            pp = pos.copy(); pp[a, dd] += h
+            pm = pos.copy(); pm[a, dd] -= h
+            f[dd] = -(cmap_energy_scipy(grids, idx, types, pp, box)
+                      - cmap_energy_scipy(grids, idx, types, pm, box)) \
+                / (2.0 * h)
+        out[int(a)] = f.tolist()
+    return out

@@ -289,8 +289,14 @@ def make_amoeba_multipoles(ffparams, atom_types, bonds, records,
             d["z"] = f["z"]
             d["x"] = f["x"]
         dipoles.append(d)
+    # the parsed monopoles feed the charge-dipole / charge-quad tiers
+    # directly: ffparams.charges is typically still zero at this point
+    # (the caller assigns the returned monopoles onto the point-charge
+    # term afterwards), and building from ffparams.charges would
+    # silently drop both tiers -- caught by the v3 oracle goldens
+    # (tests/test_oracle.py::test_multipoles_match_independent_oracle)
     mp = make_multipoles(ffparams, dipoles, cutoff=cutoff,
-                         switch_dist=switch_dist)
+                         switch_dist=switch_dist, charges=charges)
     return mp, charges
 
 

@@ -58,7 +58,8 @@ class MultipoleSpec(NamedTuple):
     switch_dist: Optional[float] = None
 
 
-def make_multipoles(ffparams, dipoles, cutoff=None, switch_dist=None):
+def make_multipoles(ffparams, dipoles, cutoff=None, switch_dist=None,
+                    charges=None):
     """Build a `Multipoles` evaluator.
 
     dipoles: list of dicts with keys
@@ -68,6 +69,10 @@ def make_multipoles(ffparams, dipoles, cutoff=None, switch_dist=None):
         quad (optional 3x3 traceless quadrupole, e*A^2, local frame,
               Jackson convention Q_ab = sum q (3 r_a r_b - r^2 d_ab)).
     The nonbonded mask (exclusions) comes from `ffparams.nb_mask`.
+    charges: per-atom monopoles for the charge-dipole / charge-quad
+    tiers; defaults to `ffparams.charges`. Pass them explicitly when the
+    FFParams charges have not (yet) been assigned (the AMOEBA .prm flow,
+    where the parsed monopoles replace topology charges).
     """
     if ffparams.nb_mask is None:
         raise ValueError("multipoles need the dense nonbonded mask")
@@ -125,7 +130,8 @@ def make_multipoles(ffparams, dipoles, cutoff=None, switch_dist=None):
     )
     if switch_dist is not None and cutoff is None:
         raise ValueError("switch_dist needs a cutoff")
-    return Multipoles(spec, ffparams.charges)
+    q = ffparams.charges if charges is None else jnp.asarray(charges)
+    return Multipoles(spec, q)
 
 
 def _normalize(v, eps=1e-12):
