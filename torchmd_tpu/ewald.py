@@ -273,6 +273,14 @@ class EwaldRecip:
 
         return e_recip + e_self + e_net + e_excl
 
+    def energy_forces(self, pos, box):
+        """(energy, forces) — AD fallback; PmeRecip overrides with the
+        analytic gather formulation (its AD backward re-runs the spread
+        matmuls and an extra FFT; the exact-sum backward here is just
+        more matmuls, so AD is already optimal for this class)."""
+        e, g = jax.value_and_grad(self.energy)(pos, box)
+        return e, -g
+
 
 class PmeRecip:
     """Smooth particle-mesh Ewald reciprocal term (Essmann et al. 1995).
@@ -537,21 +545,13 @@ class PmeRecip:
         mesh = jax.ops.segment_sum(wq, flat, num_segments=Kx * Ky * Kz)
         return mesh.reshape(Kx, Ky, Kz).astype(dtype)
 
-    def energy(self, pos, box):
-        """Reciprocal + self + net-charge + exclusion terms (kcal/mol)."""
-        dtype = pos.dtype
-        q = self.charges.astype(dtype)
-        box = jnp.asarray(box, dtype)
-        V = box[0] * box[1] * box[2]
-        alpha = jnp.asarray(self.cfg.alpha, dtype)
+    def _bhalf(self, box, dtype):
+        """Half-spectrum (rfftn layout) influence function B = pref*b2
+        plus the hermitian doubling weights for the energy sum."""
         Kx, Ky, Kz = self.cfg.kmax
         two_pi = 2.0 * jnp.pi
-
-        mesh = self._spread(pos, box, q)
-        # FFT in f32 can lose precision; promote when running f64
-        Sk = jnp.fft.fftn(mesh.astype(
-            jnp.float64 if dtype == jnp.float64 else jnp.float32
-        ))
+        alpha = jnp.asarray(self.cfg.alpha, dtype)
+        box = jnp.asarray(box, dtype)
 
         def kvec(K, L):
             m = jnp.fft.fftfreq(K, d=1.0 / K).astype(dtype)  # integer freqs
@@ -559,7 +559,8 @@ class PmeRecip:
 
         kx = kvec(Kx, box[0])
         ky = kvec(Ky, box[1])
-        kz = kvec(Kz, box[2])
+        Kzh = Kz // 2 + 1
+        kz = (two_pi / box[2]) * jnp.arange(Kzh, dtype=dtype)
         k2 = (
             kx[:, None, None] ** 2 + ky[None, :, None] ** 2
             + kz[None, None, :] ** 2
@@ -570,17 +571,28 @@ class PmeRecip:
         )
         bx, by, bz = self._b2
         b2 = (
-            bx[:, None, None] * by[None, :, None] * bz[None, None, :]
+            bx[:, None, None] * by[None, :, None]
+            * bz[:Kzh][None, None, :]
         ).astype(pref.dtype)
-        s2 = (Sk.real**2 + Sk.imag**2).astype(dtype)
-        e_recip = (
-            ELEC_FACTOR * (two_pi / V) * jnp.sum(pref * b2 * s2)
-        )
+        # kz = 0 (and the Nyquist plane when Kz is even) appear once in
+        # the full spectrum; every other kz column stands for itself and
+        # its conjugate
+        w = jnp.full((Kzh,), 2.0, dtype)
+        w = w.at[0].set(1.0)
+        if Kz % 2 == 0:
+            w = w.at[-1].set(1.0)
+        return pref * b2, w
 
+    def _corrections(self, pos, box, q):
+        """Self + net-charge + exclusion terms (everything but the mesh
+        sum); analytic in pos so AD and the analytic force path share it."""
+        dtype = pos.dtype
+        box = jnp.asarray(box, dtype)
+        V = box[0] * box[1] * box[2]
+        alpha = jnp.asarray(self.cfg.alpha, dtype)
         e_self = -ELEC_FACTOR * alpha / jnp.sqrt(jnp.pi) * jnp.sum(q * q)
         qtot = jnp.sum(q)
         e_net = -ELEC_FACTOR * jnp.pi / (2.0 * V * alpha**2) * qtot * qtot
-
         e_excl = jnp.asarray(0.0, dtype)
         if self.excl is not None:
             i, j = self.excl[:, 0], self.excl[:, 1]
@@ -589,8 +601,168 @@ class PmeRecip:
             dv = dv - jnp.where(box > 0, safe * jnp.round(dv / safe), 0.0)
             qq = ELEC_FACTOR * q[i] * q[j]
             e_excl = erf_over_r_sum(alpha, dv, qq)
+        return e_self + e_net + e_excl
 
-        return e_recip + e_self + e_net + e_excl
+    def energy(self, pos, box):
+        """Reciprocal + self + net-charge + exclusion terms (kcal/mol)."""
+        dtype = pos.dtype
+        q = self.charges.astype(dtype)
+        box = jnp.asarray(box, dtype)
+        V = box[0] * box[1] * box[2]
+
+        mesh = self._spread(pos, box, q)
+        # real-input FFT: the mesh is real, so the half-spectrum rfftn
+        # costs half the flops/bytes of the c2c fftn (PERF.md: the FFT
+        # was ~3.8 ms of the 62.5k waterbox step). f32 FFTs keep ~1e-7;
+        # promote when running f64.
+        ftype = jnp.float64 if dtype == jnp.float64 else jnp.float32
+        Sk = jnp.fft.rfftn(mesh.astype(ftype))
+        B, w = self._bhalf(box, dtype)
+        s2 = (Sk.real**2 + Sk.imag**2).astype(dtype)
+        e_recip = (
+            ELEC_FACTOR * (2.0 * jnp.pi / V)
+            * jnp.sum((B * s2) @ w)
+        )
+        return e_recip + self._corrections(pos, box, q)
+
+    def _tap_rows_d(self, pos, box):
+        """Per-axis dense tap rows AND their position derivatives.
+
+        Returns (rows, drows): rows[ax] is the (N, K_ax) periodic
+        B-spline row matrix of `_dense_rows`; drows[ax] its derivative
+        wrt the ax coordinate (chain rule K_ax/L_ax applied). The grid
+        `start` is piecewise constant in pos, so these are the exact
+        a.e. derivatives AD would produce through the custom-JVP spline."""
+        n = self.ORDER
+        Kx, Ky, Kz = self.cfg.kmax
+        dtype = pos.dtype
+        Ks = jnp.asarray([Kx, Ky, Kz], dtype)
+        box = jnp.asarray(box, dtype)
+        u = pos / box
+        u = (u - jnp.floor(u)) * Ks
+        base = jnp.floor(u)
+        frac = u - base
+        w = bspline_weights(frac, n)                     # (N, 3, n)
+        # analytic tap derivative M_n'(u) = M_{n-1}(u) - M_{n-1}(u-1)
+        # (same recursion as the custom JVP: knot-safe at frac = 0)
+        wm1 = bspline_weights(frac, n - 1)
+        pad = jnp.zeros_like(wm1[..., :1])
+        dw = (jnp.concatenate([wm1, pad], -1)
+              - jnp.concatenate([pad, wm1], -1))
+        start = jnp.mod(
+            base.astype(jnp.int32) - (n - 1),
+            jnp.asarray([Kx, Ky, Kz], jnp.int32)[None, :],
+        )
+        wrev, dwrev = w[:, :, ::-1], dw[:, :, ::-1]
+        rows, drows = [], []
+        for ax, K in enumerate((Kx, Ky, Kz)):
+            rows.append(self._dense_rows(wrev[:, ax, :], start[:, ax], K))
+            drows.append(
+                self._dense_rows(dwrev[:, ax, :], start[:, ax], K)
+                * (Ks[ax] / box[ax])
+            )
+        return rows, drows
+
+    def energy_forces(self, pos, box):
+        """(energy, forces) in one analytic pass — no AD through the
+        FFT/spread graph.
+
+        AD's backward re-runs the spread matmuls transposed (2x the
+        forward flops) plus one extra c2c FFT and the outer-product
+        residuals: ~15 ms of the 62.5k waterbox step (docs/PERF.md).
+        The analytic form needs one irfftn for the convolved potential
+        grid phi = 2c K^3 irfftn(B * rfftn(mesh)) and ONE extra gather
+        contraction: stacking [q*Rz; q*Rz'] into a single
+        (2M, Kz) @ (Kz, Kx*Ky) matmul per chunk gives H (plain) and Hd
+        (z-derivative); the three force components then reduce H/Hd with
+        the x/y rows on the VPU:
+
+            Fx_i = -sum_x Rx'[i,x] sum_y Ry[i,y] H[i,x,y]
+            Fy_i = -sum_y Ry'[i,y] sum_x Rx[i,x] H[i,x,y]
+            Fz_i = -sum_x Rx[i,x]  sum_y Ry[i,y] Hd[i,x,y]
+
+        Matches AD exactly (f64 equivalence in tests/test_ewald.py): the
+        tap `start` indices are piecewise constant so the spline-row
+        derivative is the full a.e. derivative. Non-matmul spread modes
+        (sub-order meshes) fall back to AD."""
+        n = self.ORDER
+        Kx, Ky, Kz = self.cfg.kmax
+        if self.spread_mode != "matmul" or min(Kx, Ky, Kz) < n:
+            e, g = jax.value_and_grad(self.energy)(pos, box)
+            return e, -g
+        dtype = pos.dtype
+        q = self.charges.astype(dtype)
+        box = jnp.asarray(box, dtype)
+        V = box[0] * box[1] * box[2]
+        N = pos.shape[0]
+
+        (Rx, Ry, Rz), (dRx, dRy, dRz) = self._tap_rows_d(pos, box)
+        Rzq = Rz * q[:, None]
+        dRzq = dRz * q[:, None]
+
+        M = int(os.environ.get("TMD_PME_CHUNK", "4096"))
+        if M <= 0:
+            raise ValueError(
+                f"TMD_PME_CHUNK={M} (want a positive chunk size)")
+        M = min(M, max(256, N))
+        C = -(-N // M)
+        pad = C * M - N
+
+        def padded(a):
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            return a.reshape((C, M) + a.shape[1:])
+
+        Rxc, Ryc, Rzqc = padded(Rx), padded(Ry), padded(Rzq)
+        prec = (jax.lax.Precision.HIGHEST
+                if dtype != jnp.float64 else jax.lax.Precision.DEFAULT)
+
+        def spread_body(mesh, rows):
+            rx, ry, rz = rows
+            p2 = (rx[:, :, None] * ry[:, None, :]).reshape(M, Kx * Ky)
+            return mesh + jnp.einsum(
+                "ap,az->pz", p2, rz, precision=prec), None
+
+        mesh0 = jnp.zeros((Kx * Ky, Kz), dtype)
+        mesh, _ = jax.lax.scan(spread_body, mesh0, (Rxc, Ryc, Rzqc))
+
+        ftype = jnp.float64 if dtype == jnp.float64 else jnp.float32
+        Sk = jnp.fft.rfftn(mesh.reshape(Kx, Ky, Kz).astype(ftype))
+        B, wh = self._bhalf(box, dtype)
+        c = ELEC_FACTOR * (2.0 * jnp.pi / V)
+        s2 = (Sk.real**2 + Sk.imag**2).astype(dtype)
+        e_recip = c * jnp.sum((B * s2) @ wh)
+
+        # convolved potential grid: phi[g] = dE/dmesh[g]
+        phi = (2.0 * c * (Kx * Ky * Kz)) * jnp.fft.irfftn(
+            B.astype(Sk.dtype) * Sk, s=(Kx, Ky, Kz)
+        ).astype(dtype)
+        phiT = phi.reshape(Kx * Ky, Kz).T              # (Kz, Kx*Ky)
+
+        def gather_body(_, rows):
+            rx, ry, rzq, drx, dry, drzq = rows
+            z2 = jnp.concatenate([rzq, drzq], axis=0)   # (2M, Kz)
+            h2 = jnp.einsum("az,zp->ap", z2, phiT, precision=prec)
+            H = h2[:M].reshape(M, Kx, Ky)
+            Hd = h2[M:].reshape(M, Kx, Ky)
+            ty = jnp.einsum("mxy,my->mx", H, ry)        # sum_y Ry H
+            tx = jnp.einsum("mxy,mx->my", H, rx)        # sum_x Rx H
+            tyd = jnp.einsum("mxy,my->mx", Hd, ry)
+            fx = -jnp.sum(drx * ty, axis=1)
+            fy = -jnp.sum(dry * tx, axis=1)
+            fz = -jnp.sum(rx * tyd, axis=1)
+            return None, jnp.stack([fx, fy, fz], axis=1)
+
+        _, frc = jax.lax.scan(
+            gather_body, None,
+            (Rxc, Ryc, Rzqc, padded(dRx), padded(dRy), padded(dRzq)),
+        )
+        frc = frc.reshape(C * M, 3)[:N]
+
+        corr = lambda p: self._corrections(p, box, q)  # noqa: E731
+        e_corr, g_corr = jax.value_and_grad(corr)(pos)
+        return e_recip + e_corr, frc - g_corr
 
 
 def ewald_real_pair_energy(qq, dist, rinv, alpha):

@@ -360,10 +360,12 @@ class Forces:
 
             def nb_ef_one(pos, box):
                 pot, frc = inner_nb(pos, box)
-                er, eg = jax.value_and_grad(rec.energy)(pos, box)
+                # analytic PME gather forces (ewald.PmeRecip.energy_forces)
+                # -- AD's backward re-runs the spread matmuls + an extra FFT
+                er, ef = rec.energy_forces(pos, box)
                 pot = dict(pot)
                 pot["electrostatics"] = pot.get("electrostatics", 0.0) + er
-                return pot, frc - eg
+                return pot, frc + ef
 
         self.nb_ef_one = nb_ef_one
 
