@@ -80,7 +80,16 @@ def main():
                          "steady-state production number)")
     ap.add_argument("--cutoff", type=float, default=8.5)
     ap.add_argument("--timestep", type=float, default=2.0)
-    ap.add_argument("--phases", default="nvt,npt")
+    ap.add_argument("--phases", default="nvt,npt",
+                    help="comma list of nvt, npt, nve (nve reports "
+                         "total-energy drift for r-RESPA validation)")
+    ap.add_argument("--mts-recip", type=int, default=None,
+                    help="three-tier r-RESPA: PME reciprocal impulse "
+                         "every R outer steps (nvt/nve phases)")
+    ap.add_argument("--replicas", type=int, default=1,
+                    help="vmap'd replicas through the column kernel "
+                         "(VERDICT round-4 item 6: ensemble scaling on "
+                         "the large-N path)")
     ap.add_argument("--device", default=None,
                     help="jax platform override (e.g. cpu)")
     args = ap.parse_args()
@@ -102,41 +111,57 @@ def main():
     print(f"# built {natoms} atoms ({args.n}^3 waters), box {L:.1f} A "
           f"in {time.time() - t0:.1f}s", flush=True)
 
+    R = int(args.replicas)
+    recip = args.mts_recip
+    # mts_recip demands niter % R_recip == 0 per chunk
+    rr = int(recip) if recip else 1
+
+    def rnd(k):
+        return max(rr, (k // rr) * rr)
+
     for phase in args.phases.split(","):
         forces = Forces(par, terms=terms, precision="single",
                         cutoff=args.cutoff, elec="ewald")
-        syst = System(natoms, 1, "single")
-        syst.set_positions(mol.coords)
-        syst.set_box(mol.box)
+        syst = System(natoms, R, "single")
+        syst.set_positions(np.repeat(mol.coords, R, axis=2)
+                           if R > 1 else mol.coords)
+        syst.set_box(np.repeat(mol.box, R, axis=1)
+                     if R > 1 else mol.box)
         syst.set_velocities(
-            maxwell_boltzmann(par.masses, 300.0, 1, seed=3)
+            maxwell_boltzmann(par.masses, 300.0, R, seed=3)
         )
-        kw = dict(thermostat="nhc", T=300.0, constraints="settle",
-                  seed=3)
+        kw = dict(constraints="settle", seed=3)
+        if phase != "nve":
+            kw.update(thermostat="nhc", T=300.0)
         if phase == "npt":
             kw["barostat"] = MTKBarostat(1.0, 300.0, tau_fs=2000.0)
+        elif recip:
+            kw["mts_recip"] = recip
         integ = Integrator(syst, forces, timestep=args.timestep, **kw)
         kern = getattr(integ, "_cell_kernel", None)
         kname = type(kern).__name__ if kern is not None else "dense"
         t0 = time.time()
-        integ.step(niter=args.warmup)   # compile + warmup
+        integ.step(niter=rnd(args.warmup))   # compile + warmup
         t_compile = time.time() - t0
         done_eq = 0
         while done_eq < args.equil:
-            ek, ep, T = integ.step(niter=min(500, args.equil - done_eq))
+            ek, ep, T = integ.step(
+                niter=rnd(min(500, args.equil - done_eq)))
             done_eq += 500
             print(f"# equil {done_eq}/{args.equil}: "
                   f"T={float(np.asarray(T).reshape(-1)[0]):.1f}",
                   flush=True)
-        ek, ep, T = integ.step(niter=10)  # settle caches
+        ek, ep, T = integ.step(niter=rnd(10))  # settle caches
+        e0 = float(np.asarray(ek).reshape(-1)[0]
+                   + np.asarray(ep).reshape(-1)[0])
         t0 = time.time()
         done = 0
         while done < args.steps:
-            chunk = min(100, args.steps - done)
+            chunk = rnd(min(100, args.steps - done))
             ek, ep, T = integ.step(niter=chunk)
             done += chunk
         dt_wall = time.time() - t0
-        sps = args.steps / dt_wall
+        sps = done / dt_wall
         box_now = np.asarray(syst.box_diag)[0]
         out = {
             "phase": phase,
@@ -151,6 +176,17 @@ def main():
             "box_x": float(box_now[0]),
             "compile_s": round(t_compile, 1),
         }
+        if recip and phase != "npt":
+            out["mts_recip"] = int(recip)
+        if R > 1:
+            out["replicas"] = R
+            out["aggregate_steps_per_s"] = round(sps * R, 2)
+        if phase == "nve":
+            e1 = float(np.asarray(ek).reshape(-1)[0]
+                       + np.asarray(ep).reshape(-1)[0])
+            sim_ns = done * args.timestep / 1e6
+            out["drift_kcal_per_atom_ns"] = round(
+                (e1 - e0) / natoms / sim_ns, 4)
         assert np.isfinite(out["epot"]), out
         print(json.dumps(out), flush=True)
 

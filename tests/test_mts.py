@@ -313,6 +313,151 @@ def test_mts_cell_ewald():
     np.testing.assert_allclose(run("cell"), run("dense"), atol=1e-6)
 
 
+def _charged_dimer_run(kernel="cell", mts=None, mts_recip=None, nsteps=20,
+                       niter=10, timestep=1.0, barostat=None):
+    """Charged periodic dimer gas + Ewald on a neighbor kernel: the
+    testbed for the reciprocal-outer (three-tier) r-RESPA path."""
+    mol, par = periodic_dimer_gas()
+    q = np.tile([0.4, -0.4], mol.numAtoms // 2)
+    par.charges = np.asarray(q, dtype=np.float64)
+    forces = Forces(par, terms=["bonds", "lj", "electrostatics"],
+                    precision="double", cutoff=6.5, kernel=kernel,
+                    elec="ewald")
+    syst = System(mol.numAtoms, 1, "double")
+    syst.set_positions(mol.coords)
+    syst.set_box(mol.box)
+    syst.set_velocities(maxwell_boltzmann(par.masses, 200.0, 1, seed=5))
+    integ = Integrator(syst, forces, timestep=timestep, seed=5, mts=mts,
+                       mts_recip=mts_recip, barostat=barostat)
+    etots = []
+    for _ in range(nsteps // niter):
+        ekin, epot, _ = integ.step(niter=niter)
+        etots.append(float(np.asarray(ekin).reshape(-1)[0])
+                     + float(np.asarray(epot).reshape(-1)[0]))
+    return np.asarray(syst.pos)[0], np.asarray(syst.vel)[0], etots
+
+
+def test_mts_recip1_is_noop():
+    """mts_recip=1 disables the tier: bit-identical to the plain path."""
+    pos_a, vel_a, e_a = _charged_dimer_run(mts_recip=None)
+    pos_b, vel_b, e_b = _charged_dimer_run(mts_recip=1)
+    assert np.allclose(pos_a, pos_b, atol=1e-14)
+    assert np.allclose(vel_a, vel_b, atol=1e-14)
+    assert np.allclose(e_a, e_b, atol=1e-12)
+
+
+def test_mts_recip_tracks_and_conserves():
+    """Reciprocal term on a 2x outer impulse: the trajectory tracks the
+    every-step reference closely over a short horizon (the deferred term
+    is small and smooth) and NVE total energy stays conserved."""
+    pos_a, vel_a, e_a = _charged_dimer_run(nsteps=40)
+    pos_b, vel_b, e_b = _charged_dimer_run(nsteps=40, mts_recip=2)
+    # short-horizon trajectory agreement (same dynamics, O(R^2 dt^2)
+    # splitting difference in the smooth reciprocal tier)
+    np.testing.assert_allclose(pos_b, pos_a, atol=5e-3)
+    drift_a = abs(e_a[-1] - e_a[0])
+    drift_b = abs(e_b[-1] - e_b[0])
+    assert np.isfinite(e_b[-1])
+    assert drift_b < max(5 * drift_a, 0.05), (drift_a, drift_b, e_b)
+
+
+def test_mts_recip_composes_with_inner_tiers():
+    """Full three-tier split (bonded substeps + per-step real space +
+    deferred reciprocal) integrates the stiff-bond system stably at an
+    outer step plain VV cannot hold."""
+    pos, vel, e = _charged_dimer_run(mts=5, mts_recip=2, timestep=2.5,
+                                     nsteps=120)
+    assert np.isfinite(e[-1])
+    assert abs(e[-1] - e[0]) < 0.5, e
+
+
+def test_mts_recip_rejections():
+    """Guard rails: dense path, missing Ewald, chunk length not closing
+    a reciprocal cycle."""
+    mol, par = periodic_dimer_gas()
+    q = np.tile([0.4, -0.4], mol.numAtoms // 2)
+    par.charges = np.asarray(q, dtype=np.float64)
+
+    def make(kernel, elec, mts_recip):
+        kw = {"elec": elec} if elec else {}
+        forces = Forces(par, terms=["bonds", "lj", "electrostatics"],
+                        precision="double", cutoff=6.5, kernel=kernel,
+                        **kw)
+        syst = System(mol.numAtoms, 1, "double")
+        syst.set_positions(mol.coords)
+        syst.set_box(mol.box)
+        syst.set_velocities(
+            maxwell_boltzmann(par.masses, 200.0, 1, seed=5))
+        return Integrator(syst, forces, timestep=1.0, seed=5,
+                          mts_recip=mts_recip)
+
+    with pytest.raises(NotImplementedError, match="neighbor-kernel"):
+        make("dense", "ewald", 2)
+    with pytest.raises(ValueError, match="Ewald"):
+        make("cell", None, 2)
+    integ = make("cell", "ewald", 3)
+    with pytest.raises(ValueError, match="full reciprocal cycles"):
+        integ.step(niter=10)
+    integ.step(niter=9)  # multiples trace + run fine
+
+
+def test_mts_recip_with_settle_vsites(tmp_path):
+    """The production combination (TIP4P vsites + SETTLE + Ewald +
+    reciprocal-outer r-RESPA): bounded NVE drift, sites stay snapped."""
+    import jax.numpy as jnp
+
+    from test_gromacs import TIP4P2005_TOP, tip4p_water, write
+
+    from torchmd_tpu.forcefields import ForceField
+    from torchmd_tpu.vsites import apply_vsites
+
+    top = write(tmp_path / "tip4p64.top",
+                TIP4P2005_TOP.replace("SOL 2", "SOL 64"))
+    mol = Molecule(top)
+    pts = []
+    for ix in range(4):
+        for iy in range(4):
+            for iz in range(4):
+                pts.append(tip4p_water(np.array([ix, iy, iz]) * 5.2 + 1.2))
+    mol.coords = np.concatenate(pts)[:, :, None]
+    mol.box = np.full((3, 1), 20.8)  # >= 3 cells of rc = cutoff + skin
+    ff = ForceField.create(mol, top)
+    terms = ["bonds", "lj", "electrostatics"]
+    par = Parameters(ff, mol, terms, precision="double")
+    forces = Forces(par, terms=terms, precision="double", cutoff=4.5,
+                    kernel="cell", elec="ewald")
+
+    def run(mts_recip):
+        syst = System(mol.numAtoms, 1, "double")
+        syst.set_positions(mol.coords)
+        syst.set_box(mol.box)
+        syst.set_velocities(
+            maxwell_boltzmann(par.masses, 150.0, 1, seed=11))
+        integ = Integrator(syst, forces, timestep=2.0, seed=11,
+                           constraints="settle", mts_recip=mts_recip)
+        etots = []
+        for _ in range(8):
+            ekin, epot, _ = integ.step(niter=20)
+            etots.append(float(np.asarray(ekin).reshape(-1)[0])
+                         + float(np.asarray(epot).reshape(-1)[0]))
+        return syst, etots
+
+    # the short-cutoff testbed itself drifts (LJ truncation noise as the
+    # lattice melts); the recip tier must TRACK the every-step reference,
+    # not beat its floor
+    _, e_ref = run(None)
+    syst, etots = run(2)
+    assert np.isfinite(etots[-1])
+    assert abs(etots[-1] - e_ref[-1]) < 0.5, (etots, e_ref)
+    out = np.asarray(syst.pos)[0]
+    snapped = np.asarray(
+        apply_vsites(par.vsites, jnp.asarray(out), jnp.asarray([20.8] * 3))
+    )
+    site_rows = np.arange(3, out.shape[0], 4)
+    np.testing.assert_allclose(out[site_rows], snapped[site_rows],
+                               atol=1e-9)
+
+
 def test_mts_with_virtual_sites(tmp_path):
     """MTS + TIP4P virtual sites + SETTLE: the fast/slow evaluators each
     vjp-spread their own site forces; NVE total energy stays bounded

@@ -99,7 +99,8 @@ class Integrator:
     def __init__(self, systems, forces, timestep, device=None, gamma=None,
                  T=None, batch=None, seed=1, mesh=None, mesh_axis="dp",
                  constraints=None, shard="replica", thermostat=None,
-                 tau=None, nchain=3, barostat=None, mts=None):
+                 tau=None, nchain=3, barostat=None, mts=None,
+                 mts_recip=None):
         self.dt = timestep / TIMEFACTOR
         self.systems = systems
         self.forces = forces
@@ -326,6 +327,18 @@ class Integrator:
                 raise ValueError(f"mts must be >= 1, got {mts}")
             if batch is not None:
                 raise NotImplementedError("mts + atom batching")
+        # Three-tier r-RESPA: the Ewald/PME RECIPROCAL term (slow, smooth)
+        # fires every `mts_recip` outer steps with the R*dt impulse, the
+        # real-space kernel nonbonded at every outer step, bonded on the
+        # `mts` inner substeps. mts_recip=1/None disables the tier.
+        self.mts_recip = (None if mts_recip in (None, 0, False, 1)
+                          else int(mts_recip))
+        if self.mts_recip is not None:
+            if self.mts_recip < 1:
+                raise ValueError(
+                    f"mts_recip must be >= 1, got {mts_recip}")
+            if batch is not None:
+                raise NotImplementedError("mts_recip + atom batching")
 
         self.key = jax.random.PRNGKey(seed)
         # device-state cache (avoids host<->device round trips per step();
@@ -373,6 +386,27 @@ class Integrator:
                 "jittable force paths (no spatial sharding, no host-loop "
                 "providers)"
             )
+        if self.mts_recip is not None:
+            if not (self._use_cell or self._use_verlet):
+                raise NotImplementedError(
+                    "mts_recip (reciprocal-outer r-RESPA) rides the "
+                    "neighbor-kernel (cell/column/verlet) scan, where the "
+                    "real-space/reciprocal split exists; the dense path "
+                    "folds the reciprocal term into the nonbonded "
+                    "evaluator"
+                )
+            if self._spatial is not None or self._host_path:
+                raise NotImplementedError(
+                    "mts_recip + spatial sharding / host-loop providers")
+            if self._npt is not None:
+                raise NotImplementedError(
+                    "mts_recip + MTK barostat (the reciprocal impulse "
+                    "has no virial form in the NPT splitting yet)")
+            if getattr(forces, "_ewald", None) is None:
+                raise ValueError(
+                    "mts_recip needs Ewald/PME electrostatics "
+                    "(elec='ewald'): there is no reciprocal tier to "
+                    "defer otherwise")
         if self._npt is not None:
             if self._host_path:
                 raise ValueError("MTK barostat needs a jittable force "
@@ -797,9 +831,9 @@ class Integrator:
             )
             frc = frc + nb_f
             if ewald is not None:
-                er, eg = jax.value_and_grad(ewald.energy)(pos, box)
+                er, erf_ = ewald.energy_forces(pos, box)
                 e = e + er
-                frc = frc - eg
+                frc = frc + erf_
             if ext_ef is not None:
                 ee, ef = ext_ef(pos, box)
                 e = e + ee
@@ -883,11 +917,24 @@ class Integrator:
         criterion already covers). This is exactly where MTS pays:
         large-N systems whose nonbonded stage dominates the step.
         Carry/return signature matches `_build_scan_cell` so step()'s
-        grow/retry loop is shared."""
+        grow/retry loop is shared.
+
+        Three-tier variant (`mts_recip` = R > 1): the Ewald/PME
+        RECIPROCAL term — smooth and slowly varying by construction —
+        leaves the slow stage and fires every R outer steps as an R*dt
+        impulse with symmetric half-kicks bracketing each R-cycle
+        (Verlet-I/impulse splitting, one tier up). The real-space kernel
+        stays on the outer dt (it carries the stiff short-range core and
+        must see every neighbor-scale move), bonded on the `mts` inner
+        substeps. Chunks must close a full cycle (niter % R == 0) so the
+        closing half-kick lands inside the scan; the reported potential
+        is exact at chunk ends (the last body evaluates the reciprocal
+        term fresh)."""
         forces_obj = self.forces
         kern = self._cell_kernel
         dt = self.dt
-        n = int(self.mts)
+        n = int(self.mts or 1)
+        R = int(self.mts_recip or 1)
         ddt = dt / n
         gamma = self.gamma
         use_thermostat = self._use_langevin_T and gamma is not None
@@ -909,6 +956,9 @@ class Integrator:
                     lambda v, a: thermo.post(v, a, masses, dt)
                 )
         ewald = getattr(forces_obj, "_ewald", None)
+        # R > 1: the reciprocal term gets its own (outermost) tier;
+        # otherwise it folds into the slow stage as before
+        ewald_in_slow = ewald if R == 1 else None
         from .external import external_ef
 
         ext_ef = external_ef(forces_obj.external)
@@ -923,15 +973,18 @@ class Integrator:
             nb_pot, nb_f = kern.energy_forces(pos, box, cl)
             e = sum(jax.tree_util.tree_leaves(nb_pot))
             frc = nb_f
-            if ewald is not None:
-                er, eg = jax.value_and_grad(ewald.energy)(pos, box)
+            if ewald_in_slow is not None:
+                er, erf_ = ewald_in_slow.energy_forces(pos, box)
                 e = e + er
-                frc = frc - eg
+                frc = frc + erf_
             if ext_ef is not None:
                 ee, ef = ext_ef(pos, box)
                 e = e + ee
                 frc = frc + ef
             return e, frc
+
+        def recip_one(pos, box):
+            return ewald.energy_forces(pos, box)
 
         vsg = self.vsites
         if vsg is not None:
@@ -941,6 +994,7 @@ class Integrator:
 
             _inner_fast = fast_one
             _inner_slow = slow_one
+            _inner_recip = recip_one
 
             def fast_one(pos, box):  # noqa: F811 -- vsite wrap
                 p2, vjp = jax.vjp(lambda p: _apply_vs(vsg, p, box), pos)
@@ -954,8 +1008,15 @@ class Integrator:
                 (frc2,) = vjp(frc)
                 return e, frc2
 
+            def recip_one(pos, box):  # noqa: F811 -- vsite wrap
+                p2, vjp = jax.vjp(lambda p: _apply_vs(vsg, p, box), pos)
+                e, frc = _inner_recip(p2, box)
+                (frc2,) = vjp(frc)
+                return e, frc2
+
         fast_v = jax.vmap(fast_one, in_axes=(0, 0))
         slow_v = jax.vmap(slow_one, in_axes=(0, 0, 0))
+        recip_v = jax.vmap(recip_one, in_axes=(0, 0)) if R > 1 else None
 
         build_v = jax.vmap(kern.build)
 
@@ -990,12 +1051,29 @@ class Integrator:
         def run(carry, box, niter: int):
             state0, cl0, aux0 = carry
             _, ffrc0 = fast_v(state0.pos, box)
+            if R > 1:
+                if niter % R:
+                    raise ValueError(
+                        f"mts_recip={R}: step()/chunk length must close "
+                        f"full reciprocal cycles (niter % {R} == 0), got "
+                        f"{niter}")
+                # chunk prologue: the cycle-opening half-kick needs the
+                # reciprocal forces at the entry positions (identical to
+                # the previous chunk's closing evaluation)
+                e_rec0, rfrc0 = recip_v(state0.pos, box)
 
             def body(c, _):
-                st, cl, ffrc, aux = c
+                if R > 1:
+                    st, cl, ffrc, rfrc, e_rec, cnt, aux = c
+                else:
+                    st, cl, ffrc, aux = c
                 vel = st.vel
                 if thermo is not None:
                     vel, aux = thermo_pre(vel, aux)
+                if R > 1:
+                    # opening reciprocal half-impulse at cycle starts
+                    w_open = jnp.where(cnt == 0, 0.5 * R * dt, 0.0)
+                    vel = vel + w_open * _safe_accel(rfrc, masses)
                 # outer half-kick with the carried slow forces
                 vel = vel + 0.5 * dt * _safe_accel(st.forces, masses)
                 pos = st.pos
@@ -1025,6 +1103,18 @@ class Integrator:
                 cl = update_all(pos, cl, box)
                 e_slow, sfrc = slow_v(pos, box, cl)
                 vel = vel + 0.5 * dt * _safe_accel(sfrc, masses)
+                if R > 1:
+                    # closing half-impulse: evaluate the reciprocal term
+                    # only on the cycle's last step (the saved work)
+                    at_close = cnt == R - 1
+                    e_rec, rfrc = jax.lax.cond(
+                        at_close,
+                        lambda: recip_v(pos, box),
+                        lambda: (e_rec, rfrc),
+                    )
+                    w_close = jnp.where(at_close, 0.5 * R * dt, 0.0)
+                    vel = vel + w_close * _safe_accel(rfrc, masses)
+                    cnt = jnp.where(at_close, 0, cnt + 1)
                 if cs is not None:
                     vel = rattle_v(pos, vel)
                 if thermo is not None:
@@ -1037,18 +1127,34 @@ class Integrator:
                     if cs is not None:
                         vel = rattle_v(pos, vel)
                 epot = e_fast + e_slow
-                return (SimState(pos, vel, sfrc, key), cl, ffrc, aux), epot
+                if R > 1:
+                    # e_rec is fresh on cycle-closing steps (incl. the
+                    # chunk's last body, since niter % R == 0) and at most
+                    # R-1 steps stale in between
+                    epot = epot + e_rec
+                    out = (SimState(pos, vel, sfrc, key), cl, ffrc,
+                           rfrc, e_rec, cnt, aux)
+                else:
+                    out = (SimState(pos, vel, sfrc, key), cl, ffrc, aux)
+                return out, epot
 
-            (state, cl, _, aux1), epots = jax.lax.scan(
-                body, (state0, cl0, ffrc0, aux0), None, length=niter
-            )
+            if R > 1:
+                init = (state0, cl0, ffrc0, rfrc0, e_rec0,
+                        jnp.zeros((), jnp.int32), aux0)
+                (state, cl, _, _, _, _, aux1), epots = jax.lax.scan(
+                    body, init, None, length=niter
+                )
+            else:
+                (state, cl, _, aux1), epots = jax.lax.scan(
+                    body, (state0, cl0, ffrc0, aux0), None, length=niter
+                )
             return (state, cl, aux1), epots[-1]
 
         return run
 
     def _build_scan_cell_dispatch(self):
-        """Neighbor-kernel scan: r-RESPA variant when mts is set."""
-        if self.mts is not None:
+        """Neighbor-kernel scan: r-RESPA variant when mts/mts_recip set."""
+        if self.mts is not None or self.mts_recip is not None:
             return self._build_scan_mts_cell()
         return self._build_scan_cell()
 

@@ -52,6 +52,11 @@ def get_args(arguments=None):
     parser.add_argument("--mts", default=None, type=int,
                         help="r-RESPA multiple timestepping: number of "
                              "inner bonded substeps per (outer) timestep")
+    parser.add_argument("--mts-recip", default=None, type=int,
+                        help="three-tier r-RESPA: evaluate the Ewald/PME "
+                             "reciprocal term every N outer steps "
+                             "(neighbor-kernel path with elec=ewald; "
+                             "output-period must divide by N)")
     parser.add_argument("--gbsa", action="store_true", default=False,
                         help="GB/OBC implicit solvent + ACE surface area "
                              "(radii from prmtop RADII/SCREEN or element "
@@ -386,6 +391,7 @@ def dynamics(args, mol, system, forces):
         tau=getattr(args, "thermostat_tau", None),
         barostat=mtk,
         mts=getattr(args, "mts", None),
+        mts_recip=getattr(args, "mts_recip", None),
     )
     wrapper = Wrapper(mol.numAtoms, mol.bonds if len(mol.bonds) else None,
                       args.device)
