@@ -649,3 +649,150 @@ def test_halo_tip4p_migration_keeps_molecules_whole(tmp_path):
         rank_of[sel] = r
     mol_ranks = rank_of.reshape(-1, 4)
     assert np.all(mol_ranks == mol_ranks[:, :1])
+
+
+# ----------------------------------------------------------------------
+# 2-D x*y pencil decomposition (round 5): two-phase ghost exchange,
+# two-phase migration, corner coverage via forwarded x ghosts
+# ----------------------------------------------------------------------
+
+def _mesh2(rx, ry):
+    return Mesh(np.array(jax.devices()[: rx * ry]).reshape(rx, ry),
+                ("spx", "spy"))
+
+
+def test_halo_pencil_spec_validation():
+    spec = make_halo_spec([90.0] * 3, 9.0, 2, 2000, Ry=4)
+    assert spec.pencil_w >= spec.band_w
+    assert spec.Gcap2 > 0
+    assert spec.comm_bytes_per_step() > make_halo_spec(
+        [90.0] * 3, 9.0, 2, 2000).comm_bytes_per_step()
+    with pytest.raises(ValueError, match="y ranks"):
+        make_halo_spec([90.0, 40.0, 90.0], 9.0, 2, 2000, Ry=4)
+
+
+def test_halo_pencil_energy_matches_dense():
+    """Zero-velocity step on a 2x4 pencil mesh: the reported potential
+    equals the dense path's nonbonded energy (corner ghosts included)."""
+    mol, par, forces, L = _gas()
+    pos = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+    box = jnp.asarray([L] * 3, jnp.float32)
+    pot_d, f_d = nonbonded_energy_forces(forces.ffparams, pos, box,
+                                         forces.config)
+    e_dense = float(sum(jax.tree_util.tree_leaves(pot_d)))
+
+    h = HaloMD(forces.ffparams, forces.config, _mesh2(2, 4),
+               np.asarray([L] * 3), timestep=1.0, axis=("spx", "spy"))
+    assert h.spec.Ry == 4
+    h.init(pos, jnp.zeros_like(pos))
+    ekin, epot, T = h.step(niter=1)
+    assert epot == pytest.approx(e_dense, rel=1e-5)
+    assert 0.0 <= ekin < 1e-4
+
+
+def test_halo_pencil_rank_invariance_nve():
+    """The same NVE trajectory out of 1 rank, 2x2 and 2x4 pencils (the
+    two-phase exchange and migration cancel across decompositions)."""
+    mol, par, forces, L = _gas(seed=3)
+    from torchmd_tpu.integrator import maxwell_boltzmann
+
+    vel0 = np.asarray(maxwell_boltzmann(par.masses, 120.0, 1, seed=2))[0]
+    pos0 = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+
+    results = {}
+    for shape in ((1, 1), (2, 2), (2, 4)):
+        h = HaloMD(forces.ffparams, forces.config, _mesh2(*shape),
+                   np.asarray([L] * 3), timestep=5.0,
+                   axis=("spx", "spy"))
+        h.init(pos0, jnp.asarray(vel0, jnp.float32))
+        es = []
+        for _ in range(3):
+            ekin, epot, T = h.step(niter=8)
+            es.append(epot)
+        pos, vel = h.gather()
+        results[shape] = (np.asarray(es), pos, vel)
+
+    e1, p1, v1 = results[(1, 1)]
+    for shape in ((2, 2), (2, 4)):
+        er, pr, vr = results[shape]
+        np.testing.assert_allclose(er, e1, rtol=5e-5)
+        np.testing.assert_allclose(pr, p1, atol=2e-3)
+        np.testing.assert_allclose(vr, v1, atol=2e-3)
+
+
+def test_halo_pencil_migration_conserves_atoms():
+    """A thermostatted hot run on 2x4 pencils that fires two-phase
+    (x then y, including diagonal) migrations keeps every atom owned by
+    exactly one rank."""
+    mol, par, forces, L = _gas(seed=4)
+    from torchmd_tpu.integrator import maxwell_boltzmann
+
+    vel0 = np.asarray(maxwell_boltzmann(par.masses, 300.0, 1, seed=5))[0]
+    h = HaloMD(forces.ffparams, forces.config, _mesh2(2, 4),
+               np.asarray([L] * 3), timestep=5.0, T=120.0, gamma=0.5,
+               axis=("spx", "spy"))
+    h.init(jnp.asarray(mol.coords[:, :, 0], jnp.float32),
+           jnp.asarray(vel0, jnp.float32))
+    for _ in range(3):
+        ekin, epot, T = h.step(niter=10)
+        assert np.isfinite(epot) and np.isfinite(ekin)
+    t = np.asarray(h._tables).reshape(-1, h._tables.shape[-1])
+    ids = t[:, 0].astype(int)
+    real = np.sort(ids[ids < mol.numAtoms])
+    assert np.array_equal(real, np.arange(mol.numAtoms))
+    assert 40.0 < T < 400.0
+
+
+def test_halo_pencil_tip4p_settle_vsites(tmp_path):
+    """The flagship composition (SETTLE + vsites + LJ + electrostatics)
+    on 2x4 pencils reproduces the single-chip dense Integrator and keeps
+    molecules whole across two-phase migration."""
+    from torchmd_tpu.constraints import build_constraint_spec
+    from torchmd_tpu.integrator import Integrator, maxwell_boltzmann
+    from torchmd_tpu.neighbors import build_exclusion_table
+    from torchmd_tpu.systems import System
+
+    L = 80.0
+    mol, par, forces = _tip4p_gas(tmp_path, nside=5, L=L)
+    n = mol.numAtoms
+    vel0 = np.array(maxwell_boltzmann(par.masses, 200.0, 1, seed=6))[0]
+    vel0[np.asarray(par.masses).reshape(-1) <= 0] = 0.0
+    pos0 = mol.coords[:, :, 0]
+
+    syst = System(n, 1, "single")
+    syst.set_positions(mol.coords)
+    syst.set_box(mol.box)
+    syst.set_velocities(vel0[None])
+    integ = Integrator(syst, forces, timestep=2.0, constraints="settle")
+    es_d = []
+    for _ in range(3):
+        ek, ep, T = integ.step(niter=8)
+        es_d.append(float(np.asarray(ep).reshape(-1)[0]))
+    pos_d = np.asarray(syst.pos[0])
+
+    cs = build_constraint_spec(par, np.asarray(par.masses), mode="settle")
+    excl = build_exclusion_table(par, n, 0)
+    h = HaloMD(forces.ffparams, forces.config, _mesh2(2, 4),
+               np.asarray([L] * 3), excl_table=excl, timestep=2.0,
+               constraints=cs, vsites=par.vsites, axis=("spx", "spy"))
+    h.init(jnp.asarray(pos0, jnp.float32), jnp.asarray(vel0, jnp.float32))
+    assert h.spec.eps > 0.9
+    es = []
+    for _ in range(3):
+        ekin, epot, T = h.step(niter=8)
+        es.append(epot)
+    pos_h, vel_h = h.gather()
+    np.testing.assert_allclose(np.asarray(es), np.asarray(es_d),
+                               rtol=5e-5)
+    d = pos_h - pos_d
+    d -= L * np.round(d / L)
+    assert np.max(np.abs(d)) < 2e-3
+    # molecule-atomic co-ownership held through 2-D migration
+    t = np.asarray(h._tables)
+    ids = t[:, :, 0].astype(int)
+    rank_of = np.full(n, -1)
+    for r in range(ids.shape[0]):
+        sel = ids[r][ids[r] < n]
+        rank_of[sel] = r
+    mol_ranks = rank_of.reshape(-1, 4)
+    assert np.all(mol_ranks == mol_ranks[:, :1])

@@ -36,6 +36,14 @@ widens by twice the largest member-to-rep extent to keep pair coverage
 exact), Langevin or NVE, orthorhombic static box. CMAP falls back to
 the row-block spatial scan.
 
+Decomposition: 1-D x slabs (axis = one mesh axis name) or 2-D x*y
+pencils (axis = a pair of names, round 5) -- the pencil form lifts the
+rank bound from box_x/band to (box_x/band) * (box_y/band). The ghost
+exchange runs per axis: x bands first, then y bands cut from
+(owned + x ghosts), so the 4 diagonal corner regions arrive with the
+forwarded x ghosts and no dedicated corner sends are needed; migration
+runs the same two phases (a diagonal move completes across them).
+
 The reference has no distributed code at all (SURVEY.md §2.9); this is
 the TPU-native halo-exchange design its O(N^2) single-device engine
 could never express.
@@ -66,12 +74,12 @@ def _round_up(n, m):
 
 
 class HaloSpec(NamedTuple):
-    R: int              # ranks along the slab axis
+    R: int              # ranks along the slab axis (x)
     box: tuple          # (lx, ly, lz) static
     cutoff: float
     skin: float
     Acap: int           # owned-atom capacity per rank
-    Gcap: int           # ghost-band capacity per direction
+    Gcap: int           # ghost-band capacity per direction (x phase)
     Mcap: int           # migration capacity per direction per rebuild
     nexcl: int
     # largest member-to-representative distance of any rigid/vsite group
@@ -79,10 +87,20 @@ class HaloSpec(NamedTuple):
     # group REP's x, so a member can sit up to eps outside its owner
     # slab — the ghost band widens by 2*eps to keep pair coverage exact
     eps: float = 0.0
+    # 2-D x*y pencil decomposition (round 5): Ry ranks along y. The
+    # ghost exchange runs two phases — x bands first, then y bands of
+    # (owned + x ghosts), which covers the 4 diagonal corners with no
+    # dedicated corner sends. Ry=1 keeps the original 1-D x slabs.
+    Ry: int = 1
+    Gcap2: int = 0      # y-phase ghost capacity per direction
 
     @property
     def slab_w(self):
         return self.box[0] / self.R
+
+    @property
+    def pencil_w(self):
+        return self.box[1] / self.Ry
 
     @property
     def band_w(self):
@@ -90,17 +108,22 @@ class HaloSpec(NamedTuple):
 
     def comm_bytes_per_step(self):
         """Per-chip per-step halo traffic (send+recv, both directions):
-        2 directions x (rows x Gcap) x 4 bytes, twice (send and the
-        mirrored receive land on this chip's links)."""
+        2 directions x (rows x cap) x 4 bytes, twice (send and the
+        mirrored receive land on this chip's links); the 2-D pencil
+        adds the y phase."""
         rows = 7 + self.nexcl          # id,x,y,z,q,sig,eps + exclusions
-        return 2 * 2 * rows * self.Gcap * 4
+        b = 2 * 2 * rows * self.Gcap * 4
+        if self.Ry > 1:
+            b += 2 * 2 * rows * self.Gcap2 * 4
+        return b
 
 
 def make_halo_spec(box, cutoff, R, natoms, skin=2.0, nexcl=0,
-                   slack=1.35, eps=0.0) -> HaloSpec:
+                   slack=1.35, eps=0.0, Ry=1) -> HaloSpec:
     box = tuple(float(b) for b in np.asarray(box).reshape(-1)[:3])
     if min(box) <= 0:
         raise ValueError("halo exchange requires a periodic box")
+    Ry = int(Ry)
     slab_w = box[0] / R
     band = cutoff + skin + 2.0 * eps
     if slab_w < band:
@@ -108,17 +131,30 @@ def make_halo_spec(box, cutoff, R, natoms, skin=2.0, nexcl=0,
             f"slab width {slab_w:.2f} < ghost band {band:.2f} "
             f"(cutoff+skin+2*group_eps): too many ranks for this box"
         )
-    per = natoms / R
+    pencil_w = box[1] / Ry
+    if Ry > 1 and pencil_w < band:
+        raise ValueError(
+            f"pencil height {pencil_w:.2f} < ghost band {band:.2f} "
+            f"(cutoff+skin+2*group_eps): too many y ranks for this box"
+        )
+    per = natoms / (R * Ry)
     Acap = _round_up(per * slack + 4 * np.sqrt(per) + 8, 8)
     band_frac = min(1.0, band / slab_w)
     Gcap = _round_up(per * band_frac * (slack + 0.3)
                      + 4 * np.sqrt(max(per * band_frac, 1)) + 8, 8)
+    Gcap2 = 0
+    if Ry > 1:
+        # y bands are cut from owned + both x ghost bands: the source
+        # region is (slab_w + 2*band) wide in x
+        yfrac = min(1.0, band / pencil_w) * (1.0 + 2.0 * band_frac)
+        Gcap2 = _round_up(per * yfrac * (slack + 0.3)
+                          + 4 * np.sqrt(max(per * yfrac, 1)) + 8, 8)
     mig_frac = min(1.0, (skin + eps) / slab_w)
     Mcap = _round_up(per * mig_frac * (slack + 0.3)
                      + 4 * np.sqrt(max(per * mig_frac, 1)) + 8, 8)
     return HaloSpec(int(R), box, float(cutoff), float(skin),
                     int(Acap), int(Gcap), int(Mcap), int(nexcl),
-                    float(eps))
+                    float(eps), Ry, int(Gcap2))
 
 
 # Row layout of the packed per-atom table (columns of `atoms`):
@@ -219,21 +255,29 @@ def _pack(mask, rows, cap, pad_row):
 
 def distribute(spec: HaloSpec, rows, rep_of=None):
     """Host-side initial distribution: global packed rows ->
-    (R, Acap, D) slab tables. Owners come from the group REP's x when
-    `rep_of` is given (molecule-atomic ownership), so rigid groups land
-    whole on one rank. Returns (tables, overflow)."""
+    (R*Ry, Acap, D) slab/pencil tables. Owners come from the group
+    REP's position when `rep_of` is given (molecule-atomic ownership),
+    so rigid groups land whole on one rank. Returns
+    (tables, overflow)."""
     x = np.asarray(rows[:, 1])
+    y = np.asarray(rows[:, 2])
     if rep_of is not None:
         x = x[np.asarray(rep_of)]
-    lx = spec.box[0]
+        y = y[np.asarray(rep_of)]
+    lx, ly = spec.box[0], spec.box[1]
     xw = x - lx * np.floor(x / lx)
     owner = np.clip((xw / lx * spec.R).astype(int), 0, spec.R - 1)
+    if spec.Ry > 1:
+        yw = y - ly * np.floor(y / ly)
+        oy = np.clip((yw / ly * spec.Ry).astype(int), 0, spec.Ry - 1)
+        owner = owner * spec.Ry + oy
     n, D = rows.shape
     pad = np.zeros(D, np.float32)
     pad[_ID] = n
-    out = np.tile(pad, (spec.R, spec.Acap, 1))
+    nrank = spec.R * spec.Ry
+    out = np.tile(pad, (nrank, spec.Acap, 1))
     overflow = False
-    for r in range(spec.R):
+    for r in range(nrank):
         ids = np.where(owner == r)[0]
         if len(ids) > spec.Acap:
             overflow = True
@@ -261,8 +305,15 @@ class HaloMD:
         self.ffp = ffp
         self.cfg = cfg
         self.mesh = mesh
-        self.axis = axis
-        self.R = mesh.shape[axis]
+        # axis: one mesh axis name (1-D x slabs) or a pair of names
+        # (2-D x*y pencil decomposition)
+        self.axes = (axis,) if isinstance(axis, str) else tuple(axis)
+        if len(self.axes) not in (1, 2):
+            raise ValueError("halo axis must be one mesh axis (slabs) "
+                             "or a pair (pencils)")
+        self.axis = self.axes[0]
+        self.R = mesh.shape[self.axes[0]]
+        self.Ry = mesh.shape[self.axes[1]] if len(self.axes) > 1 else 1
         natoms = int(ffp.charges.shape[0])
         self.natoms = natoms
         nexcl = int(excl_table.shape[1]) if excl_table is not None else 0
@@ -289,7 +340,8 @@ class HaloMD:
         self._ncon = int(constraints.ncon) if constraints is not None else 0
         self._n_real = natoms - int(self._virt_mask.sum())
         self.spec = make_halo_spec(box, cfg.cutoff, self.R, natoms,
-                                   skin=2.0, nexcl=nexcl, slack=slack)
+                                   skin=2.0, nexcl=nexcl, slack=slack,
+                                   Ry=self.Ry)
         from .halo_bonded import build_halo_bonded_plan
 
         self._bonded_plan = build_halo_bonded_plan(ffp, cfg)
@@ -315,13 +367,14 @@ class HaloMD:
                 new = make_halo_spec(
                     self._box_arg, self.cfg.cutoff, self.R, self.natoms,
                     skin=2.0, nexcl=old.nexcl, slack=self._slack,
-                    eps=max(eps, old.eps),
+                    eps=max(eps, old.eps), Ry=self.Ry,
                 )
                 # never shrink capacities the grow/retry loop raised
                 self.spec = new._replace(
                     Acap=max(new.Acap, old.Acap),
                     Gcap=max(new.Gcap, old.Gcap),
                     Mcap=max(new.Mcap, old.Mcap),
+                    Gcap2=max(new.Gcap2, old.Gcap2),
                 )
                 self._step_fn = self._build_step()
         self._check_exclusion_reach(pos)
@@ -357,7 +410,7 @@ class HaloMD:
                                "raise slack")
         self._tables = jax.device_put(
             tables,
-            jax.sharding.NamedSharding(self.mesh, P(self.axis)),
+            jax.sharding.NamedSharding(self.mesh, P(self.axes)),
         )
 
     def _check_exclusion_reach(self, pos):
@@ -417,8 +470,15 @@ class HaloMD:
         spec = self.spec
         kcfg = self.kcfg
         R = spec.R
-        axis = self.axis
+        Ry = spec.Ry
+        axes = self.axes
+        axis = axes[0]
+        ax_y = axes[1] if len(axes) > 1 else None
+        # a size-1 y axis degenerates to the 1-D slab form (min-image
+        # handles the y direction; no y exchange needed)
+        two_d = ax_y is not None and Ry > 1
         Acap, Gcap, Mcap = spec.Acap, spec.Gcap, spec.Mcap
+        Gcap2 = spec.Gcap2
         nexcl = spec.nexcl
         n = self.natoms
         lx, ly, lz = spec.box
@@ -444,6 +504,8 @@ class HaloMD:
         band = spec.band_w
         fwd = [(i, (i + 1) % R) for i in range(R)]
         bwd = [(i, (i - 1) % R) for i in range(R)]
+        fwd_y = [(i, (i + 1) % Ry) for i in range(Ry)]
+        bwd_y = [(i, (i - 1) % Ry) for i in range(Ry)]
         ab_tables = None
         if self.ffp.lj_ab is not None:
             ab_tables = (
@@ -504,9 +566,12 @@ class HaloMD:
 
         from ..ops.pallas_nonbonded import pair_terms
 
-        def ghost_exchange(atoms, rank):
-            """Send boundary bands to both neighbours; returns
-            (ghost_rows (2*Gcap, D), overflow)."""
+        def ghost_exchange(atoms, rank, rank_y):
+            """Send boundary bands to both x neighbours; in the 2-D
+            pencil mode a second phase sends y bands of (owned + x
+            ghosts) to both y neighbours — the forwarded x-ghost rows
+            cover the 4 diagonal corners. Returns
+            (ghost_rows (2*Gcap [+ 2*Gcap2], D), overflow)."""
             x = atoms[:, 1]
             valid = atoms[:, _ID] < n
             lo = rank * (lx / R)
@@ -527,7 +592,31 @@ class HaloMD:
             recv_from_left = jax.lax.ppermute(send_r, axis, fwd)
             recv_from_right = jax.lax.ppermute(send_l, axis, bwd)
             ghosts = jnp.concatenate([recv_from_left, recv_from_right])
-            return ghosts, of_r | of_l
+            of = of_r | of_l
+            if not two_d:
+                return ghosts, of
+            # phase 2 (y): x neighbours share this rank's y range, so
+            # the y-band tests apply to owned and x-ghost rows alike
+            src = jnp.concatenate([atoms, ghosts])
+            yy = src[:, 2]
+            validy = src[:, _ID] < n
+            lo_y = rank_y * (ly / Ry)
+            hi_y = (rank_y + 1) * (ly / Ry)
+            m_up = validy & (yy > hi_y - band)
+            send_u, of_u = _pack(m_up, src, Gcap2, pad_row)
+            send_u = send_u.at[:, 2].add(
+                jnp.where(rank_y == Ry - 1, -ly, 0.0)
+            )
+            m_dn = validy & (yy < lo_y + band)
+            send_d, of_d = _pack(m_dn, src, Gcap2, pad_row)
+            send_d = send_d.at[:, 2].add(
+                jnp.where(rank_y == 0, ly, 0.0)
+            )
+            recv_from_below = jax.lax.ppermute(send_u, ax_y, fwd_y)
+            recv_from_above = jax.lax.ppermute(send_d, ax_y, bwd_y)
+            ghosts = jnp.concatenate(
+                [ghosts, recv_from_below, recv_from_above])
+            return ghosts, of | of_u | of_d
 
         def energy_forces_local(atoms, ghosts):
             """Symmetric evaluation: local rows vs (local + ghosts).
@@ -543,7 +632,10 @@ class HaloMD:
             dx = xi - xj                    # x: ghosts pre-shifted; local
             #                                 pairs stay within one slab
             dy = yi - yj
-            dy = dy - ly * jnp.round(dy / ly)
+            if not two_d:
+                dy = dy - ly * jnp.round(dy / ly)
+            # 2-D pencils: y ghosts are pre-shifted like x; owned pairs
+            # stay within one pencil, so raw dy is already minimal
             dz = zi - zj
             dz = dz - lz * jnp.round(dz / lz)
             d2 = dx * dx + dy * dy + dz * dz
@@ -615,7 +707,7 @@ class HaloMD:
                 Az = phase(pos_l[:, 2], nza, lz)
                 Wxy = jnp.einsum("jx,jy->xyj", Ax, Ay)
                 S = Wxy.reshape(-1, pos_l.shape[0]) @ Az   # (X*Y, Z)
-                S = jax.lax.psum(S, axis)
+                S = jax.lax.psum(S, axes)
                 return jnp.sum(recip_pref * (S.real**2 + S.imag**2))
 
             e, gpos = jax.value_and_grad(e_fn)(atoms[:, _POS])
@@ -735,15 +827,11 @@ class HaloMD:
             f_own = jnp.where(own_valid[:, None], -g[own_ids], 0.0)
             return e_own, f_own
 
-        def migrate(atoms, rank):
-            """Rebuild: re-wrap positions into the primary box image
-            (between rebuilds drift is bounded by skin/2, so the raw-x
-            band/owner tests stay valid), then move atoms that crossed a
-            slab face to the neighbour rank; reset ref positions. Fixed
-            Mcap capacity. With rigid/vsite groups the wrap shift and
-            the owner both come from the group REP (co-owned, so its
-            position is local): members keep the rep's image, staying
-            spatially continuous, and whole groups migrate together."""
+        def _rep_xy(atoms):
+            """Wrapped positions + the owner-defining rep (x, y): every
+            group member takes its REP's image shift (co-owned, so the
+            rep position is local) and the rep coordinate decides the
+            owner, keeping whole groups together."""
             valid = atoms[:, _ID] < n
             if rep_of_pad is not None:
                 pos_g = scatter3(atoms, atoms[:, _POS], pg_default)
@@ -753,16 +841,22 @@ class HaloMD:
                 pos_w = atoms[:, _POS] + jnp.where(
                     valid[:, None], shift, 0.0
                 )
-                xo = prep[:, 0] + shift[:, 0]          # rep x in [0, lx)
+                xy = prep[:, :2] + shift[:, :2]        # rep in [0, L)
             else:
                 pos_w = atoms[:, _POS] - box3 * jnp.floor(
                     atoms[:, _POS] / box3
                 )
-                xo = pos_w[:, 0]
-            atoms = atoms.at[:, _POS].set(pos_w)
-            owner = jnp.clip((xo / lx * R).astype(jnp.int32), 0, R - 1)
+                xy = pos_w[:, :2]
+            return atoms.at[:, _POS].set(pos_w), xy, valid
+
+        def _migrate_axis(atoms, coord, rank_a, nrank, ax_name, perms):
+            """One ppermute migration phase along one mesh axis."""
+            valid = atoms[:, _ID] < n
+            L_a = lx if ax_name == axis else ly
+            owner = jnp.clip((coord / L_a * nrank).astype(jnp.int32),
+                             0, nrank - 1)
             # owner offset in {-1, 0, +1} around this rank (periodic)
-            d_off = jnp.mod(owner - rank + 1 + R, R) - 1
+            d_off = jnp.mod(owner - rank_a + 1 + nrank, nrank) - 1
             pad_row = jnp.zeros((atoms.shape[1],), jnp.float32).at[
                 _ID
             ].set(float(n))
@@ -774,15 +868,38 @@ class HaloMD:
             # guarantee: flag it
             of_far = jnp.any(valid & (jnp.abs(d_off) > 1))
             keep = valid & (d_off == 0)
-            recv_l = jax.lax.ppermute(send_r, axis, fwd)
-            recv_r = jax.lax.ppermute(send_l, axis, bwd)
+            fwd_a, bwd_a = perms
+            recv_l = jax.lax.ppermute(send_r, ax_name, fwd_a)
+            recv_r = jax.lax.ppermute(send_l, ax_name, bwd_a)
             cand = jnp.concatenate([
                 jnp.where(keep[:, None], atoms, pad_row[None, :]),
                 recv_l, recv_r,
             ])
             merged, of_m = _pack(cand[:, _ID] < n, cand, Acap, pad_row)
-            merged = merged.at[:, _REF].set(merged[:, _POS])
             return merged, of_r | of_l | of_m | of_far
+
+        def migrate(atoms, rank, rank_y):
+            """Rebuild: re-wrap positions into the primary box image
+            (between rebuilds drift is bounded by skin/2, so the raw
+            band/owner tests stay valid), then move atoms that crossed
+            a slab/pencil face to the neighbour rank; reset ref
+            positions. Fixed Mcap capacity per phase. The 2-D pencil
+            mode migrates in x first, then in y (a diagonal move
+            completes across the two phases); owners re-derive from the
+            group rep on the merged table, which is whole-group local
+            after each phase."""
+            atoms, xy, _ = _rep_xy(atoms)
+            atoms, of = _migrate_axis(atoms, xy[:, 0], rank, R, axis,
+                                      (fwd, bwd))
+            if two_d:
+                # recompute the rep y on the post-x-merge table (groups
+                # moved whole, so the rep is still locally visible)
+                _, xy2, _ = _rep_xy(atoms)
+                atoms, of_y = _migrate_axis(atoms, xy2[:, 1], rank_y,
+                                            Ry, ax_y, (fwd_y, bwd_y))
+                of = of | of_y
+            atoms = atoms.at[:, _REF].set(atoms[:, _POS])
+            return atoms, of
 
         def needs_rebuild(atoms):
             d = atoms[:, _POS] - atoms[:, _REF]
@@ -791,17 +908,20 @@ class HaloMD:
             d2 = jnp.sum(d * d, axis=1)
             moved = jnp.any(jnp.where(valid, d2, 0.0)
                             > (spec.skin * 0.5) ** 2)
-            return jax.lax.psum(moved.astype(jnp.int32), axis) > 0
+            return jax.lax.psum(moved.astype(jnp.int32), axes) > 0
 
         @partial(
             shard_map, mesh=self.mesh,
-            in_specs=(P(axis), P(), P()),
-            out_specs=(P(axis), P(), P(), P()),
+            in_specs=(P(axes), P(), P()),
+            out_specs=(P(axes), P(), P(), P()),
             check_vma=False,
         )
         def run(tables, key, niter_arr):
             atoms = tables[0]                     # (Acap, D)
             rank = jax.lax.axis_index(axis)
+            rank_y = (jax.lax.axis_index(ax_y) if ax_y is not None
+                      else jnp.int32(0))
+            grank = rank * Ry + rank_y
 
             def body(carry, kr):
                 atoms, of = carry
@@ -824,13 +944,13 @@ class HaloMD:
                 # rebuild (migration) under the skin criterion
                 atoms, of_m = jax.lax.cond(
                     needs_rebuild(atoms),
-                    lambda a: migrate(a, rank),
+                    lambda a: migrate(a, rank, rank_y),
                     lambda a: (a, jnp.asarray(False)),
                     atoms,
                 )
                 of = of | of_m
                 # halo exchange + evaluation
-                ghosts, of_g = ghost_exchange(atoms, rank)
+                ghosts, of_g = ghost_exchange(atoms, rank, rank_y)
                 of = of | of_g
                 epot_part, frc = energy_forces_local(atoms, ghosts)
                 if bplan is not None:
@@ -850,7 +970,7 @@ class HaloMD:
                 vel = atoms[:, _VEL]
                 if use_langevin:
                     noise = jax.random.normal(
-                        jax.random.fold_in(kr, rank), vel.shape,
+                        jax.random.fold_in(kr, grank), vel.shape,
                         dtype=vel.dtype,
                     )
                     vc = vcoeff_pad[ids1]
@@ -862,7 +982,7 @@ class HaloMD:
                     atoms = atoms.at[:, _VEL].add(
                         constrain_velocities(atoms)
                     )
-                epot = jax.lax.psum(epot_part, axis) + e_recip
+                epot = jax.lax.psum(epot_part, axes) + e_recip
                 return (atoms, of), epot
 
             niter = niter_arr.shape[0]
@@ -875,9 +995,9 @@ class HaloMD:
             ke_part = 0.5 * jnp.sum(
                 jnp.where(valid, m * atoms[:, _VEL] ** 2, 0.0)
             )
-            ke = jax.lax.psum(ke_part, axis)
+            ke = jax.lax.psum(ke_part, axes)
             return (atoms[None], epots[-1][None], ke[None],
-                    jax.lax.psum(of.astype(jnp.int32), axis)[None])
+                    jax.lax.psum(of.astype(jnp.int32), axes)[None])
 
         return run
 
