@@ -86,7 +86,13 @@ def main():
     def report(name, fn_maker):
         if want is not None and name not in want:
             return
-        per = slope_time(fn_maker)
+        try:
+            per = slope_time(fn_maker)
+        except Exception as e:  # best-effort: a stage that fails to
+            # compile (e.g. remote-compile payload limits on the axon
+            # tunnel) must not kill the remaining stages
+            print(f"# stage {name!r} skipped: {e!r}"[:300], flush=True)
+            return
         print(json.dumps({"stage": name, "ms": round(per * 1e3, 3)}),
               flush=True)
 
