@@ -113,11 +113,76 @@ def slope_prng(n, impl, k1, k2):
     return (out[k2] - out[k1]) / (k2 - k1)
 
 
+def slope_stage(fn, pos0, box0, k1, k2):
+    """Slope-time a jitted scan of one force stage. Positions evolve by
+    a tiny force-proportional drift each iteration so the chain stays
+    data-dependent (XLA cannot hoist or CSE the evaluation)."""
+    import jax
+    import jax.numpy as jnp
+
+    pos0 = jnp.asarray(pos0)
+    box0 = jnp.asarray(box0)
+
+    def make(K):
+        @jax.jit
+        def go(pos):
+            def body(p, _):
+                _pot, frc = fn(p, box0)
+                return p + 1e-7 * frc, None
+
+            p, _ = jax.lax.scan(body, pos, None, length=K)
+            return p
+
+        return go
+
+    out = {}
+    for K in (k1, k2):
+        f = make(K)
+        np.asarray(f(pos0)).sum()  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f(pos0)).sum()
+            best = min(best, time.perf_counter() - t0)
+        out[K] = best
+    return (out[k2] - out[k1]) / (k2 - k1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k1", type=int, default=100)
     ap.add_argument("--k2", type=int, default=400)
+    ap.add_argument("--stages", default=None,
+                    help="comma list to restrict (step, nve, forces, nb, "
+                         "bonded, prng)")
     args = ap.parse_args()
+    want = set(args.stages.split(",")) if args.stages else None
+
+    def on(name):
+        return want is None or name in want
+
+    # ---- force-stage ledger (the full-step roofline: VERDICT r4 item 3)
+    if on("forces") or on("nb") or on("bonded"):
+        integ = build(0.1)
+        forces = integ.forces
+        pos0 = np.asarray(integ.systems.pos)[0]
+        box0 = np.asarray(integ.systems.box_diag)[0]
+        for name, fn in (("forces total (nb+bonded+wrap)", forces.ef_one),
+                         ("nonbonded stage (tri pair kernel)",
+                          forces.nb_ef_one),
+                         ("bonded stage (Pallas fused)",
+                          forces.bonded_ef_one)):
+            key = {"forces total (nb+bonded+wrap)": "forces",
+                   "nonbonded stage (tri pair kernel)": "nb",
+                   "bonded stage (Pallas fused)": "bonded"}[name]
+            if not on(key):
+                continue
+            per = slope_stage(fn, pos0, box0, args.k1, args.k2)
+            print(json.dumps({"stage": name, "ms": round(per * 1e3, 3)}),
+                  flush=True)
+
+    if not on("step"):
+        return
 
     per_step = slope_integ(build(0.1), args.k1, args.k2)
     print(json.dumps({"stage": "step (Langevin)",
