@@ -275,6 +275,87 @@ def test_halo_bonded_rank_invariance_nve():
         np.testing.assert_allclose(vr, v1, atol=2e-3)
 
 
+def _with_cmap(forces, nchains):
+    """Inject one synthetic smooth 24x24 CMAP map over each chain's
+    dihedral, used as both phi and psi (an 8-atom cross-term per chain).
+    Returns (ffp2, cfg2) for the dense evaluator and HaloMD."""
+    from torchmd_tpu.cmap import CMapTable, build_cmap_coeff_table
+
+    n = 24
+    ang = -np.pi + np.arange(n) * (2.0 * np.pi / n)
+    P, S = np.meshgrid(ang, ang, indexing="ij")
+    grid = (0.8 * np.cos(P + 0.3) + 0.5 * np.sin(2 * S - 0.7)
+            + 0.3 * np.cos(P + S))
+    idx = np.concatenate([
+        np.array([[0, 1, 2, 3, 0, 1, 2, 3]]) + 4 * i
+        for i in range(nchains)
+    ])
+    cm = CMapTable(
+        idx=jnp.asarray(idx, jnp.int32),
+        type=jnp.zeros(nchains, jnp.int32),
+        coeffs=jnp.asarray(build_cmap_coeff_table([grid]), jnp.float32),
+    )
+    ffp2 = forces.ffparams._replace(cmap=cm)
+    cfg2 = forces.config._replace(terms=tuple(forces.config.terms)
+                                  + ("cmap",))
+    return ffp2, cfg2
+
+
+def test_halo_cmap_energy_matches_dense():
+    """CMAP cross-terms on the halo path: zero-velocity step matches the
+    dense path's TOTAL energy including the cmap term."""
+    from torchmd_tpu.potentials import compute_potentials
+
+    mol, par, forces, L = _chain_gas()
+    ffp2, cfg2 = _with_cmap(forces, 60)
+    pos = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+    box = jnp.asarray([L] * 3, jnp.float32)
+    pot = compute_potentials(ffp2, pos, box, cfg2)
+    assert float(pot["cmap"]) != 0.0
+    e_dense = float(sum(jax.tree_util.tree_leaves(pot)))
+
+    from torchmd_tpu.neighbors import build_exclusion_table
+
+    excl = build_exclusion_table(par, mol.numAtoms, 0)
+    h = HaloMD(ffp2, cfg2, _mesh(8), np.asarray([L] * 3),
+               excl_table=excl, timestep=1.0)
+    h.init(pos, jnp.zeros_like(pos))
+    ekin, epot, T = h.step(niter=1)
+    assert epot == pytest.approx(e_dense, rel=2e-5)
+
+
+def test_halo_cmap_rank_invariance_nve():
+    """Chain-gas NVE with the synthetic CMAP active: 1-slab and 8-slab
+    trajectories must agree (ownership weights sum to 1, visibility
+    gates complete every owned row's force)."""
+    from torchmd_tpu.integrator import maxwell_boltzmann
+    from torchmd_tpu.neighbors import build_exclusion_table
+
+    mol, par, forces, L = _chain_gas(seed=11)
+    ffp2, cfg2 = _with_cmap(forces, 60)
+    vel0 = np.asarray(maxwell_boltzmann(par.masses, 150.0, 1, seed=4))[0]
+    pos0 = jnp.asarray(mol.coords[:, :, 0], jnp.float32)
+    excl = build_exclusion_table(par, mol.numAtoms, 0)
+
+    results = {}
+    for r in (1, 8):
+        h = HaloMD(ffp2, cfg2, _mesh(r), np.asarray([L] * 3),
+                   excl_table=excl, timestep=2.0)
+        h.init(pos0, jnp.asarray(vel0, jnp.float32))
+        es = []
+        for _ in range(3):
+            ekin, epot, T = h.step(niter=8)
+            es.append(epot)
+        pos, vel = h.gather()
+        results[r] = (np.asarray(es), pos, vel)
+
+    e1, p1, v1 = results[1]
+    e8, p8, v8 = results[8]
+    np.testing.assert_allclose(e8, e1, rtol=5e-5)
+    np.testing.assert_allclose(p8, p1, atol=2e-3)
+    np.testing.assert_allclose(v8, v1, atol=2e-3)
+
+
 def _tile_x(mol, k):
     """Supercell: replicate a periodic system k times along x."""
     n = mol.numAtoms

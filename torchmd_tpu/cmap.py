@@ -119,13 +119,14 @@ def build_cmap_coeff_table(grids) -> np.ndarray:
 # Device-side evaluation
 # ----------------------------------------------------------------------
 
-def cmap_energy(table: CMapTable, pos, box) -> jnp.ndarray:
-    """Total CMAP correction energy (kcal/mol) for one conformation.
+def cmap_energy_rows(table: CMapTable, pos, box) -> jnp.ndarray:
+    """Per-cross-term CMAP correction energies, shape (nc,).
 
     Differentiable in `pos` (forces via -grad): the cell index is a
     non-differentiable integer locate, and the in-cell polynomial is
     smooth; C1 continuity across cells comes from the spline setup.
-    """
+    The per-row form is what the halo path weights by instance
+    ownership/visibility (parallel/halo_bonded.py)."""
     from .potentials import _dihedral_phi
 
     n = table.coeffs.shape[1]
@@ -145,5 +146,9 @@ def cmap_energy(table: CMapTable, pos, box) -> jnp.ndarray:
     one = jnp.ones_like(t)
     tp = jnp.stack([one, t, t * t, t * t * t], axis=-1)   # (nc, 4)
     up = jnp.stack([one, u, u * u, u * u * u], axis=-1)
-    e = jnp.einsum("cp,cpq,cq->c", tp, a, up)
-    return jnp.sum(e)
+    return jnp.einsum("cp,cpq,cq->c", tp, a, up)
+
+
+def cmap_energy(table: CMapTable, pos, box) -> jnp.ndarray:
+    """Total CMAP correction energy (kcal/mol) for one conformation."""
+    return jnp.sum(cmap_energy_rows(table, pos, box))

@@ -26,15 +26,14 @@ instead:
 
 Scope: single replica, Lorentz-Berthelot/NBFIX LJ + plain/RFA/Ewald
 electrostatics + the full bonded stack (bonds incl. G96, angles incl.
-G96, Urey-Bradley, dihedrals, impropers, 1-4 -- see halo_bonded.py:
+G96, Urey-Bradley, dihedrals, impropers, 1-4, CMAP -- see halo_bonded.py:
 replicated static term tables, ownership-weighted energies,
 visibility-gated forces, zero extra comm) + SETTLE/SHAKE constraints
 and virtual sites (round 5: molecule-atomic ownership -- whole
 rigid/vsite groups are owned by one rank and migrate together, so
 constraint solves and vsite snap/spread are rank-local; the ghost band
 widens by twice the largest member-to-rep extent to keep pair coverage
-exact), Langevin or NVE, orthorhombic static box. CMAP falls back to
-the row-block spatial scan.
+exact), Langevin or NVE, orthorhombic static box.
 
 Decomposition: 1-D x slabs (axis = one mesh axis name) or 2-D x*y
 pencils (axis = a pair of names, round 5) -- the pencil form lifts the

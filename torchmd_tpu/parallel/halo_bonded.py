@@ -61,6 +61,7 @@ class HaloBondedPlan(NamedTuple):
     impropers: Optional[TermTable]
     nb14: Optional[TermTable]
     charges: Optional[jnp.ndarray]   # (natoms,) global charges for 1-4
+    cmap: Optional[object]           # torchmd_tpu.cmap.CMapTable (f32)
     dihedrals_amber: bool
     impropers_amber: bool
     want_lj14: bool
@@ -82,13 +83,17 @@ def build_halo_bonded_plan(ffp: FFParams,
                            cfg: ForceTermConfig) -> Optional[HaloBondedPlan]:
     """Pack the active bonded families; None when no bonded term is on.
 
-    CMAP cross-terms are rejected (no per-row form yet): CHARMM36 CMAP
-    systems should run the row-block spatial scan instead."""
+    CMAP cross-terms ride the same ownership/visibility weighting as the
+    torsions: an 8-atom cross-term spans two fused dihedrals (~7 A),
+    far inside the ghost band, and `cmap_energy_rows` gives the
+    per-instance energies the weights multiply."""
     t = cfg.terms
-    if "cmap" in t and ffp.cmap is not None:
-        raise NotImplementedError(
-            "CMAP cross-terms are not on the halo path yet; use the "
-            "row-block spatial scan (Integrator shard='spatial')"
+    cm = None
+    if "cmap" in t and ffp.cmap is not None and ffp.cmap.idx.shape[0]:
+        cm = ffp.cmap._replace(
+            idx=jnp.asarray(ffp.cmap.idx, jnp.int32),
+            type=jnp.asarray(ffp.cmap.type, jnp.int32),
+            coeffs=jnp.asarray(ffp.cmap.coeffs, jnp.float32),
         )
     plan = HaloBondedPlan(
         bonds=_f32_table(ffp.bonds) if "bonds" in t else None,
@@ -102,6 +107,7 @@ def build_halo_bonded_plan(ffp: FFParams,
         nb14=_f32_table(ffp.nb14) if "1-4" in t else None,
         charges=(jnp.asarray(ffp.charges, jnp.float32)
                  if "1-4" in t and ffp.nb14 is not None else None),
+        cmap=cm,
         dihedrals_amber=cfg.dihedrals_amber,
         impropers_amber=cfg.impropers_amber,
         want_lj14="lj" in t,
@@ -110,7 +116,8 @@ def build_halo_bonded_plan(ffp: FFParams,
     if all(
         getattr(plan, f) is None
         for f in ("bonds", "bonds_g96", "angles", "angles_g96",
-                  "urey_bradley", "dihedrals", "impropers", "nb14")
+                  "urey_bradley", "dihedrals", "impropers", "nb14",
+                  "cmap")
     ):
         return None
     return plan
@@ -123,7 +130,7 @@ def max_bonded_extent(plan: HaloBondedPlan, pos, box) -> float:
     b = np.asarray(box, np.float64).reshape(3)
     dmax = 0.0
     for f in ("bonds", "bonds_g96", "angles", "angles_g96",
-              "urey_bradley", "dihedrals", "impropers", "nb14"):
+              "urey_bradley", "dihedrals", "impropers", "nb14", "cmap"):
         t = getattr(plan, f)
         if t is None:
             continue
@@ -267,4 +274,9 @@ def weighted_bonded_energy(plan: HaloBondedPlan, pg, wg, box, mode: str):
         rows = _nb14_rows(t, pg, box, plan.charges, plan.want_lj14,
                           plan.want_elec14, w)
         e = e + jnp.sum(rows * w[t.map_term])
+    if plan.cmap is not None:
+        from ..cmap import cmap_energy_rows
+
+        w = _inst_weight(plan.cmap, wg, mode)   # (nc,) over the 8 atoms
+        e = e + jnp.sum(cmap_energy_rows(plan.cmap, pg, box) * w)
     return e
