@@ -194,6 +194,39 @@ def main():
         print(json.dumps({"stage": "full NVT step (in scan)",
                           "ms": round(per * 1e3, 3)}), flush=True)
 
+    # rebuild cadence at equilibrated 300 K: emulate the in-scan top-2
+    # displacement trigger on the host over single-step chunks (the scan
+    # state is opaque; the emulation applies the identical criterion to
+    # the gathered positions, so the counted cadence matches what the
+    # lax.cond sees up to a one-step phase shift)
+    if want is None or "cadence" in want:
+        syst = System(natoms, 1, "single")
+        syst.set_positions(mol.coords)
+        syst.set_box(mol.box)
+        syst.set_velocities(maxwell_boltzmann(par.masses, 300.0, 1, seed=3))
+        integ = Integrator(syst, forces, timestep=2.0, thermostat="nhc",
+                           T=300.0, constraints="settle", seed=3)
+        for _ in range(4):
+            integ.step(niter=250)   # equilibrate the lattice melt
+        skin = float(integ._cell_kernel.ccfg.skin)
+        bb = np.full(3, L)
+        ref = np.asarray(syst.pos)[0].copy()
+        fires, nprobe = 0, 300
+        for _ in range(nprobe):
+            integ.step(niter=1)
+            p = np.asarray(syst.pos)[0]
+            d = p - ref
+            d -= bb * np.round(d / bb)
+            d2 = np.sum(d * d, axis=1)
+            top2 = np.sort(d2)[-2:]
+            if np.sqrt(top2[1]) + np.sqrt(top2[0]) > skin:
+                fires += 1
+                ref = p.copy()
+        print(json.dumps({"stage": "rebuild cadence (equil 300K)",
+                          "fires": fires, "probe_steps": nprobe,
+                          "cadence_steps": round(nprobe / max(fires, 1), 1),
+                          "skin": skin}), flush=True)
+
 
 if __name__ == "__main__":
     main()
