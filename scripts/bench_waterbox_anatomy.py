@@ -161,6 +161,8 @@ def main():
     report("pme energy (fwd)", scan_over(lambda p: rec.energy(p, boxj)))
     report("pme energy+grad",
            scan_over(lambda p: jax.value_and_grad(rec.energy)(p, boxj)[0]))
+    report("pme energy_forces (analytic gather)",
+           scan_over(lambda p: rec.energy_forces(p, boxj)[0]))
     report("pme spread only",
            scan_over(lambda p: jnp.sum(
                rec._spread(p, boxj, rec.charges))))
