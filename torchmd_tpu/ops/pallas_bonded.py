@@ -64,6 +64,8 @@ class _Family(NamedTuple):
     par: jnp.ndarray     # (ntiles, nparams, TILE) f32
     starts: jnp.ndarray  # (ntiles,) int32 window start (128-atom blocks)
     klens: jnp.ndarray   # (ntiles,) int32 window length (blocks)
+    kmax: int            # max window length: static width for the
+                         # flattened-window kernel (clamped to nblk)
     meta: tuple          # static options as sorted (key, value) pairs
 
 
@@ -109,6 +111,15 @@ def build_pallas_bonded_plan(ffp, cfg, tile: int = TILE):
         empty = hi < 0
         starts = np.where(empty, 0, np.minimum(lo, hi) // 128).astype(np.int32)
         klens = np.where(empty, 0, hi // 128 - starts + 1).astype(np.int32)
+        # static window width for the flattened-window kernel: with the
+        # locality sort a tile spans 1-3 blocks, so one compare + two
+        # dot_generals replace the per-(block, arity) one-hot loop.
+        # Clamp starts so [start, start+kmax) stays inside the fold.
+        kmax = min(max(1, int(klens.max(initial=0))), nblk)
+        starts = np.minimum(starts, max(0, nblk - kmax)).astype(np.int32)
+        # the clamp can move a start down; re-derive klens so the loop
+        # kernel's [start, start+klen) still reaches the tile's last block
+        klens = np.where(empty, 0, hi // 128 - starts + 1).astype(np.int32)
         fams.append(_Family(
             kind=kind, name=name, ntiles=nt, arity=arity,
             idx=jnp.asarray(rows.transpose(0, 2, 1)),
@@ -116,6 +127,7 @@ def build_pallas_bonded_plan(ffp, cfg, tile: int = TILE):
                 parp.reshape(nt, tile, nparams).transpose(0, 2, 1)
             ),
             starts=jnp.asarray(starts), klens=jnp.asarray(klens),
+            kmax=kmax,
             meta=tuple(sorted(meta.items())),
         ))
 
@@ -417,6 +429,79 @@ def _fam_kernel(starts_ref, klens_ref, idx_ref, par_ref, pos_ref, box_ref,
         e_ref[0, 1] = e_ref[0, 1] + e_aux
 
 
+def _fam_kernel_window(starts_ref, idx_ref, par_ref, pos_ref, box_ref,
+                       f_ref, e_ref, *, kind, meta, arity, tile, pbc,
+                       kmax):
+    """Flattened static-width window variant of `_fam_kernel`.
+
+    The locality sort bounds every tile's atoms to `kmax` consecutive
+    128-atom blocks, so the gather/scatter becomes ONE (W, arity*T)
+    one-hot compare and TWO dot_generals against the (8, W) window
+    (W = kmax*128) -- replacing klen*arity small matmuls + compares per
+    tile. Measured 0.489 -> see docs/PERF.md (round 5) on thrombin."""
+    i = pl.program_id(0)
+    f32 = jnp.float32
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[...] = jnp.zeros(f_ref.shape, f_ref.dtype)
+        e_ref[0, 0] = jnp.zeros((), e_ref.dtype)
+        e_ref[0, 1] = jnp.zeros((), e_ref.dtype)
+
+    idx = idx_ref[0]                       # (arity, T) int32
+    valid = idx[0:1, :] >= 0               # (1, T)
+    start = starts_ref[i]
+
+    W = kmax * 128
+    blk_w = jnp.concatenate(
+        [pos_ref[start + k] for k in range(kmax)], axis=1
+    )                                      # (8, W)
+    # one-hot over the whole window, both slots in one compare:
+    # ohT[w, a*T + t] = (window lane w == global atom idx[a, t])
+    lane_w = (jax.lax.broadcasted_iota(jnp.int32, (W, arity * tile), 0)
+              + start * 128)
+    idx_all = idx.reshape(1, arity * tile)
+    ohT = (lane_w == idx_all).astype(f32)  # (W, arity*T)
+
+    P_all = jax.lax.dot_general(
+        blk_w, ohT, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                      # (8, arity*T)
+    P = [P_all[:, a * tile:(a + 1) * tile] for a in range(arity)]
+
+    box3 = None
+    if pbc:
+        box3 = (box_ref[0, 0], box_ref[0, 1], box_ref[0, 2])
+    e_main, e_aux, contribs = _physics(kind, meta, P, par_ref[0], valid,
+                                       box3)
+
+    zeros5 = jnp.zeros((5, tile), f32)
+    C_all = jnp.concatenate(
+        [jnp.concatenate([fx, fy, fz, zeros5], axis=0)
+         for (fx, fy, fz) in contribs],
+        axis=1,
+    )                                      # (8, arity*T)
+
+    delta = jax.lax.dot_general(
+        C_all, ohT, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                      # (8, W)
+    for k in range(kmax):
+        f_ref[start + k] = (f_ref[start + k]
+                            + delta[:, k * 128:(k + 1) * 128])
+
+    e_ref[0, 0] = e_ref[0, 0] + e_main
+    if kind == "nb14":
+        e_ref[0, 1] = e_ref[0, 1] + e_aux
+
+
+# window kernel cutoff: beyond this many blocks the (W, arity*T) one-hot
+# stops fitting comfortably in VMEM and the block loop wins
+_WINDOW_KMAX = int(_os.environ.get("TMD_PALLAS_BONDED_WINDOW_KMAX", 8))
+
+
 def fold_positions(pos, nblk):
     """(natoms, 3) -> (nblk, 8, 128) with rows 0..2 = x,y,z per block."""
     n = pos.shape[0]
@@ -437,25 +522,36 @@ def unfold_forces(folded, natoms):
 
 def _run_family(fam: _Family, folded, box_in, nblk, pbc, interpret):
     tile = fam.idx.shape[2]
-    kern = functools.partial(
-        _fam_kernel, kind=fam.kind, meta=fam.meta, arity=fam.arity,
-        tile=tile, pbc=pbc,
-    )
+    window = fam.kmax <= _WINDOW_KMAX
+    if window:
+        kern = functools.partial(
+            _fam_kernel_window, kind=fam.kind, meta=fam.meta,
+            arity=fam.arity, tile=tile, pbc=pbc, kmax=fam.kmax,
+        )
+    else:
+        kern = functools.partial(
+            _fam_kernel, kind=fam.kind, meta=fam.meta, arity=fam.arity,
+            tile=tile, pbc=pbc,
+        )
     nparams = fam.par.shape[1]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),    # starts
+        pl.BlockSpec(memory_space=pltpu.SMEM),    # klens (loop form only)
+        pl.BlockSpec((1, fam.arity, tile), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nparams, tile), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),    # folded positions
+        pl.BlockSpec((1, 3), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),    # box
+    ]
+    args = [fam.starts, fam.klens, fam.idx, fam.par, folded, box_in]
+    if window:
+        del in_specs[1], args[1]
     f_out, e_out = pl.pallas_call(
         kern,
         grid=(fam.ntiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # starts
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # klens
-            pl.BlockSpec((1, fam.arity, tile), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nparams, tile), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # folded positions
-            pl.BlockSpec((1, 3), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),    # box
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((nblk, 8, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -467,7 +563,7 @@ def _run_family(fam: _Family, folded, box_in, nblk, pbc, interpret):
             jax.ShapeDtypeStruct((1, 2), jnp.float32),
         ],
         interpret=interpret,
-    )(fam.starts, fam.klens, fam.idx, fam.par, folded, box_in)
+    )(*args)
     return f_out, e_out
 
 
