@@ -88,6 +88,12 @@ def main():
     print(f"# natoms={n} nblk={plan.nblk} families="
           f"{[(f.kind, f.ntiles, f.idx.shape) for f in plan.families]}",
           flush=True)
+    for fam in plan.families:
+        kl = np.asarray(fam.klens)
+        print(f"# {fam.name}: kmax={fam.kmax} "
+              f"klen mean={kl.mean():.1f} max={kl.max()} "
+              f"(window kernel iff kmax <= TMD_PALLAS_BONDED_WINDOW_KMAX)",
+              flush=True)
 
     def scan_over(body_fn):
         def make(K):

@@ -180,6 +180,34 @@ def _dot_lanes(a, b):
     )
 
 
+def _split3(x):
+    """Dekker-style 3-term bf16 split: hi + mid + lo == x to < 1 f32 ulp
+    (each residual subtraction is exact by Sterbenz; 3 x 8 mantissa bits
+    cover f32's 24)."""
+    bf, f32 = jnp.bfloat16, jnp.float32
+    hi = x.astype(bf)
+    r1 = x - hi.astype(f32)
+    mid = r1.astype(bf)
+    lo = (r1 - mid.astype(f32)).astype(bf)
+    return hi, mid, lo
+
+
+def _dot_split3(a, b_bf16, dims):
+    """f32 a (.) EXACT-bf16 b on the MXU in 3 single-pass bf16 matmuls.
+
+    HIGHEST-precision f32 dots cost 6 MXU passes; when one operand is
+    exactly bf16-representable (a 0/1 one-hot), splitting only the f32
+    side gives the same f32 accuracy in 3 passes: each product term
+    hi/mid/lo x {0,1} is exact, and the f32 accumulator adds them."""
+    out = None
+    for part in _split3(a):
+        d = jax.lax.dot_general(
+            part, b_bf16, dims, preferred_element_type=jnp.float32,
+        )
+        out = d if out is None else out + d
+    return out
+
+
 def _atan_nonneg(x):
     """atan(x) for x >= 0, Cephes atanf rational reduction (f32-accurate,
     ~1 ulp); Mosaic has no atan/atan2 primitive."""
@@ -461,12 +489,10 @@ def _fam_kernel_window(starts_ref, idx_ref, par_ref, pos_ref, box_ref,
     lane_w = (jax.lax.broadcasted_iota(jnp.int32, (W, arity * tile), 0)
               + start * 128)
     idx_all = idx.reshape(1, arity * tile)
-    ohT = (lane_w == idx_all).astype(f32)  # (W, arity*T)
+    ohT = (lane_w == idx_all).astype(jnp.bfloat16)  # (W, arity*T), exact
 
-    P_all = jax.lax.dot_general(
+    P_all = _dot_split3(
         blk_w, ohT, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST,
     )                                      # (8, arity*T)
     P = [P_all[:, a * tile:(a + 1) * tile] for a in range(arity)]
 
@@ -483,10 +509,8 @@ def _fam_kernel_window(starts_ref, idx_ref, par_ref, pos_ref, box_ref,
         axis=1,
     )                                      # (8, arity*T)
 
-    delta = jax.lax.dot_general(
+    delta = _dot_split3(
         C_all, ohT, (((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST,
     )                                      # (8, W)
     for k in range(kmax):
         f_ref[start + k] = (f_ref[start + k]
