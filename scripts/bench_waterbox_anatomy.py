@@ -174,6 +174,116 @@ def main():
     report("full ef_one (vsites+pair+pme+bonded)",
            scan_over(lambda p: forces.ef_one(p, boxj)[1]))
 
+    # -- knockout probes: localize the gap between the sum of the stage
+    # costs above (each measured with a CLOSURE-CONSTANT cl, which lets
+    # XLA hoist every cl-dependent gather out of the scan) and the real
+    # step, where cl is a carried value flowing through the rebuild cond
+    if want is not None and "knockout" in want:
+        def pair_carried_cl(with_pme):
+            def make(K):
+                @jax.jit
+                def go():
+                    def body(carry, _):
+                        cl, acc = carry
+                        p = pos0 + acc * jnp.float32(1e-37)
+                        # same cond as the production scan: cl is NOT
+                        # loop-invariant, so nothing cl-dependent hoists
+                        cl = jax.lax.cond(
+                            kern.needs_rebuild(cl, p, boxj),
+                            lambda: kern.build(p, boxj),
+                            lambda: cl)
+                        pot, frc = kern.energy_forces(p, boxj, cl)
+                        e = all_sum(pot) + jnp.sum(frc)
+                        if with_pme:
+                            er, erf = rec.energy_forces(p, boxj)
+                            e = e + er + jnp.sum(erf)
+                        return (cl, e.astype(jnp.float32)), e
+                    (_, _), es = jax.lax.scan(
+                        body, (cl0, jnp.zeros((), jnp.float32)),
+                        None, length=K)
+                    return es[-1]
+                return go
+            return make
+
+        def report_now(name, fn_maker):
+            try:
+                per = slope_time(fn_maker)
+            except Exception as e:
+                print(f"# stage {name!r} skipped: {e!r}"[:300], flush=True)
+                return
+            print(json.dumps({"stage": name, "ms": round(per * 1e3, 3)}),
+                  flush=True)
+
+        report_now("pair+cond (carried cl)", pair_carried_cl(False))
+        report_now("pair+cond+pme (carried cl)", pair_carried_cl(True))
+        # full force stage in composition (kernel-backed ef_one):
+        # isolates whether pair/pme/vsites/bonded fuse worse together
+        report_now("full ef_one (kernel-backed)",
+                   scan_over(lambda p: forces.ef_one(p, boxj)[1]))
+
+        from torchmd_tpu.constraints import (
+            apply_position_constraints as _apc,
+            apply_velocity_constraints as _avc,
+            build_constraint_spec as _bcs)
+        from torchmd_tpu.vsites import apply_vsites as _avs
+        _masses = jnp.asarray(par.masses, jnp.float32)
+        _cs = _bcs(par, _masses, mode="settle")
+
+        def settle_vs_body(p):
+            # the scan composition: shake + vsite snap + rattle, exactly
+            # as the production body orders them (without forces)
+            pc = _apc(_cs, p + jnp.float32(1e-5), p)
+            pc = _avs(forces.vsites, pc, boxj)
+            v = _avc(_cs, pc, pc * jnp.float32(1e-3))
+            return jnp.sum(pc) + jnp.sum(v)
+
+        if _cs is not None and forces.vsites:
+            report_now("settle+vsnap+rattle (composed)",
+                       scan_over(settle_vs_body))
+
+        from torchmd_tpu.integrator import Integrator as _Int
+
+        def step_variant(name, thermostat=None, constraints=None,
+                         static_cl=False):
+            try:
+                fr = Forces(par, terms=terms, precision="single",
+                            cutoff=args.cutoff, elec="ewald")
+                syst = System(natoms, 1, "single")
+                syst.set_positions(mol.coords)
+                syst.set_box(mol.box)
+                syst.set_velocities(
+                    maxwell_boltzmann(par.masses, 300.0, 1, seed=3))
+                kw = dict(constraints=constraints, seed=3)
+                if thermostat:
+                    kw.update(thermostat=thermostat, T=300.0)
+                integ = _Int(syst, fr, timestep=2.0, **kw)
+                if static_cl:
+                    k2 = integ._cell_kernel
+                    k2.needs_rebuild = (
+                        lambda st, pos, box=None: jnp.zeros((), bool))
+
+                def timed(K):
+                    integ.step(niter=K)
+                    best = float("inf")
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        integ.step(niter=K)
+                        best = min(best, time.perf_counter() - t0)
+                    return best
+
+                per = (timed(100) - timed(20)) / 80
+                print(json.dumps({"stage": name, "ms": round(per * 1e3, 3)}),
+                      flush=True)
+            except Exception as e:
+                print(f"# variant {name!r} skipped: {e!r}"[:300], flush=True)
+
+        step_variant("step nhc+settle (baseline)",
+                     thermostat="nhc", constraints="settle")
+        step_variant("step nhc no-settle", thermostat="nhc")
+        step_variant("step bare-VV (no thermo/settle)")
+        step_variant("step nhc+settle static-cl",
+                     thermostat="nhc", constraints="settle", static_cl=True)
+
     # full MD step: slope over niter through Integrator.step
     if want is None or "step" in want:
         syst = System(natoms, 1, "single")

@@ -153,6 +153,8 @@ def interaction_energies(forces, pos, box=None, sel_a=None, sel_b=None):
     from .potentials import nonbonded_energies
 
     ffp = forces.ffparams
+    if ffp.nb_mask is None and getattr(forces, "_nb_mask_deferred", False):
+        ffp = forces.require_nb_mask()  # large-N deferral: materialize
     if ffp.nb_mask is None:
         raise ValueError("forces has no nonbonded terms")
     if sel_a is None:

@@ -113,8 +113,26 @@ class Forces:
             dihedrals_amber=_amber(parameters.dihedral_params),
             impropers_amber=_amber(parameters.improper_params),
         )
+        # Large-N systems headed for a neighbor-kernel path never consult
+        # the dense (natoms, natoms) exclusion mask (3.9 GB at 62.5k,
+        # 65 GB at 256k): defer it. Any path that genuinely needs it
+        # (dense/Pallas fallback when no cell grid is feasible, Verlet
+        # lists, spatial row blocks, alchemy) materializes on demand via
+        # require_nb_mask().
+        import os as _os_m
+
+        _nb_terms = any(t in self.energies for t in NONBONDED_TERMS)
+        self._nb_mask_deferred = bool(
+            _nb_terms
+            and (
+                kernel == "cell"
+                or (kernel == "auto" and self.natoms >= int(
+                    _os_m.environ.get("TMD_AUTO_CELL_N", "12000")))
+            )
+        )
         self.ffparams = make_ffparams(
-            parameters, exclusions, dtype=self.dtype, nbfix=nbfix
+            parameters, exclusions, dtype=self.dtype, nbfix=nbfix,
+            dense_mask=not self._nb_mask_deferred,
         )
 
         # Full Ewald electrostatics (new capability: the reference is
@@ -149,7 +167,8 @@ class Forces:
         )
         has_nb = (
             any(t in self.energies for t in NONBONDED_TERMS)
-            and self.ffparams.nb_mask is not None
+            and (self.ffparams.nb_mask is not None
+                 or getattr(self, "_nb_mask_deferred", False))
         )
         # Cell-list path: requested explicitly, or selected automatically
         # for large periodic systems (the dense O(N^2) path stops being
@@ -335,10 +354,22 @@ class Forces:
                     nb_data, config, pos, box
                 )
 
-        elif has_nb:
+        elif has_nb and ffp_.nb_mask is not None:
 
             def nb_ef_one(pos, box):
                 return nonbonded_energy_forces(ffp_, pos, box, config)
+
+        elif has_nb:
+            # mask deferred (large-N kernel path pending): the dense
+            # evaluator must not trace with nb_mask=None. The cell/verlet
+            # overrides below replace this once a kernel exists.
+            def nb_ef_one(pos, box):
+                raise RuntimeError(
+                    "dense nonbonded evaluator unavailable: the (N,N) "
+                    "exclusion mask is deferred for this large-N system; "
+                    "build the neighbor kernel (ensure_cell_kernel) or "
+                    "materialize the mask (require_nb_mask) first"
+                )
 
         if self.cell_requested and self._cell_kernel is not None and has_nb:
             kern = self._cell_kernel
@@ -397,12 +428,38 @@ class Forces:
 
         ext_energy_fn = getattr(external, "energy_fn", None)
 
+        # deferred-mask systems report nonbonded energies through the
+        # neighbor kernel (compute_potentials skips nb when nb_mask is
+        # None, which must not silently drop terms)
+        _kern_nb_details = (
+            self._cell_kernel
+            if (has_nb and self.ffparams.nb_mask is None
+                and self.cell_requested and self._cell_kernel is not None)
+            else None
+        )
+        _nb_details_missing = (
+            has_nb and self.ffparams.nb_mask is None
+            and _kern_nb_details is None
+        )
+
         def _potentials_one(ffp, pos, box):
             if self.vsites:
                 from .vsites import apply_vsites
 
                 pos = apply_vsites(self.vsites, pos, box)
+            if _nb_details_missing:
+                raise RuntimeError(
+                    "energy decomposition unavailable: the (N,N) "
+                    "exclusion mask is deferred and no neighbor kernel "
+                    "is built; call ensure_cell_kernel or "
+                    "require_nb_mask first"
+                )
             pot = compute_potentials(ffp, pos, box, self.config)
+            if _kern_nb_details is not None:
+                nb_pot, _ = _kern_nb_details.energy_forces(
+                    pos, box, _kern_nb_details.build(pos, box))
+                for k, v in nb_pot.items():
+                    pot[k] = pot.get(k, 0.0) + v
             if self._ewald is not None:
                 pot["electrostatics"] = (
                     pot.get("electrostatics", 0.0) + self._ewald.energy(pos, box)
@@ -484,6 +541,22 @@ class Forces:
             return False
         return self._grid_feasible(box)
 
+    def require_nb_mask(self):
+        """Materialize the deferred dense (natoms, natoms) exclusion mask
+        (O(N^2) host+device memory -- 3.9 GB at 62.5k atoms) and rebuild
+        the evaluators. Called by every path that genuinely consumes the
+        dense mask: the dense/Pallas fallback when no cell grid is
+        feasible, Verlet lists, spatial row blocks, and alchemy edits."""
+        if getattr(self, "_nb_mask_deferred", False):
+            excl = self.par.get_exclusions(
+                types=self.exclusions, fullarray=True)
+            m = ~excl
+            np.fill_diagonal(m, False)
+            self.ffparams = self.ffparams._replace(nb_mask=jnp.asarray(m))
+            self._nb_mask_deferred = False
+            self._build_evaluators()
+        return self.ffparams
+
     def resolve_kernel_for_box(self, box):
         """Finalize auto kernel selection for a concrete box: the cell
         veto on the dense Pallas kernel only stands while a grid is
@@ -496,6 +569,9 @@ class Forces:
         )
         if infeasible != getattr(self, "_cell_infeasible", False):
             self._cell_infeasible = infeasible
+            if infeasible:
+                # falling back to a dense-mask path (Pallas/verlet/jnp)
+                self.require_nb_mask()  # no-op unless deferred
             self._build_evaluators()
 
     def wants_verlet(self, box=None) -> bool:
@@ -516,8 +592,8 @@ class Forces:
             from .neighbors import VerletKernel
 
             self._verlet_kernel = VerletKernel(
-                self.ffparams, self.config, box=box, skin=self.cell_skin,
-                pos0=pos0,
+                self.require_nb_mask(), self.config, box=box,
+                skin=self.cell_skin, pos0=pos0,
             )
         self.verlet_requested = True
         return self._verlet_kernel
@@ -538,6 +614,7 @@ class Forces:
                 "the nonbonded mask carries alchemical edits the cell "
                 "kernel cannot honor; use the dense/Pallas/verlet path"
             )
+        _prev_kern = self._cell_kernel
         if self._cell_kernel is not None and not allow_column:
             from .columns import ColumnKernel as _CK
 
@@ -581,7 +658,15 @@ class Forces:
                     skin=self.cell_skin, exclusions=self.exclusions,
                     pos0=pos0,
                 )
-        self.cell_requested = True
+        if not self.cell_requested or self._cell_kernel is not _prev_kern:
+            # re-point nb_ef_one / ef_one / compute() at the kernel path:
+            # without this the dense closures built at construction stay
+            # live and (a) capture the O(N^2) mask as a 3.9 GB jit
+            # constant at 62.5k atoms, (b) cannot evaluate at all when
+            # the mask is deferred. Also re-binds after a column->cell
+            # kernel swap (allow_column=False).
+            self.cell_requested = True
+            self._build_evaluators()
         return self._cell_kernel
 
     # ------------------------------------------------------------------

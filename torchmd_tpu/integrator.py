@@ -2015,10 +2015,14 @@ class Integrator:
         rows = npad // sp
         self._spatial_npad = npad
 
-        has_nb = (
-            any(t in cfg.terms for t in NONBONDED_TERMS)
-            and ffp.nb_mask is not None
+        has_nb = any(t in cfg.terms for t in NONBONDED_TERMS) and (
+            ffp.nb_mask is not None
+            or getattr(forces_obj, "_nb_mask_deferred", False)
         )
+        if has_nb and ffp.nb_mask is None:
+            # the row-block path consumes the dense mask: materialize the
+            # large-N deferral (Forces.require_nb_mask)
+            ffp = forces_obj.require_nb_mask()
         ffp_pad = pad_ffparams_rows(ffp, npad) if has_nb else ffp
         ewald = getattr(forces_obj, "_ewald", None)
         ext_energy = getattr(forces_obj.external, "energy_fn", None)
@@ -2244,11 +2248,16 @@ class Integrator:
         rows = npad // sp
         self._spatial_npad = npad
 
-        has_nb = (
-            any(t in cfg.terms for t in NONBONDED_TERMS)
-            and ffp.nb_mask is not None
+        has_nb = any(t in cfg.terms for t in NONBONDED_TERMS) and (
+            ffp.nb_mask is not None
+            or getattr(forces_obj, "_nb_mask_deferred", False)
         )
-        ffp_pad = pad_ffparams_rows(ffp, npad) if has_nb else ffp
+        if has_nb and ffp.nb_mask is None and not self._use_cell:
+            # the dense row-block path consumes the (N,N) mask; the
+            # slab-sharded cell branch below does not (exclusion pairs)
+            ffp = forces_obj.require_nb_mask()
+        ffp_pad = (pad_ffparams_rows(ffp, npad)
+                   if has_nb and ffp.nb_mask is not None else ffp)
         ewald = getattr(forces_obj, "_ewald", None)
         ext_energy = getattr(forces_obj.external, "energy_fn", None)
         bonded_ef = forces_obj.bonded_ef_one

@@ -571,15 +571,24 @@ def _term_table(d, dtype) -> Optional[TermTable]:
 
 
 def make_ffparams(parameters, exclusions=("bonds", "angles", "1-4"),
-                  dtype=jnp.float32, nbfix=False) -> FFParams:
+                  dtype=jnp.float32, nbfix=False,
+                  dense_mask=True) -> FFParams:
     """Freeze a host-side `Parameters` assembly into the FFParams pytree.
     `exclusions` selects which bonded neighbor classes are masked out of
     the all-pairs nonbonded evaluation (reference default 1-2/1-3/1-4).
     `nbfix=True` bakes pair-specific CHARMM NBFIX LJ overrides into
-    (ntypes, ntypes) A/B tables (the reference silently ignores NBFIX)."""
-    excl = parameters.get_exclusions(types=exclusions, fullarray=True)
-    nb_mask = ~excl
-    np.fill_diagonal(nb_mask, False)
+    (ntypes, ntypes) A/B tables (the reference silently ignores NBFIX).
+    `dense_mask=False` skips the O(N^2) (natoms, natoms) exclusion mask
+    (65 GB at 256k atoms) for large-N systems that will run on a
+    neighbor-kernel path, which consumes exclusion PAIRS instead; the
+    dense paths materialize it on demand (Forces.require_nb_mask)."""
+    if dense_mask:
+        excl = parameters.get_exclusions(types=exclusions, fullarray=True)
+        nb_mask = ~excl
+        np.fill_diagonal(nb_mask, False)
+        nb_mask = jnp.asarray(nb_mask)
+    else:
+        nb_mask = None
 
     nb14 = None
     if parameters.nonbonded_14_params is not None and len(
@@ -653,7 +662,7 @@ def make_ffparams(parameters, exclusions=("bonds", "angles", "1-4"),
         dihedrals=_term_table(parameters.dihedral_params, dtype),
         impropers=_term_table(parameters.improper_params, dtype),
         nb14=nb14,
-        nb_mask=jnp.asarray(nb_mask),
+        nb_mask=nb_mask,
         urey_bradley=_term_table(
             getattr(parameters, "urey_bradley_params", None), dtype
         ),
