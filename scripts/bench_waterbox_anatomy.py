@@ -84,7 +84,9 @@ def main():
     want = args.stages.split(",") if args.stages != "all" else None
 
     def report(name, fn_maker):
-        if want is not None and name not in want:
+        # substring match so e.g. --stages pme selects every PME stage
+        if want is not None and not any(
+                w.strip() and w.strip() in name for w in want):
             return
         try:
             per = slope_time(fn_maker)
@@ -159,16 +161,107 @@ def main():
     except Exception as e:  # API drift guard: anatomy stays best-effort
         print(f"# settle stage skipped: {e!r}", flush=True)
     report("pme energy (fwd)", scan_over(lambda p: rec.energy(p, boxj)))
-    report("pme energy+grad",
-           scan_over(lambda p: jax.value_and_grad(rec.energy)(p, boxj)[0]))
-    report("pme energy_forces (analytic gather)",
-           scan_over(lambda p: rec.energy_forces(p, boxj)[0]))
+
+    # NB: these two must CONSUME the gradient/forces — summing only the
+    # energy lets XLA dead-code-eliminate the whole force computation
+    # (the round-4 "4.2 ms energy_forces" number was exactly that
+    # artifact; the knockout probes measured the real composed cost)
+    def pme_vg(p):
+        e, g = jax.value_and_grad(rec.energy)(p, boxj)
+        return e + jnp.sum(g)
+
+    def pme_ef(p):
+        e, f = rec.energy_forces(p, boxj)
+        return e + jnp.sum(f)
+
+    report("pme energy+grad (consumed)", scan_over(pme_vg))
+    report("pme energy_forces (consumed)", scan_over(pme_ef))
     report("pme spread only",
            scan_over(lambda p: jnp.sum(
                rec._spread(p, boxj, rec.charges))))
     report("fftn of mesh", scan_over(
         lambda p: jnp.sum(jnp.abs(jnp.fft.fftn(
             rec._spread(jax.lax.stop_gradient(p), boxj, rec.charges))))))
+
+    # -- PME-internal sub-ledger (each stage consumed, so nothing DCEs):
+    # decomposes energy_forces = tap rows -> spread -> fft/phi -> force
+    # gather -> corrections
+    if hasattr(rec, "_tap_rows_d"):
+        def pme_taprows(p):
+            rows, drows = rec._tap_rows_d(p, boxj)
+            return (sum(jnp.sum(r) for r in rows)
+                    + sum(jnp.sum(d) for d in drows))
+
+        report("pme tap rows+d", scan_over(pme_taprows))
+
+        def pme_phi(p):
+            Kx, Ky, Kz = rec.cfg.kmax
+            mesh = rec._spread(p, boxj, rec.charges)
+            ftype = mesh.dtype
+            Sk = jnp.fft.rfftn(mesh)
+            B, wh = rec._bhalf(boxj, ftype)
+            s2 = Sk.real**2 + Sk.imag**2
+            e = jnp.sum((B * s2) @ wh)
+            phi = jnp.fft.irfftn(B.astype(Sk.dtype) * Sk,
+                                 s=(Kx, Ky, Kz)).astype(ftype)
+            return e + jnp.sum(phi)
+
+        report("pme spread+fft+phi", scan_over(pme_phi))
+
+        # force gather alone: phi held closure-constant, so only the
+        # pos-dependent tap rows + gather contractions are in the loop
+        Kx, Ky, Kz = rec.cfg.kmax
+        phi0 = jnp.zeros((Kx, Ky, Kz), jnp.float32) + 1e-3
+
+        def pme_gather_only(p):
+            # the exact chunked gather scan of energy_forces, with phi
+            # closure-constant (isolates the gather contractions)
+            (Rx, Ry, Rz), (dRx, dRy, dRz) = rec._tap_rows_d(p, boxj)
+            q = rec.charges.astype(p.dtype)
+            Rzq, dRzq = Rz * q[:, None], dRz * q[:, None]
+            phiT = phi0.reshape(Kx * Ky, Kz).T
+            prec = jax.lax.Precision.HIGHEST
+            N = p.shape[0]
+            M = 4096
+            C = -(-N // M)
+            pad = C * M - N
+
+            def padded(a):
+                if pad:
+                    a = jnp.concatenate(
+                        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+                return a.reshape((C, M) + a.shape[1:])
+
+            def gather_body(_, rows):
+                rx, ry, rzq, drx, dry, drzq = rows
+                z2 = jnp.concatenate([rzq, drzq], axis=0)
+                h2 = jnp.einsum("az,zp->ap", z2, phiT, precision=prec)
+                H = h2[:M].reshape(M, Kx, Ky)
+                Hd = h2[M:].reshape(M, Kx, Ky)
+                ty = jnp.einsum("mxy,my->mx", H, ry)
+                tx = jnp.einsum("mxy,mx->my", H, rx)
+                tyd = jnp.einsum("mxy,my->mx", Hd, ry)
+                fx = -jnp.sum(drx * ty, axis=1)
+                fy = -jnp.sum(dry * tx, axis=1)
+                fz = -jnp.sum(rx * tyd, axis=1)
+                return None, jnp.stack([fx, fy, fz], axis=1)
+
+            _, frc = jax.lax.scan(
+                gather_body, None,
+                (padded(Rx), padded(Ry), padded(Rzq),
+                 padded(dRx), padded(dRy), padded(dRzq)))
+            return jnp.sum(frc)
+
+        report("pme force gather (chunked, const phi)",
+               scan_over(pme_gather_only))
+
+        def pme_corr(p):
+            q = rec.charges.astype(p.dtype)
+            e, g = jax.value_and_grad(
+                lambda pp: rec._corrections(pp, boxj, q))(p)
+            return e + jnp.sum(g)
+
+        report("pme corrections e+grad", scan_over(pme_corr))
     report("bonded_ef_one",
            scan_over(lambda p: forces.bonded_ef_one(p, boxj)[1]))
     report("full ef_one (vsites+pair+pme+bonded)",

@@ -417,3 +417,46 @@ def test_pme_force_on_mesh_node_atom():
         fd = (float(efn(jnp.asarray(pp)))
               - float(efn(jnp.asarray(pm)))) / (2 * eps)
         assert abs(g[0, a] - fd) < 1e-6 * max(1.0, abs(fd))
+
+
+def test_pme_strided_exclusion_corrections_match_gather():
+    """The uniform-solvent strided exclusion fast path (_corrections,
+    detected via _detect_strided_pairs) must equal the general gather
+    formulation in value and gradient."""
+    import os
+
+    from torchmd_tpu.ewald import PmeRecip, _detect_strided_pairs
+
+    rng = np.random.default_rng(5)
+    nmol, s = 23, 4
+    n = nmol * s
+    box = np.array([14.0, 14.0, 14.0])
+    pos = rng.random((n, 3)) * box
+    q = rng.random(n) - 0.5
+    loc = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    pairs = [(m * s + a, m * s + b) for m in range(nmol) for a, b in loc]
+    lay = _detect_strided_pairs(np.asarray(pairs), n)
+    assert lay is not None and lay[0] == 0 and lay[1] == s
+    assert lay[2] == nmol and sorted(lay[3]) == sorted(loc)
+
+    rec = PmeRecip(q, box, cutoff=4.0, order=4, dtype=jnp.float64,
+                   excl_pairs=pairs)
+    assert rec._excl_strided is not None
+    pj, bj = jnp.asarray(pos), jnp.asarray(box)
+    qj = rec.charges
+
+    def corr(p):
+        return rec._corrections(p, bj, qj)
+
+    e_s, g_s = jax.value_and_grad(corr)(pj)
+    os.environ["TMD_PME_EXCL_STRIDED"] = "0"
+    try:
+        e_g, g_g = jax.value_and_grad(corr)(pj)
+    finally:
+        del os.environ["TMD_PME_EXCL_STRIDED"]
+    assert abs(float(e_s) - float(e_g)) < 1e-11 * max(1.0, abs(float(e_g)))
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_g),
+                               atol=1e-12)
+    # a non-uniform pattern must decline the fast path
+    assert _detect_strided_pairs(
+        np.asarray(pairs[:-1]), n) is None

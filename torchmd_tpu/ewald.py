@@ -282,6 +282,39 @@ class EwaldRecip:
         return e, -g
 
 
+def _detect_strided_pairs(pairs, natoms):
+    """Detect a repeating intra-molecule pair pattern: atoms laid out as
+    `nmol` contiguous blocks of `s` starting at `a0`, every pair inside
+    one block, every block carrying the identical local pattern (e.g.
+    the 6 exclusion pairs of a 4-site water). Returns
+    (a0, s, nmol, local_pairs) with local_pairs a static (ppm, 2) int
+    array, or None. Mixed systems (a solute whose pair spans exceed the
+    solvent block) return None and keep the general gather path."""
+    p = np.asarray(pairs, np.int64)
+    if p.ndim != 2 or p.shape[0] < 8:
+        return None
+    s = int((p[:, 1] - p[:, 0]).max()) + 1
+    if s < 2 or s > 64:
+        return None
+    a0 = int(p.min())
+    mol_i = (p[:, 0] - a0) // s
+    mol_j = (p[:, 1] - a0) // s
+    if not np.array_equal(mol_i, mol_j):
+        return None
+    nmol = int(mol_i.max()) + 1
+    if a0 + nmol * s > natoms or p.shape[0] % nmol:
+        return None
+    ppm = p.shape[0] // nmol
+    loc = p - a0 - (mol_i * s)[:, None]
+    order = np.lexsort((loc[:, 1], loc[:, 0], mol_i))
+    loc_s = loc[order].reshape(nmol, ppm, 2)
+    mol_s = mol_i[order].reshape(nmol, ppm)
+    if not (np.all(mol_s == np.arange(nmol)[:, None])
+            and np.all(loc_s == loc_s[0])):
+        return None
+    return a0, s, nmol, [tuple(int(v) for v in row) for row in loc_s[0]]
+
+
 class PmeRecip:
     """Smooth particle-mesh Ewald reciprocal term (Essmann et al. 1995).
 
@@ -314,8 +347,18 @@ class PmeRecip:
             pairs = np.sort(np.asarray(excl_pairs, dtype=np.int64), axis=1)
             pairs = np.unique(pairs, axis=0)
             self.excl = jnp.asarray(pairs, jnp.int32)
+            # uniform-solvent fast path: when the exclusion list is a
+            # repeating intra-molecule pattern (e.g. 6 pairs per TIP4P
+            # water), the P-row gathers of pos[i]-pos[j] (and the
+            # scatter-add in their backward) become static reshapes —
+            # XLA lowers row gathers to serialized loops on TPU
+            # (docs/PERF.md; same trick as the SETTLE strided layout,
+            # constraints.py). None when the pattern doesn't hold.
+            self._excl_strided = _detect_strided_pairs(
+                pairs, np.asarray(charges).shape[0])
         else:
             self.excl = None
+            self._excl_strided = None
         self.spread_mode = os.environ.get("TMD_PME_SPREAD", "matmul")
         if self.spread_mode not in ("matmul", "scatter", "segsum"):
             raise ValueError(
@@ -595,12 +638,26 @@ class PmeRecip:
         e_net = -ELEC_FACTOR * jnp.pi / (2.0 * V * alpha**2) * qtot * qtot
         e_excl = jnp.asarray(0.0, dtype)
         if self.excl is not None:
-            i, j = self.excl[:, 0], self.excl[:, 1]
-            dv = pos[i] - pos[j]
             safe = jnp.where(box > 0, box, 1.0)
-            dv = dv - jnp.where(box > 0, safe * jnp.round(dv / safe), 0.0)
-            qq = ELEC_FACTOR * q[i] * q[j]
-            e_excl = erf_over_r_sum(alpha, dv, qq)
+            lay = self._excl_strided
+            if lay is not None and os.environ.get(
+                    "TMD_PME_EXCL_STRIDED", "1") != "0":
+                a0, s, nmol, loc = lay
+                blk = pos[a0:a0 + nmol * s].reshape(nmol, s, 3)
+                qb = q[a0:a0 + nmol * s].reshape(nmol, s)
+                for a, b in loc:
+                    dv = blk[:, a] - blk[:, b]
+                    dv = dv - jnp.where(
+                        box > 0, safe * jnp.round(dv / safe), 0.0)
+                    qq = ELEC_FACTOR * qb[:, a] * qb[:, b]
+                    e_excl = e_excl + erf_over_r_sum(alpha, dv, qq)
+            else:
+                i, j = self.excl[:, 0], self.excl[:, 1]
+                dv = pos[i] - pos[j]
+                dv = dv - jnp.where(
+                    box > 0, safe * jnp.round(dv / safe), 0.0)
+                qq = ELEC_FACTOR * q[i] * q[j]
+                e_excl = erf_over_r_sum(alpha, dv, qq)
         return e_self + e_net + e_excl
 
     def energy(self, pos, box):
@@ -700,6 +757,24 @@ class PmeRecip:
         Rzq = Rz * q[:, None]
         dRzq = dRz * q[:, None]
 
+        # fused Pallas path (TPU, f32): the chunked XLA einsums below
+        # materialize (chunk, Kx*Ky) intermediates in HBM — ~8 GB/step
+        # at 62.5k/80^3, measured 18.3 ms for the gather alone; the
+        # fused kernels keep them in VMEM (docs/PERF.md round 5).
+        from .ops import pallas_pme as _ppme
+
+        gmode = os.environ.get("TMD_PME_GATHER", "pallas")
+        if gmode not in ("pallas", "xla", "interpret"):
+            raise ValueError(
+                f"TMD_PME_GATHER={gmode!r} (want pallas | xla | interpret)")
+        # 'interpret' runs the kernels through the Pallas interpreter on
+        # any backend (CPU equivalence tests)
+        use_pallas = dtype == jnp.float32 and (
+            gmode == "interpret"
+            or (gmode == "pallas" and _ppme.pallas_available())
+        )
+        interp = gmode == "interpret"
+
         M = int(os.environ.get("TMD_PME_CHUNK", "4096"))
         if M <= 0:
             raise ValueError(
@@ -714,21 +789,27 @@ class PmeRecip:
                     [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
             return a.reshape((C, M) + a.shape[1:])
 
-        Rxc, Ryc, Rzqc = padded(Rx), padded(Ry), padded(Rzq)
         prec = (jax.lax.Precision.HIGHEST
                 if dtype != jnp.float64 else jax.lax.Precision.DEFAULT)
 
-        def spread_body(mesh, rows):
-            rx, ry, rz = rows
-            p2 = (rx[:, :, None] * ry[:, None, :]).reshape(M, Kx * Ky)
-            return mesh + jnp.einsum(
-                "ap,az->pz", p2, rz, precision=prec), None
+        if use_pallas:
+            mesh3 = _ppme.pme_spread(Rx, Ry, Rzq, (Kx, Ky, Kz),
+                                     interpret=interp)
+        else:
+            Rxc, Ryc, Rzqc = padded(Rx), padded(Ry), padded(Rzq)
 
-        mesh0 = jnp.zeros((Kx * Ky, Kz), dtype)
-        mesh, _ = jax.lax.scan(spread_body, mesh0, (Rxc, Ryc, Rzqc))
+            def spread_body(mesh, rows):
+                rx, ry, rz = rows
+                p2 = (rx[:, :, None] * ry[:, None, :]).reshape(M, Kx * Ky)
+                return mesh + jnp.einsum(
+                    "ap,az->pz", p2, rz, precision=prec), None
+
+            mesh0 = jnp.zeros((Kx * Ky, Kz), dtype)
+            mesh, _ = jax.lax.scan(spread_body, mesh0, (Rxc, Ryc, Rzqc))
+            mesh3 = mesh.reshape(Kx, Ky, Kz)
 
         ftype = jnp.float64 if dtype == jnp.float64 else jnp.float32
-        Sk = jnp.fft.rfftn(mesh.reshape(Kx, Ky, Kz).astype(ftype))
+        Sk = jnp.fft.rfftn(mesh3.astype(ftype))
         B, wh = self._bhalf(box, dtype)
         c = ELEC_FACTOR * (2.0 * jnp.pi / V)
         s2 = (Sk.real**2 + Sk.imag**2).astype(dtype)
@@ -738,27 +819,33 @@ class PmeRecip:
         phi = (2.0 * c * (Kx * Ky * Kz)) * jnp.fft.irfftn(
             B.astype(Sk.dtype) * Sk, s=(Kx, Ky, Kz)
         ).astype(dtype)
-        phiT = phi.reshape(Kx * Ky, Kz).T              # (Kz, Kx*Ky)
 
-        def gather_body(_, rows):
-            rx, ry, rzq, drx, dry, drzq = rows
-            z2 = jnp.concatenate([rzq, drzq], axis=0)   # (2M, Kz)
-            h2 = jnp.einsum("az,zp->ap", z2, phiT, precision=prec)
-            H = h2[:M].reshape(M, Kx, Ky)
-            Hd = h2[M:].reshape(M, Kx, Ky)
-            ty = jnp.einsum("mxy,my->mx", H, ry)        # sum_y Ry H
-            tx = jnp.einsum("mxy,mx->my", H, rx)        # sum_x Rx H
-            tyd = jnp.einsum("mxy,my->mx", Hd, ry)
-            fx = -jnp.sum(drx * ty, axis=1)
-            fy = -jnp.sum(dry * tx, axis=1)
-            fz = -jnp.sum(rx * tyd, axis=1)
-            return None, jnp.stack([fx, fy, fz], axis=1)
+        if use_pallas:
+            frc = _ppme.pme_gather_forces(
+                Rx, Ry, Rzq, dRx, dRy, dRzq, phi, interpret=interp)
+        else:
+            phiT = phi.reshape(Kx * Ky, Kz).T          # (Kz, Kx*Ky)
 
-        _, frc = jax.lax.scan(
-            gather_body, None,
-            (Rxc, Ryc, Rzqc, padded(dRx), padded(dRy), padded(dRzq)),
-        )
-        frc = frc.reshape(C * M, 3)[:N]
+            def gather_body(_, rows):
+                rx, ry, rzq, drx, dry, drzq = rows
+                z2 = jnp.concatenate([rzq, drzq], axis=0)   # (2M, Kz)
+                h2 = jnp.einsum("az,zp->ap", z2, phiT, precision=prec)
+                H = h2[:M].reshape(M, Kx, Ky)
+                Hd = h2[M:].reshape(M, Kx, Ky)
+                ty = jnp.einsum("mxy,my->mx", H, ry)        # sum_y Ry H
+                tx = jnp.einsum("mxy,mx->my", H, rx)        # sum_x Rx H
+                tyd = jnp.einsum("mxy,my->mx", Hd, ry)
+                fx = -jnp.sum(drx * ty, axis=1)
+                fy = -jnp.sum(dry * tx, axis=1)
+                fz = -jnp.sum(rx * tyd, axis=1)
+                return None, jnp.stack([fx, fy, fz], axis=1)
+
+            _, frc = jax.lax.scan(
+                gather_body, None,
+                (padded(Rx), padded(Ry), padded(Rzq),
+                 padded(dRx), padded(dRy), padded(dRzq)),
+            )
+            frc = frc.reshape(C * M, 3)[:N]
 
         corr = lambda p: self._corrections(p, box, q)  # noqa: E731
         e_corr, g_corr = jax.value_and_grad(corr)(pos)
