@@ -97,21 +97,22 @@ def main():
               flush=True)
 
     def rows_of(p):
-        (Rx, Ry, Rz), (dRx, dRy, dRz) = rec._tap_rows_d(p, boxj)
+        (Rx, Ry, Rz), _ = rec._tap_rows_d(p, boxj)
         qj = rec.charges
-        return Rx, Ry, Rz * qj[:, None], dRx, dRy, dRz * qj[:, None]
+        return Rx, Ry, Rz * qj[:, None]
 
     report("tap rows", lambda p: sum(jnp.sum(r) for r in rows_of(p)))
 
+    dgrids = (phi0, phi0 * 0.5, phi0 * 0.25)
+
     def g_pallas(p):
-        Rx, Ry, Rzq, dRx, dRy, dRzq = rows_of(p)
-        return jnp.sum(ppme.pme_gather_forces(
-            Rx, Ry, Rzq, dRx, dRy, dRzq, phi0))
+        Rx, Ry, Rzq = rows_of(p)
+        return jnp.sum(ppme.pme_gather_ik(Rx, Ry, Rzq, dgrids))
 
     report("gather pallas", g_pallas)
 
     def s_pallas(p):
-        Rx, Ry, Rzq, _, _, _ = rows_of(p)
+        Rx, Ry, Rzq = rows_of(p)
         return jnp.sum(ppme.pme_spread(Rx, Ry, Rzq, (Kx, Ky, Kz)))
 
     report("spread pallas", s_pallas)

@@ -1,11 +1,12 @@
 """Equivalence tests for the fused Pallas PME kernels (interpret mode).
 
-The fused spread/gather kernels (ops/pallas_pme.py) must reproduce the
-XLA einsum formulation of PmeRecip.energy_forces (ewald.py) — same tap
-rows, same contraction, different execution. Reference values are
-computed with f64 numpy einsums from identical (f32-valued) inputs, so
-the asserted tolerance is the kernels' own bf16-split arithmetic
-(~1e-5 relative), not formulation drift.
+Kernel-level tests pin the fused contractions against f64 numpy
+einsums built from identical (f32-valued) inputs — asserting only the
+kernels' bf16-split arithmetic (~1e-5 relative). The dispatch test
+pins PmeRecip.energy_forces through the Pallas/ik path against the XLA
+analytic-spline path: energies tightly (same spread contraction),
+forces to spline-truncation order (ik vs analytic differentiation are
+distinct standard PME force discretizations that agree to O(h^order)).
 """
 
 import os
@@ -28,7 +29,7 @@ def _case(n_atoms=97, seed=0, kmesh=(16, 12, 8), order=4):
     q[-1] -= q.sum()
     rec = PmeRecip(q, box, cutoff=4.0, order=order, dtype=jnp.float32)
     # pin the mesh: the test pins contraction equivalence, not parameter
-    # selection, and a small non-cubic mesh exercises the x/y padding
+    # selection, and a small non-cubic mesh exercises the padding
     rec.cfg = rec.cfg._replace(kmax=kmesh)
     rec._b2 = tuple(
         jnp.asarray(rec._spline_b2(K), jnp.float64).astype(jnp.float32)
@@ -36,14 +37,13 @@ def _case(n_atoms=97, seed=0, kmesh=(16, 12, 8), order=4):
     )
     pos_j = jnp.asarray(pos)
     box_j = jnp.asarray(box, jnp.float32)
-    (Rx, Ry, Rz), (dRx, dRy, dRz) = rec._tap_rows_d(pos_j, box_j)
+    (Rx, Ry, Rz), _ = rec._tap_rows_d(pos_j, box_j)
     Rzq = Rz * jnp.asarray(q)[:, None]
-    dRzq = dRz * jnp.asarray(q)[:, None]
-    return rec, pos_j, box_j, (Rx, Ry, Rzq, dRx, dRy, dRzq)
+    return rec, pos_j, box_j, (Rx, Ry, Rzq)
 
 
 def test_spread_kernel_matches_einsum():
-    _, _, _, (Rx, Ry, Rzq, _, _, _) = _case()
+    _, _, _, (Rx, Ry, Rzq) = _case()
     mesh = np.asarray(ppme.pme_spread(
         Rx, Ry, Rzq, (16, 12, 8), interpret=True))
     ref = np.einsum(
@@ -54,47 +54,54 @@ def test_spread_kernel_matches_einsum():
     np.testing.assert_allclose(mesh, ref, atol=3e-5 * scale)
 
 
-def test_gather_kernel_matches_einsum():
+def _ik_reference(rows, dgrids):
+    r = [np.asarray(a, np.float64) for a in rows]
+    out = []
+    for g in dgrids:
+        out.append(-np.einsum("ax,ay,az,xyz->a", r[0], r[1], r[2],
+                              np.asarray(g, np.float64)))
+    return np.stack(out, axis=1)
+
+
+def test_gather_ik_kernel_matches_einsum():
     rng = np.random.default_rng(3)
     _, _, _, rows = _case()
-    Rx, Ry, Rzq, dRx, dRy, dRzq = rows
-    phi = (rng.random((16, 12, 8)) - 0.5).astype(np.float32)
-    frc = np.asarray(ppme.pme_gather_forces(
-        Rx, Ry, Rzq, dRx, dRy, dRzq, jnp.asarray(phi), interpret=True))
-    p64 = phi.astype(np.float64)
-    r = [np.asarray(a, np.float64) for a in rows]
-    fx = -np.einsum("ax,ay,az,xyz->a", r[3], r[1], r[2], p64)
-    fy = -np.einsum("ax,ay,az,xyz->a", r[0], r[4], r[2], p64)
-    fz = -np.einsum("ax,ay,az,xyz->a", r[0], r[1], r[5], p64)
-    ref = np.stack([fx, fy, fz], axis=1)
+    dgrids = tuple(
+        jnp.asarray((rng.random((16, 12, 8)) - 0.5).astype(np.float32))
+        for _ in range(3))
+    frc = np.asarray(ppme.pme_gather_ik(*rows, dgrids, interpret=True))
+    ref = _ik_reference(rows, dgrids)
     scale = np.abs(ref).max()
     np.testing.assert_allclose(frc, ref, atol=3e-5 * scale)
 
 
-def test_gather_kernel_highest_precision_mode():
+def test_gather_ik_highest_precision_mode():
     _, _, _, rows = _case(n_atoms=41, kmesh=(8, 8, 8))
-    Rx, Ry, Rzq, dRx, dRy, dRzq = rows
     rng = np.random.default_rng(7)
-    phi = (rng.random((8, 8, 8)) - 0.5).astype(np.float32)
+    dgrids = tuple(
+        jnp.asarray((rng.random((8, 8, 8)) - 0.5).astype(np.float32))
+        for _ in range(3))
     os.environ["TMD_PME_PALLAS_PREC"] = "highest"
     try:
-        frc = np.asarray(ppme.pme_gather_forces(
-            Rx, Ry, Rzq, dRx, dRy, dRzq, jnp.asarray(phi),
-            interpret=True))
+        frc = np.asarray(ppme.pme_gather_ik(
+            *rows, dgrids, interpret=True))
     finally:
         del os.environ["TMD_PME_PALLAS_PREC"]
-    p64 = phi.astype(np.float64)
-    r = [np.asarray(a, np.float64) for a in rows]
-    fx = -np.einsum("ax,ay,az,xyz->a", r[3], r[1], r[2], p64)
-    ref_fx = fx
-    scale = np.abs(ref_fx).max()
-    np.testing.assert_allclose(frc[:, 0], ref_fx, atol=2e-6 * scale)
+    ref = _ik_reference(rows, dgrids)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(frc, ref, atol=2e-6 * scale)
 
 
 def test_energy_forces_dispatch_interpret_matches_xla():
-    """Full PmeRecip.energy_forces through the Pallas dispatch equals
-    the XLA einsum path on identical inputs (f32)."""
-    rec, pos_j, box_j, _ = _case(n_atoms=64, kmesh=(16, 16, 16))
+    """Full PmeRecip.energy_forces through the Pallas/ik dispatch vs the
+    XLA analytic-spline path: identical energy contraction (tight), ik
+    vs analytic forces agree to spline truncation (loose)."""
+    # mesh fine enough for the configured alpha that near-Nyquist
+    # spectral content is small — on a coarse pinned mesh ik and
+    # analytic legitimately diverge (measured: max|d| 9.4 at 16^3 ->
+    # 0.52 at 32^3 -> 0.01 at 32^3/order 6 on this system); production
+    # meshes are chosen by choose_parameters to keep that content ~tol
+    rec, pos_j, box_j, _ = _case(n_atoms=64, kmesh=(32, 32, 32))
     old = os.environ.get("TMD_PME_GATHER")
     try:
         os.environ["TMD_PME_GATHER"] = "xla"
@@ -110,26 +117,29 @@ def test_energy_forces_dispatch_interpret_matches_xla():
             os.environ["TMD_PME_GATHER"] = old
     assert abs(e_p - e_x) <= 2e-5 * max(1.0, abs(e_x))
     fscale = np.abs(f_x).max()
-    np.testing.assert_allclose(f_p, f_x, atol=5e-5 * max(1.0, fscale))
+    # ik vs analytic spline differentiation: O(h^order) agreement
+    np.testing.assert_allclose(f_p, f_x, atol=2e-2 * max(1.0, fscale))
+    # and the ik force sum is ~zero (momentum conservation of the
+    # plain-weight gather against zero-mean gradient grids)
+    np.testing.assert_allclose(
+        f_p.sum(axis=0), np.zeros(3), atol=1e-3 * max(1.0, fscale))
 
 
 def test_block_padding_edges():
-    """N not a multiple of the block size and K axes needing x/y padding
-    still produce exact-length outputs with zero contributions from the
-    pad rows."""
+    """N not a multiple of the block size, odd K axes needing x/y/z
+    padding, and a custom block size still produce exact-length outputs
+    with zero contributions from the pad rows."""
     _, _, _, rows = _case(n_atoms=130, kmesh=(12, 20, 8))
-    Rx, Ry, Rzq, dRx, dRy, dRzq = rows
     rng = np.random.default_rng(11)
-    phi = (rng.random((12, 20, 8)) - 0.5).astype(np.float32)
-    frc = np.asarray(ppme.pme_gather_forces(
-        Rx, Ry, Rzq, dRx, dRy, dRzq, jnp.asarray(phi),
-        block_i=64, interpret=True))
+    dgrids = tuple(
+        jnp.asarray((rng.random((12, 20, 8)) - 0.5).astype(np.float32))
+        for _ in range(3))
+    frc = np.asarray(ppme.pme_gather_ik(
+        *rows, dgrids, block_i=64, interpret=True))
     assert frc.shape == (130, 3)
-    p64 = phi.astype(np.float64)
-    r = [np.asarray(a, np.float64) for a in rows]
-    fz = -np.einsum("ax,ay,az,xyz->a", r[0], r[1], r[5], p64)
-    scale = np.abs(fz).max()
-    np.testing.assert_allclose(frc[:, 2], fz, atol=3e-5 * scale)
+    ref = _ik_reference(rows, dgrids)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(frc, ref, atol=3e-5 * scale)
 
 
 if __name__ == "__main__":

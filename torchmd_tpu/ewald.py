@@ -815,15 +815,48 @@ class PmeRecip:
         s2 = (Sk.real**2 + Sk.imag**2).astype(dtype)
         e_recip = c * jnp.sum((B * s2) @ wh)
 
-        # convolved potential grid: phi[g] = dE/dmesh[g]
-        phi = (2.0 * c * (Kx * Ky * Kz)) * jnp.fft.irfftn(
-            B.astype(Sk.dtype) * Sk, s=(Kx, Ky, Kz)
-        ).astype(dtype)
+        scale = 2.0 * c * (Kx * Ky * Kz)
 
         if use_pallas:
-            frc = _ppme.pme_gather_forces(
-                Rx, Ry, Rzq, dRx, dRy, dRzq, phi, interpret=interp)
+            # ik (spectral) force differentiation: three gradient grids
+            # of the convolved potential from the Fourier side, then the
+            # fused Pallas gather needs only the PLAIN tap rows. Agrees
+            # with the analytic spline-derivative path below to spline
+            # truncation order (~1e-4 rel at order 4); exact-gradient
+            # NVE work can force the XLA path with TMD_PME_GATHER=xla.
+            BS = B.astype(Sk.dtype) * Sk
+            two_pi = 2.0 * jnp.pi
+
+            def ksigned(K, L):
+                m = jnp.fft.fftfreq(K, d=1.0 / K).astype(dtype)
+                if K % 2 == 0:
+                    # the Nyquist mode has no well-defined odd
+                    # derivative on a real grid: zero it
+                    m = m.at[K // 2].set(0.0)
+                return (two_pi / L) * m
+
+            kx = ksigned(Kx, box[0])
+            ky = ksigned(Ky, box[1])
+            Kzh = Kz // 2 + 1
+            kz = (two_pi / box[2]) * jnp.arange(Kzh, dtype=dtype)
+            if Kz % 2 == 0:
+                kz = kz.at[-1].set(0.0)
+
+            def dgrid(kvec, axis_shape):
+                return scale * jnp.fft.irfftn(
+                    (1j * kvec.astype(ftype)).reshape(axis_shape) * BS,
+                    s=(Kx, Ky, Kz)).astype(dtype)
+
+            dgx = dgrid(kx, (Kx, 1, 1))
+            dgy = dgrid(ky, (1, Ky, 1))
+            dgz = dgrid(kz, (1, 1, Kzh))
+            frc = _ppme.pme_gather_ik(
+                Rx, Ry, Rzq, (dgx, dgy, dgz), interpret=interp)
         else:
+            # convolved potential grid: phi[g] = dE/dmesh[g]
+            phi = scale * jnp.fft.irfftn(
+                B.astype(Sk.dtype) * Sk, s=(Kx, Ky, Kz)
+            ).astype(dtype)
             phiT = phi.reshape(Kx * Ky, Kz).T          # (Kz, Kx*Ky)
 
             def gather_body(_, rows):

@@ -4,31 +4,35 @@ The MXU matmul formulation of B-spline spreading/gathering
 (`ewald.PmeRecip._spread_matmul` / `energy_forces`) is scatter-free but
 materializes (chunk, Kx*Ky)-shaped intermediates in HBM — the force
 gather alone moves ~8 GB/step at 62.5k atoms / 80^3 mesh (measured
-18.3 ms, docs/PERF.md round-5 sub-ledger). These kernels fuse the
-per-atom outer products and the xy reductions around the z-contraction
-matmul so every (atoms, K^2) object lives only in VMEM:
+18.3 ms, docs/PERF.md round-5 sub-ledger). These kernels contract the
+(z, y) axes JOINTLY: each atom block builds one VMEM-resident panel
 
-- `pme_gather_forces`: F_i = -(dRx (x) Ry (x) Rzq  : phi,
-                               Rx (x) dRy (x) Rzq  : phi,
-                               Rx (x) Ry  (x) dRzq : phi)
-  per atom block: one MXU dot H2 = [Rzq; dRzq] @ phi_g^T over the
-  x-group's (G*Kyp, Kz) phi panel, then per-x-column VPU lane
-  reductions against the y tap rows. No HBM intermediate.
-- `pme_spread`: mesh[x,y,z] = sum_i Rx[i,x] Ry[i,y] (q Rz)[i,z] with
-  the (I, G*Kyp) outer-product panel built in VMEM per atom block and
-  contracted over atoms on the MXU into a VMEM-resident mesh panel.
+    Q[i, z*Kyp + y] = (q*Rz)[i, z] * Ry[i, y]
 
-Layout: y is padded to the 128-lane boundary (Kyp) so x-column panels
-of the flattened (Kx*Kyp, Kz) mesh/phi are lane-aligned static slices;
-x is padded to a multiple of the x-group size G. Padding rows/planes
-are zero so they contribute nothing.
+and contracts it against a z,y-major mesh/derivative-grid matrix in a
+single MXU dot. Nothing (atoms, K^2)-shaped ever touches HBM, and —
+unlike the panel-per-x-group design measured first (docs/PERF.md) —
+there is no per-x segment reduction: the matmul's own contraction does
+the y sum at full tile utilization.
+
+Forces use ik (spectral) differentiation: the convolved potential's
+three gradient grids come from the Fourier side (i*k_a multiplications
++ three extra irfftns), so the gather needs only the PLAIN tap rows —
+no spline-derivative rows, and one Q panel serves all three force
+components:
+
+    F_a[i] = - sum_x Rx[i, x] * (Q @ dphi_a)[i, x]
+
+ik forces agree with the analytic spline-derivative forces (the XLA
+path, kept for CPU/f64/validation) to the spline truncation order
+(~1e-4 relative at order 4); they are the standard PME force variant
+used by e.g. LAMMPS. Equivalence and a cross-formulation check live in
+tests/test_pallas_pme.py.
 
 Precision: f32 operands are split hi/lo into bf16 and contracted in 3
-single-pass MXU matmuls (hi.hi + hi.lo + lo.hi), ~1e-5 relative — the
-same accuracy class as the order-4 spline truncation and far inside
-f32 MD force noise. TMD_PME_PALLAS_PREC=highest switches the dots to
-6-pass HIGHEST for validation. Equivalence vs the XLA einsum path is
-asserted in tests/test_pallas_pme.py.
+single-pass MXU matmuls (hi.hi + hi.lo + lo.hi, ~1e-5 relative — the
+same class as the spline truncation). TMD_PME_PALLAS_PREC=highest
+switches to 6-pass HIGHEST dots for validation.
 """
 
 from __future__ import annotations
@@ -65,30 +69,26 @@ def _round_up(n: int, m: int) -> int:
 # precision: split-bf16 MXU dots
 # ---------------------------------------------------------------------
 
-def _split2(x):
-    """2-term bf16 split: hi + lo covers 16 of f32's 24 mantissa bits."""
-    bf, f32 = jnp.bfloat16, jnp.float32
-    hi = x.astype(bf)
-    lo = (x - hi.astype(f32)).astype(bf)
-    return hi, lo
-
-
 def _dot_any(a, b, dims, prec):
     """f32 (.) f32 on the MXU: 'split2' = 3 single-pass bf16 matmuls
-    (drop lo.lo, ~2^-16 relative), 'highest' = the 6-pass exact path."""
+    (hi.hi + hi.lo + lo.hi, drop lo.lo: ~2^-16 relative), 'highest' =
+    the 6-pass exact path."""
     if prec == "highest":
         return jax.lax.dot_general(
             a, b, (dims, ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-    ah, al = _split2(a)
-    bh, bl = _split2(b)
+    bf, f32 = jnp.bfloat16, jnp.float32
+    ah = a.astype(bf)
+    al = (a - ah.astype(f32)).astype(bf)
+    bh = b.astype(bf)
+    bl = (b - bh.astype(f32)).astype(bf)
     out = None
     for x, y in ((ah, bh), (ah, bl), (al, bh)):
         d = jax.lax.dot_general(
             x, y, (dims, ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=f32,
         )
         out = d if out is None else out + d
     return out
@@ -102,210 +102,151 @@ def _prec_env():
     return p
 
 
+def _build_q(rzc, ry, ZC):
+    """Q chunk (I, ZC*Kyp): Q[i, j*Kyp + y] = rzc[i, j] * ry[i, y],
+    built piecewise along lanes so no sublane->lane relayout occurs."""
+    return jnp.concatenate(
+        [rzc[:, j:j + 1] * ry for j in range(ZC)], axis=1)
+
+
 # ---------------------------------------------------------------------
-# force gather
+# ik force gather
 # ---------------------------------------------------------------------
 
-def _dot_seg(a, S_bf16, prec):
-    """f32 a (.) EXACT-bf16 0/1 segment matrix: 3 single-pass bf16
-    matmuls (split only the f32 side; each partial product is exact)."""
-    if prec == "highest":
-        return jax.lax.dot_general(
-            a, S_bf16.astype(jnp.float32), ((((1,), (0,))), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    bf, f32 = jnp.bfloat16, jnp.float32
-    hi = a.astype(bf)
-    r1 = a - hi.astype(f32)
-    mid = r1.astype(bf)
-    lo = (r1 - mid.astype(f32)).astype(bf)
-    out = None
-    for part in (hi, mid, lo):
-        d = jax.lax.dot_general(
-            part, S_bf16, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
-        out = d if out is None else out + d
-    return out
+def _gather_kernel(rzc_ref, ry_ref, phi_ref, t_ref, *, I, ZC, Kyp, prec):
+    zc = pl.program_id(1)
 
-
-def _gather_kernel(rxg_ref, drxg_ref, ry_ref, dry_ref, rzq_ref, drzq_ref,
-                   phi_ref, out_ref, *, I, G, Kyp, prec):
-    xg = pl.program_id(1)
-
-    @pl.when(xg == 0)
+    @pl.when(zc == 0)
     def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        t_ref[...] = jnp.zeros_like(t_ref)
 
-    z2 = jnp.concatenate([rzq_ref[...], drzq_ref[...]], axis=0)  # (2I,Kz)
-    # H2 = z2 @ phi_panel: (2I, G*Kyp); rows [:I] = H, [I:] = Hd.
-    # phi arrives z-major (Kz, Kxp*Kyp) so the dot is a plain (M,K)(K,N)
-    # contraction — no per-invocation operand relayout
-    h2 = _dot_any(z2, phi_ref[...], ((1,), (0,)), prec)
-    H = h2[:I]
-    Hd = h2[I:]
-    # y reductions ride the MXU: lane-axis VPU sums of (I, Kyp) blocks
-    # are the measured bottleneck (the round-4 roofline's relayout tax,
-    # docs/PERF.md); a 0/1 segment matrix S[(g*Kyp+y), g'] = [g == g']
-    # turns all G of them into one (I, G*Kyp) @ (G*Kyp, G) dot
-    ryG = jnp.concatenate([ry_ref[...]] * G, axis=1)    # (I, G*Kyp)
-    dryG = jnp.concatenate([dry_ref[...]] * G, axis=1)
-    GK = G * Kyp
-    seg = jax.lax.broadcasted_iota(jnp.int32, (GK, G), 0) // Kyp
-    col = jax.lax.broadcasted_iota(jnp.int32, (GK, G), 1)
-    S = (seg == col).astype(jnp.bfloat16)
-    s_all = _dot_seg(H * ryG, S, prec)      # (I, G)  sum_y Ry H
-    t_all = _dot_seg(H * dryG, S, prec)     # (I, G)  sum_y dRy H
-    sd_all = _dot_seg(Hd * ryG, S, prec)    # (I, G)  sum_y Ry Hd
-    # x rows come pre-grouped (nxg, Np, G) so the block's last dim
-    # equals the array dim (Mosaic block-shape rule); drop the lead 1
-    rxg = rxg_ref[0]
-    drxg = drxg_ref[0]
-    fx = jnp.sum(drxg * s_all, axis=1, keepdims=True)   # (I, 1)
-    fy = jnp.sum(rxg * t_all, axis=1, keepdims=True)
-    fz = jnp.sum(rxg * sd_all, axis=1, keepdims=True)
-    pad = jnp.zeros((I, 5), jnp.float32)
-    out_ref[...] = out_ref[...] - jnp.concatenate(
-        [fx, fy, fz, pad], axis=1)
+    Q = _build_q(rzc_ref[0], ry_ref[...], ZC)       # (I, ZC*Kyp)
+    t_ref[...] = t_ref[...] + _dot_any(
+        Q, phi_ref[...], ((1,), (0,)), prec)        # (I, P)
 
 
-def pme_gather_forces(Rx, Ry, Rzq, dRx, dRy, dRzq, phi, *,
-                      block_i=None, group_x=16, interpret=False):
-    """Reciprocal-space PME forces from the convolved potential grid.
+def pme_gather_ik(Rx, Ry, Rzq, dgrids, *, block_i=None, zchunk=8,
+                  interpret=False):
+    """Reciprocal-space PME forces by ik differentiation.
 
-    F_i = -(sum_xyz dRx Ry Rzq phi, ..., sum_xyz Rx Ry dRzq phi) — the
-    exact analytic-gather contraction of `PmeRecip.energy_forces`
-    (ewald.py), fused so the per-atom (Kx*Ky)-sized intermediates never
-    leave VMEM. Inputs: per-axis dense tap rows (N, K*) and their
-    derivatives (q already folded into Rzq/dRzq), phi (Kx, Ky, Kz).
-    Returns (N, 3) f32 forces.
+    F_a[i] = - sum_xyz Rx[i,x] Ry[i,y] (q Rz)[i,z] dphi_a[x,y,z] with
+    dgrids = (dphi_x, dphi_y, dphi_z) the spectral-derivative grids of
+    the convolved potential (built in ewald.PmeRecip.energy_forces).
+    Returns (N, 3) f32 forces. One fused Q-panel dot per atom block and
+    z-chunk; the three component grids pack the matmul's output lanes.
     """
     prec = _prec_env()
     f32 = jnp.float32
     N, Kx = Rx.shape
     Ky = Ry.shape[1]
     Kz = Rzq.shape[1]
-    I = int(block_i or _os.environ.get("TMD_PME_BLOCK_I", 128))
-    G = int(group_x)
+    I = int(block_i or _os.environ.get("TMD_PME_BLOCK_I", 256))
+    ZC = int(zchunk)
     Kyp = _round_up(Ky, 128)
-    Kxp = _round_up(Kx, G)
+    Kzp = _round_up(Kz, ZC)
+    P = _round_up(3 * Kx, 128)
     Np = _round_up(N, I)
 
     def pad2(a, rows, cols):
         return jnp.pad(a.astype(f32),
                        ((0, rows - a.shape[0]), (0, cols - a.shape[1])))
 
-    nxg = Kxp // G
-    # pre-group x rows (nxg, Np, G): Mosaic requires block last dims
-    # divisible by (8, 128) or equal to the array dims — a (I, G=16)
-    # block of an (Np, Kxp) array violates that, a (1, I, G) block of
-    # this layout doesn't
-    Rxp = pad2(Rx, Np, Kxp).reshape(Np, nxg, G).transpose(1, 0, 2)
-    dRxp = pad2(dRx, Np, Kxp).reshape(Np, nxg, G).transpose(1, 0, 2)
+    nzc = Kzp // ZC
     Ryp = pad2(Ry, Np, Kyp)
-    dRyp = pad2(dRy, Np, Kyp)
-    Rzp = pad2(Rzq, Np, Kz)
-    dRzp = pad2(dRzq, Np, Kz)
-    phip = jnp.pad(phi.astype(f32),
-                   ((0, Kxp - Kx), (0, Kyp - Ky), (0, 0)))
-    phip = phip.reshape(Kxp * Kyp, Kz).T          # z-major (Kz, Kxp*Kyp)
+    # z rows pre-chunked (nzc, Np, ZC) so blocks obey the Mosaic
+    # last-two-dims rule (divisible by (8, 128) or equal to array dims)
+    Rzc = pad2(Rzq, Np, Kzp).reshape(Np, nzc, ZC).transpose(1, 0, 2)
+    # grid matrix (Kzp*Kyp, P): rows z-major (z*Kyp + y), columns pack
+    # the three components tightly (a*Kx + x)
+    dg = jnp.stack([g.astype(f32) for g in dgrids], 0)  # (3, Kx, Ky, Kz)
+    dg = jnp.pad(dg, ((0, 0), (0, 0), (0, Kyp - Ky), (0, Kzp - Kz)))
+    dg = dg.transpose(3, 2, 0, 1).reshape(Kzp * Kyp, 3 * Kx)
+    phiM = jnp.pad(dg, ((0, 0), (0, P - 3 * Kx)))
 
-    grid = (Np // I, nxg)
     kern = functools.partial(
-        _gather_kernel, I=I, G=G, Kyp=Kyp, prec=prec)
-    out = pl.pallas_call(
+        _gather_kernel, I=I, ZC=ZC, Kyp=Kyp, prec=prec)
+    t = pl.pallas_call(
         kern,
-        grid=grid,
+        grid=(Np // I, nzc),
         in_specs=[
-            pl.BlockSpec((1, I, G), lambda b, x: (x, b, 0),
-                         memory_space=pltpu.VMEM),          # rx group
-            pl.BlockSpec((1, I, G), lambda b, x: (x, b, 0),
-                         memory_space=pltpu.VMEM),          # drx group
-            pl.BlockSpec((I, Kyp), lambda b, x: (b, 0),
-                         memory_space=pltpu.VMEM),          # ry
-            pl.BlockSpec((I, Kyp), lambda b, x: (b, 0),
-                         memory_space=pltpu.VMEM),          # dry
-            pl.BlockSpec((I, Kz), lambda b, x: (b, 0),
-                         memory_space=pltpu.VMEM),          # rzq
-            pl.BlockSpec((I, Kz), lambda b, x: (b, 0),
-                         memory_space=pltpu.VMEM),          # drzq
-            pl.BlockSpec((Kz, G * Kyp), lambda b, x: (0, x),
-                         memory_space=pltpu.VMEM),          # phi panel
+            pl.BlockSpec((1, I, ZC), lambda b, z: (z, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((I, Kyp), lambda b, z: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ZC * Kyp, P), lambda b, z: (z, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((I, 8), lambda b, x: (b, 0),
+        out_specs=pl.BlockSpec((I, P), lambda b, z: (b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Np, 8), f32),
+        out_shape=jax.ShapeDtypeStruct((Np, P), f32),
         interpret=interpret,
-    )(Rxp, dRxp, Ryp, dRyp, Rzp, dRzp, phip)
-    return out[:N, :3]
+    )(Rzc, Ryp, phiM)
+    t3 = t[:N, :3 * Kx].reshape(N, 3, Kx)
+    return -jnp.einsum("nax,nx->na", t3, Rx.astype(f32))
 
 
 # ---------------------------------------------------------------------
 # charge spreading
 # ---------------------------------------------------------------------
 
-def _spread_kernel(rxg_ref, ry_ref, rzqT_ref, mesh_ref, *, I, G, Kyp, prec):
+def _spread_kernel(rxT_ref, rzc_ref, ry_ref, mesh_ref, *, I, ZC, Kyp,
+                   prec):
     b = pl.program_id(1)
 
     @pl.when(b == 0)
     def _init():
         mesh_ref[...] = jnp.zeros_like(mesh_ref)
 
-    rxg = rxg_ref[0]
-    ry = ry_ref[...]
-    # outer-product panel p2[i, g*Kyp + y] = rx[i, xg*G+g] * ry[i, y]
-    p2 = jnp.concatenate(
-        [rxg[:, g:g + 1] * ry for g in range(G)], axis=1)  # (I, G*Kyp)
-    # mesh panel (z-major) += rzq^T @ p2 over atoms: (Kz, G*Kyp); the
-    # z rows arrive pre-transposed (Kz, Np) so the dot is plain
-    # (M,K)(K,N) — no per-invocation operand relayout
+    Q = _build_q(rzc_ref[0], ry_ref[...], ZC)       # (I, ZC*Kyp)
+    # meshT chunk (Kxp, ZC*Kyp) += Rx^T . Q over atoms; Rx arrives
+    # pre-transposed (Kxp, Np) so the dot is plain (M,K)(K,N)
     mesh_ref[...] = mesh_ref[...] + _dot_any(
-        rzqT_ref[...], p2, ((1,), (0,)), prec)
+        rxT_ref[...], Q, ((1,), (0,)), prec)
 
 
-def pme_spread(Rx, Ry, Rzq, kmax, *, block_i=None, group_x=16,
+def pme_spread(Rx, Ry, Rzq, kmax, *, block_i=None, zchunk=8,
                interpret=False):
     """B-spline charge spreading mesh[x,y,z] = sum_i Rx Ry (q Rz) with
-    the atom-chunk outer products VMEM-resident (the XLA einsum path
-    materializes them in HBM). Returns the (Kx, Ky, Kz) f32 mesh."""
+    the atom-block outer-product panels VMEM-resident (the XLA einsum
+    path materializes them in HBM). Returns the (Kx, Ky, Kz) f32 mesh."""
     prec = _prec_env()
     f32 = jnp.float32
     N, Kx = Rx.shape
     Ky = Ry.shape[1]
     Kz = Rzq.shape[1]
-    I = int(block_i or _os.environ.get("TMD_PME_BLOCK_I", 128))
-    G = int(group_x)
+    I = int(block_i or _os.environ.get("TMD_PME_BLOCK_I", 256))
+    ZC = int(zchunk)
     Kyp = _round_up(Ky, 128)
-    Kxp = _round_up(Kx, G)
+    Kzp = _round_up(Kz, ZC)
+    Kxp = _round_up(Kx, 8)
     Np = _round_up(N, I)
 
     def pad2(a, rows, cols):
         return jnp.pad(a.astype(f32),
                        ((0, rows - a.shape[0]), (0, cols - a.shape[1])))
 
-    nxg = Kxp // G
-    Rxp = pad2(Rx, Np, Kxp).reshape(Np, nxg, G).transpose(1, 0, 2)
+    nzc = Kzp // ZC
+    RxT = pad2(Rx, Np, Kxp).T                       # (Kxp, Np)
     Ryp = pad2(Ry, Np, Kyp)
-    RzpT = pad2(Rzq, Np, Kz).T                    # (Kz, Np)
+    Rzc = pad2(Rzq, Np, Kzp).reshape(Np, nzc, ZC).transpose(1, 0, 2)
 
-    grid = (nxg, Np // I)
-    kern = functools.partial(_spread_kernel, I=I, G=G, Kyp=Kyp, prec=prec)
-    mesh = pl.pallas_call(
+    kern = functools.partial(
+        _spread_kernel, I=I, ZC=ZC, Kyp=Kyp, prec=prec)
+    meshT = pl.pallas_call(
         kern,
-        grid=grid,
+        grid=(nzc, Np // I),
         in_specs=[
-            pl.BlockSpec((1, I, G), lambda x, b: (x, b, 0),
+            pl.BlockSpec((Kxp, I), lambda z, b: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((I, Kyp), lambda x, b: (b, 0),
+            pl.BlockSpec((1, I, ZC), lambda z, b: (z, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kz, I), lambda x, b: (0, b),
+            pl.BlockSpec((I, Kyp), lambda z, b: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Kz, G * Kyp), lambda x, b: (0, x),
+        out_specs=pl.BlockSpec((Kxp, ZC * Kyp), lambda z, b: (0, z),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Kz, Kxp * Kyp), f32),
+        out_shape=jax.ShapeDtypeStruct((Kxp, Kzp * Kyp), f32),
         interpret=interpret,
-    )(Rxp, Ryp, RzpT)
-    mesh = mesh.reshape(Kz, Kxp, Kyp).transpose(1, 2, 0)[:Kx, :Ky, :]
-    return mesh
+    )(RxT, Rzc, Ryp)
+    mesh = meshT.reshape(Kxp, Kzp, Kyp).transpose(0, 2, 1)
+    return mesh[:Kx, :Ky, :Kz]
